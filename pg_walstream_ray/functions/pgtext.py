@@ -1,0 +1,169 @@
+"""PostgreSQL text-form scalar parsers, vectorized over Arrow arrays.
+
+Reference parity (consumer-edge typed deserialization, SURVEY.md §2.3):
+  - pg bool vocabulary t/f/true/false/1/0/on/off/yes/no:
+    /root/reference/src/deserializer.rs:102-115
+  - ASCII int parsing with +/- and overflow checks: deserializer.rs:124-185
+  - hex bytea '\\x…' encode/decode: /root/reference/src/column_value.rs:17-56
+  - lenient deserialization (failed fields -> defaults + error list):
+    deserializer.rs:617-691
+  - LSN text 'hi/lo': see wire/frames.py
+
+All functions are Arrow-vectorized (pyarrow.compute) — no per-row Python in
+hot paths.  ``lenient=True`` mirrors ``try_deserialize_into``: bad values
+become null and an error mask is returned instead of raising.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_BOOL_TRUE = pa.array(["t", "true", "1", "on", "yes", "y"], pa.string())
+_BOOL_FALSE = pa.array(["f", "false", "0", "off", "no", "n"], pa.string())
+
+
+def parse_pg_bool(arr: pa.Array, lenient: bool = False
+                  ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """Text -> bool with the pg vocabulary (case-insensitive, trimmed)."""
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+    is_t = pc.is_in(s, value_set=_BOOL_TRUE)
+    is_f = pc.is_in(s, value_set=_BOOL_FALSE)
+    ok = pc.or_(is_t, is_f)
+    bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+    if not lenient and pc.any(bad).as_py():
+        idx = pc.index(bad, True).as_py()
+        raise ValueError(f"invalid pg bool text {arr[idx].as_py()!r}")
+    out = pc.if_else(ok, is_t, pa.scalar(None, pa.bool_()))
+    return out, (bad if lenient else None)
+
+
+def parse_pg_int(arr: pa.Array, typ: pa.DataType, lenient: bool = False
+                 ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """ASCII int with +/-, whitespace trim, and overflow rejection.
+
+    pyarrow's string->int cast implements exactly the strict semantics
+    (error on junk or overflow); the lenient path nulls bad values.
+    """
+    s = pc.utf8_trim_whitespace(arr)
+    # pyarrow cast rejects a leading '+'; strip one if present
+    s = pc.if_else(pc.starts_with(s, "+"), pc.utf8_slice_codeunits(s, 1), s)
+    if not lenient:
+        return pc.cast(s, typ), None
+    # lenient: validate via regex then cast only the valid slots
+    ok = pc.match_substring_regex(s, r"^-?[0-9]+$")
+    ok = pc.fill_null(ok, False)
+    safe = pc.if_else(ok, s, pa.scalar(None, pa.string()))
+    try:
+        out = pc.cast(safe, typ)
+        bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+    except pa.ArrowInvalid:
+        # overflow inside digits-only values: fall back per-value
+        import numpy as np
+        lo, hi = _int_range(typ)
+        py = safe.to_pylist()
+        vals, badl = [], []
+        for v, orig_valid in zip(py, pc.is_valid(arr).to_pylist()):
+            if v is None:
+                vals.append(None)
+                badl.append(orig_valid)
+                continue
+            iv = int(v)
+            if lo <= iv <= hi:
+                vals.append(iv)
+                badl.append(False)
+            else:
+                vals.append(None)
+                badl.append(True)
+        out = pa.array(vals, typ)
+        bad = pa.array(badl, pa.bool_())
+    return out, bad
+
+
+def _int_range(typ: pa.DataType) -> Tuple[int, int]:
+    bits = typ.bit_width
+    return -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+
+
+def parse_pg_float(arr: pa.Array, typ: pa.DataType, lenient: bool = False
+                   ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    s = pc.utf8_trim_whitespace(arr)
+    if not lenient:
+        return pc.cast(s, typ), None
+    ok = pc.fill_null(pc.match_substring_regex(
+        s, r"^[+-]?([0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?|NaN|Infinity|-Infinity)$"), False)
+    safe = pc.if_else(ok, s, pa.scalar(None, pa.string()))
+    out = pc.cast(safe, typ)
+    bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+    return out, bad
+
+
+def parse_pg_timestamp(arr: pa.Array, lenient: bool = False
+                       ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """Timestamp text -> timestamp[us] (naive UTC).
+
+    Accepts the engine's lossless micros-since-unix-epoch integer text (the
+    synthetic WAL's form) or ISO 'YYYY-MM-DD HH:MM:SS[.ffffff]' text (real
+    pgoutput's form). Postgres-epoch conversion helpers live in wire/frames.
+    """
+    s = pc.utf8_trim_whitespace(arr)
+    is_int = pc.fill_null(pc.match_substring_regex(s, r"^-?[0-9]+$"), False)
+    if pc.all(pc.or_(is_int, pc.is_null(arr))).as_py():
+        return pc.cast(pc.cast(s, pa.int64()), pa.timestamp("us")), None
+    iso = pc.if_else(is_int, pa.scalar(None, pa.string()), s)
+    ts_iso = pc.strptime(iso, "%Y-%m-%d %H:%M:%S", "us", error_is_null=True)
+    ints = pc.if_else(is_int, s, pa.scalar(None, pa.string()))
+    ts_int = pc.cast(pc.cast(ints, pa.int64()), pa.timestamp("us"))
+    out = pc.if_else(is_int, ts_int, ts_iso)
+    bad = pc.and_(pc.is_null(out), pc.is_valid(arr)) if lenient else None
+    return out, bad
+
+
+def parse_pg_bytea(arr: pa.Array, lenient: bool = False
+                   ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """Hex bytea text '\\x0a0b' -> binary (column_value.rs:17-56)."""
+    import binascii
+    vals, bad = [], []
+    for v in arr.to_pylist():
+        if v is None:
+            vals.append(None)
+            bad.append(False)
+            continue
+        try:
+            if not v.startswith("\\x"):
+                raise ValueError(v)
+            vals.append(binascii.unhexlify(v[2:]))
+            bad.append(False)
+        except (ValueError, binascii.Error):
+            if not lenient:
+                raise ValueError(f"invalid hex bytea {v!r}")
+            vals.append(None)
+            bad.append(True)
+    return pa.array(vals, pa.binary()), (pa.array(bad) if lenient else None)
+
+
+def encode_pg_bytea(arr: pa.Array) -> pa.Array:
+    """binary -> hex bytea text form."""
+    return pa.array(
+        [None if v is None else "\\x" + v.hex() for v in arr.to_pylist()],
+        pa.string())
+
+
+def cast_pg_text(arr: pa.Array, typ: pa.DataType, lenient: bool = False
+                 ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """Dispatch: pg text-form array -> typed Arrow array (+ error mask)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return arr, (pa.array([False] * len(arr)) if lenient else None)
+    if pa.types.is_boolean(typ):
+        return parse_pg_bool(arr, lenient)
+    if pa.types.is_integer(typ):
+        return parse_pg_int(arr, typ, lenient)
+    if pa.types.is_floating(typ):
+        return parse_pg_float(arr, typ, lenient)
+    if pa.types.is_timestamp(typ):
+        return parse_pg_timestamp(arr, lenient)
+    if pa.types.is_binary(typ):
+        return parse_pg_bytea(arr, lenient)
+    return pc.cast(arr, typ), None

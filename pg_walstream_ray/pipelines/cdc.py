@@ -1,0 +1,154 @@
+"""End-to-end CDC pipeline wiring: WAL shards -> Parquet transcript lake.
+
+Dataflow (all Ray Data, streaming executor with backpressure):
+
+  from_items(shard descriptors)                # N shards = N ordered logs
+    -> map_batches(DecodeShard, actor pool)    # sequential pgoutput decode
+                                               #   per shard, shards parallel
+    -> map_batches(ProjectStage, actor pool)   # vectorized typed projection
+                                               #   (registry broadcast once)
+    -> map_batches(Partitioner)                # stable-hash route + hot-key
+                                               #   salt + truncate broadcast
+    -> groupby(partition_id).map_groups(Apply) # THE shuffle; per-partition
+                                               #   exactly-once upsert
+    -> small summary table                     # one row per partition
+
+The only all-to-all exchange is the partition routing (SURVEY.md §7
+"Shuffles and their keys"); everything upstream is per-shard-local and
+everything downstream is per-partition-local.  Never materializes the
+change stream: blocks flow decode -> project -> route -> apply under
+backpressure, and the lake write is inside the apply stage.
+
+Resume: re-running the same pipeline over the same (or extended) WAL is
+idempotent — apply filters ``commit_lsn <= applied_lsn`` per partition
+(reference semantics: restart resumes from last_received_lsn and re-acks
+are no-ops, /root/reference/src/stream.rs:862-898 + lsn.rs:105-173).
+
+Ray session ownership: this module never calls ray.init()/shutdown()
+(driver contract).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Iterable, Optional, Sequence
+
+import pyarrow as pa
+
+from ..sources.walgen import TRANSCRIPTS_OID
+from ..stages.apply import ApplyGroup
+from ..stages.decode import DecodeShard, ENVELOPE_SCHEMA, PgOutputDecoder
+from ..stages.partition import Partitioner
+from ..stages.typed import ProjectStage
+from ..state.schema_registry import SchemaRegistry
+from ..state.manifest import global_watermark
+from ..lake import read_lake_config, write_lake_config
+
+
+def discover_shards(wal_dir: str) -> list:
+    paths = sorted(glob.glob(os.path.join(wal_dir, "shard=*", "wal.parquet")))
+    if not paths:
+        raise FileNotFoundError(f"no WAL shards under {wal_dir}")
+    return paths
+
+
+def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
+    """Schema registry from sidecars (fast path), else a control-plane
+    pre-scan of the frames (decode with collect_dml=False — the stream is
+    self-describing via Relation messages, protocol.rs:1871-1879)."""
+    reg = SchemaRegistry()
+    missing = []
+    for p in shard_paths:
+        sidecar = os.path.join(os.path.dirname(p), "relations.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                reg.ingest_relation_rows(json.load(f))
+        else:
+            missing.append(p)
+    for p in missing:
+        import pyarrow.parquet as pq
+
+        dec = PgOutputDecoder(collect_dml=False)
+        pf = pq.ParquetFile(p)
+        for rg in range(pf.num_row_groups):
+            dec.feed_frames(pf.read_row_group(rg, columns=["frame"])
+                            ["frame"].to_pylist())
+        b = dec.take_batch()
+        if b is not None:
+            reg.ingest_envelope(pa.Table.from_batches([b]))
+    return reg
+
+
+def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
+            stop_at_lsn: Optional[int] = None,
+            hot_keys: Optional[Iterable[str]] = None, salt: int = 8,
+            oid: int = TRANSCRIPTS_OID,
+            decode_concurrency: Optional[int] = None,
+            project_concurrency: Optional[int] = None) -> dict:
+    """Replay the WAL lake into the transcript lake. Returns run metrics.
+
+    Safe to re-run (exactly-once); safe to kill at any point and re-run.
+    Partitioning parameters are pinned in the lake config on first run and
+    must not change across resumes.
+    """
+    import ray
+    import ray.data as rd
+
+    t0 = time.time()
+    shard_paths = discover_shards(wal_dir)
+    n_shards = len(shard_paths)
+
+    cfg = read_lake_config(lake_dir)
+    if cfg is None:
+        hot = tuple(sorted(hot_keys)) if hot_keys else ()
+        write_lake_config(lake_dir, num_partitions, hot, salt)
+        cfg = read_lake_config(lake_dir)
+    else:
+        if cfg["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"lake at {lake_dir} was created with num_partitions="
+                f"{cfg['num_partitions']}; cannot resume with {num_partitions}")
+    hot = tuple(cfg["hot_keys"])
+    salt = cfg["salt"]
+
+    registry = build_registry(wal_dir, shard_paths)
+    registry_ref = ray.put(registry)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    dec_c = decode_concurrency or max(1, min(n_shards, ncpu))
+    prj_c = project_concurrency or max(1, ncpu // 4)
+
+    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+                       override_num_blocks=n_shards)
+    env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
+        "stop_at_lsn": stop_at_lsn},
+        batch_size=None, batch_format="pyarrow", concurrency=dec_c,
+        num_cpus=1)
+    typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
+        "registry_ref": registry_ref, "oid": oid},
+        batch_format="pyarrow", concurrency=prj_c, num_cpus=1)
+    routed = typed.map_batches(Partitioner(num_partitions, hot, salt),
+                               batch_format="pyarrow")
+    apply_group = ApplyGroup(lake_dir)
+
+    def apply_fn(group: pa.Table) -> pa.Table:
+        return apply_group(group)
+
+    summaries = routed.groupby("partition_id").map_groups(
+        apply_fn, batch_format="pyarrow")
+    sdf = summaries.to_pandas()   # one row per touched partition — tiny
+
+    wall = time.time() - t0
+    rows_applied = int(sdf["rows_applied"].sum()) if len(sdf) else 0
+    return {
+        "wall_s": wall,
+        "shards": n_shards,
+        "partitions_touched": int(len(sdf)),
+        "rows_applied": rows_applied,
+        "events_per_s": rows_applied / wall if wall > 0 else 0.0,
+        "lake_rows": int(sdf["row_count"].sum()) if len(sdf) else 0,
+        "watermark": global_watermark(lake_dir),
+    }

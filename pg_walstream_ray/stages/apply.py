@@ -1,0 +1,236 @@
+"""Per-partition upsert apply: change window + lake fragment -> new fragment.
+
+This is the engine's sink — the consumer side the reference deliberately
+leaves to its users, specified by the safe-transaction-consumer
+(/root/reference/examples/safe-transaction-consumer/src/main.rs:84-206 and
+integration-tests/safe_transaction_consumer.rs:86-170): buffer by
+transaction (done upstream — batches are commit-complete), apply in commit
+order, advance the applied watermark only after durable apply.
+
+Semantics per partition (all vectorized, no per-row Python):
+  1. Exactly-once replay filter: drop rows with ``commit_lsn <=
+     manifest.applied_lsn`` (monotone watermark, lsn.rs:105-173 analogue).
+  2. Truncate: a truncate at LSN T wipes all state established before T
+     (protocol.rs:954-982); only ops with lsn > T_last contribute to the
+     final state, where T_last is the window's last truncate.
+  3. Last-writer-wins upsert per primary key ``(conv_id, turn_idx)``:
+     winner = max-lsn op per key; winner op delete -> key absent.
+  4. TOAST 'u' columns carry the most recent prior SET value for the key
+     (insert/update-with-value sets; delete sets null; chain computed via a
+     grouped last-setter scan) — protocol.rs:317-318 semantics.
+  5. Fragment written sorted by (conv_id, turn_idx) — stable turn ordering —
+     with a ``_lsn`` last-writer column so the next window can merge;
+     manifest published atomically AFTER the fragment (ack-after-apply,
+     stream.rs:1563-1582).
+
+The LWW/TOAST scan is the associative core: it is exactly the same
+computation whether the input is (seed + window) here or (sub-results) in a
+hierarchical merge, which is what makes salted sub-partitions mergeable.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state.manifest import (
+    PartitionManifest,
+    partition_dir,
+    read_manifest,
+    record_window,
+    write_manifest_atomic,
+)
+
+KEY_COLS = ("conv_id", "turn_idx")
+CONTROL = ("lsn", "commit_lsn", "commit_ts_us", "xid", "op", "rel_version",
+           "partition_id")
+
+
+def payload_columns(schema: pa.Schema) -> List[str]:
+    return [f.name for f in schema
+            if f.name not in CONTROL and not f.name.startswith("_unchanged_")]
+
+
+def _sort_key_indices(tbl: pa.Table, cols: Sequence[str]) -> pa.Array:
+    return pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in cols])
+
+
+def lww_resolve(ops: pa.Table, payload: Sequence[str]) -> pa.Table:
+    """Vectorized last-writer-wins + TOAST carry over a flat op table.
+
+    ``ops`` columns: lsn, op, the payload columns, and ``_unchanged_<col>``
+    bools.  Rows must already be truncate-filtered.  Returns the surviving
+    final rows (payload + ``_lsn``), unsorted.
+    """
+    n = ops.num_rows
+    if n == 0:
+        out = {c: ops[c] for c in payload}
+        out["_lsn"] = pa.array([], pa.int64())
+        return pa.table(out)
+
+    idx = _sort_key_indices(ops, [*KEY_COLS, "lsn"])
+    t = ops.take(idx)
+
+    conv = t["conv_id"]
+    turn = t["turn_idx"]
+    # group ids over the sorted key columns: boundary where either changes
+    conv_enc = pc.dictionary_encode(conv.combine_chunks()
+                                    if isinstance(conv, pa.ChunkedArray) else conv)
+    if isinstance(conv_enc, pa.ChunkedArray):
+        conv_enc = conv_enc.combine_chunks()
+    conv_codes = conv_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn_np = pc.fill_null(turn, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    boundary = np.ones(n, dtype=bool)
+    boundary[1:] = (conv_codes[1:] != conv_codes[:-1]) | (turn_np[1:] != turn_np[:-1])
+    grp = np.cumsum(boundary) - 1          # 0..G-1, contiguous per key
+    G = int(grp[-1]) + 1
+
+    pos = np.arange(n, dtype=np.int64)
+    BIG = np.int64(n + 2)
+    base = grp * BIG
+
+    # last row per group = winner
+    last_of_group = np.empty(G, dtype=np.int64)
+    last_of_group[grp] = pos  # ascending within group -> last write wins
+    winner_op = np.asarray(t["op"].take(pa.array(last_of_group)))
+    alive = winner_op != "delete"
+    winners = last_of_group[alive]
+
+    out_cols = {}
+    any_unch_cols = [c for c in payload if f"_unchanged_{c}" in t.column_names]
+    for c in payload:
+        col = t[c]
+        unch_name = f"_unchanged_{c}"
+        if unch_name in t.column_names and pc.any(
+                pc.fill_null(t[unch_name], False)).as_py():
+            # setter = row that establishes a value for this column:
+            # any non-unchanged row (delete rows set null).
+            unch = pc.fill_null(t[unch_name], False).to_numpy(zero_copy_only=False)
+            setter = ~unch
+            coord = np.where(setter, pos, np.int64(-1)) + base
+            last_setter = np.maximum.accumulate(coord) - base
+            # rows before any setter in their group -> -1 -> null value
+            src = last_setter[winners]
+            valid = src >= 0
+            taker = pa.array(np.where(valid, src, 0), pa.int64())
+            vals = col.take(taker)
+            if not valid.all():
+                vals = pc.if_else(pa.array(valid), vals,
+                                  pa.scalar(None, col.type if not isinstance(col, pa.ChunkedArray) else col.type))
+            out_cols[c] = vals
+        else:
+            out_cols[c] = col.take(pa.array(winners))
+    out_cols["_lsn"] = t["lsn"].take(pa.array(winners))
+    return pa.table(out_cols)
+
+
+def _conform(tbl: pa.Table, target_payload: List[str],
+             schema_of: pa.Table) -> pa.Table:
+    """Schema-evolve a seed fragment onto the current payload schema:
+    add missing columns as nulls, widen types via cast (SURVEY.md §1.4)."""
+    cols = {}
+    n = tbl.num_rows
+    for c in target_payload:
+        want = schema_of.schema.field(c).type
+        if c in tbl.column_names:
+            col = tbl[c]
+            if col.type != want:
+                col = pc.cast(col, want)
+            cols[c] = col
+        else:
+            cols[c] = pa.nulls(n, want)
+    cols["_lsn"] = tbl["_lsn"] if "_lsn" in tbl.column_names \
+        else pa.array(np.full(n, -1, dtype=np.int64))
+    return pa.table(cols)
+
+
+def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
+    """Apply one partition's change window against its lake fragment.
+
+    Returns a summary dict (one manifest line). Idempotent: re-running with
+    an already-applied window is a no-op thanks to the commit_lsn filter +
+    atomic manifest publish.
+    """
+    pid = int(group["partition_id"][0].as_py())
+    m = read_manifest(lake_dir, pid)
+
+    window = group.filter(pc.greater(group["commit_lsn"], m.applied_lsn))
+    if window.num_rows == 0:
+        return {"partition_id": pid, "applied_lsn": m.applied_lsn,
+                "rows_applied": 0, "row_count": m.row_count, "skipped": True}
+
+    payload = payload_columns(window.schema)
+    is_trunc = pc.equal(window["op"], "truncate")
+    t_last = -1
+    if pc.any(is_trunc).as_py():
+        t_last = pc.max(window.filter(is_trunc)["lsn"]).as_py()
+    dml = window.filter(pc.invert(is_trunc))
+    if t_last >= 0:
+        dml = dml.filter(pc.greater(dml["lsn"], t_last))
+
+    # seed: current fragment as insert-ops at their recorded _lsn
+    pdir = partition_dir(lake_dir, pid)
+    seed: Optional[pa.Table] = None
+    if m.fragment and t_last < 0:
+        frag = pq.read_table(os.path.join(pdir, m.fragment))
+        frag = _conform(frag, payload, dml)
+        seed_cols = {c: frag[c] for c in payload}
+        seed_cols["lsn"] = frag["_lsn"]
+        seed_cols["op"] = pa.array(np.full(frag.num_rows, "insert", dtype=object),
+                                   pa.string())
+        for c in payload:
+            un = f"_unchanged_{c}"
+            if un in dml.column_names:
+                seed_cols[un] = pa.array(np.zeros(frag.num_rows, dtype=bool))
+        seed = pa.table(seed_cols)
+
+    keep = ["lsn", "op", *payload,
+            *[f"_unchanged_{c}" for c in payload
+              if f"_unchanged_{c}" in dml.column_names]]
+    ops = dml.select(keep)
+    if seed is not None and seed.num_rows:
+        ops = pa.concat_tables([seed.select(keep), ops], promote_options="default")
+
+    final = lww_resolve(ops, payload)
+    order = _sort_key_indices(final, KEY_COLS)
+    final = final.take(order)
+
+    os.makedirs(pdir, exist_ok=True)
+    max_commit = pc.max(window["commit_lsn"]).as_py()
+    frag_name = f"fragment-{m.epoch + 1:06d}-{max_commit}.parquet"
+    tmp = os.path.join(pdir, f".{frag_name}.{uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(final, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(pdir, frag_name))
+
+    old_frag = m.fragment
+    record_window(m, window_min_lsn=pc.min(window["lsn"]).as_py(),
+                  window_max_commit_lsn=max_commit,
+                  rows_applied=dml.num_rows, fragment=frag_name,
+                  row_count=final.num_rows)
+    write_manifest_atomic(lake_dir, m)
+    if old_frag and old_frag != frag_name:
+        # previous fragment is dead once the manifest points away; best-effort GC
+        try:
+            os.remove(os.path.join(pdir, old_frag))
+        except OSError:
+            pass
+    return {"partition_id": pid, "applied_lsn": m.applied_lsn,
+            "rows_applied": dml.num_rows, "row_count": final.num_rows,
+            "skipped": False}
+
+
+class ApplyGroup:
+    """``groupby('partition_id').map_groups`` callable: one group per call."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        summary = apply_partition_window(group, self.lake_dir)
+        return pa.table({k: [v] for k, v in summary.items()})

@@ -1,0 +1,402 @@
+"""Decode stage: pgoutput frames -> Arrow change-event batches.
+
+Reference parity:
+  - ``PgOutputDecoder`` offline decode (no connection): /root/reference/src/protocol.rs:1880-1932
+  - ``message_to_change_event`` core (relation cache, schema-diff detection,
+    unknown-relation drop): protocol.rs:1415-1869
+  - transaction buffering until Commit (commit-complete release): the
+    safe-transaction-consumer contract, examples/safe-transaction-consumer/src/main.rs:84-206
+  - streamed-transaction assembly + abort discard: protocol.rs:744-758, 1055-1133
+  - bounded replay (stop at first commit with end_lsn >= target, crossing tx
+    delivered in full): stream.rs:362-387, 646-694
+
+Parallelism model (SURVEY.md §4): the WAL is N independent ordered shards;
+one sequential decoder per shard, shards decoded concurrently.  Within a
+shard the decoder is an ordered state machine (relation cache + in-flight
+transaction buffers); across shards there is no shared state.  Decoded
+output is the fixed, schema-stable *envelope*: payload tuples ride as
+``list<string>`` columns plus an ``unchanged_mask``; typed projection to the
+transcripts schema happens vectorized in stages/typed.py using the relation
+registry carried in-band as ``op='relation'`` rows.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..wire import codec
+from ..wire.frames import (
+    frame_kind,
+    parse_keepalive,
+    parse_xlogdata_header,
+    pg_ts_to_unix_us,
+    XLOGDATA_HEADER_LEN,
+)
+
+logger = logging.getLogger(__name__)
+
+ENVELOPE_SCHEMA = pa.schema([
+    ("lsn", pa.int64()),
+    ("commit_lsn", pa.int64()),
+    ("commit_ts_us", pa.int64()),      # unix micros
+    ("xid", pa.int64()),
+    ("op", pa.string()),               # insert|update|delete|truncate|relation|message|origin|type
+    ("rel_oid", pa.int32()),
+    ("rel_version", pa.int32()),
+    ("schema_name", pa.string()),
+    ("table_name", pa.string()),
+    ("key_type", pa.string()),         # 'K' | 'O' | ''
+    ("before_values", pa.list_(pa.string())),
+    ("after_values", pa.list_(pa.string())),
+    ("unchanged_mask", pa.list_(pa.bool_())),   # True where column tag was 'u'
+    ("meta", pa.string()),             # JSON side-channel (relation schema, truncate info)
+])
+
+_DML_OPS = ("insert", "update", "delete")
+
+
+def _tuple_to_lists(tup: Optional[codec.TupleData]):
+    """TupleData -> (values list[str|None], unchanged list[bool]).
+
+    'n' -> None, 't' -> utf8 text, 'b' -> pg hex bytea text form
+    ('\\x…', column_value.rs:17-56), 'u' -> None + unchanged flag
+    (TupleData::into_row_data TOAST skip, protocol.rs:310-328).
+    """
+    if tup is None:
+        return None, None
+    vals: List[Optional[str]] = []
+    unchanged: List[bool] = []
+    for tag, v in tup:
+        if tag == b"t":
+            vals.append(v.decode("utf-8"))
+            unchanged.append(False)
+        elif tag == b"n":
+            vals.append(None)
+            unchanged.append(False)
+        elif tag == b"u":
+            vals.append(None)
+            unchanged.append(True)
+        else:  # b'b' binary -> hex text form
+            vals.append("\\x" + v.hex())
+            unchanged.append(False)
+    return vals, unchanged
+
+
+def relation_to_meta(rel: codec.Relation, version: int, diff: Optional[dict]) -> str:
+    return json.dumps({
+        "oid": rel.oid,
+        "version": version,
+        "namespace": rel.namespace,
+        "name": rel.name,
+        "replica_identity": rel.replica_identity,
+        "columns": [
+            {"name": c.name, "type_oid": c.type_oid,
+             "type_modifier": c.type_modifier, "is_key": bool(c.flags & 1)}
+            for c in rel.columns
+        ],
+        "diff": diff,
+    })
+
+
+def relation_diff(old: codec.Relation, new: codec.Relation) -> Optional[dict]:
+    """Full column diff (name/type_oid/type_modifier/is_key + table-level
+    fields), mirroring protocol.rs:1430-1443. None means identical."""
+    changes: List[dict] = []
+    if (old.namespace, old.name, old.replica_identity) != \
+            (new.namespace, new.name, new.replica_identity):
+        changes.append({"kind": "table_meta"})
+    n_old, n_new = len(old.columns), len(new.columns)
+    for i in range(max(n_old, n_new)):
+        if i >= n_old:
+            changes.append({"kind": "add_column", "index": i,
+                            "name": new.columns[i].name})
+        elif i >= n_new:
+            changes.append({"kind": "drop_column", "index": i,
+                            "name": old.columns[i].name})
+        else:
+            oc, nc = old.columns[i], new.columns[i]
+            if oc.name != nc.name:
+                changes.append({"kind": "rename_column", "index": i,
+                                "from": oc.name, "to": nc.name})
+            if oc.type_oid != nc.type_oid:
+                changes.append({"kind": "retype_column", "index": i,
+                                "name": nc.name, "from_oid": oc.type_oid,
+                                "to_oid": nc.type_oid})
+            if (oc.flags & 1) != (nc.flags & 1):
+                changes.append({"kind": "key_change", "index": i, "name": nc.name})
+    return changes or None
+
+
+class PgOutputDecoder:
+    """Sequential decoder for ONE ordered pgoutput frame stream.
+
+    ``feed_frames(frames)`` consumes framed bytes in order and returns
+    envelope rows released at commit boundaries only (commit-complete).
+    State: relation cache, per-xid transaction buffers (plain + streamed),
+    LSN watermarks, bounded-replay stop rule.
+    """
+
+    def __init__(self, stop_at_lsn: Optional[int] = None,
+                 emit_control_rows: bool = True,
+                 collect_dml: bool = True):
+        # collect_dml=False turns this into a control-plane-only scan
+        # (relation/commit bookkeeping without materializing DML rows) —
+        # used by the registry pre-scan fallback when no sidecar exists.
+        self.collect_dml = collect_dml
+        self.relations: Dict[int, codec.Relation] = {}
+        self.rel_versions: Dict[int, int] = {}
+        self._next_version = 1
+        self.tx_buf: List[tuple] = []          # current plain transaction
+        self.tx_xid: Optional[int] = None
+        self.stream_bufs: Dict[int, List[tuple]] = {}
+        self.in_stream_xid: Optional[int] = None
+        self.last_received_lsn = 0
+        self.last_commit_lsn = 0
+        self.stop_at_lsn = stop_at_lsn
+        self.stopped = False
+        self.unknown_relation_drops = 0
+        self.emit_control_rows = emit_control_rows
+        self._released: List[tuple] = []
+
+    # -- row assembly ------------------------------------------------------
+
+    def _mk_row(self, lsn: int, xid: int, op: str, rel_oid: int = 0,
+                key_type: str = "", before=None, after=None,
+                unchanged=None, meta: Optional[str] = None) -> tuple:
+        rel = self.relations.get(rel_oid)
+        return (lsn, xid, op, rel_oid,
+                self.rel_versions.get(rel_oid, 0),
+                rel.namespace if rel else "",
+                rel.name if rel else "",
+                key_type, before, after, unchanged, meta)
+
+    def _release_tx(self, rows: List[tuple], commit_lsn: int,
+                    commit_ts_us: int) -> None:
+        self.last_commit_lsn = commit_lsn
+        self._released.extend(r + (commit_lsn, commit_ts_us) for r in rows)
+
+    # -- frame pump --------------------------------------------------------
+
+    def feed_frames(self, frames: List[bytes]) -> None:
+        """Consume frames in order; released rows accumulate internally."""
+        for f in frames:
+            if self.stopped:
+                break
+            kind = frame_kind(f)
+            if kind == b"k":
+                wal_end, _ts, _reply = parse_keepalive(f)
+                if wal_end > self.last_received_lsn:
+                    self.last_received_lsn = wal_end
+                continue
+            wal_start, wal_end, _send_ts = parse_xlogdata_header(f)
+            if wal_start > self.last_received_lsn:
+                self.last_received_lsn = wal_start
+            body = f[XLOGDATA_HEADER_LEN:]
+            self._dispatch(body, wal_start)
+
+    def _dispatch(self, body: bytes, lsn: int) -> None:
+        in_stream = self.in_stream_xid is not None
+        msg, stream_xid = codec.parse_message(body, in_stream=in_stream)
+        t = type(msg)
+
+        if t is codec.Begin:
+            self.tx_xid = msg.xid
+            self.tx_buf = []
+            return
+        if t is codec.Commit:
+            rows, self.tx_buf, self.tx_xid = self.tx_buf, [], None
+            self._release_tx(rows, msg.commit_lsn,
+                             pg_ts_to_unix_us(msg.commit_ts))
+            if self.stop_at_lsn is not None and msg.end_lsn >= self.stop_at_lsn:
+                self.stopped = True
+            return
+        if t is codec.StreamStart:
+            self.in_stream_xid = msg.xid
+            self.stream_bufs.setdefault(msg.xid, [])
+            return
+        if t is codec.StreamStop:
+            self.in_stream_xid = None
+            return
+        if t is codec.StreamCommit:
+            rows = self.stream_bufs.pop(msg.xid, [])
+            self._release_tx(rows, msg.commit_lsn,
+                             pg_ts_to_unix_us(msg.commit_ts))
+            if self.stop_at_lsn is not None and msg.end_lsn >= self.stop_at_lsn:
+                self.stopped = True
+            return
+        if t is codec.StreamAbort:
+            # aborted streamed tx: discard entirely (protocol.rs:1105-1133)
+            self.stream_bufs.pop(msg.xid, None)
+            return
+        if t is codec.Relation:
+            old = self.relations.get(msg.oid)
+            diff = relation_diff(old, msg) if old is not None else None
+            if old is None or diff is not None:
+                self.relations[msg.oid] = msg
+                version = self._next_version
+                self.rel_versions[msg.oid] = version
+                self._next_version += 1
+                if self.emit_control_rows:
+                    # schema-change events release immediately (not tx-buffered):
+                    # downstream needs them before the rows that use them.
+                    meta = relation_to_meta(msg, version, diff)
+                    self._released.append(self._mk_row(
+                        lsn, stream_xid or self.tx_xid or 0, "relation",
+                        msg.oid, meta=meta) + (lsn, 0))
+            return
+        if t in (codec.PgType, codec.Origin, codec.LogicalMessage):
+            if self.emit_control_rows:
+                if t is codec.LogicalMessage:
+                    meta = json.dumps({"prefix": msg.prefix, "flags": msg.flags,
+                                       "content_hex": msg.content.hex()})
+                    op = "message"
+                elif t is codec.Origin:
+                    meta = json.dumps({"name": msg.name,
+                                       "commit_lsn": msg.commit_lsn})
+                    op = "origin"
+                else:
+                    meta = json.dumps({"oid": msg.oid, "namespace": msg.namespace,
+                                       "name": msg.name})
+                    op = "type"
+                self._buffer(stream_xid, self._mk_row(
+                    lsn, stream_xid or self.tx_xid or 0, op, meta=meta))
+            return
+
+        # DML + truncate
+        if not self.collect_dml:
+            return
+        if t is codec.Insert:
+            if not self._known(msg.relation_oid):
+                return
+            vals, unch = _tuple_to_lists(msg.new_tuple)
+            row = self._mk_row(lsn, stream_xid or self.tx_xid or 0, "insert",
+                               msg.relation_oid, "", None, vals, unch)
+        elif t is codec.Update:
+            if not self._known(msg.relation_oid):
+                return
+            bvals, _bunch = _tuple_to_lists(msg.old_tuple)
+            avals, aunch = _tuple_to_lists(msg.new_tuple)
+            kt = msg.key_type.decode() if msg.key_type else ""
+            row = self._mk_row(lsn, stream_xid or self.tx_xid or 0, "update",
+                               msg.relation_oid, kt, bvals, avals, aunch)
+        elif t is codec.Delete:
+            if not self._known(msg.relation_oid):
+                return
+            bvals, _bunch = _tuple_to_lists(msg.old_tuple)
+            row = self._mk_row(lsn, stream_xid or self.tx_xid or 0, "delete",
+                               msg.relation_oid, msg.key_type.decode(),
+                               bvals, None, None)
+        elif t is codec.Truncate:
+            meta = json.dumps({"options": msg.options, "oids": msg.relation_oids})
+            # one truncate row per targeted relation
+            for oid in msg.relation_oids:
+                self._buffer(stream_xid, self._mk_row(
+                    lsn, stream_xid or self.tx_xid or 0, "truncate", oid,
+                    meta=meta))
+            return
+        else:
+            # two-phase (Prepare family) minimal handling: treat
+            # CommitPrepared as releasing nothing here (no staged support yet)
+            return
+        self._buffer(stream_xid, row)
+
+    def _known(self, oid: int) -> bool:
+        # data rows for an unknown relation: drop with a warning, not an
+        # error (protocol.rs:1502-1505)
+        if oid in self.relations:
+            return True
+        self.unknown_relation_drops += 1
+        if self.unknown_relation_drops <= 3:
+            logger.warning("dropping DML for unknown relation oid=%d", oid)
+        return False
+
+    def _buffer(self, stream_xid: Optional[int], row: tuple) -> None:
+        if stream_xid is not None:
+            self.stream_bufs.setdefault(stream_xid, []).append(row)
+        else:
+            self.tx_buf.append(row)
+
+    # -- output ------------------------------------------------------------
+
+    def take_batch(self) -> Optional[pa.RecordBatch]:
+        """Drain released rows into one envelope RecordBatch (or None)."""
+        rows = self._released
+        if not rows:
+            return None
+        self._released = []
+        cols = list(zip(*rows))
+        # row layout: (lsn, xid, op, rel_oid, rel_version, schema, table,
+        #              key_type, before, after, unchanged, meta, commit_lsn,
+        #              commit_ts_us)
+        arrays = [
+            pa.array(cols[0], pa.int64()),       # lsn
+            pa.array(cols[12], pa.int64()),      # commit_lsn
+            pa.array(cols[13], pa.int64()),      # commit_ts_us
+            pa.array(cols[1], pa.int64()),       # xid
+            pa.array(cols[2], pa.string()),      # op
+            pa.array(cols[3], pa.int32()),       # rel_oid
+            pa.array(cols[4], pa.int32()),       # rel_version
+            pa.array(cols[5], pa.string()),      # schema_name
+            pa.array(cols[6], pa.string()),      # table_name
+            pa.array(cols[7], pa.string()),      # key_type
+            pa.array(cols[8], pa.list_(pa.string())),   # before_values
+            pa.array(cols[9], pa.list_(pa.string())),   # after_values
+            pa.array(cols[10], pa.list_(pa.bool_())),   # unchanged_mask
+            pa.array(cols[11], pa.string()),     # meta
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=ENVELOPE_SCHEMA)
+
+
+def decode_frames(frames: List[bytes],
+                  stop_at_lsn: Optional[int] = None) -> pa.Table:
+    """One-shot offline decode of an ordered frame list (test convenience,
+    shape of PgOutputDecoder usage in protocol.rs:1918-1925)."""
+    dec = PgOutputDecoder(stop_at_lsn=stop_at_lsn)
+    dec.feed_frames(frames)
+    b = dec.take_batch()
+    return pa.Table.from_batches([b] if b else [], schema=ENVELOPE_SCHEMA)
+
+
+class DecodeShard:
+    """Ray Data stage: shard descriptor row -> stream of envelope batches.
+
+    Used as ``ds_of_shards.map_batches(DecodeShard(...), batch_size=1,
+    batch_format='pyarrow')`` with one input row per WAL shard.  The shard's
+    frame parquet is streamed row-group by row-group through a sequential
+    ``PgOutputDecoder`` (ordering is per-shard, the semantic requirement),
+    yielding commit-complete Arrow batches with bounded memory.  Parallelism
+    comes from decoding many shards at once, matching the reference's
+    "scale by running concurrent streams/slots" model (lib.rs:43-51).
+    """
+
+    def __init__(self, stop_at_lsn: Optional[int] = None,
+                 out_batch_rows: int = 16384):
+        self.stop_at_lsn = stop_at_lsn
+        self.out_batch_rows = out_batch_rows
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        import pyarrow.parquet as pq
+
+        for path in batch["wal_path"].to_pylist():
+            dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn)
+            pf = pq.ParquetFile(path)
+            pending: List[pa.RecordBatch] = []
+            pending_rows = 0
+            for rg in range(pf.num_row_groups):
+                frames = pf.read_row_group(rg, columns=["frame"])["frame"]
+                dec.feed_frames(frames.to_pylist())
+                out = dec.take_batch()
+                if out is not None:
+                    pending.append(out)
+                    pending_rows += out.num_rows
+                if pending_rows >= self.out_batch_rows:
+                    yield pa.Table.from_batches(pending, schema=ENVELOPE_SCHEMA)
+                    pending, pending_rows = [], 0
+                if dec.stopped:
+                    break
+            if pending:
+                yield pa.Table.from_batches(pending, schema=ENVELOPE_SCHEMA)

@@ -1,0 +1,117 @@
+"""Per-partition commit manifests: the exactly-once ledger.
+
+The reference's checkpoint is the replication slot + monotone LSN feedback
+(``SharedLsnFeedback`` CAS-max, /root/reference/src/lsn.rs:105-173; resume
+from ``last_received_lsn``, stream.rs:862-898).  Our equivalent
+(SURVEY.md §4 "Checkpoint / resume"): each lake partition owns a manifest
+``{partition_id, applied_lsn, row_count, fragment, lineage}`` written
+atomically (temp + rename) after each applied window.  Replayed events with
+``commit_lsn <= applied_lsn`` are filtered — idempotent, monotone, so
+duplicates after restart are no-ops exactly like the reference's re-acks.
+
+The global watermark = min(applied_lsn) across partitions — the analogue of
+``send_standby_status_update``'s applied LSN (the WAL-truncation point,
+connection/libpq.rs:337-413).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    applied_lsn: int = -1
+    row_count: int = 0
+    fragment: Optional[str] = None       # current fragment file (relative)
+    epoch: int = 0                       # increments per applied window
+    lineage: List[dict] = field(default_factory=list)  # per-window records
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+
+def partition_dir(lake_dir: str, partition_id: int) -> str:
+    return os.path.join(lake_dir, f"part={partition_id:05d}")
+
+
+def manifest_path(lake_dir: str, partition_id: int) -> str:
+    return os.path.join(partition_dir(lake_dir, partition_id), "manifest.json")
+
+
+def read_manifest(lake_dir: str, partition_id: int) -> PartitionManifest:
+    p = manifest_path(lake_dir, partition_id)
+    if not os.path.exists(p):
+        return PartitionManifest(partition_id=partition_id)
+    with open(p) as f:
+        d = json.load(f)
+    return PartitionManifest(**d)
+
+
+def write_manifest_atomic(lake_dir: str, m: PartitionManifest) -> None:
+    """Atomic publish: temp file + os.replace (POSIX rename atomicity).
+
+    A crash before the rename leaves the previous manifest intact; a crash
+    after is a completed apply.  This is the idempotence point the whole
+    exactly-once story hangs on (SURVEY.md §7 hard part 1).
+    """
+    d = partition_dir(lake_dir, m.partition_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path(lake_dir, m.partition_id))
+
+
+def list_partitions(lake_dir: str) -> List[int]:
+    if not os.path.isdir(lake_dir):
+        return []
+    out = []
+    for name in os.listdir(lake_dir):
+        if name.startswith("part="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def all_manifests(lake_dir: str) -> Dict[int, PartitionManifest]:
+    return {pid: read_manifest(lake_dir, pid) for pid in list_partitions(lake_dir)}
+
+
+def global_watermark(lake_dir: str, num_partitions: Optional[int] = None) -> int:
+    """min applied_lsn across partitions — the safe WAL-GC / feedback point.
+
+    With ``num_partitions`` given, partitions that have never applied count
+    as -1 (nothing is safe to GC yet), mirroring the reference's 'applied
+    advances only to the last contiguous applied commit'
+    (examples/safe-transaction-consumer/src/main.rs:190-206).
+    """
+    ms = all_manifests(lake_dir)
+    if num_partitions is not None:
+        vals = [ms[p].applied_lsn if p in ms else -1
+                for p in range(num_partitions)]
+    else:
+        vals = [m.applied_lsn for m in ms.values()]
+    return min(vals) if vals else -1
+
+
+def record_window(m: PartitionManifest, window_min_lsn: int,
+                  window_max_commit_lsn: int, rows_applied: int,
+                  fragment: str, row_count: int) -> PartitionManifest:
+    m.epoch += 1
+    m.applied_lsn = max(m.applied_lsn, window_max_commit_lsn)
+    m.row_count = row_count
+    m.fragment = fragment
+    m.lineage.append({
+        "epoch": m.epoch,
+        "window": [window_min_lsn, window_max_commit_lsn],
+        "rows_applied": rows_applied,
+        "ts": time.time(),
+    })
+    return m
