@@ -44,7 +44,7 @@ from ..stages.decode import DecodeShard, ENVELOPE_SCHEMA, PgOutputDecoder
 from ..stages.partition import Partitioner
 from ..stages.typed import ProjectStage
 from ..state.schema_registry import SchemaRegistry
-from ..state.manifest import global_watermark
+from ..state.manifest import global_watermark, min_watermark
 from ..lake import read_lake_config, write_lake_config
 
 
@@ -150,5 +150,6 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
         "rows_applied": rows_applied,
         "events_per_s": rows_applied / wall if wall > 0 else 0.0,
         "lake_rows": int(sdf["row_count"].sum()) if len(sdf) else 0,
-        "watermark": global_watermark(lake_dir),
+        "watermark": global_watermark(lake_dir),   # per-source feedback point
+        "min_watermark": min_watermark(lake_dir),
     }

@@ -48,8 +48,8 @@ from ..state.manifest import (
 )
 
 KEY_COLS = ("conv_id", "turn_idx")
-CONTROL = ("lsn", "commit_lsn", "commit_ts_us", "xid", "op", "rel_version",
-           "partition_id")
+CONTROL = ("source", "lsn", "commit_lsn", "commit_ts_us", "xid", "op",
+           "rel_version", "partition_id")
 
 
 def payload_columns(schema: pa.Schema) -> List[str]:
@@ -160,10 +160,26 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
     pid = int(group["partition_id"][0].as_py())
     m = read_manifest(lake_dir, pid)
 
-    window = group.filter(pc.greater(group["commit_lsn"], m.applied_lsn))
+    # exactly-once replay filter, PER SOURCE (vector watermark): an event is
+    # new iff its commit_lsn exceeds this partition's applied mark for ITS
+    # source slot.  Vectorized: threshold lookup per row via np.take over
+    # the (tiny) source id space.
+    src = group["source"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(src):
+        max_src = int(src.max())
+        thr = np.full(max_src + 1, -1, dtype=np.int64)
+        for k, v in m.applied_lsns.items():
+            ki = int(k)
+            if ki <= max_src:
+                thr[ki] = v
+        commit = group["commit_lsn"].to_numpy(zero_copy_only=False)
+        window = group.filter(pa.array(commit > thr[src]))
+    else:
+        window = group
     if window.num_rows == 0:
-        return {"partition_id": pid, "applied_lsn": m.applied_lsn,
-                "rows_applied": 0, "row_count": m.row_count, "skipped": True}
+        return {"partition_id": pid, "applied_lsn": max(
+            m.applied_lsns.values(), default=-1),
+            "rows_applied": 0, "row_count": m.row_count, "skipped": True}
 
     payload = payload_columns(window.schema)
     is_trunc = pc.equal(window["op"], "truncate")
@@ -202,15 +218,21 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
     final = final.take(order)
 
     os.makedirs(pdir, exist_ok=True)
-    max_commit = pc.max(window["commit_lsn"]).as_py()
+    # per-source max applied commit_lsn in this window (vector watermark)
+    wsrc = window["source"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wcommit = window["commit_lsn"].to_numpy(zero_copy_only=False)
+    per_source: dict = {}
+    for s in np.unique(wsrc):
+        per_source[int(s)] = int(wcommit[wsrc == s].max())
+    max_commit = max(per_source.values())
     frag_name = f"fragment-{m.epoch + 1:06d}-{max_commit}.parquet"
     tmp = os.path.join(pdir, f".{frag_name}.{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(final, tmp, compression="zstd")
     os.replace(tmp, os.path.join(pdir, frag_name))
 
     old_frag = m.fragment
-    record_window(m, window_min_lsn=pc.min(window["lsn"]).as_py(),
-                  window_max_commit_lsn=max_commit,
+    record_window(m, per_source_max_commit=per_source,
+                  window_min_lsn=pc.min(window["lsn"]).as_py(),
                   rows_applied=dml.num_rows, fragment=frag_name,
                   row_count=final.num_rows)
     write_manifest_atomic(lake_dir, m)
@@ -220,7 +242,8 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
             os.remove(os.path.join(pdir, old_frag))
         except OSError:
             pass
-    return {"partition_id": pid, "applied_lsn": m.applied_lsn,
+    return {"partition_id": pid,
+            "applied_lsn": max(m.applied_lsns.values(), default=-1),
             "rows_applied": dml.num_rows, "row_count": final.num_rows,
             "skipped": False}
 

@@ -40,6 +40,8 @@ from ..wire.frames import (
 logger = logging.getLogger(__name__)
 
 ENVELOPE_SCHEMA = pa.schema([
+    ("source", pa.int32()),            # WAL shard / slot id: each source is
+                                       # an independent ordered LSN space
     ("lsn", pa.int64()),
     ("commit_lsn", pa.int64()),
     ("commit_ts_us", pa.int64()),      # unix micros
@@ -142,11 +144,16 @@ class PgOutputDecoder:
 
     def __init__(self, stop_at_lsn: Optional[int] = None,
                  emit_control_rows: bool = True,
-                 collect_dml: bool = True):
+                 collect_dml: bool = True,
+                 source: int = 0):
         # collect_dml=False turns this into a control-plane-only scan
         # (relation/commit bookkeeping without materializing DML rows) —
         # used by the registry pre-scan fallback when no sidecar exists.
         self.collect_dml = collect_dml
+        # source = shard/slot id. Exactly-once watermarks are tracked PER
+        # SOURCE because each slot owns an independent monotone LSN space
+        # (the reference's single-stream watermark, vectorized over slots).
+        self.source = source
         self.relations: Dict[int, codec.Relation] = {}
         self.rel_versions: Dict[int, int] = {}
         self._next_version = 1
@@ -332,7 +339,9 @@ class PgOutputDecoder:
         # row layout: (lsn, xid, op, rel_oid, rel_version, schema, table,
         #              key_type, before, after, unchanged, meta, commit_lsn,
         #              commit_ts_us)
+        n = len(rows)
         arrays = [
+            pa.array([self.source] * n, pa.int32()),  # source
             pa.array(cols[0], pa.int64()),       # lsn
             pa.array(cols[12], pa.int64()),      # commit_lsn
             pa.array(cols[13], pa.int64()),      # commit_ts_us
@@ -378,11 +387,20 @@ class DecodeShard:
         self.stop_at_lsn = stop_at_lsn
         self.out_batch_rows = out_batch_rows
 
+    @staticmethod
+    def source_of(path: str) -> int:
+        """shard id from .../shard=NNNN/wal.parquet path."""
+        import re
+
+        m = re.search(r"shard=(\d+)", path)
+        return int(m.group(1)) if m else 0
+
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         import pyarrow.parquet as pq
 
         for path in batch["wal_path"].to_pylist():
-            dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn)
+            dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
+                                  source=self.source_of(path))
             pf = pq.ParquetFile(path)
             pending: List[pa.RecordBatch] = []
             pending_rows = 0

@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 from ..functions.pgtext import cast_pg_text
 from ..state.schema_registry import RelVersion, SchemaRegistry
 
-CONTROL_COLS = ["lsn", "commit_lsn", "commit_ts_us", "xid", "op", "rel_version"]
+CONTROL_COLS = ["source", "lsn", "commit_lsn", "commit_ts_us", "xid", "op",
+                "rel_version"]
 DML_SET = pa.array(["insert", "update", "delete"], pa.string())
 
 
@@ -85,9 +86,10 @@ def _project_version_slice(t: pa.Table, rv: RelVersion,
 
 def empty_typed(unified: pa.Schema) -> pa.Table:
     cols: dict = {}
-    for c, t in [("lsn", pa.int64()), ("commit_lsn", pa.int64()),
-                 ("commit_ts_us", pa.int64()), ("xid", pa.int64()),
-                 ("op", pa.string()), ("rel_version", pa.int32())]:
+    for c, t in [("source", pa.int32()), ("lsn", pa.int64()),
+                 ("commit_lsn", pa.int64()), ("commit_ts_us", pa.int64()),
+                 ("xid", pa.int64()), ("op", pa.string()),
+                 ("rel_version", pa.int32())]:
         cols[c] = pa.array([], t)
     for f in unified:
         cols[f.name] = pa.array([], f.type)

@@ -26,11 +26,18 @@ from typing import Dict, List, Optional
 @dataclass
 class PartitionManifest:
     partition_id: int
-    applied_lsn: int = -1
+    # VECTOR watermark: one monotone applied-LSN per source (WAL shard /
+    # slot).  Each source owns an independent LSN space, so a scalar
+    # watermark would let a high-LSN source mask an unapplied low-LSN one.
+    # JSON object keys are strings: {"0": lsn, "1": lsn, ...}.
+    applied_lsns: Dict[str, int] = field(default_factory=dict)
     row_count: int = 0
     fragment: Optional[str] = None       # current fragment file (relative)
     epoch: int = 0                       # increments per applied window
     lineage: List[dict] = field(default_factory=list)  # per-window records
+
+    def applied_for(self, source: int) -> int:
+        return self.applied_lsns.get(str(source), -1)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
@@ -84,33 +91,46 @@ def all_manifests(lake_dir: str) -> Dict[int, PartitionManifest]:
     return {pid: read_manifest(lake_dir, pid) for pid in list_partitions(lake_dir)}
 
 
-def global_watermark(lake_dir: str, num_partitions: Optional[int] = None) -> int:
-    """min applied_lsn across partitions — the safe WAL-GC / feedback point.
+def global_watermark(lake_dir: str,
+                     num_partitions: Optional[int] = None) -> Dict[str, int]:
+    """Per-source min applied_lsn across partitions — the safe WAL-GC /
+    feedback point for each slot (the analogue of the applied LSN the
+    reference acks via send_standby_status_update).
 
-    With ``num_partitions`` given, partitions that have never applied count
-    as -1 (nothing is safe to GC yet), mirroring the reference's 'applied
+    With ``num_partitions`` given, partitions that have never applied a
+    source count as -1 for it (nothing safe to GC yet), mirroring 'applied
     advances only to the last contiguous applied commit'
     (examples/safe-transaction-consumer/src/main.rs:190-206).
     """
     ms = all_manifests(lake_dir)
-    if num_partitions is not None:
-        vals = [ms[p].applied_lsn if p in ms else -1
-                for p in range(num_partitions)]
-    else:
-        vals = [m.applied_lsn for m in ms.values()]
-    return min(vals) if vals else -1
+    sources = sorted({s for m in ms.values() for s in m.applied_lsns})
+    pids = range(num_partitions) if num_partitions is not None else sorted(ms)
+    out: Dict[str, int] = {}
+    for s in sources:
+        vals = [(ms[p].applied_lsns.get(s, -1) if p in ms else -1)
+                for p in pids]
+        out[s] = min(vals) if vals else -1
+    return out
 
 
-def record_window(m: PartitionManifest, window_min_lsn: int,
-                  window_max_commit_lsn: int, rows_applied: int,
+def min_watermark(lake_dir: str, num_partitions: Optional[int] = None) -> int:
+    wm = global_watermark(lake_dir, num_partitions)
+    return min(wm.values()) if wm else -1
+
+
+def record_window(m: PartitionManifest, per_source_max_commit: Dict[int, int],
+                  window_min_lsn: int, rows_applied: int,
                   fragment: str, row_count: int) -> PartitionManifest:
     m.epoch += 1
-    m.applied_lsn = max(m.applied_lsn, window_max_commit_lsn)
+    for s, lsn in per_source_max_commit.items():
+        k = str(s)
+        m.applied_lsns[k] = max(m.applied_lsns.get(k, -1), lsn)
     m.row_count = row_count
     m.fragment = fragment
     m.lineage.append({
         "epoch": m.epoch,
-        "window": [window_min_lsn, window_max_commit_lsn],
+        "window_min_lsn": window_min_lsn,
+        "applied": {str(s): v for s, v in per_source_max_commit.items()},
         "rows_applied": rows_applied,
         "ts": time.time(),
     })

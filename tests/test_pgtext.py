@@ -1,0 +1,83 @@
+"""pg text-form parser tests (deserializer.rs:102-185, column_value.rs:17-56
+semantics; FIXTURES.md §5 value-parsing fixtures)."""
+
+import pyarrow as pa
+import pytest
+
+from pg_walstream_ray.functions import pgtext
+
+
+def test_bool_vocabulary():
+    arr = pa.array(["t", "f", "true", "false", "1", "0", "on", "off",
+                    "yes", "no", "Y", "N", " T ", None])
+    out, _ = pgtext.parse_pg_bool(arr)
+    assert out.to_pylist() == [True, False, True, False, True, False, True,
+                               False, True, False, True, False, True, None]
+
+
+def test_bool_invalid_strict_and_lenient():
+    arr = pa.array(["t", "banana"])
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_bool(arr)
+    out, bad = pgtext.parse_pg_bool(arr, lenient=True)
+    assert out.to_pylist() == [True, None]
+    assert bad.to_pylist() == [False, True]
+
+
+def test_int_parsing_signs_and_overflow():
+    arr = pa.array(["42", "-7", "+13", None])
+    out, _ = pgtext.parse_pg_int(arr, pa.int32())
+    assert out.to_pylist() == [42, -7, 13, None]
+    # overflow rejected strictly
+    with pytest.raises(Exception):
+        pgtext.parse_pg_int(pa.array(["2147483648"]), pa.int32())
+    # lenient: overflow -> null + error flag
+    out, bad = pgtext.parse_pg_int(pa.array(["1", "2147483648", "junk"]),
+                                   pa.int32(), lenient=True)
+    assert out.to_pylist() == [1, None, None]
+    assert bad.to_pylist() == [False, True, True]
+
+
+def test_int64_range():
+    out, _ = pgtext.parse_pg_int(
+        pa.array(["9223372036854775807", "-9223372036854775808"]), pa.int64())
+    assert out.to_pylist() == [2**63 - 1, -2**63]
+
+
+def test_float_and_lenient():
+    out, _ = pgtext.parse_pg_float(pa.array(["1.5", "-2e3"]), pa.float64())
+    assert out.to_pylist() == [1.5, -2000.0]
+    out, bad = pgtext.parse_pg_float(pa.array(["1.5", "nope"]), pa.float64(),
+                                     lenient=True)
+    assert out.to_pylist() == [1.5, None]
+    assert bad.to_pylist() == [False, True]
+
+
+def test_timestamp_micros_and_iso():
+    out, _ = pgtext.parse_pg_timestamp(pa.array(["1700000000000000"]))
+    assert out.to_pylist()[0].year == 2023
+    out, _ = pgtext.parse_pg_timestamp(pa.array(["2024-05-01 12:30:00",
+                                                 "1700000000000000"]))
+    vals = out.to_pylist()
+    assert vals[0].year == 2024 and vals[0].hour == 12
+    assert vals[1].year == 2023
+
+
+def test_bytea_hex_roundtrip():
+    out, _ = pgtext.parse_pg_bytea(pa.array(["\\x00ff10", None]))
+    assert out.to_pylist() == [b"\x00\xff\x10", None]
+    back = pgtext.encode_pg_bytea(out)
+    assert back.to_pylist() == ["\\x00ff10", None]
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_bytea(pa.array(["nothex"]))
+    out, bad = pgtext.parse_pg_bytea(pa.array(["nothex"]), lenient=True)
+    assert out.to_pylist() == [None] and bad.to_pylist() == [True]
+
+
+def test_cast_dispatch():
+    out, _ = pgtext.cast_pg_text(pa.array(["5"]), pa.int16())
+    assert out.type == pa.int16()
+    out, _ = pgtext.cast_pg_text(pa.array(["t"]), pa.bool_())
+    assert out.to_pylist() == [True]
+    out, _ = pgtext.cast_pg_text(pa.array(["abc"]), pa.string())
+    assert out.to_pylist() == ["abc"]
