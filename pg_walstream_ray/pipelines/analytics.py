@@ -1,0 +1,181 @@
+"""Analytics pipelines over the testdata tables — the engine's general
+data-processing surface (grouped aggregation with partial combine, broadcast
+join, sessionization / windowed aggregates), expressed Ray-Data-first.
+
+Patterns demonstrated (ray_guide.md):
+  - pre-aggregate inside map_batches, then groupby over the partials
+    (avoids shuffling every row);
+  - broadcast the small join side via ray.put + lookup inside map_batches
+    (no shuffle join);
+  - session windows as groupby(key).map_groups over ts-sorted groups.
+
+All float aggregates are rounded at the edge (ROUND(x, 2)) because
+distributed summation order differs from any sequential oracle's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate over lineitem with per-batch partial
+    aggregation before the (tiny) groupby shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax",
+                        "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch["l_tax"]))
+        batch = batch.append_column("disc_price", disc_price)
+        batch = batch.append_column("charge", charge)
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("charge", "sum"),
+            ("l_discount", "sum"), ("l_quantity", "count"),
+        ])
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=64 * 1024)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="s_qty"),
+        Sum("l_extendedprice_sum", alias_name="s_base"),
+        Sum("disc_price_sum", alias_name="s_disc"),
+        Sum("charge_sum", alias_name="s_charge"),
+        Sum("l_discount_sum", alias_name="s_discount"),
+        Sum("l_quantity_count", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"]
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["s_qty"], 2),
+            "sum_base_price": pc.round(t["s_base"], 2),
+            "sum_disc_price": pc.round(t["s_disc"], 2),
+            "sum_charge": pc.round(t["s_charge"], 2),
+            "avg_qty": pc.round(pc.divide(t["s_qty"], pc.cast(n, pa.float64())), 4),
+            "avg_disc": pc.round(pc.divide(t["s_discount"],
+                                           pc.cast(n, pa.float64())), 4),
+            "count_order": pc.cast(n, pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def customer_order_totals(sf_dir: str):
+    """Per-customer order totals via partial agg + BROADCAST join of the
+    small customer dimension (ray.put once, dict lookup per batch — no
+    shuffle join)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    lookup_ref = ray.put({
+        k: (n, s) for k, n, s in zip(cust["c_custkey"].to_pylist(),
+                                     cust["c_name"].to_pylist(),
+                                     cust["c_mktsegment"].to_pylist())})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_custkey").aggregate([
+            ("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("o_totalprice_sum", alias_name="total"),
+            Sum("o_totalprice_count", alias_name="n_orders"))
+
+    class AttachName:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            names = [self.lookup.get(k, (None, None))[0] for k in keys]
+            segs = [self.lookup.get(k, (None, None))[1] for k in keys]
+            return pa.table({
+                "c_custkey": t["o_custkey"],
+                "c_name": pa.array(names, pa.string()),
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "total_spent": pc.round(t["total"], 2),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            })
+
+    return agg.map_batches(AttachName, fn_constructor_kwargs={"ref": lookup_ref},
+                           batch_format="pyarrow", concurrency=2)
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows per user (gap > 30 min starts a new session) —
+    groupby(key).map_groups over ts-sorted groups (the engine's windowed
+    aggregate surface; Ray Data has no event-time windows natively)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds() * 1e6
+        new_session = (gaps.isna()) | (gaps > SESSION_GAP_US)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_session.sum())],
+            "n_events": [len(g)],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def hourly_event_stats(sf_dir: str):
+    """Tumbling 1-hour windows: vectorized bucket column + grouped agg."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hour, "value": t["value"],
+                         "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("hour").aggregate(Sum("value", alias_name="sum_value"),
+                                   Sum("one", alias_name="n_events"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": t["hour"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,176 @@
+"""Deterministic CDC change streams derived from the testdata ``events``
+table — the SQL-verifiable correctness harness.
+
+Each mode maps ``events`` rows 1:1 onto transcript change ops with pure,
+SQL-expressible rules, so the driver can run the FULL engine stack
+(logical ops -> pgoutput frames -> shard decode -> partition -> exactly-once
+apply -> lake snapshot) and verify the final table against a DuckDB window
+query over the same parquet (see ``__ray_entry__.oracle_sql``).
+
+Shared derivation (identical in SQL):
+  lsn      = event_id * 4 + 4            (gaps for Begin/Relation/Commit)
+  conv_id  = 'c' || user_id
+  role     = map(event_type): signup->system, click->user,
+             purchase->assistant, error->tool, view->user
+  text     = 'e' || event_id || ':' || props
+  tool     = 'tool' || (event_id % 7)  when event_type='error' else NULL
+  ts       = events.ts
+
+Modes (op rules):
+  insert_only   turn_idx = event_id            all inserts
+  upsert        turn_idx = event_id % 13       signup/view -> insert,
+                                               else update (LWW upsert)
+  upsert_delete upsert, but error -> delete
+  toast         upsert (no deletes); click updates carry text as
+                TOAST-unchanged ('u') -> apply must carry prior text forward
+  truncate      upsert + a table TRUNCATE spliced at lsn TRUNCATE_LSN
+  evolve        upsert; events with event_id >= EVOLVE_AT use relation v2
+                (adds score int4 = turn_idx % 5); earlier rows null-fill
+  bounded       upsert, replay stopped inside transaction BOUNDED_TX —
+                the crossing tx is delivered in full (tx = event_id // 50)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .walgen import LOGICAL_SCHEMA, WalSpec, write_logical_shard
+
+ROLE_MAP = {"signup": "system", "click": "user", "purchase": "assistant",
+            "error": "tool", "view": "user"}
+
+TURN_MOD = 13
+TX_ROWS = 50
+EVOLVE_AT = 500          # event_id threshold for relation v2
+TRUNCATE_AFTER = 600     # truncate lands between events 599 and 600
+BOUNDED_STOP_EVENT = 675  # stop target inside tx 13 (events 650..699)
+
+
+def derive_changes(events: pa.Table, mode: str) -> pa.Table:
+    """events rows -> logical change table (walgen.LOGICAL_SCHEMA order
+    preserved; one op per event). Fully vectorized."""
+    ev_id = events["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ev_id)
+    lsn = ev_id * 4 + 4
+    et = events["event_type"].to_numpy(zero_copy_only=False)
+
+    if mode == "insert_only":
+        turn = ev_id.astype(np.int32)
+        op = np.full(n, "insert", dtype=object)
+    else:
+        turn = (ev_id % TURN_MOD).astype(np.int32)
+        op = np.where(np.isin(et, ["signup", "view"]), "insert", "update")
+        if mode == "upsert_delete":
+            op = np.where(et == "error", "delete", op)
+        op = op.astype(object)
+
+    conv = pc.binary_join_element_wise(
+        "c", pc.cast(events["user_id"], pa.string()), "")
+    role_np = np.empty(n, dtype=object)
+    for k, v in ROLE_MAP.items():
+        role_np[et == k] = v
+    role = pa.array(role_np, pa.string())
+    text = pc.binary_join_element_wise(
+        "e", pc.cast(events["event_id"], pa.string()), ":", events["props"], "")
+    is_err = et == "error"
+    tool = np.where(is_err,
+                    np.char.add("tool", np.char.mod("%d", ev_id % 7)).astype(object),
+                    None)
+    ts_us = pc.cast(events["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+
+    unchanged = np.zeros(n, dtype=bool)
+    if mode == "toast":
+        unchanged = (et == "click")  # updates carrying 'u' text
+
+    rel_version = np.ones(n, dtype=np.int32)
+    if mode == "evolve":
+        rel_version[ev_id >= EVOLVE_AT] = 2
+
+    is_del = op == "delete"
+    null_str = pa.scalar(None, pa.string())
+    role = pc.if_else(pa.array(is_del), null_str, role)
+    text_arr = pc.if_else(pa.array(is_del | unchanged), null_str, text)
+    tool_arr = pa.array(np.where(is_del, None, tool), pa.string())
+
+    t = pa.table({
+        "lsn": pa.array(lsn),
+        "xid": pa.array(np.zeros(n, dtype=np.int64)),  # assigned per shard
+        "committed": pa.array(np.ones(n, dtype=bool)),
+        "streamed": pa.array(np.zeros(n, dtype=bool)),
+        "aborted": pa.array(np.zeros(n, dtype=bool)),
+        "op": pa.array(op, pa.string()),
+        "conv_id": conv,
+        "turn_idx": pa.array(turn),
+        "role": role,
+        "text": text_arr,
+        "tool": tool_arr,
+        "ts_us": pa.array(ts_us),
+        "text_unchanged": pa.array(unchanged),
+        "rel_version": pa.array(rel_version),
+    }, schema=LOGICAL_SCHEMA)
+    return t
+
+
+def _splice_truncate(logical: pa.Table) -> pa.Table:
+    """Insert a table-wide TRUNCATE between events TRUNCATE_AFTER-1 and
+    TRUNCATE_AFTER (lsn = TRUNCATE_AFTER*4+2)."""
+    t_lsn = TRUNCATE_AFTER * 4 + 2
+    trunc = pa.table({
+        "lsn": pa.array([t_lsn], pa.int64()),
+        "xid": pa.array([0], pa.int64()),
+        "committed": pa.array([True]),
+        "streamed": pa.array([False]),
+        "aborted": pa.array([False]),
+        "op": pa.array(["truncate"]),
+        "conv_id": pa.array([None], pa.string()),
+        "turn_idx": pa.array([None], pa.int32()),
+        "role": pa.array([None], pa.string()),
+        "text": pa.array([None], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts_us": pa.array([0], pa.int64()),
+        "text_unchanged": pa.array([False]),
+        "rel_version": pa.array([1], pa.int32()),
+    }, schema=LOGICAL_SCHEMA)
+    merged = pa.concat_tables([logical, trunc])
+    return merged.take(pc.sort_indices(merged, sort_keys=[("lsn", "ascending")]))
+
+
+def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
+                          n_shards: int = 2) -> None:
+    """Materialize the WAL lake for one mode. Deterministic; skipped if the
+    output already exists (content is a pure function of inputs).
+
+    Sharding: ``user_id % n_shards`` — each conversation lives in exactly
+    one shard (slot), matching the engine's source-disjointness assumption.
+    Transactions are TX_ROWS consecutive ops within a shard.
+    """
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    events = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"])
+    events = events.take(pc.sort_indices(events, sort_keys=[("event_id",
+                                                             "ascending")]))
+    logical = derive_changes(events, mode)
+    user = events["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    spec = WalSpec(n_shards=n_shards)
+    os.makedirs(out_dir, exist_ok=True)
+    for s in range(n_shards):
+        part = logical.filter(pa.array(user % n_shards == s))
+        if mode == "truncate":
+            part = _splice_truncate(part)
+        # transaction grouping: TX_ROWS consecutive ops within the shard
+        rank = np.arange(part.num_rows, dtype=np.int64)
+        xid = (np.int64(s) << 24) + rank // TX_ROWS + 1000
+        part = part.set_column(part.schema.get_field_index("xid"), "xid",
+                               pa.array(xid))
+        write_logical_shard(part, spec, s, out_dir)
+    with open(done, "w") as f:
+        f.write("ok")

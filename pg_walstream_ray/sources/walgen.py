@@ -441,16 +441,13 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int) -> pa.Tabl
     })
 
 
-def write_wal_shard(spec: WalSpec, shard: int, out_dir: str) -> dict:
-    """Generate + encode + write one shard: ``out_dir/shard=NNNN/wal.parquet``.
-
-    Returns shard stats. Pure function of (spec, shard) — safe to run as a
-    Ray task, one task per shard (SURVEY.md §4: N source tasks).
-    """
+def write_logical_shard(logical: pa.Table, spec: WalSpec, shard: int,
+                        out_dir: str) -> dict:
+    """Encode + write one shard of an arbitrary logical change table
+    (LOGICAL_SCHEMA): ``out_dir/shard=NNNN/wal.parquet`` + schema sidecar."""
     import os
     import pyarrow.parquet as pq
 
-    logical = shard_logical_changes(spec, shard)
     frames = encode_shard_frames(logical, spec, shard)
     d = os.path.join(out_dir, f"shard={shard:04d}")
     os.makedirs(d, exist_ok=True)
@@ -465,7 +462,18 @@ def write_wal_shard(spec: WalSpec, shard: int, out_dir: str) -> dict:
     metas = [relation_to_meta(_relation_msg(v), v, None) for v in versions]
     with open(os.path.join(d, "relations.json"), "w") as f:
         json.dump(metas, f)
-    return {"shard": shard, "frames": frames.num_rows,
+    return {"shard": shard, "frames": frames.num_rows, "logical": logical}
+
+
+def write_wal_shard(spec: WalSpec, shard: int, out_dir: str) -> dict:
+    """Generate + encode + write one shard: ``out_dir/shard=NNNN/wal.parquet``.
+
+    Returns shard stats. Pure function of (spec, shard) — safe to run as a
+    Ray task, one task per shard (SURVEY.md §4: N source tasks).
+    """
+    logical = shard_logical_changes(spec, shard)
+    r = write_logical_shard(logical, spec, shard, out_dir)
+    return {"shard": shard, "frames": r["frames"],
             "dml_rows": int(pc.sum(pc.cast(pc.is_in(
                 logical["op"], value_set=pa.array(["insert", "update", "delete"])),
                 pa.int64())).as_py() or 0)}

@@ -1,0 +1,81 @@
+"""Driver-contract conformance: every queries() entry with an oracle_sql()
+must match DuckDB on the same parquet tables (mimics the driver's
+row-count + schema + order-insensitive value compare, at sf0.001 for
+speed — the driver itself runs sf0.01)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert "conv_id" in df.columns and "turn_idx" in df.columns
+
+
+def test_every_oracle_key_has_query(contract):
+    queries, oracles = contract
+    assert set(oracles).issubset(set(queries))
+
+
+@pytest.mark.parametrize("name", [
+    "cdc_insert_only", "cdc_upsert_lww", "cdc_upsert_delete",
+    "cdc_toast_carry", "cdc_truncate", "cdc_bounded_replay",
+    "cdc_schema_evolution", "q1_pricing_summary", "customer_order_totals",
+    "events_sessionize", "events_hourly",
+])
+def test_query_matches_oracle(contract, name):
+    queries, oracles = contract
+    got = _normalize(_to_df(queries[name](SF_DIR)))
+    con = _duck(SF_DIR)
+    want = _normalize(con.execute(oracles[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
