@@ -116,6 +116,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sessionize"] = analytics.sessionize_events
     q["events_hourly"] = analytics.hourly_event_stats
 
+    # -- training-data ops: dedup ------------------------------------------
+    from pg_walstream_ray.pipelines import dedup, similarity, textops
+    from pg_walstream_ray.pipelines import multimodal
+
+    q["dedup_exact"] = dedup.exact_dedup
+    q["dedup_minhash_lsh"] = dedup.minhash_dedup
+    q["simhash_signatures"] = dedup.simhash_signatures
+    q["dedup_simhash"] = dedup.simhash_dedup
+    q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+
+    # -- similarity search -------------------------------------------------
+    # oracled queries expose only exact-integer columns (rank, ids); the
+    # float sims are validated in pytest instead (IEEE-order differences vs
+    # the oracle would make value-hash flaky)
+    q["ann_brute_topk"] = lambda sf: similarity.ann_brute_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
+    q["embedding_near_dup"] = lambda sf: similarity.embedding_near_dup(sf) \
+        .select_columns(["vec_a", "vec_b"])
+    q["ann_lsh_topk"] = lambda sf: similarity.ann_lsh_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
+
+    # -- text analysis -----------------------------------------------------
+    q["text_quality"] = textops.text_quality
+    q["lang_id"] = textops.lang_id
+    q["doc_fingerprint"] = textops.doc_fingerprint
+
+    # -- multimodal (deterministic fake decode; real plumbing) -------------
+    q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
+        .select_columns(["doc_id", "width", "height", "channels", "n_bytes"])
+    q["media_frame_sample"] = lambda sf: multimodal.frame_samples(sf) \
+        .select_columns(["doc_id", "frame_idx"])
+
     return q
 
 
@@ -255,6 +287,196 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) AS n_events,
              ROUND(SUM(value), 2) AS sum_value
       FROM events GROUP BY 1
+    """
+
+    # -- training-data ops (md5 bridge: functions/hashing.py docstring) ----
+    from pg_walstream_ray.functions.hashing import (H_PRIME,
+                                                    minhash_params_sql)
+    from pg_walstream_ray.pipelines.textops import (LANG_ORDER, STOPWORDS,
+                                                    SUBTOKEN_RE)
+
+    sql["dedup_exact"] = """
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+    """
+
+    sql["dedup_minhash_lsh"] = f"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {H_PRIME} AS hp
+        FROM w
+      ), params(i, a, b) AS {minhash_params_sql()},
+      sig AS (
+        SELECT doc_id, i, MIN((a * hp + b) % {H_PRIME}) AS s
+        FROM h CROSS JOIN params GROUP BY doc_id, i
+      ), bands AS (
+        SELECT doc_id,
+               (i // 4)::VARCHAR || ':' ||
+                 string_agg(s::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4
+      ), bmin AS (
+        SELECT bkey, MIN(doc_id) AS m FROM bands GROUP BY bkey
+      ), flags AS (
+        SELECT b.doc_id, MIN(bm.m) AS mm
+        FROM bands b JOIN bmin bm USING (bkey) GROUP BY b.doc_id
+      )
+      SELECT doc_id, (mm < doc_id) AS is_dup FROM flags
+    """
+
+    _simhash_core = """
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h60 FROM w
+      ), bitsums AS (
+        SELECT doc_id, bb.b AS b,
+               SUM(CASE WHEN (h60 >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT range AS b FROM range(60)) bb
+        GROUP BY doc_id, bb.b
+      ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM bitsums GROUP BY doc_id
+      )
+    """
+
+    sql["simhash_signatures"] = _simhash_core + \
+        "SELECT doc_id, simhash FROM sig"
+
+    sql["dedup_simhash"] = _simhash_core + """
+      , bands AS (
+        SELECT doc_id,
+               jj.j * 65536 + ((simhash >> (15 * jj.j)) & 32767) AS bucket
+        FROM sig CROSS JOIN (SELECT range AS j FROM range(4)) jj
+      ), bmin AS (
+        SELECT bucket, MIN(doc_id) AS m FROM bands GROUP BY bucket
+      ), flags AS (
+        SELECT b.doc_id, MIN(bm.m) AS mm
+        FROM bands b JOIN bmin bm USING (bucket) GROUP BY b.doc_id
+      )
+      SELECT doc_id, (mm < doc_id) AS is_dup FROM flags
+    """
+
+    from pg_walstream_ray.pipelines.dedup import NGRAM_MAX_DF
+
+    sql["ngram_jaccard_pairs"] = f"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id
+      ), keep_w AS (
+        SELECT w FROM w GROUP BY w HAVING COUNT(*) <= {NGRAM_MAX_DF}
+      ), pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.w IN (SELECT w FROM keep_w)
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, c AS inter,
+             (sa.n + sb.n - c) AS union_size
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+    """
+
+    sql["ann_brute_topk"] = """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+      ), s AS (
+        SELECT qid, e.vec_id AS nid,
+               list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[])
+                 AS sim
+        FROM q, embeddings e WHERE e.vec_id <> qid
+      ), r AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM s
+      )
+      SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk
+      FROM r WHERE rn <= 10
+    """
+
+    sql["embedding_near_dup"] = """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.35
+    """
+
+    sql["text_quality"] = f"""
+      WITH b AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars,
+               len(regexp_extract_all(lower(text), '{SUBTOKEN_RE}'))
+                 AS n_subtokens
+        FROM documents
+      )
+      SELECT doc_id, n_tokens, n_distinct, n_subtokens,
+             FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                    + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                    + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens) / 8.0))
+                   * 10000)::BIGINT AS quality_q
+      FROM b
+    """
+
+    def _in_list(ws):
+        return ", ".join("'" + w + "'" for w in ws)
+
+    hit_cols = ",\n               ".join(
+        f"SUM(CASE WHEN w IN ({_in_list(STOPWORDS[lang])}) THEN 1 ELSE 0 "
+        f"END)::BIGINT AS hits_{lang}" for lang in LANG_ORDER)
+    sql["lang_id"] = f"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), hits AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM w GROUP BY doc_id
+      )
+      SELECT doc_id,
+             CASE
+               WHEN hits_en >= hits_de AND hits_en >= hits_es
+                    AND hits_en >= hits_fr THEN 'en'
+               WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+               WHEN hits_es >= hits_fr THEN 'es'
+               ELSE 'fr'
+             END AS pred_lang,
+             hits_en, hits_de, hits_es, hits_fr
+      FROM hits
+    """
+
+    sql["doc_fingerprint"] = """
+      SELECT doc_id, md5(lower(text)) AS fp,
+             ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp_int
+      FROM documents
+    """
+
+    sql["media_metadata"] = """
+      SELECT doc_id,
+             (16 + doc_id % 48)::INT AS width,
+             (16 + (doc_id * 7) % 48)::INT AS height,
+             (1 + doc_id % 3)::INT AS channels,
+             ((16 + doc_id % 48) * (16 + (doc_id * 7) % 48)
+              * (1 + doc_id % 3))::BIGINT AS n_bytes
+      FROM documents
+    """
+
+    sql["media_frame_sample"] = """
+      SELECT doc_id, r.range::INT AS frame_idx
+      FROM documents, range(64) r
+      WHERE r.range % 4 = 0 AND r.range < (16 + (doc_id * 7) % 48)
     """
 
     return sql

@@ -1,0 +1,200 @@
+"""Deterministic text hashing primitives shared by the dedup / fingerprint
+operators AND their DuckDB SQL oracles.
+
+The bridge invariant: for any token ``s``,
+
+    Python:  int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    DuckDB:  ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+produce the same 60-bit integer, so every derived quantity (minhash
+signatures, simhash bits, fingerprints) is reproducible in ANSI-ish SQL and
+the driver can value-hash-compare the Ray pipeline against the oracle.
+
+All per-token work is cached in a vocabulary dict held by the actor
+(stateful stage): real corpora are Zipfian, so the cache converges and the
+per-batch cost is numpy gathers, not per-token md5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+H_PRIME = 2_147_483_647          # 2^31 - 1; all minhash arithmetic mod this
+SIMHASH_BITS = 60                # md5-derived 60-bit token hashes
+MINHASH_K = 16                   # signature length
+MINHASH_BANDS = 4                # 4 bands x 4 rows
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+SIMHASH_BANDS = 4                # 4 x 15-bit bands for near-dup bucketing
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+# fixed, seeded universal-hash parameters (shared with the SQL oracle via
+# minhash_params_sql())
+_rng = np.random.default_rng(123_456_789)
+MINHASH_A = _rng.integers(1, H_PRIME, size=MINHASH_K, dtype=np.int64)
+MINHASH_B = _rng.integers(0, H_PRIME, size=MINHASH_K, dtype=np.int64)
+
+
+def md5_int60(s: str) -> int:
+    """60-bit integer from the first 15 hex chars of md5 (SQL-bridgeable)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash_params_sql() -> str:
+    """VALUES list ``params(i, a, b)`` matching MINHASH_A/B for the oracle."""
+    rows = ", ".join(f"({i}, {int(a)}, {int(b)})"
+                     for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+    return f"(VALUES {rows})"
+
+
+class TokenHasher:
+    """Vocabulary-cached token hasher (held per actor, __init__-once).
+
+    For each new token computes, once:
+      h60       60-bit md5 int
+      hp        h60 % H_PRIME           (minhash input)
+      sig[k]    (a_k * hp + b_k) % H_PRIME
+      bits[60]  +1/-1 per bit of h60    (simhash contribution)
+    """
+
+    def __init__(self):
+        self._idx: Dict[str, int] = {}
+        self._sig_rows: List[np.ndarray] = []
+        self._bit_rows: List[np.ndarray] = []
+        self._h60_rows: List[int] = []
+        self._sig_mat = np.empty((0, MINHASH_K), dtype=np.int64)
+        self._bit_mat = np.empty((0, SIMHASH_BITS), dtype=np.int32)
+        self._h60_arr = np.empty(0, dtype=np.int64)
+
+    def _intern(self, tok: str) -> int:
+        i = self._idx.get(tok)
+        if i is not None:
+            return i
+        h60 = md5_int60(tok)
+        hp = h60 % H_PRIME
+        sig = (MINHASH_A * hp + MINHASH_B) % H_PRIME
+        bits = np.fromiter(((h60 >> b) & 1 for b in range(SIMHASH_BITS)),
+                           dtype=np.int32, count=SIMHASH_BITS) * 2 - 1
+        i = len(self._idx)
+        self._idx[tok] = i
+        self._sig_rows.append(sig)
+        self._bit_rows.append(bits)
+        self._h60_rows.append(h60)
+        return i
+
+    def _sync(self) -> None:
+        if len(self._sig_rows) != len(self._sig_mat):
+            self._sig_mat = np.vstack(self._sig_rows)
+            self._bit_mat = np.vstack(self._bit_rows)
+            self._h60_arr = np.array(self._h60_rows, dtype=np.int64)
+
+    def encode_tokens(self, tokens: List[str]) -> np.ndarray:
+        """Token strings -> vocab ids (interning new ones)."""
+        return np.fromiter((self._intern(t) for t in tokens),
+                           dtype=np.int64, count=len(tokens))
+
+    @property
+    def sig_matrix(self) -> np.ndarray:
+        self._sync()
+        return self._sig_mat
+
+    @property
+    def bit_matrix(self) -> np.ndarray:
+        self._sync()
+        return self._bit_mat
+
+    @property
+    def h60_array(self) -> np.ndarray:
+        """Global 60-bit hash per vocab id — the cross-actor-stable token
+        identity (intern ids are per-actor and must never leave the actor)."""
+        self._sync()
+        return self._h60_arr
+
+
+def tokenize_column(texts: pa.ChunkedArray | pa.Array,
+                    hasher: TokenHasher) -> Tuple[np.ndarray, np.ndarray]:
+    """Split on single spaces (identical to SQL string_split(text, ' ')).
+
+    Returns (doc_offsets[n+1], token_ids[flat]) — token_ids grouped by doc.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern(texts, " ")
+    flat = split.flatten().to_pylist()
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    return offsets, hasher.encode_tokens(flat)
+
+
+def distinct_doc_tokens(offsets: np.ndarray, token_ids: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (doc, token) pairs, doc-grouped.
+
+    Returns (doc_counts[n], doc_index[flat'], token_ids[flat']).
+    """
+    n = len(offsets) - 1
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(offsets))
+    # dedupe (doc, token) via a combined sort key
+    vocab = int(token_ids.max()) + 1 if len(token_ids) else 1
+    key = doc_idx * vocab + token_ids
+    uniq = np.unique(key)
+    u_doc = uniq // vocab
+    u_tok = uniq % vocab
+    counts = np.bincount(u_doc, minlength=n).astype(np.int64)
+    return counts, u_doc, u_tok
+
+
+def doc_minhash(offsets: np.ndarray, token_ids: np.ndarray,
+                hasher: TokenHasher) -> np.ndarray:
+    """Per-doc minhash signatures [n, K] (min over tokens; duplicate tokens
+    are harmless under min)."""
+    n = len(offsets) - 1
+    sig = hasher.sig_matrix[token_ids]          # [flat, K]
+    out = np.full((n, MINHASH_K), np.iinfo(np.int64).max, dtype=np.int64)
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    if len(token_ids):
+        red = np.minimum.reduceat(sig, offsets[:-1][nonempty], axis=0)
+        out[nonempty] = red
+    return out
+
+
+def doc_simhash(offsets: np.ndarray, token_ids: np.ndarray,
+                hasher: TokenHasher) -> np.ndarray:
+    """Per-doc 60-bit simhash over DISTINCT tokens; bit b = 1 iff the signed
+    bit-b sum over tokens is > 0."""
+    n = len(offsets) - 1
+    counts, u_doc, u_tok = distinct_doc_tokens(offsets, token_ids)
+    bits = hasher.bit_matrix[u_tok]             # [flat', 60]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    sums = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(u_tok):
+        sums[nonempty] = np.add.reduceat(bits, starts[nonempty], axis=0)
+    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+    return ((sums > 0).astype(np.int64) * weights).sum(axis=1)
+
+
+def minhash_band_keys(sigs: np.ndarray) -> List[List[str]]:
+    """Per doc, MINHASH_BANDS bucket keys 'band:s0,s1,...' (SQL-mirrored)."""
+    n = len(sigs)
+    out: List[List[str]] = []
+    for i in range(n):
+        row = sigs[i]
+        keys = []
+        for b in range(MINHASH_BANDS):
+            seg = row[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
+            keys.append(f"{b}:" + ",".join(str(int(v)) for v in seg))
+        out.append(keys)
+    return out
+
+
+def simhash_band_keys(simhash: np.ndarray) -> np.ndarray:
+    """[n, SIMHASH_BANDS] int band values ((sh >> 15*j) & 0x7FFF)."""
+    shifts = np.arange(SIMHASH_BANDS, dtype=np.int64) * SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return (simhash[:, None] >> shifts[None, :]) & mask

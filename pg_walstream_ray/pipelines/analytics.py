@@ -30,6 +30,15 @@ def _read(sf_dir: str, table: str, columns=None):
                            columns=columns)
 
 
+def _round(arr, ndigits: int):
+    """DuckDB-identical ROUND for doubles: rint(x * 10^n) / 10^n.
+    pyarrow.compute.round yields a different ULP for many values, which
+    breaks the driver's exact value-hash compare against the SQL oracle."""
+    scale = 10.0 ** ndigits
+    x = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else arr
+    return pa.array(np.rint(np.asarray(x, dtype=np.float64) * scale) / scale)
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem with per-batch partial
     aggregation before the (tiny) groupby shuffle."""
@@ -73,13 +82,13 @@ def q1_pricing_summary(sf_dir: str):
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty": pc.round(t["s_qty"], 2),
-            "sum_base_price": pc.round(t["s_base"], 2),
-            "sum_disc_price": pc.round(t["s_disc"], 2),
-            "sum_charge": pc.round(t["s_charge"], 2),
-            "avg_qty": pc.round(pc.divide(t["s_qty"], pc.cast(n, pa.float64())), 4),
-            "avg_disc": pc.round(pc.divide(t["s_discount"],
-                                           pc.cast(n, pa.float64())), 4),
+            "sum_qty": _round(t["s_qty"], 2),
+            "sum_base_price": _round(t["s_base"], 2),
+            "sum_disc_price": _round(t["s_disc"], 2),
+            "sum_charge": _round(t["s_charge"], 2),
+            "avg_qty": _round(pc.divide(t["s_qty"], pc.cast(n, pa.float64())), 4),
+            "avg_disc": _round(pc.divide(t["s_discount"],
+                                          pc.cast(n, pa.float64())), 4),
             "count_order": pc.cast(n, pa.int64()),
         })
 
@@ -126,7 +135,7 @@ def customer_order_totals(sf_dir: str):
                 "c_custkey": t["o_custkey"],
                 "c_name": pa.array(names, pa.string()),
                 "c_mktsegment": pa.array(segs, pa.string()),
-                "total_spent": pc.round(t["total"], 2),
+                "total_spent": _round(t["total"], 2),
                 "n_orders": pc.cast(t["n_orders"], pa.int64()),
             })
 
@@ -175,7 +184,7 @@ def hourly_event_stats(sf_dir: str):
         return pa.table({
             "hour": t["hour"],
             "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_value": pc.round(t["sum_value"], 2),
+            "sum_value": _round(t["sum_value"], 2),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,285 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface of the engine (exact, MinHash+LSH, SimHash,
+n-gram Jaccard).  Every operator is deterministic and mirrored by a DuckDB
+SQL oracle in ``__ray_entry__.oracle_sql`` via the md5 bridge in
+functions/hashing.py.
+
+Scale design (100 TB):
+  - exact dedup: hash-partition on a 60-bit content hash; the groupby ships
+    (hash, doc_id) pairs only, never the text.
+  - MinHash/SimHash: signatures are computed in a vocabulary-cached actor
+    pool (map_batches, per-actor token cache); the only shuffles are over
+    (bucket_key, doc_id) pairs — band keys, not documents.
+  - duplicate flagging is two grouped reductions (bucket -> min doc_id,
+    then doc -> min over its buckets), both over tiny rows; no pairwise
+    candidate explosion.
+  - n-gram Jaccard is the one genuinely pairwise op: it shuffles distinct
+    (token, doc) postings and emits per-token candidate pairs.  At scale
+    this REQUIRES a df cutoff (``max_df``) / prefix filtering — stop-like
+    tokens otherwise produce O(df^2) pairs; the cutoff is part of the
+    operator contract and mirrored in the oracle when set.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    TokenHasher,
+    doc_minhash,
+    doc_simhash,
+    md5_int60,
+    minhash_band_keys,
+    simhash_band_keys,
+    tokenize_column,
+    distinct_doc_tokens,
+    SIMHASH_BANDS,
+)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+DEDUP_NPART = 64     # coarse hash partitions for fine-grained reductions.
+# Ray's groupby is sort-based and pays per-group overhead, so reducing over
+# millions of tiny key groups directly is ~100x slower than shuffling into a
+# few coarse hash partitions and running an in-memory (pandas/numpy) groupby
+# inside each — the same partial-aggregation discipline the CDC apply stage
+# uses.  All fine-grained reductions in this module follow that pattern.
+
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup on content hash: one surviving doc_id (the minimum) per
+    distinct text + the group size.  Output: (doc_id, n_copies).
+    Ships (hash, doc_id) pairs only — never the text."""
+
+    def to_hash(t: pa.Table) -> pa.Table:
+        h = np.array([md5_int60(s) for s in t["text"].to_pylist()],
+                     dtype=np.int64)
+        return pa.table({"part": pa.array(h % DEDUP_NPART),
+                         "h": pa.array(h), "doc_id": t["doc_id"]})
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return agg[["doc_id", "n_copies"]].astype(np.int64)
+
+    return _docs(sf_dir).map_batches(to_hash, batch_format="pyarrow") \
+        .groupby("part").map_groups(dedup_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket machinery shared by minhash / simhash dedup
+# ---------------------------------------------------------------------------
+
+
+def _dup_flags_from_buckets(bucketed):
+    """(bucket, doc_id) rows -> (doc_id, is_dup): a doc is a duplicate iff
+    some bucket it occupies contains a smaller doc_id.  Two coarse-partition
+    reductions (bucket -> min, then doc -> min over its buckets); never
+    materializes candidate pairs.  ``bucket`` may be string or int."""
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        b = t["bucket"]
+        if pa.types.is_integer(b.type):
+            part = pc.cast(b, pa.int64()).to_numpy(
+                zero_copy_only=False) % DEDUP_NPART
+        else:
+            # NOT builtin hash(): that's per-process-seed randomized, which
+            # would scatter one bucket across partitions on different workers
+            from zlib import crc32
+
+            part = np.array([crc32(s.encode()) % DEDUP_NPART
+                             for s in b.to_pylist()], dtype=np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def bucket_min_part(g: pd.DataFrame) -> pd.DataFrame:
+        # buckets are wholly contained in their partition -> local min is
+        # the global bucket min
+        m = g.groupby("bucket")["doc_id"].transform("min")
+        df = pd.DataFrame({"doc_id": g["doc_id"], "bucket_min": m})
+        df["part"] = df["doc_id"] % DEDUP_NPART
+        return df
+
+    def doc_min_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)["bucket_min"].min()
+        return pd.DataFrame({"doc_id": agg["doc_id"],
+                             "is_dup": agg["bucket_min"] < agg["doc_id"]})
+
+    return (bucketed.map_batches(add_bpart, batch_format="pyarrow")
+            .groupby("part").map_groups(bucket_min_part,
+                                        batch_format="pandas")
+            .groupby("part").map_groups(doc_min_part, batch_format="pandas"))
+
+
+class MinHashBuckets:
+    """Actor stage: documents batch -> (bucket, doc_id) LSH band rows.
+    Token hashes cached per actor (__init__-once; SURVEY.md §2.4)."""
+
+    def __init__(self):
+        self.hasher = TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, tok = tokenize_column(t["text"], self.hasher)
+        sigs = doc_minhash(offsets, tok, self.hasher)
+        keys = minhash_band_keys(sigs)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        flat_keys = [k for doc in keys for k in doc]
+        flat_ids = np.repeat(doc_ids, [len(k) for k in keys])
+        return pa.table({"bucket": pa.array(flat_keys, pa.string()),
+                         "doc_id": pa.array(flat_ids, pa.int64())})
+
+
+def minhash_dedup(sf_dir: str, concurrency: int = 4):
+    """MinHash(16 sigs) + LSH(4 bands x 4 rows) near-dup flags.
+    Output: (doc_id, is_dup)."""
+    bucketed = _docs(sf_dir).map_batches(
+        MinHashBuckets, batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=4096)
+    return _dup_flags_from_buckets(bucketed)
+
+
+class SimHashStage:
+    """Actor stage: documents batch -> (doc_id, simhash) — 60-bit simhash
+    over distinct tokens (sign of per-bit signed sums)."""
+
+    def __init__(self):
+        self.hasher = TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, tok = tokenize_column(t["text"], self.hasher)
+        sh = doc_simhash(offsets, tok, self.hasher)
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(sh, pa.int64())})
+
+
+def simhash_signatures(sf_dir: str, concurrency: int = 4):
+    """Pure map: (doc_id, simhash). The SQL oracle recomputes the exact
+    bit pattern."""
+    return _docs(sf_dir).map_batches(SimHashStage, batch_format="pyarrow",
+                                     concurrency=(1, concurrency),
+                                     batch_size=4096)
+
+
+def simhash_dedup(sf_dir: str, concurrency: int = 4):
+    """SimHash near-dup via 4 x 15-bit band collision (docs agreeing on any
+    15-bit band are bucket-mates). Output: (doc_id, is_dup)."""
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False)
+        bands = simhash_band_keys(sh)             # [n, SIMHASH_BANDS]
+        n = len(sh)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                            SIMHASH_BANDS)
+        band_idx = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        bucket = band_idx * (1 << 15) * 2 + bands.reshape(-1)
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "doc_id": pa.array(doc_ids, pa.int64())})
+
+    bucketed = simhash_signatures(sf_dir, concurrency).map_batches(
+        to_buckets, batch_format="pyarrow")
+    return _dup_flags_from_buckets(bucketed)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard similarity pairs
+# ---------------------------------------------------------------------------
+
+
+class PostingsStage:
+    """documents batch -> distinct (token_h, doc_id, doc_size) postings.
+    doc_size rides along so pair scoring needs no size broadcast/join."""
+
+    def __init__(self):
+        self.hasher = TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, tok = tokenize_column(t["text"], self.hasher)
+        counts, u_doc, u_tok = distinct_doc_tokens(offsets, tok)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # emit the GLOBAL h60 token hash, not the per-actor intern id
+        return pa.table({
+            "token": pa.array(self.hasher.h60_array[u_tok], pa.int64()),
+            "doc_id": pa.array(doc_ids[u_doc], pa.int64()),
+            "doc_size": pa.array(counts[u_doc], pa.int64()),
+        })
+
+
+NGRAM_MAX_DF = 2_000         # stop-token cutoff (mirrored in the oracle).
+# Tokens in more than max_df docs are skipped for pair generation: a token
+# at df produces O(df^2) candidate pairs, so without the cutoff one
+# stop-word dominates the whole job (at df=5000 one token alone is 12.5M
+# pairs).  This is the standard prefix/frequency filter of all-pairs
+# similarity systems.
+NGRAM_NPART = 64             # coarse pair partitions for the count reduce
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
+                        max_df: Optional[int] = NGRAM_MAX_DF,
+                        concurrency: int = 4):
+    """All pairs with word-set Jaccard >= threshold.
+    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b.
+
+    Pipeline: distinct postings -> groupby(token) pair emission (bounded by
+    ``max_df`` — tokens above it are skipped, the stop-token cutoff every
+    published all-pairs system applies; mirrored in the oracle) ->
+    groupby(coarse pair-hash partition) with the fine-grained per-pair
+    count done in pandas inside map_groups.  The fine aggregation is NOT a
+    Ray groupby: 10^5+ tiny groups through the sort-based aggregate is
+    ~100x slower than 64 coarse partitions x an in-memory hash groupby.
+    The threshold filter uses the unrounded float64 ratio so the SQL
+    oracle (same integer arithmetic) agrees exactly.
+    """
+    post = _docs(sf_dir).map_batches(PostingsStage, batch_format="pyarrow",
+                                     concurrency=(1, concurrency),
+                                     batch_size=4096)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = np.array([], dtype=np.int64)
+        if max_df is not None and len(g) > max_df:
+            return pd.DataFrame({"part": empty, "doc_a": empty,
+                                 "doc_b": empty, "size_a": empty,
+                                 "size_b": empty})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sizes = g["doc_size"].to_numpy()
+        n = len(ids)
+        ia, ib = np.triu_indices(n, k=1)
+        da, db = ids[ia], ids[ib]
+        return pd.DataFrame({"part": (da * 1_000_003 + db) % NGRAM_NPART,
+                             "doc_a": da, "doc_b": db,
+                             "size_a": sizes[ia], "size_b": sizes[ib]})
+
+    pairs = post.groupby("token").map_groups(emit_pairs,
+                                             batch_format="pandas")
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("size_a", "size"), sa=("size_a", "first"),
+            sb=("size_b", "first"))
+        inter = agg["inter"].to_numpy().astype(np.int64)
+        union = (agg["sa"].to_numpy() + agg["sb"].to_numpy()
+                 - inter).astype(np.int64)
+        keep = inter.astype(np.float64) / union >= threshold
+        return pd.DataFrame({"doc_a": agg["doc_a"].to_numpy()[keep],
+                             "doc_b": agg["doc_b"].to_numpy()[keep],
+                             "inter": inter[keep],
+                             "union_size": union[keep]})
+
+    return pairs.groupby("part").map_groups(count_part,
+                                            batch_format="pandas")

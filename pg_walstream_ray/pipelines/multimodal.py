@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+decoded/feature-extracted by actor-pool map_batches stages.
+
+The real decoders (PIL/opencv/ffmpeg) are NOT in this container, so the
+byte-level decode is a deterministic fake behind the same interface: every
+payload carries a 16-byte header ``b'FAKE' + width:u32 + height:u32 +
+channels:u32`` (little-endian) followed by ``width*height*channels`` payload
+bytes derived from a seeded counter.  The Ray-side plumbing — binary Arrow
+schema, small batch sizes for large payloads, actor __init__-once decoder
+state, struct-typed metadata output — is real and tested; swapping in a
+real codec is a one-function change (``_decode_header``).
+
+Header fields are pure functions of doc_id, so the metadata extraction has
+a DuckDB SQL oracle even though the bytes themselves never leave Ray.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAGIC = b"FAKE"
+HEADER_FMT = "<4sIII"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+# deterministic fake-image geometry (mirrored in the SQL oracle)
+#   width  = 16 + doc_id % 48
+#   height = 16 + (doc_id * 7) % 48
+#   channels = 1 + doc_id % 3
+
+
+def fake_geometry(doc_id: np.ndarray):
+    w = 16 + doc_id % 48
+    h = 16 + (doc_id * 7) % 48
+    c = 1 + doc_id % 3
+    return w, h, c
+
+
+def synthesize_media(sf_dir: str):
+    """documents -> (doc_id, media:binary, media_type) — the synthetic stand-
+    in for an image column. Payload bytes are seeded per doc."""
+    import ray.data as rd
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w, h, c = fake_geometry(ids)
+        blobs = []
+        for i, doc_id in enumerate(ids):
+            size = int(w[i] * h[i] * c[i])
+            rng = np.random.default_rng(doc_id)
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8)
+            blobs.append(struct.pack(HEADER_FMT, MAGIC, int(w[i]), int(h[i]), int(c[i]))
+                         + payload.tobytes())
+        return pa.table({"doc_id": t["doc_id"],
+                         "media": pa.array(blobs, pa.binary()),
+                         "media_type": pa.array(["image/fake"] * len(ids))})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    # large binary payloads -> small batches (memory-aware; ray_guide.md)
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class MediaDecodeStage:
+    """Actor: decode header + compute cheap per-payload features.
+
+    __init__ loads the "model"/codec once per actor.  With a real image lib
+    this is where Image.open/cv2.imdecode would run; payload stats stand in
+    for pixel features here.
+    """
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+        try:                                  # real decoder, if ever present
+            import PIL.Image  # noqa: F401
+            self.real_codec = True
+        except ImportError:
+            self.real_codec = False
+
+    def _decode_header(self, blob: bytes):
+        magic, w, h, c = struct.unpack_from(HEADER_FMT, blob, 0)
+        if magic != MAGIC:
+            if self.strict:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (not in this "
+                    "container); only FAKE payloads are decodable")
+            return None
+        return w, h, c
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t["media"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        keep, ws, hs, cs, nbytes, checks = [], [], [], [], [], []
+        for doc_id, blob in zip(ids, blobs):
+            hdr = self._decode_header(blob)
+            if hdr is None:                  # non-strict: skip undecodable
+                continue
+            w, h, c = hdr
+            payload = np.frombuffer(blob, dtype=np.uint8,
+                                    offset=HEADER_SIZE)
+            keep.append(doc_id)
+            ws.append(w); hs.append(h); cs.append(c)
+            nbytes.append(len(payload))
+            checks.append(int(payload.sum()) & 0xFFFFFFFF)
+        return pa.table({
+            "doc_id": pa.array(keep, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "channels": pa.array(cs, pa.int32()),
+            "n_bytes": pa.array(nbytes, pa.int64()),
+            "checksum": pa.array(checks, pa.int64()),
+        })
+
+
+def media_metadata(sf_dir: str, concurrency: int = 4):
+    """Synthesize binary media then decode metadata via the actor pool.
+    Output: (doc_id, width, height, channels, n_bytes, checksum).
+    width/height/channels/n_bytes have a SQL oracle (pure doc_id functions);
+    checksum is covered by unit tests (bytes never leave Ray)."""
+    return synthesize_media(sf_dir).map_batches(
+        MediaDecodeStage, batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=256)
+
+
+class FrameSampleStage:
+    """Actor: "video" frame sampling — slice the payload into ``n_frames``
+    fixed-stride frames and emit one row per sampled frame (flat_map
+    shape).  Demonstrates the 1->N multimodal explode with bounded batch
+    memory."""
+
+    def __init__(self, every: int = 4):
+        self.every = every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_doc, out_frame, out_mean = [], [], []
+        for doc_id, blob in zip(t["doc_id"].to_pylist(),
+                                t["media"].to_pylist()):
+            _, w, h, c = struct.unpack_from(HEADER_FMT, blob, 0)
+            frame_len = int(w) * int(c)          # one "row" of the image
+            payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
+            n_frames = len(payload) // frame_len if frame_len else 0
+            for f in range(0, n_frames, self.every):
+                frame = payload[f * frame_len:(f + 1) * frame_len]
+                out_doc.append(doc_id)
+                out_frame.append(f)
+                out_mean.append(float(np.round(frame.mean(), 4)))
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "frame_idx": pa.array(out_frame, pa.int32()),
+                         "mean_intensity": pa.array(out_mean, pa.float64())})
+
+
+def frame_samples(sf_dir: str, every: int = 4, concurrency: int = 4):
+    """(doc_id, frame_idx, mean_intensity) — one row per sampled frame."""
+    return synthesize_media(sf_dir).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=256)

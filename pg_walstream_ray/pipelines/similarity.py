@@ -1,0 +1,280 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+Operators:
+  - ``ann_brute_topk``: exact cosine top-k per query — broadcast query
+    matrix (``ray.put`` once, read per actor), numpy matmul per batch,
+    per-batch partial top-k, tiny final reduce per query.  The baseline.
+  - ``embedding_near_dup``: all pairs with cosine >= threshold — batch x
+    broadcast-corpus matmul (the corpus side must fit a worker at this
+    variant; the scale path is ``ann_lsh_topk``-style bucketing).
+  - ``ann_lsh_topk``: the scale path — seeded random-hyperplane LSH over
+    multiple tables; only bucket-mates are scored.  Approximate (recall
+    measured in tests vs the brute-force baseline), so no SQL oracle.
+
+All exact variants compute in float64 over the float32 inputs — the same
+promotion DuckDB's list_cosine_similarity uses — so results value-match the
+oracle after round().
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_NQ = 8       # queries = vec_id < DEFAULT_NQ
+DEFAULT_K = 10
+LSH_BITS = 4         # hyperplanes per table (few bits: the synthetic
+                     # embeddings are near-orthogonal, so recall needs
+                     # coarse buckets; raise for clustered real data)
+LSH_TABLES = 16
+LSH_SEED = 20_240_817
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(t: pa.Table) -> np.ndarray:
+    """list<float> column -> [n, d] float64 matrix, zero-copy flatten."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _load_queries(sf_dir: str, nq: int) -> tuple:
+    """(query_ids [q], unit query matrix [q, d]) — the broadcast small side."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    tab = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pads.field("vec_id") < nq)
+    order = pc.sort_indices(tab["vec_id"])
+    tab = tab.take(order)
+    q = _batch_matrix(tab)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return tab["vec_id"].to_numpy(zero_copy_only=False), qn
+
+
+class BruteScore:
+    """Actor: per batch, cosine of all rows against the broadcast query
+    matrix; emits each batch's top-k candidates per query (partial top-k,
+    so the final per-query reduce sees ~k * num_batches rows, not n)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        self.qids, self.q = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.q.T                       # [n, q]
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            s = sims[:, j]
+            mask = vec_ids != qid                 # exclude self
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            k = min(self.k, len(idx))
+            top = idx[np.argpartition(-s[idx], k - 1)[:k]]
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_n.append(vec_ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "sim": np.concatenate(out_s)})
+
+
+def _final_topk(candidates, k: int):
+    """groupby(query_id) -> rank-ordered top-k (sim desc, neighbor_id asc —
+    the deterministic tie-break mirrored in the oracle's ROW_NUMBER)."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cos_sim": g["sim"].to_numpy(),   # float; dropped in the oracled
+                                              # driver query (rnk is exact)
+        })
+
+    return candidates.groupby("query_id").map_groups(topk,
+                                                     batch_format="pandas")
+
+
+def ann_brute_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
+                   concurrency: int = 4):
+    """Exact cosine top-k for queries vec_id < nq.
+    Output: (query_id, neighbor_id, rank, cos_sim)."""
+    import ray
+
+    queries_ref = ray.put(_load_queries(sf_dir, nq))
+    cand = _emb(sf_dir).map_batches(
+        BruteScore, fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+    return _final_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate pairs by embedding cosine
+# ---------------------------------------------------------------------------
+
+
+class NearDupScore:
+    """Batch x broadcast-corpus cosine; emits pairs (a < b) >= threshold.
+
+    The corpus matrix is shipped once per actor via ray.put.  This variant
+    is exact and O(n^2) in flops — fine while the corpus matrix fits a
+    worker (n ~ 10^6 x 64d = 0.5 GB); beyond that use LSH bucketing."""
+
+    def __init__(self, corpus_ref, threshold: float):
+        import ray
+
+        self.ids, self.m = ray.get(corpus_ref)    # [N], [N, d] unit
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        b = _batch_matrix(t)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = b @ self.m.T                       # [n, N]
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = vec_ids[rows]
+        bid = self.ids[cols]
+        keep = a < bid                             # each pair once, no self
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(bid[keep], pa.int64()),
+                         "cos_sim": pa.array(sims[rows, cols][keep])})
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35,
+                       concurrency: int = 4):
+    """All embedding pairs with cosine >= threshold.
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b."""
+    import ray
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    m = _batch_matrix(tab)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    corpus_ref = ray.put((tab["vec_id"].to_numpy(zero_copy_only=False), m))
+    return _emb(sf_dir).map_batches(
+        NearDupScore,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref,
+                               "threshold": threshold},
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(d: int, bits: int, tables: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((tables, bits, d))
+
+
+class LshBucketStage:
+    """Actor: batch -> (table, bucket, vec_id, embedding) rows, one per LSH
+    table — sign-pattern bucketing over seeded hyperplanes.  Parameters are
+    ctor args (NOT module globals: workers import the module fresh, so a
+    driver-side global tweak would silently desynchronize the bucketing)."""
+
+    def __init__(self, d: int, bits: int, tables: int):
+        self.bits, self.tables = bits, tables
+        self.planes = _hyperplanes(d, bits, tables)
+        self.weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        parts = []
+        for ti in range(self.tables):
+            signs = (m @ self.planes[ti].T) > 0    # [n, bits]
+            bucket = signs.astype(np.int64) @ self.weights
+            parts.append(pa.table({
+                "bucket": pa.array(ti * (1 << self.bits) + bucket, pa.int64()),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }))
+        return pa.concat_tables(parts)
+
+
+def ann_lsh_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
+                 bits: int = LSH_BITS, tables: int = LSH_TABLES,
+                 concurrency: int = 4):
+    """Approximate top-k: score only vectors sharing an LSH bucket with the
+    query in any of the ``tables`` tables.  Candidate generation is a
+    bucket groupby (no all-pairs); recall vs ann_brute_topk is asserted in
+    tests.  Recall/cost tradeoff: fewer ``bits`` -> bigger buckets -> more
+    candidates scored -> higher recall.  Output: (query_id, neighbor_id,
+    rnk, cos_sim)."""
+    qids, q = _load_queries(sf_dir, nq)
+    d = q.shape[1]
+    planes = _hyperplanes(d, bits, tables)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    # query buckets per table (driver-side: nq x tables ints — tiny)
+    qbuckets = {}
+    for ti in range(tables):
+        signs = (q @ planes[ti].T) > 0
+        b = ti * (1 << bits) + signs.astype(np.int64) @ weights
+        for qi, bb in zip(qids, b):
+            qbuckets.setdefault(int(bb), []).append(int(qi))
+    qn_by_id = {int(qid): q[i] for i, qid in enumerate(qids)}
+
+    bucketed = _emb(sf_dir).map_batches(
+        LshBucketStage,
+        fn_constructor_kwargs={"d": d, "bits": bits, "tables": tables},
+        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        queries = qbuckets.get(bucket)
+        empty = pd.DataFrame({"query_id": np.array([], np.int64),
+                              "neighbor_id": np.array([], np.int64),
+                              "sim": np.array([], np.float64)})
+        if not queries:
+            return empty
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy()
+        frames = []
+        for qid in queries:
+            s = m @ qn_by_id[qid]
+            mask = ids != qid
+            frames.append(pd.DataFrame({
+                "query_id": np.full(mask.sum(), qid, dtype=np.int64),
+                "neighbor_id": ids[mask], "sim": s[mask]}))
+        return pd.concat(frames) if frames else empty
+
+    cand = bucketed.groupby("bucket").map_groups(score_bucket,
+                                                 batch_format="pandas")
+
+    # a neighbor can reach a query via several tables -> dedupe before rank
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["query_id", "neighbor_id"])
+
+    cand = cand.groupby("query_id").map_groups(dedupe, batch_format="pandas")
+    return _final_topk(cand, k)

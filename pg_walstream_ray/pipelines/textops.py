@@ -1,0 +1,144 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, document fingerprinting.  All deterministic, all
+vectorized (pyarrow.compute / numpy inside map_batches), all mirrored by
+DuckDB SQL oracles (__ray_entry__.oracle_sql) so the driver value-checks
+them.
+
+Language ID is the classic stopword-hit heuristic: score each language by
+|distinct_words ∩ stoplist|, predict the argmax with a fixed tie-break
+order.  (A real n-gram model is a drop-in replacement for the per-language
+scorer; the Ray plumbing — cached stoplists in the actor, vectorized
+membership — is the part that matters at 100 TB.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (TokenHasher, distinct_doc_tokens,
+                                 md5_int60, tokenize_column)
+
+# fixed stoplists (mirrored verbatim in the SQL oracle)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "los", "y", "es", "un", "una", "como", "por"],
+    "fr": ["le", "les", "et", "est", "dans", "que", "pour", "sur"],
+}
+# argmax tie-break: first in this order wins (mirrored in the oracle CASE)
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+SUBTOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"   # BPE-ish pre-tokenizer (RE2 in
+                                           # both pyarrow and DuckDB)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+class TextStatsStage:
+    """Actor: documents batch -> token/char counts + quality score."""
+
+    def __init__(self):
+        self.hasher = TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        n_tokens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nospace = pc.replace_substring(text, " ", "")
+        n_chars = pc.utf8_length(nospace).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offsets, tok = tokenize_column(text, self.hasher)
+        n_distinct, _, _ = distinct_doc_tokens(offsets, tok)
+        n_sub = pc.count_substring_regex(
+            pc.utf8_lower(text), SUBTOKEN_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        nt = n_tokens.astype(np.float64)
+        avg_len = n_chars / nt
+        # identical expression order to the SQL oracle (bit-exact doubles);
+        # published as basis-points int (floor), not a rounded float, so the
+        # value-hash compare never hits round-half semantics differences
+        quality = (0.4 * np.minimum(1.0, nt / 100.0)
+                   + 0.3 * (n_distinct / nt)
+                   + 0.3 * np.minimum(1.0, avg_len / 8.0))
+        quality_q = np.floor(quality * 10000).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "n_subtokens": pa.array(n_sub),
+            "quality_q": pa.array(quality_q),
+        })
+
+
+def text_quality(sf_dir: str, concurrency: int = 4):
+    """(doc_id, n_tokens, n_distinct, n_subtokens, quality)."""
+    return _docs(sf_dir).map_batches(TextStatsStage, batch_format="pyarrow",
+                                     concurrency=(1, concurrency),
+                                     batch_size=4096)
+
+
+class LangIdStage:
+    """Actor: stopword-hit language ID.  Stoplist hash sets are built once
+    per actor; per batch the work is one np.isin per language over the
+    distinct (doc, token) postings."""
+
+    def __init__(self):
+        self.hasher = TokenHasher()
+        self.stop_h60 = {lang: np.array(sorted(md5_int60(w) for w in ws),
+                                        dtype=np.int64)
+                         for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        offsets, tok = tokenize_column(t["text"], self.hasher)
+        counts, u_doc, u_tok = distinct_doc_tokens(offsets, tok)
+        n = t.num_rows
+        h60 = self.hasher.h60_array[u_tok]
+        hits = {}
+        for lang in LANG_ORDER:
+            member = np.isin(h60, self.stop_h60[lang])
+            hits[lang] = np.bincount(u_doc[member], minlength=n).astype(
+                np.int64)
+        stacked = np.stack([hits[lang] for lang in LANG_ORDER])  # [L, n]
+        best = np.argmax(stacked, axis=0)       # first max wins = LANG_ORDER
+        pred = np.array(LANG_ORDER, dtype=object)[best]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(pred, pa.string()),
+            **{f"hits_{lang}": pa.array(hits[lang]) for lang in LANG_ORDER},
+        })
+
+
+def lang_id(sf_dir: str, concurrency: int = 4):
+    """(doc_id, pred_lang, hits_en, hits_de, hits_es, hits_fr)."""
+    return _docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow",
+                                     concurrency=(1, concurrency),
+                                     batch_size=4096)
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 hex of lowercased text + its 60-bit int
+    form (the exact-dedup / shard-routing key).  (doc_id, fp, fp_int)."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(t["text"]).to_pylist()
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in texts]
+        ints = [int(d[:15], 16) for d in digests]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": pa.array(digests, pa.string()),
+                         "fp_int": pa.array(ints, pa.int64())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")

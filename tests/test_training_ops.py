@@ -1,0 +1,248 @@
+"""Tests for the training-data operators (dedup, similarity, text analysis,
+multimodal) — the non-SQL-checkable properties: hash-bridge integrity,
+duplicate detection on planted dups, LSH recall, decode determinism.
+(The SQL-oracle value equality is the driver's job via __ray_entry__.)"""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# hashing primitives (no ray needed)
+# ---------------------------------------------------------------------------
+
+
+def test_md5_bridge_matches_duckdb():
+    import duckdb
+
+    from pg_walstream_ray.functions.hashing import md5_int60
+
+    words = ["the", "spark", "", "a b", "Ünïcode"]
+    for w in words:
+        got = duckdb.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT",
+            params=[w]).fetchone()[0]
+        assert got == md5_int60(w), w
+
+
+def test_minhash_identical_docs_share_all_bands():
+    from pg_walstream_ray.functions import hashing as H
+
+    hasher = H.TokenHasher()
+    texts = pa.array(["a b c d e", "a b c d e", "x y z w v"])
+    offsets, tok = H.tokenize_column(texts, hasher)
+    sigs = H.doc_minhash(offsets, tok, hasher)
+    keys = H.minhash_band_keys(sigs)
+    assert keys[0] == keys[1]
+    assert set(keys[0]).isdisjoint(keys[2])
+
+
+def test_simhash_near_identical_docs_close():
+    from pg_walstream_ray.functions import hashing as H
+
+    hasher = H.TokenHasher()
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = pa.array([base, base + " extra", "completely different words x"])
+    offsets, tok = H.tokenize_column(texts, hasher)
+    sh = H.doc_simhash(offsets, tok, hasher)
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham01 < ham02
+    assert ham01 <= 10
+
+
+def test_tokenizer_matches_sql_split_semantics():
+    # split on single space, keep empties — same as string_split(text, ' ')
+    from pg_walstream_ray.functions import hashing as H
+
+    hasher = H.TokenHasher()
+    offsets, tok = H.tokenize_column(pa.array(["a  b"]), hasher)
+    assert len(tok) == 3          # 'a', '', 'b'
+
+
+# ---------------------------------------------------------------------------
+# dedup on planted duplicates (custom tiny corpus)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_dir():
+    """documents.parquet with planted exact + near duplicates."""
+    d = tempfile.mkdtemp(prefix="planted_")
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " tokX"     # 29/31 common
+    texts = [base, near, base, "alpha beta gamma delta",
+             "unrelated words entirely here", base + " tail"]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_exact_dedup_planted(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.dedup import exact_dedup
+
+    df = exact_dedup(planted_dir).to_pandas().sort_values("doc_id")
+    by_id = dict(zip(df["doc_id"], df["n_copies"]))
+    assert by_id[0] == 2          # docs 0 and 2 identical, keeper = 0
+    assert 2 not in by_id
+    assert by_id[1] == 1
+
+
+def test_minhash_dedup_planted(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.dedup import minhash_dedup
+
+    df = minhash_dedup(planted_dir).to_pandas()
+    flags = dict(zip(df["doc_id"], df["is_dup"]))
+    assert not flags[0]
+    assert flags[2]               # exact copy of 0 -> all bands collide
+    assert not flags[3]
+    assert not flags[4]
+
+
+def test_simhash_dedup_planted(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.dedup import simhash_dedup
+
+    df = simhash_dedup(planted_dir).to_pandas()
+    flags = dict(zip(df["doc_id"], df["is_dup"]))
+    assert flags[2] and not flags[0]
+
+
+def test_ngram_jaccard_planted(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(planted_dir, threshold=0.8).to_pandas()
+    pairs = {(a, b) for a, b in zip(df["doc_a"], df["doc_b"])}
+    assert (0, 2) in pairs        # identical -> jaccard 1.0
+    assert (0, 1) in pairs        # 29 common / 31 union = 0.935
+    assert (3, 4) not in pairs
+    row = df[(df.doc_a == 0) & (df.doc_b == 1)].iloc[0]
+    assert row["inter"] == 29 and row["union_size"] == 31
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_ann_brute_is_exact(ray_session):
+    """Brute-force top-k equals a single-process numpy reference."""
+    from pg_walstream_ray.pipelines.similarity import ann_brute_topk
+
+    df = ann_brute_topk(SF, nq=4, k=5).to_pandas()
+    tab = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    m = np.stack([np.asarray(e) for e in
+                  tab["embedding"].to_pylist()]).astype(np.float64)
+    ids = tab["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in range(4):
+        qv = mn[ids == qid][0]
+        sims = mn @ qv
+        order = sorted(((s, i) for s, i in zip(sims, ids) if i != qid),
+                       key=lambda t: (-t[0], t[1]))[:5]
+        expect = [i for _, i in order]
+        got = df[df.query_id == qid].sort_values("rnk")["neighbor_id"].tolist()
+        assert got == expect, qid
+
+
+def test_ann_lsh_recall(ray_session):
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       ann_lsh_topk)
+
+    brute = ann_brute_topk(SF).to_pandas()
+    lsh = ann_lsh_topk(SF).to_pandas()
+    gt = {q: set(g["neighbor_id"]) for q, g in brute.groupby("query_id")}
+    got = {q: set(g["neighbor_id"]) for q, g in lsh.groupby("query_id")}
+    recall = np.mean([len(gt[q] & got.get(q, set())) / len(gt[q])
+                      for q in gt])
+    assert recall >= 0.5, recall
+
+
+def test_near_dup_pairs_symmetric_free(ray_session):
+    from pg_walstream_ray.pipelines.similarity import embedding_near_dup
+
+    df = embedding_near_dup(SF, threshold=0.35).to_pandas()
+    assert (df["vec_a"] < df["vec_b"]).all()
+    assert (df["cos_sim"] >= 0.35).all()
+    assert not df.duplicated(["vec_a", "vec_b"]).any()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_decode_deterministic(ray_session):
+    from pg_walstream_ray.pipelines.multimodal import media_metadata
+
+    a = media_metadata(SF).to_pandas().sort_values("doc_id")
+    b = media_metadata(SF).to_pandas().sort_values("doc_id")
+    assert (a["checksum"].to_numpy() == b["checksum"].to_numpy()).all()
+    assert (a["n_bytes"] ==
+            a["width"] * a["height"] * a["channels"]).all()
+
+
+def test_media_decode_strict_raises_on_real_format():
+    from pg_walstream_ray.pipelines.multimodal import MediaDecodeStage
+
+    stage = MediaDecodeStage(strict=True)
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(NotImplementedError):
+        stage._decode_header(jpeg_ish)
+
+
+def test_frame_sampler_counts(ray_session):
+    from pg_walstream_ray.pipelines.multimodal import (fake_geometry,
+                                                       frame_samples)
+
+    df = frame_samples(SF, every=4).to_pandas()
+    counts = df.groupby("doc_id").size()
+    ids = counts.index.to_numpy()
+    _, h, _ = fake_geometry(ids)
+    expect = (h + 3) // 4
+    assert (counts.to_numpy() == expect).all()
+    assert df["mean_intensity"].between(0, 255).all()
+
+
+# ---------------------------------------------------------------------------
+# text ops
+# ---------------------------------------------------------------------------
+
+
+def test_quality_formula(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.textops import text_quality
+
+    df = text_quality(planted_dir).to_pandas()
+    row = df[df.doc_id == 3].iloc[0]      # "alpha beta gamma delta"
+    assert row["n_tokens"] == 4 and row["n_distinct"] == 4
+    nt, nd, nc = 4, 4, len("alphabetagammadelta")
+    expect = int(np.floor((0.4 * min(1, nt / 100.0) + 0.3 * (nd / nt)
+                           + 0.3 * min(1, (nc / nt) / 8.0)) * 10000))
+    assert row["quality_q"] == expect
+
+
+def test_lang_id_stopword_hits(ray_session):
+    import pandas as pd
+
+    from pg_walstream_ray.pipelines.textops import lang_id
+
+    d = tempfile.mkdtemp(prefix="langs_")
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat is in the hat and it runs",
+                          "der hund ist ein tier und das haus",
+                          "nothing matching anywhere"], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    df = lang_id(d).to_pandas().sort_values("doc_id")
+    assert df["pred_lang"].tolist() == ["en", "de", "en"]   # tie -> order
+    assert df["hits_en"].tolist()[0] >= 4
