@@ -118,11 +118,19 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     registry_ref = ray.put(registry)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    dec_c = decode_concurrency or max(1, min(n_shards, ncpu))
-    prj_c = project_concurrency or max(1, ncpu // 4)
+    # decode actors get at most half the CPUs: the pool must leave head-room
+    # for project/route tasks and the shuffle+apply stages running
+    # concurrently under the streaming executor — a pool saturating every
+    # CPU serializes the pipeline behind itself (measured 1.5x slower)
+    dec_c = decode_concurrency or max(1, min(n_shards, ncpu // 2))
+    prj_c = project_concurrency or max(2, ncpu // 4)
 
     ds = rd.from_items([{"wal_path": p} for p in shard_paths],
                        override_num_blocks=n_shards)
+    # FIXED pool sizes, not autoscaling ranges: under CPU scarcity Ray's
+    # autoscaling policy keeps the pool near its minimum (measured: decode
+    # stuck at ~1 actor on an 8-CPU cluster -> 4x wall), while a fixed pool
+    # at ncpu//2 pipelines cleanly with the downstream stages.
     env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
         "stop_at_lsn": stop_at_lsn},
         batch_size=None, batch_format="pyarrow", concurrency=dec_c,

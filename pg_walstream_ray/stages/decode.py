@@ -26,6 +26,7 @@ import json
 import logging
 from typing import Dict, Iterator, List, Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 
 from ..wire import codec
@@ -62,19 +63,20 @@ _DML_OPS = ("insert", "update", "delete")
 
 
 def _tuple_to_lists(tup: Optional[codec.TupleData]):
-    """TupleData -> (values list[str|None], unchanged list[bool]).
+    """TupleData -> (values list[bytes|None], unchanged list[bool]).
 
-    'n' -> None, 't' -> utf8 text, 'b' -> pg hex bytea text form
-    ('\\x…', column_value.rs:17-56), 'u' -> None + unchanged flag
+    'n' -> None, 't' -> raw utf8 bytes (decoded to Arrow string in ONE
+    vectorized cast at take_batch, not per value), 'b' -> pg hex bytea text
+    form ('\\x…', column_value.rs:17-56), 'u' -> None + unchanged flag
     (TupleData::into_row_data TOAST skip, protocol.rs:310-328).
     """
     if tup is None:
         return None, None
-    vals: List[Optional[str]] = []
+    vals: List[Optional[bytes]] = []
     unchanged: List[bool] = []
     for tag, v in tup:
         if tag == b"t":
-            vals.append(v.decode("utf-8"))
+            vals.append(v)
             unchanged.append(False)
         elif tag == b"n":
             vals.append(None)
@@ -83,9 +85,33 @@ def _tuple_to_lists(tup: Optional[codec.TupleData]):
             vals.append(None)
             unchanged.append(True)
         else:  # b'b' binary -> hex text form
-            vals.append("\\x" + v.hex())
+            vals.append(b"\\x" + v.hex().encode())
             unchanged.append(False)
     return vals, unchanged
+
+
+def _list_column(rows, value_type, cast_to=None) -> pa.Array:
+    """Build list<value_type> from python lists-of-scalars via flat +
+    offsets (ListArray.from_arrays) — much cheaper than pa.array's nested
+    per-element inference over 10^5+ rows.  ``rows`` items may be None
+    (null list)."""
+    flat: list = []
+    offsets = np.empty(len(rows) + 1, dtype=np.int32)
+    offsets[0] = 0
+    validity = np.ones(len(rows), dtype=bool)
+    for i, r in enumerate(rows):
+        if r is None:
+            validity[i] = False
+        else:
+            flat.extend(r)
+        offsets[i + 1] = len(flat)
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(flat, value_type),
+        mask=pa.array(~validity))
+    if cast_to is not None:
+        arr = arr.cast(cast_to)
+    return arr
 
 
 def relation_to_meta(rel: codec.Relation, version: int, diff: Optional[dict]) -> str:
@@ -340,8 +366,9 @@ class PgOutputDecoder:
         #              key_type, before, after, unchanged, meta, commit_lsn,
         #              commit_ts_us)
         n = len(rows)
+        lstr = pa.list_(pa.string())
         arrays = [
-            pa.array([self.source] * n, pa.int32()),  # source
+            pa.array(np.full(n, self.source, dtype=np.int32)),   # source
             pa.array(cols[0], pa.int64()),       # lsn
             pa.array(cols[12], pa.int64()),      # commit_lsn
             pa.array(cols[13], pa.int64()),      # commit_ts_us
@@ -352,9 +379,11 @@ class PgOutputDecoder:
             pa.array(cols[5], pa.string()),      # schema_name
             pa.array(cols[6], pa.string()),      # table_name
             pa.array(cols[7], pa.string()),      # key_type
-            pa.array(cols[8], pa.list_(pa.string())),   # before_values
-            pa.array(cols[9], pa.list_(pa.string())),   # after_values
-            pa.array(cols[10], pa.list_(pa.bool_())),   # unchanged_mask
+            # tuple payloads: bytes kept raw until here, then ONE vectorized
+            # binary->string cast per column (utf8 validated by Arrow)
+            _list_column(cols[8], pa.binary(), lstr),   # before_values
+            _list_column(cols[9], pa.binary(), lstr),   # after_values
+            _list_column(cols[10], pa.bool_()),         # unchanged_mask
             pa.array(cols[11], pa.string()),     # meta
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=ENVELOPE_SCHEMA)
