@@ -85,6 +85,48 @@ _LWW = """
 """
 
 
+def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
+    """Initial-load path (EXPORT_SNAPSHOT analogue, stream.rs:497-527):
+    1. bounded replay of the upsert stream to LSN0 -> snapshot state;
+    2. bootstrap_from_snapshot seeds a FRESH lake at LSN0;
+    3. full replay over the same WAL applies only post-snapshot commits
+       (exactly-once filter) -> final table must equal the plain full
+       replay (oracle: same SQL as cdc_upsert_lww)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.lake import (bootstrap_from_snapshot,
+                                       snapshot_table)
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+
+    max_ev = duckdb.sql(
+        f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    lsn0 = (int(max_ev) // 2) * 4 + 4      # snapshot point (commit-safe)
+
+    lake1 = tempfile.mkdtemp(prefix="pgwr_snap_src_")
+    lake2 = tempfile.mkdtemp(prefix="pgwr_snap_dst_")
+    try:
+        run_cdc(wal_dir, lake1, num_partitions=4, stop_at_lsn=lsn0)
+        snap = snapshot_table(lake1)
+        bootstrap_from_snapshot(snap, lake2,
+                                {s: lsn0 for s in range(n_shards)},
+                                num_partitions=8)
+        run_cdc(wal_dir, lake2, num_partitions=8)
+        out = snapshot_table(lake2)
+        return out.select(["conv_id", "turn_idx", "role", "text", "tool",
+                           "ts"])
+    finally:
+        shutil.rmtree(lake1, ignore_errors=True)
+        shutil.rmtree(lake2, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table."""
@@ -109,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         stop_at_lsn=BOUNDED_STOP_EVENT * 4 + 5)
     q["cdc_schema_evolution"] = lambda sf: _cdc_run(
         sf, "evolve", extra_cols=("score",))
+    q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -173,6 +216,9 @@ def oracle_sql() -> dict[str, str]:
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
     """
+
+    # snapshot-bootstrap + tail replay must reproduce the plain full replay
+    sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
 
     sql["cdc_upsert_delete"] = f"""
       WITH changes AS (

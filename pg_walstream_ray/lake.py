@@ -112,6 +112,86 @@ def snapshot_dataset(lake_dir: str, drop_internal: bool = True):
     return ds
 
 
+def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
+                            lsn0_by_source: dict, num_partitions: int,
+                            hot_keys: Tuple[str, ...] = (),
+                            salt: int = 8) -> dict:
+    """Initial consistent load — the EXPORT_SNAPSHOT analogue
+    (/root/reference/src/stream.rs:497-527): seed the lake from a base
+    table AS OF per-source LSNs, so a subsequent CDC replay applies only
+    commits past the snapshot point (the exactly-once filter does the
+    skipping; overlapping transactions replay idempotently under LWW).
+
+    ``snapshot_ds``: ray Dataset (or pyarrow Table) of transcript payload
+    rows.  ``lsn0_by_source``: {source_id: lsn} snapshot position per WAL
+    shard.  Partitioning params are pinned to the lake config, identical
+    to the streaming path, so seeded keys land where the stream routes.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from .stages.partition import Partitioner
+    from .state.manifest import (PartitionManifest, partition_dir,
+                                 write_manifest_atomic)
+
+    write_lake_config(lake_dir, num_partitions, hot_keys, salt)
+    if isinstance(snapshot_ds, pa.Table):
+        snapshot_ds = rd.from_arrow(snapshot_ds)
+    lsn0 = {int(k): int(v) for k, v in lsn0_by_source.items()}
+    seed_lsn = max(lsn0.values(), default=0)
+    part = Partitioner(num_partitions, hot_keys, salt)
+
+    def route(t: pa.Table) -> pa.Table:
+        # the Partitioner keys on op/conv_id; seed rows are inserts
+        t2 = t.append_column("op", pa.array(
+            np.full(t.num_rows, "insert", dtype=object), pa.string()))
+        return part(t2).drop(["op"])
+
+    def write_seed(g) -> "pa.Table":
+        import pandas as pd
+
+        pid = int(g["partition_id"].iloc[0])
+        tbl = pa.Table.from_pandas(
+            g.drop(columns=["partition_id"]), preserve_index=False)
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        tbl = tbl.append_column("_lsn", pa.array(
+            np.full(tbl.num_rows, seed_lsn, dtype=np.int64)))
+        d = partition_dir(lake_dir, pid)
+        os.makedirs(d, exist_ok=True)
+        frag = f"fragment-000001-{seed_lsn}.parquet"
+        tmp = os.path.join(d, f".{frag}.tmp")
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, frag))
+        m = PartitionManifest(
+            partition_id=pid,
+            applied_lsns={str(s): l for s, l in lsn0.items()},
+            row_count=tbl.num_rows, fragment=frag, epoch=1,
+            lineage=[{"epoch": 1, "bootstrap": True,
+                      "applied": {str(s): l for s, l in lsn0.items()},
+                      "rows_applied": tbl.num_rows}])
+        write_manifest_atomic(lake_dir, m)
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "rows": pa.array([tbl.num_rows], pa.int64())})
+
+    routed = snapshot_ds.map_batches(route, batch_format="pyarrow")
+    summary = routed.groupby("partition_id").map_groups(
+        write_seed, batch_format="pandas").to_pandas()
+
+    # partitions with no snapshot rows still need the watermark manifest,
+    # else replay would re-apply pre-snapshot events routed to them
+    seeded = set(summary["partition_id"]) if len(summary) else set()
+    for pid in range(num_partitions):
+        if pid not in seeded:
+            write_manifest_atomic(lake_dir, PartitionManifest(
+                partition_id=pid,
+                applied_lsns={str(s): l for s, l in lsn0.items()},
+                epoch=1,
+                lineage=[{"epoch": 1, "bootstrap": True, "rows_applied": 0}]))
+    return {"partitions": num_partitions,
+            "rows": int(summary["rows"].sum()) if len(summary) else 0}
+
+
 def compact_partition(lake_dir: str, pid: int) -> None:
     """GC stray tmp/dead fragment files not referenced by the manifest."""
     from .state.manifest import read_manifest

@@ -186,6 +186,9 @@ class PgOutputDecoder:
         self.tx_buf: List[tuple] = []          # current plain transaction
         self.tx_xid: Optional[int] = None
         self.stream_bufs: Dict[int, List[tuple]] = {}
+        # two-phase (v3+): gid -> staged rows; Prepare stages, CommitPrepared
+        # publishes, RollbackPrepared discards (protocol.rs:1135-1292)
+        self.prepared: Dict[str, List[tuple]] = {}
         self.in_stream_xid: Optional[int] = None
         self.last_received_lsn = 0
         self.last_commit_lsn = 0
@@ -264,6 +267,33 @@ class PgOutputDecoder:
         if t is codec.StreamAbort:
             # aborted streamed tx: discard entirely (protocol.rs:1105-1133)
             self.stream_bufs.pop(msg.xid, None)
+            return
+        if t is codec.BeginPrepare:
+            # opens a to-be-prepared transaction; DML buffers under its xid
+            self.tx_xid = msg.xid
+            self.tx_buf = []
+            return
+        if t is codec.Prepare:
+            # stage: buffered rows move to the gid ledger, NOT released —
+            # exactly-once requires publish only at CommitPrepared
+            rows, self.tx_buf, self.tx_xid = self.tx_buf, [], None
+            self.prepared[msg.gid] = rows
+            return
+        if t is codec.StreamPrepare:
+            # streamed variant: the assembled stream buffer becomes staged
+            self.prepared[msg.gid] = self.stream_bufs.pop(msg.xid, [])
+            return
+        if t is codec.CommitPrepared:
+            # publish the staged transaction at its commit LSN; a gid
+            # prepared before our replay window started resolves to nothing
+            rows = self.prepared.pop(msg.gid, [])
+            self._release_tx(rows, msg.commit_lsn,
+                             pg_ts_to_unix_us(msg.commit_ts))
+            if self.stop_at_lsn is not None and msg.end_lsn >= self.stop_at_lsn:
+                self.stopped = True
+            return
+        if t is codec.RollbackPrepared:
+            self.prepared.pop(msg.gid, None)
             return
         if t is codec.Relation:
             old = self.relations.get(msg.oid)

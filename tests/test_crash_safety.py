@@ -1,0 +1,118 @@
+"""Crash-safety property tests (SURVEY.md §5 / §7 hard part 1): replay from
+ANY cut point — and with torn on-disk state from a simulated kill — must
+reproduce the single-shot final table byte-for-byte.  The engine analogue of
+the reference's restart-from-last_received_lsn + idempotent re-ack contract
+(stream.rs:862-898, lsn.rs:105-173)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pg_walstream_ray import lake as lakemod
+from pg_walstream_ray.pipelines.cdc import run_cdc
+from pg_walstream_ray.sources import walgen
+from pg_walstream_ray.state.manifest import all_manifests, partition_dir
+
+from .helpers import assert_lake_matches, make_wal, normalize, oracle_df
+
+SPEC = walgen.WalSpec(n_convs=60, turns_per_conv=6, update_frac=0.5,
+                      delete_frac=0.1, tx_rows=20, n_shards=3)
+
+
+@pytest.fixture(scope="module")
+def wal_and_oracle(ray_session):
+    wal = make_wal(SPEC)
+    return wal, oracle_df(SPEC)
+
+
+def _commit_lsns(shard: int):
+    """All commit LSNs of one shard (cut points must be commit-aligned in
+    expectation, but the engine must also tolerate arbitrary targets)."""
+    logical = walgen.shard_logical_changes(SPEC, shard)
+    import numpy as np
+
+    lsn = logical["lsn"].to_numpy(zero_copy_only=False)
+    tx = np.arange(len(lsn)) // SPEC.tx_rows
+    return [int(lsn[tx == t].max() + 1) for t in np.unique(tx)]
+
+
+def test_random_cut_points_replay(wal_and_oracle):
+    """prefix-replay (stop_at_lsn=L) then full replay == single-shot full
+    replay, for seeded random cut points INCLUDING mid-transaction LSNs."""
+    wal, oracle = wal_and_oracle
+    rng = np.random.default_rng(7)
+    lo = walgen.shard_lsn_base(0)
+    hi = walgen.shard_lsn_base(0) + 4 * SPEC.n_convs * SPEC.turns_per_conv
+    cuts = [int(x) for x in rng.integers(lo, hi, size=4)]
+    for cut in cuts:
+        lk = tempfile.mkdtemp(prefix="cut_")
+        run_cdc(wal, lk, num_partitions=4, stop_at_lsn=cut)
+        run_cdc(wal, lk, num_partitions=4)
+        assert_lake_matches(lk, oracle)
+
+
+def test_torn_fragment_without_manifest_is_invisible(wal_and_oracle):
+    """Simulated kill between fragment write and manifest publish: an
+    orphan fragment + stale tmp file must not affect the final state."""
+    wal, oracle = wal_and_oracle
+    lk = tempfile.mkdtemp(prefix="torn_")
+    cut = walgen.shard_lsn_base(0) + 200
+    run_cdc(wal, lk, num_partitions=4, stop_at_lsn=cut)
+
+    # fabricate torn state in every partition: orphan fragment (never
+    # referenced) + a half-written .tmp
+    for pid, m in all_manifests(lk).items():
+        d = partition_dir(lk, pid)
+        os.makedirs(d, exist_ok=True)
+        if m.fragment:
+            src = os.path.join(d, m.fragment)
+            orphan = os.path.join(d, "fragment-999999-999.parquet")
+            with open(src, "rb") as f, open(orphan, "wb") as g:
+                g.write(f.read())
+            with open(os.path.join(d, ".fragment-999999-999.parquet.abcd.tmp"),
+                      "wb") as g:
+                g.write(b"torn")
+
+    run_cdc(wal, lk, num_partitions=4)
+    assert_lake_matches(lk, oracle)
+
+
+def test_double_apply_of_same_window_is_noop(wal_and_oracle):
+    """Running the full replay N times over the same lake never changes the
+    result nor inflates row counts (re-ack no-op, lsn.rs:139-173)."""
+    wal, oracle = wal_and_oracle
+    lk = tempfile.mkdtemp(prefix="dup_")
+    run_cdc(wal, lk, num_partitions=4)
+    snap1 = normalize(lakemod.snapshot_table(lk))
+    m1 = {p: (m.epoch, m.row_count) for p, m in all_manifests(lk).items()}
+    for _ in range(2):
+        run_cdc(wal, lk, num_partitions=4)
+    snap2 = normalize(lakemod.snapshot_table(lk))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(snap1, snap2)
+    m2 = {p: (m.epoch, m.row_count) for p, m in all_manifests(lk).items()}
+    assert {p: rc for p, (_, rc) in m1.items()} == \
+        {p: rc for p, (_, rc) in m2.items()}
+    assert_lake_matches(lk, oracle)
+
+
+def test_staggered_per_shard_progress(wal_and_oracle):
+    """Sources at different replay positions (vector watermarks): apply
+    shard 0 fully first via a single-shard WAL view, then the full WAL —
+    per-source applied_lsns keep the overlap idempotent."""
+    wal, oracle = wal_and_oracle
+    lk = tempfile.mkdtemp(prefix="stag_")
+    # stage 1: bounded replay that stops shard sources at different points
+    cut = walgen.shard_lsn_base(1) + 300        # beyond shard0's space start
+    run_cdc(wal, lk, num_partitions=4, stop_at_lsn=cut)
+    # stage 2: full catch-up
+    run_cdc(wal, lk, num_partitions=4)
+    assert_lake_matches(lk, oracle)
+    # every source's watermark must have caught up to its max commit
+    ms = all_manifests(lk)
+    sources = {s for m in ms.values() for s in m.applied_lsns}
+    assert sources == {str(s) for s in range(SPEC.n_shards)}

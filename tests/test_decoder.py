@@ -176,3 +176,82 @@ def test_toast_unchanged_tag_surfaces_in_mask():
     assert d["unchanged_mask"].to_pylist() == [[False, True]]
     assert d["after_values"].to_pylist() == [["1", None]]
     assert d["key_type"].to_pylist() == ["K"]
+
+
+def test_two_phase_commit_prepared_publishes():
+    """BeginPrepare..DML..Prepare stages; CommitPrepared publishes at its
+    commit LSN (protocol.rs:1135-1292 semantics)."""
+    frames = [
+        frame(1, codec.BeginPrepare(10, 11, 0, 7, "gid-a")),
+        frame(2, REL),
+        frame(3, ins(1, "a")),
+        frame(4, ins(2, "b")),
+        frame(10, codec.Prepare(0, 10, 11, 0, 7, "gid-a")),
+    ]
+    dec = PgOutputDecoder()
+    dec.feed_frames(frames)
+    b = dec.take_batch()
+    ops = b.column("op").to_pylist() if b else []
+    assert "insert" not in ops          # staged, not published
+
+    dec.feed_frames([frame(20, codec.CommitPrepared(0, 20, 21, 555, 7,
+                                                    "gid-a"))])
+    t = pa.Table.from_batches([dec.take_batch()])
+    d = t.filter(pc.equal(t["op"], "insert"))
+    assert d.num_rows == 2
+    assert d["commit_lsn"].to_pylist() == [20, 20]
+
+
+def test_two_phase_rollback_discards():
+    frames = [
+        frame(1, codec.BeginPrepare(10, 11, 0, 8, "gid-b")),
+        frame(2, REL),
+        frame(3, ins(3, "c")),
+        frame(10, codec.Prepare(0, 10, 11, 0, 8, "gid-b")),
+        frame(20, codec.RollbackPrepared(0, 11, 21, 0, 0, 8, "gid-b")),
+        # later unrelated tx must still flow
+        frame(30, codec.Begin(40, 0, 9)),
+        frame(31, ins(4, "d")),
+        frame(40, codec.Commit(0, 40, 41, 0)),
+    ]
+    t = decode_frames(frames)
+    d = t.filter(pc.equal(t["op"], "insert"))
+    assert d.num_rows == 1
+    assert d["xid"].to_pylist() == [9]
+
+
+def test_two_phase_streamed_prepare():
+    """StreamPrepare moves an assembled streamed tx into the staged ledger;
+    CommitPrepared publishes it."""
+    frames = [
+        frame(1, codec.StreamStart(12, True)),
+        frame(2, REL, xid=12),
+        frame(3, ins(5, "e"), xid=12),
+        frame(4, codec.StreamStop()),
+        frame(10, codec.StreamPrepare(0, 10, 11, 0, 12, "gid-s")),
+    ]
+    dec = PgOutputDecoder()
+    dec.feed_frames(frames)
+    b = dec.take_batch()
+    ops = b.column("op").to_pylist() if b else []
+    assert "insert" not in ops
+    dec.feed_frames([frame(20, codec.CommitPrepared(0, 20, 21, 0, 12,
+                                                    "gid-s"))])
+    t = pa.Table.from_batches([dec.take_batch()])
+    d = t.filter(pc.equal(t["op"], "insert"))
+    assert d.num_rows == 1 and d["commit_lsn"].to_pylist() == [20]
+
+
+def test_commit_prepared_unknown_gid_noop():
+    """A CommitPrepared whose Prepare predates the replay window publishes
+    nothing (restart-resume behavior)."""
+    frames = [
+        frame(20, codec.CommitPrepared(0, 20, 21, 0, 13, "gid-missing")),
+        frame(30, codec.Begin(40, 0, 14)),
+        frame(31, REL),
+        frame(32, ins(6, "f")),
+        frame(40, codec.Commit(0, 40, 41, 0)),
+    ]
+    t = decode_frames(frames)
+    d = t.filter(pc.equal(t["op"], "insert"))
+    assert d.num_rows == 1 and d["xid"].to_pylist() == [14]
