@@ -48,12 +48,13 @@ def read_lake_config(lake_dir: str) -> Optional[dict]:
         return json.load(f)
 
 
-def live_fragments(lake_dir: str) -> List[str]:
-    """Fragment paths the manifests currently point to."""
+def live_fragments(lake_dir: str) -> List[Tuple[int, List[str]]]:
+    """Per partition: (pid, ordered fragment-chain paths)."""
     out = []
     for pid, m in sorted(all_manifests(lake_dir).items()):
-        if m.fragment:
-            out.append(os.path.join(partition_dir(lake_dir, pid), m.fragment))
+        if m.fragments:
+            d = partition_dir(lake_dir, pid)
+            out.append((pid, [os.path.join(d, f) for f in m.fragments]))
     return out
 
 
@@ -75,14 +76,26 @@ def _unify(tables: List[pa.Table]) -> pa.Table:
     return pa.concat_tables(conformed)
 
 
+def _partition_state(paths: List[str]) -> pa.Table:
+    """Merge one partition's fragment chain (LWW by _lsn, tombstones
+    resolved) -> current state (payload + _lsn)."""
+    import os as _os
+
+    from .stages.apply import merged_partition_state
+
+    d = _os.path.dirname(paths[0])
+    names = [_os.path.basename(p) for p in paths]
+    return merged_partition_state(d, names)
+
+
 def snapshot_table(lake_dir: str, sort: bool = True,
                    drop_internal: bool = True) -> pa.Table:
     """Materialized snapshot (driver-side; use for tests / small results).
 
     Stable turn ordering: global sort by (conv_id, turn_idx).
     """
-    frags = live_fragments(lake_dir)
-    tables = [pq.read_table(p) for p in frags]
+    tables = [_partition_state(paths) for _, paths in live_fragments(lake_dir)]
+    tables = [t for t in tables if t.num_rows]
     t = _unify(tables)
     if t.num_rows and drop_internal and "_lsn" in t.column_names:
         t = t.drop(["_lsn"])
@@ -93,7 +106,9 @@ def snapshot_table(lake_dir: str, sort: bool = True,
 
 
 def snapshot_dataset(lake_dir: str, drop_internal: bool = True):
-    """Streaming snapshot as a ray.data.Dataset (the scale path).
+    """Streaming snapshot as a ray.data.Dataset (the scale path): one task
+    per partition merges that partition's fragment chain — partitions are
+    key-disjoint, so no cross-partition merge exists.
 
     Per-partition fragments are already sorted by (conv_id, turn_idx); a
     global sort is NOT applied — ordering is per-conversation and
@@ -101,15 +116,23 @@ def snapshot_dataset(lake_dir: str, drop_internal: bool = True):
     """
     import ray.data as rd
 
-    frags = live_fragments(lake_dir)
-    if not frags:
+    parts = live_fragments(lake_dir)
+    if not parts:
         return rd.from_items([])
-    ds = rd.read_parquet(frags)
-    if drop_internal:
-        ds = ds.map_batches(
-            lambda t: t.drop(["_lsn"]) if "_lsn" in t.column_names else t,
-            batch_format="pyarrow")
-    return ds
+
+    def merge_part(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"])
+            if drop_internal and "_lsn" in t.column_names:
+                t = t.drop(["_lsn"])
+            if t.num_rows:
+                t = t.take(pc.sort_indices(t, sort_keys=[
+                    ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+                yield t
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(merge_part, batch_size=1, batch_format="pyarrow")
 
 
 def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
@@ -166,7 +189,7 @@ def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
         m = PartitionManifest(
             partition_id=pid,
             applied_lsns={str(s): l for s, l in lsn0.items()},
-            row_count=tbl.num_rows, fragment=frag, epoch=1,
+            row_count=tbl.num_rows, fragments=[frag], epoch=1,
             lineage=[{"epoch": 1, "bootstrap": True,
                       "applied": {str(s): l for s, l in lsn0.items()},
                       "rows_applied": tbl.num_rows}])
@@ -200,8 +223,9 @@ def compact_partition(lake_dir: str, pid: int) -> None:
     d = partition_dir(lake_dir, pid)
     if not os.path.isdir(d):
         return
+    live = set(m.fragments) | {"manifest.json"}
     for name in os.listdir(d):
-        if name in ("manifest.json", m.fragment):
+        if name in live:
             continue
         if name.startswith((".", "fragment-")):
             try:

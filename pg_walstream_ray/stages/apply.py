@@ -50,6 +50,7 @@ from ..state.manifest import (
 KEY_COLS = ("conv_id", "turn_idx")
 CONTROL = ("source", "lsn", "commit_lsn", "commit_ts_us", "xid", "op",
            "rel_version", "partition_id")
+COMPACT_AT = 8     # fragment-chain length that triggers a full merge
 
 
 def payload_columns(schema: pa.Schema) -> List[str]:
@@ -61,17 +62,25 @@ def _sort_key_indices(tbl: pa.Table, cols: Sequence[str]) -> pa.Array:
     return pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in cols])
 
 
-def lww_resolve(ops: pa.Table, payload: Sequence[str]) -> pa.Table:
+def lww_resolve(ops: pa.Table, payload: Sequence[str],
+                keep_tombstones: bool = False) -> pa.Table:
     """Vectorized last-writer-wins + TOAST carry over a flat op table.
 
     ``ops`` columns: lsn, op, the payload columns, and ``_unchanged_<col>``
     bools.  Rows must already be truncate-filtered.  Returns the surviving
     final rows (payload + ``_lsn``), unsorted.
+
+    With ``keep_tombstones=True`` delete-winning keys are RETAINED as
+    tombstone rows (keys + ``_lsn`` + ``_tombstone=True``, null payload) —
+    the delta-fragment form that lets merge-on-read cancel older fragments'
+    values without rewriting them.
     """
     n = ops.num_rows
     if n == 0:
         out = {c: ops[c] for c in payload}
         out["_lsn"] = pa.array([], pa.int64())
+        if keep_tombstones:
+            out["_tombstone"] = pa.array([], pa.bool_())
         return pa.table(out)
 
     idx = _sort_key_indices(ops, [*KEY_COLS, "lsn"])
@@ -100,7 +109,12 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str]) -> pa.Table:
     last_of_group[grp] = pos  # ascending within group -> last write wins
     winner_op = np.asarray(t["op"].take(pa.array(last_of_group)))
     alive = winner_op != "delete"
-    winners = last_of_group[alive]
+    if keep_tombstones:
+        winners = last_of_group          # every key, dead ones flagged
+        tomb = ~alive
+    else:
+        winners = last_of_group[alive]
+        tomb = None
 
     out_cols = {}
     any_unch_cols = [c for c in payload if f"_unchanged_{c}" in t.column_names]
@@ -127,7 +141,57 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str]) -> pa.Table:
         else:
             out_cols[c] = col.take(pa.array(winners))
     out_cols["_lsn"] = t["lsn"].take(pa.array(winners))
+    if tomb is not None:
+        tomb_arr = pa.array(tomb)
+        if tomb.any():
+            # tombstones keep their key columns; other payload nulled (the
+            # TOAST last-setter path above could otherwise resurrect a value)
+            for c in payload:
+                if c not in KEY_COLS:
+                    col = out_cols[c]
+                    typ = col.type
+                    out_cols[c] = pc.if_else(tomb_arr,
+                                             pa.scalar(None, typ), col)
+        out_cols["_tombstone"] = tomb_arr
     return pa.table(out_cols)
+
+
+def merged_partition_state(pdir: str, fragments: Sequence[str],
+                           payload: Optional[List[str]] = None) -> pa.Table:
+    """Merge-on-read of a partition's fragment chain -> current state
+    (payload + ``_lsn``, tombstones resolved and dropped)."""
+    tables = []
+    for name in fragments:
+        t = pq.read_table(os.path.join(pdir, name))
+        tables.append(t)
+    if not tables:
+        return pa.table({})
+    if payload is None:
+        seen: List[str] = []
+        for t in tables:
+            for c in t.column_names:
+                if c not in ("_lsn", "_tombstone") and c not in seen:
+                    seen.append(c)
+        payload = seen
+    proto = max(tables, key=lambda t: len(t.column_names))
+    ops_parts = []
+    for t in tables:
+        n = t.num_rows
+        tombs = t["_tombstone"] if "_tombstone" in t.column_names \
+            else pa.array(np.zeros(n, dtype=bool))
+        cols = {"lsn": t["_lsn"],
+                "op": pc.if_else(tombs, pa.scalar("delete"),
+                                 pa.scalar("insert"))}
+        for c in payload:
+            if c in t.column_names:
+                cols[c] = t[c]
+            else:
+                want = proto.schema.field(c).type \
+                    if c in proto.column_names else pa.string()
+                cols[c] = pa.nulls(n, want)
+        ops_parts.append(pa.table(cols))
+    ops = pa.concat_tables(ops_parts, promote_options="default")
+    return lww_resolve(ops, payload)
 
 
 def _conform(tbl: pa.Table, target_payload: List[str],
@@ -190,30 +254,37 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
     if t_last >= 0:
         dml = dml.filter(pc.greater(dml["lsn"], t_last))
 
-    # seed: current fragment as insert-ops at their recorded _lsn
     pdir = partition_dir(lake_dir, pid)
-    seed: Optional[pa.Table] = None
-    if m.fragment and t_last < 0:
-        frag = pq.read_table(os.path.join(pdir, m.fragment))
-        frag = _conform(frag, payload, dml)
-        seed_cols = {c: frag[c] for c in payload}
-        seed_cols["lsn"] = frag["_lsn"]
-        seed_cols["op"] = pa.array(np.full(frag.num_rows, "insert", dtype=object),
-                                   pa.string())
-        for c in payload:
-            un = f"_unchanged_{c}"
-            if un in dml.column_names:
-                seed_cols[un] = pa.array(np.zeros(frag.num_rows, dtype=bool))
-        seed = pa.table(seed_cols)
+    unch_cols = [f"_unchanged_{c}" for c in payload
+                 if f"_unchanged_{c}" in dml.column_names]
+    any_unchanged = any(pc.any(pc.fill_null(dml[c], False)).as_py()
+                        for c in unch_cols) if dml.num_rows else False
 
-    keep = ["lsn", "op", *payload,
-            *[f"_unchanged_{c}" for c in payload
-              if f"_unchanged_{c}" in dml.column_names]]
+    # Write mode (the 100TB write-amplification control):
+    #   delta  — resolve the window alone; deletes become tombstone rows;
+    #            append to the fragment chain (no state rewrite).
+    #   base   — full merge (chain + window) -> single fragment.  Required
+    #            when a truncate wiped history, when TOAST 'u' columns need
+    #            prior values (the read is needed anyway), when the chain
+    #            reached COMPACT_AT, or on first write.
+    full_merge = (t_last >= 0 or any_unchanged or not m.fragments
+                  or len(m.fragments) + 1 >= COMPACT_AT)
+
+    keep = ["lsn", "op", *payload, *unch_cols]
     ops = dml.select(keep)
-    if seed is not None and seed.num_rows:
-        ops = pa.concat_tables([seed.select(keep), ops], promote_options="default")
+    if full_merge and m.fragments and t_last < 0:
+        state = merged_partition_state(pdir, m.fragments, None)
+        state = _conform(state, payload, dml)
+        seed_cols = {c: state[c] for c in payload}
+        seed_cols["lsn"] = state["_lsn"]
+        seed_cols["op"] = pa.array(
+            np.full(state.num_rows, "insert", dtype=object), pa.string())
+        for un in unch_cols:
+            seed_cols[un] = pa.array(np.zeros(state.num_rows, dtype=bool))
+        ops = pa.concat_tables([pa.table(seed_cols).select(keep), ops],
+                               promote_options="default")
 
-    final = lww_resolve(ops, payload)
+    final = lww_resolve(ops, payload, keep_tombstones=not full_merge)
     order = _sort_key_indices(final, KEY_COLS)
     final = final.take(order)
 
@@ -225,26 +296,34 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
     for s in np.unique(wsrc):
         per_source[int(s)] = int(wcommit[wsrc == s].max())
     max_commit = max(per_source.values())
-    frag_name = f"fragment-{m.epoch + 1:06d}-{max_commit}.parquet"
+    kind = "base" if full_merge else "delta"
+    frag_name = f"fragment-{m.epoch + 1:06d}-{max_commit}-{kind}.parquet"
     tmp = os.path.join(pdir, f".{frag_name}.{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(final, tmp, compression="zstd")
     os.replace(tmp, os.path.join(pdir, frag_name))
 
-    old_frag = m.fragment
+    old_frags = list(m.fragments)
+    if full_merge:
+        new_frags = [frag_name]
+        row_count = final.num_rows
+    else:
+        new_frags = old_frags + [frag_name]
+        # estimate: exact only at base writes (documented in manifest.py)
+        row_count = m.row_count + final.num_rows
     record_window(m, per_source_max_commit=per_source,
                   window_min_lsn=pc.min(window["lsn"]).as_py(),
-                  rows_applied=dml.num_rows, fragment=frag_name,
-                  row_count=final.num_rows)
+                  rows_applied=dml.num_rows, fragments=new_frags,
+                  row_count=row_count, compacted=full_merge)
     write_manifest_atomic(lake_dir, m)
-    if old_frag and old_frag != frag_name:
-        # previous fragment is dead once the manifest points away; best-effort GC
+    for dead in set(old_frags) - set(new_frags):
+        # dead once the manifest points away; best-effort GC
         try:
-            os.remove(os.path.join(pdir, old_frag))
+            os.remove(os.path.join(pdir, dead))
         except OSError:
             pass
     return {"partition_id": pid,
             "applied_lsn": max(m.applied_lsns.values(), default=-1),
-            "rows_applied": dml.num_rows, "row_count": final.num_rows,
+            "rows_applied": dml.num_rows, "row_count": row_count,
             "skipped": False}
 
 

@@ -31,10 +31,19 @@ class PartitionManifest:
     # watermark would let a high-LSN source mask an unapplied low-LSN one.
     # JSON object keys are strings: {"0": lsn, "1": lsn, ...}.
     applied_lsns: Dict[str, int] = field(default_factory=dict)
+    # exact after a base write/compaction; between compactions delta rows
+    # make it an upper-bound estimate (documented in apply.py)
     row_count: int = 0
-    fragment: Optional[str] = None       # current fragment file (relative)
+    # ordered fragment chain: [base?, delta, delta, ...] — merge-on-read by
+    # (_lsn LWW + tombstones); compaction collapses the chain to one base
+    fragments: List[str] = field(default_factory=list)
     epoch: int = 0                       # increments per applied window
     lineage: List[dict] = field(default_factory=list)  # per-window records
+
+    @property
+    def fragment(self) -> Optional[str]:
+        """Back-compat single-fragment view (last element of the chain)."""
+        return self.fragments[-1] if self.fragments else None
 
     def applied_for(self, source: int) -> int:
         return self.applied_lsns.get(str(source), -1)
@@ -57,6 +66,9 @@ def read_manifest(lake_dir: str, partition_id: int) -> PartitionManifest:
         return PartitionManifest(partition_id=partition_id)
     with open(p) as f:
         d = json.load(f)
+    if "fragment" in d:          # legacy single-fragment manifests
+        frag = d.pop("fragment")
+        d.setdefault("fragments", [frag] if frag else [])
     return PartitionManifest(**d)
 
 
@@ -120,18 +132,20 @@ def min_watermark(lake_dir: str, num_partitions: Optional[int] = None) -> int:
 
 def record_window(m: PartitionManifest, per_source_max_commit: Dict[int, int],
                   window_min_lsn: int, rows_applied: int,
-                  fragment: str, row_count: int) -> PartitionManifest:
+                  fragments: List[str], row_count: int,
+                  compacted: bool = False) -> PartitionManifest:
     m.epoch += 1
     for s, lsn in per_source_max_commit.items():
         k = str(s)
         m.applied_lsns[k] = max(m.applied_lsns.get(k, -1), lsn)
     m.row_count = row_count
-    m.fragment = fragment
+    m.fragments = list(fragments)
     m.lineage.append({
         "epoch": m.epoch,
         "window_min_lsn": window_min_lsn,
         "applied": {str(s): v for s, v in per_source_max_commit.items()},
         "rows_applied": rows_applied,
+        "compacted": compacted,
         "ts": time.time(),
     })
     return m

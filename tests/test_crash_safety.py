@@ -116,3 +116,30 @@ def test_staggered_per_shard_progress(wal_and_oracle):
     ms = all_manifests(lk)
     sources = {s for m in ms.values() for s in m.applied_lsns}
     assert sources == {str(s) for s in range(SPEC.n_shards)}
+
+
+def test_incremental_windows_delta_chain_and_compaction(ray_session):
+    """Apply the WAL in many small windows: delta fragments accumulate
+    (deletes ride as tombstones, no state rewrite), the chain compacts at
+    COMPACT_AT, and the final state still equals the oracle."""
+    from pg_walstream_ray.stages.apply import COMPACT_AT
+
+    spec = walgen.WalSpec(n_convs=30, turns_per_conv=5, update_frac=0.6,
+                          delete_frac=0.2, tx_rows=10, n_shards=1)
+    wal = make_wal(spec)
+    lk = tempfile.mkdtemp(prefix="delta_")
+    logical = walgen.shard_logical_changes(spec, 0)
+    lsn = logical["lsn"].to_numpy(zero_copy_only=False)
+    cuts = [int(lsn[int(len(lsn) * f)]) for f in
+            (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)]
+    for cut in cuts:
+        run_cdc(wal, lk, num_partitions=2, stop_at_lsn=cut)
+    run_cdc(wal, lk, num_partitions=2)
+
+    ms = all_manifests(lk)
+    delta_writes = sum(1 for m in ms.values() for e in m.lineage
+                      if e.get("compacted") is False)
+    assert delta_writes > 0, "no delta fragments were ever written"
+    for m in ms.values():
+        assert len(m.fragments) <= COMPACT_AT
+    assert_lake_matches(lk, oracle_df(spec))
