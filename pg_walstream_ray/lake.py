@@ -76,7 +76,9 @@ def _unify(tables: List[pa.Table]) -> pa.Table:
     return pa.concat_tables(conformed)
 
 
-def _partition_state(paths: List[str]) -> pa.Table:
+def _partition_state(paths: List[str],
+                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+                     ) -> pa.Table:
     """Merge one partition's fragment chain (LWW by _lsn, tombstones
     resolved) -> current state (payload + _lsn)."""
     import os as _os
@@ -85,27 +87,31 @@ def _partition_state(paths: List[str]) -> pa.Table:
 
     d = _os.path.dirname(paths[0])
     names = [_os.path.basename(p) for p in paths]
-    return merged_partition_state(d, names)
+    return merged_partition_state(d, names, key_cols=key_cols)
 
 
 def snapshot_table(lake_dir: str, sort: bool = True,
-                   drop_internal: bool = True) -> pa.Table:
+                   drop_internal: bool = True,
+                   key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+                   ) -> pa.Table:
     """Materialized snapshot (driver-side; use for tests / small results).
 
-    Stable turn ordering: global sort by (conv_id, turn_idx).
+    Stable turn ordering: global sort by the table's key columns.
     """
-    tables = [_partition_state(paths) for _, paths in live_fragments(lake_dir)]
+    tables = [_partition_state(paths, key_cols)
+              for _, paths in live_fragments(lake_dir)]
     tables = [t for t in tables if t.num_rows]
     t = _unify(tables)
     if t.num_rows and drop_internal and "_lsn" in t.column_names:
         t = t.drop(["_lsn"])
     if t.num_rows and sort:
         t = t.take(pc.sort_indices(
-            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            t, sort_keys=[(c, "ascending") for c in key_cols]))
     return t
 
 
-def snapshot_dataset(lake_dir: str, drop_internal: bool = True):
+def snapshot_dataset(lake_dir: str, drop_internal: bool = True,
+                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
     """Streaming snapshot as a ray.data.Dataset (the scale path): one task
     per partition merges that partition's fragment chain — partitions are
     key-disjoint, so no cross-partition merge exists.
@@ -122,12 +128,12 @@ def snapshot_dataset(lake_dir: str, drop_internal: bool = True):
 
     def merge_part(batch: pa.Table):
         for row in batch.to_pylist():
-            t = _partition_state(row["paths"])
+            t = _partition_state(row["paths"], key_cols)
             if drop_internal and "_lsn" in t.column_names:
                 t = t.drop(["_lsn"])
             if t.num_rows:
-                t = t.take(pc.sort_indices(t, sort_keys=[
-                    ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+                t = t.take(pc.sort_indices(
+                    t, sort_keys=[(c, "ascending") for c in key_cols]))
                 yield t
 
     ds = rd.from_items([{"paths": paths} for _, paths in parts],

@@ -62,8 +62,31 @@ def _sort_key_indices(tbl: pa.Table, cols: Sequence[str]) -> pa.Array:
     return pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in cols])
 
 
+def _group_boundaries(t: pa.Table, key_cols: Sequence[str]) -> np.ndarray:
+    """Row-group boundaries over sorted key columns (generic: string keys
+    via dictionary codes, numeric keys via raw values)."""
+    n = t.num_rows
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for kc in key_cols:
+        col = t[kc]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            codes = pc.fill_null(col, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            enc = pc.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        boundary[1:] |= codes[1:] != codes[:-1]
+    return boundary
+
+
 def lww_resolve(ops: pa.Table, payload: Sequence[str],
-                keep_tombstones: bool = False) -> pa.Table:
+                keep_tombstones: bool = False,
+                key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
     """Vectorized last-writer-wins + TOAST carry over a flat op table.
 
     ``ops`` columns: lsn, op, the payload columns, and ``_unchanged_<col>``
@@ -83,20 +106,10 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str],
             out["_tombstone"] = pa.array([], pa.bool_())
         return pa.table(out)
 
-    idx = _sort_key_indices(ops, [*KEY_COLS, "lsn"])
+    idx = _sort_key_indices(ops, [*key_cols, "lsn"])
     t = ops.take(idx)
 
-    conv = t["conv_id"]
-    turn = t["turn_idx"]
-    # group ids over the sorted key columns: boundary where either changes
-    conv_enc = pc.dictionary_encode(conv.combine_chunks()
-                                    if isinstance(conv, pa.ChunkedArray) else conv)
-    if isinstance(conv_enc, pa.ChunkedArray):
-        conv_enc = conv_enc.combine_chunks()
-    conv_codes = conv_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    turn_np = pc.fill_null(turn, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-    boundary = np.ones(n, dtype=bool)
-    boundary[1:] = (conv_codes[1:] != conv_codes[:-1]) | (turn_np[1:] != turn_np[:-1])
+    boundary = _group_boundaries(t, key_cols)
     grp = np.cumsum(boundary) - 1          # 0..G-1, contiguous per key
     G = int(grp[-1]) + 1
 
@@ -147,7 +160,7 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str],
             # tombstones keep their key columns; other payload nulled (the
             # TOAST last-setter path above could otherwise resurrect a value)
             for c in payload:
-                if c not in KEY_COLS:
+                if c not in key_cols:
                     col = out_cols[c]
                     typ = col.type
                     out_cols[c] = pc.if_else(tomb_arr,
@@ -157,7 +170,8 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str],
 
 
 def merged_partition_state(pdir: str, fragments: Sequence[str],
-                           payload: Optional[List[str]] = None) -> pa.Table:
+                           payload: Optional[List[str]] = None,
+                           key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
     """Merge-on-read of a partition's fragment chain -> current state
     (payload + ``_lsn``, tombstones resolved and dropped)."""
     tables = []
@@ -191,7 +205,7 @@ def merged_partition_state(pdir: str, fragments: Sequence[str],
                 cols[c] = pa.nulls(n, want)
         ops_parts.append(pa.table(cols))
     ops = pa.concat_tables(ops_parts, promote_options="default")
-    return lww_resolve(ops, payload)
+    return lww_resolve(ops, payload, key_cols=key_cols)
 
 
 def _conform(tbl: pa.Table, target_payload: List[str],
@@ -214,7 +228,8 @@ def _conform(tbl: pa.Table, target_payload: List[str],
     return pa.table(cols)
 
 
-def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
+def apply_partition_window(group: pa.Table, lake_dir: str,
+                           key_cols: Sequence[str] = KEY_COLS) -> dict:
     """Apply one partition's change window against its lake fragment.
 
     Returns a summary dict (one manifest line). Idempotent: re-running with
@@ -273,7 +288,8 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
     keep = ["lsn", "op", *payload, *unch_cols]
     ops = dml.select(keep)
     if full_merge and m.fragments and t_last < 0:
-        state = merged_partition_state(pdir, m.fragments, None)
+        state = merged_partition_state(pdir, m.fragments, None,
+                                       key_cols=key_cols)
         state = _conform(state, payload, dml)
         seed_cols = {c: state[c] for c in payload}
         seed_cols["lsn"] = state["_lsn"]
@@ -284,8 +300,9 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
         ops = pa.concat_tables([pa.table(seed_cols).select(keep), ops],
                                promote_options="default")
 
-    final = lww_resolve(ops, payload, keep_tombstones=not full_merge)
-    order = _sort_key_indices(final, KEY_COLS)
+    final = lww_resolve(ops, payload, keep_tombstones=not full_merge,
+                        key_cols=key_cols)
+    order = _sort_key_indices(final, key_cols)
     final = final.take(order)
 
     os.makedirs(pdir, exist_ok=True)
@@ -330,9 +347,11 @@ def apply_partition_window(group: pa.Table, lake_dir: str) -> dict:
 class ApplyGroup:
     """``groupby('partition_id').map_groups`` callable: one group per call."""
 
-    def __init__(self, lake_dir: str):
+    def __init__(self, lake_dir: str, key_cols: Sequence[str] = KEY_COLS):
         self.lake_dir = lake_dir
+        self.key_cols = tuple(key_cols)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        summary = apply_partition_window(group, self.lake_dir)
+        summary = apply_partition_window(group, self.lake_dir,
+                                         key_cols=self.key_cols)
         return pa.table({k: [v] for k, v in summary.items()})

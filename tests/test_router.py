@@ -1,0 +1,114 @@
+"""Multi-table routing: one WAL stream -> two destination lakes, each with
+its own schema and key columns (WalRouter parity, router.rs:40-202)."""
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pg_walstream_ray import lake as lakemod
+from pg_walstream_ray.pipelines.router import TableRoute, run_cdc_router
+from pg_walstream_ray.wire import codec
+from pg_walstream_ray.wire.frames import encode_xlogdata
+
+OID_A = 20001   # transcripts-ish, key (conv_id, turn_idx)
+OID_B = 20002   # users,           key (id)
+
+REL_A = codec.Relation(OID_A, "public", "chats", "d", [
+    codec.ColumnInfo(1, "conv_id", 25, -1),
+    codec.ColumnInfo(1, "turn_idx", 23, -1),
+    codec.ColumnInfo(0, "text", 25, -1),
+])
+REL_B = codec.Relation(OID_B, "public", "users", "d", [
+    codec.ColumnInfo(1, "id", 20, -1),
+    codec.ColumnInfo(0, "name", 25, -1),
+])
+
+
+def f(lsn, msg):
+    return encode_xlogdata(lsn, lsn, 0, codec.encode_message(msg))
+
+
+def tup(*vals):
+    return [(b"n", None) if v is None else (b"t", str(v).encode())
+            for v in vals]
+
+
+def build_wal(tmp):
+    frames = [
+        f(1, codec.Begin(40, 0, 1)),
+        f(2, REL_A),
+        f(3, REL_B),
+        f(4, codec.Insert(OID_A, tup("c1", 0, "hello"))),
+        f(5, codec.Insert(OID_A, tup("c1", 1, "world"))),
+        f(6, codec.Insert(OID_B, tup(7, "alice"))),
+        f(7, codec.Insert(OID_B, tup(8, "bob"))),
+        f(40, codec.Commit(0, 40, 41, 0)),
+        f(50, codec.Begin(70, 0, 2)),
+        f(51, codec.Update(OID_A, b"K", tup("c1", 0, None),
+                           tup("c1", 0, "hello2"))),
+        f(52, codec.Delete(OID_B, b"K", tup(8, None))),
+        f(53, codec.Insert(OID_B, tup(9, "carol"))),
+        f(70, codec.Commit(0, 70, 71, 0)),
+    ]
+    d = os.path.join(tmp, "shard=0000")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "lsn": pa.array(range(len(frames)), pa.int64()),
+        "frame": pa.array(frames, pa.binary()),
+    }), os.path.join(d, "wal.parquet"))
+    return tmp
+
+
+def test_router_two_tables(ray_session):
+    wal = build_wal(tempfile.mkdtemp(prefix="rw_"))
+    lake_a = tempfile.mkdtemp(prefix="rla_")
+    lake_b = tempfile.mkdtemp(prefix="rlb_")
+    m = run_cdc_router(wal, [TableRoute(OID_A, lake_a, 4),
+                             TableRoute(OID_B, lake_b, 2)])
+    assert m["tables"][OID_A]["rows_applied"] == 3
+    assert m["tables"][OID_B]["rows_applied"] == 4
+
+    snap_a = lakemod.snapshot_table(
+        lake_a, key_cols=("conv_id", "turn_idx")).to_pylist()
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in snap_a] == \
+        [("c1", 0, "hello2"), ("c1", 1, "world")]
+
+    snap_b = lakemod.snapshot_table(lake_b, key_cols=("id",)).to_pylist()
+    assert [(r["id"], r["name"]) for r in snap_b] == \
+        [(7, "alice"), (9, "carol")]          # bob deleted
+
+
+def test_router_truncate_broadcast(ray_session):
+    """A truncate of table A wipes A in every partition; B untouched."""
+    tmp = tempfile.mkdtemp(prefix="rwt_")
+    frames = [
+        f(1, codec.Begin(20, 0, 1)),
+        f(2, REL_A),
+        f(3, REL_B),
+        f(4, codec.Insert(OID_A, tup("c1", 0, "x"))),
+        f(5, codec.Insert(OID_A, tup("c2", 0, "y"))),
+        f(6, codec.Insert(OID_B, tup(1, "keep"))),
+        f(20, codec.Commit(0, 20, 21, 0)),
+        f(30, codec.Begin(40, 0, 2)),
+        f(31, codec.Truncate(0, [OID_A])),
+        f(32, codec.Insert(OID_A, tup("c3", 0, "after"))),
+        f(40, codec.Commit(0, 40, 41, 0)),
+    ]
+    d = os.path.join(tmp, "shard=0000")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "lsn": pa.array(range(len(frames)), pa.int64()),
+        "frame": pa.array(frames, pa.binary()),
+    }), os.path.join(d, "wal.parquet"))
+
+    lake_a = tempfile.mkdtemp(prefix="rta_")
+    lake_b = tempfile.mkdtemp(prefix="rtb_")
+    run_cdc_router(tmp, [TableRoute(OID_A, lake_a, 4),
+                         TableRoute(OID_B, lake_b, 2)])
+    snap_a = lakemod.snapshot_table(lake_a).to_pylist()
+    assert [(r["conv_id"], r["text"]) for r in snap_a] == [("c3", "after")]
+    snap_b = lakemod.snapshot_table(lake_b, key_cols=("id",)).to_pylist()
+    assert len(snap_b) == 1 and snap_b[0]["name"] == "keep"
