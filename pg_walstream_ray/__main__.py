@@ -1,0 +1,90 @@
+"""CLI entry point — runnable locally or via ``ray job submit``:
+
+    python -m pg_walstream_ray gen     --events 1000000 --shards 16 --out /tmp/wal
+    python -m pg_walstream_ray replay  --wal /tmp/wal --lake /tmp/lake \
+                                       --partitions 32 [--stop-at-lsn L]
+    python -m pg_walstream_ray snapshot --lake /tmp/lake [--out snap.parquet]
+    python -m pg_walstream_ray watermark --lake /tmp/lake
+
+Owns the Ray session (the library never calls ray.init; driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pg_walstream_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="synthesize a sharded pgoutput WAL lake")
+    g.add_argument("--events", type=int, default=1_000_000)
+    g.add_argument("--shards", type=int, default=16)
+    g.add_argument("--out", required=True)
+    g.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("replay", help="replay WAL -> transcript lake")
+    r.add_argument("--wal", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--stop-at-lsn", type=int, default=None)
+
+    s = sub.add_parser("snapshot", help="materialize the lake state")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--out", default=None)
+
+    w = sub.add_parser("watermark", help="print per-source applied watermarks")
+    w.add_argument("--lake", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False)
+    try:
+        if args.cmd == "gen":
+            from .sources.walgen import WalSpec, write_wal_lake
+
+            n_convs = max(args.shards, int(args.events / (10 * 1.35)))
+            spec = WalSpec(n_convs=n_convs, turns_per_conv=10,
+                           n_shards=args.shards, seed=args.seed,
+                           tx_rows=200, keepalive_every=512)
+            stats = write_wal_lake(spec, args.out, parallel=True)
+            print(json.dumps({"shards": len(stats),
+                              "dml_rows": sum(s["dml_rows"] for s in stats),
+                              "out": args.out}))
+        elif args.cmd == "replay":
+            from .pipelines.cdc import run_cdc
+
+            m = run_cdc(args.wal, args.lake, num_partitions=args.partitions,
+                        stop_at_lsn=args.stop_at_lsn)
+            print(json.dumps(m))
+        elif args.cmd == "snapshot":
+            from .lake import snapshot_table
+
+            t = snapshot_table(args.lake)
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(t, args.out)
+            print(json.dumps({"rows": t.num_rows,
+                              "columns": t.column_names,
+                              "out": args.out}))
+        elif args.cmd == "watermark":
+            from .state.manifest import global_watermark, min_watermark
+
+            print(json.dumps({"per_source": global_watermark(args.lake),
+                              "min": min_watermark(args.lake)}))
+    finally:
+        if owns_session:          # never tear down a caller-owned session
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Event-stream taps: the EventStream / next_raw_event parity surface.
+
+The reference exposes the decoded stream as a futures::Stream with
+combinators (filter / take_while / throttle — stream.rs:1524-1767) and a
+raw-frame tap with no auto-ack (``next_raw_event``, stream.rs:815-830).
+Ray-Data-first, those are just Datasets:
+
+    envelope_dataset(wal)                    # decoded change events
+        .filter(...)                         # combinators = Dataset ops
+    raw_frames_dataset(wal)                  # undecoded (source, lsn, frame)
+
+Consuming the tap does NOT advance any watermark (no auto-ack): acks happen
+only in the apply stage's manifests — the for_each_event ack-after-apply
+contract (stream.rs:1563-1582) is structural here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.decode import DecodeShard
+from .cdc import discover_shards
+
+
+def raw_frames_dataset(wal_dir: str):
+    """Undecoded wire frames: (source, lsn, frame) — BYO-decoder tap
+    (RawXLogData parity, stream.rs:60-69)."""
+    import ray.data as rd
+
+    shard_paths = discover_shards(wal_dir)
+
+    def load(batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        for path in batch["wal_path"].to_pylist():
+            src = DecodeShard.source_of(path)
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                yield t.append_column("source", pa.array(
+                    [src] * t.num_rows, pa.int32()))
+
+    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+                       override_num_blocks=len(shard_paths))
+    return ds.map_batches(load, batch_size=1, batch_format="pyarrow")
+
+
+def envelope_dataset(wal_dir: str, stop_at_lsn: Optional[int] = None,
+                     concurrency: Optional[int] = None):
+    """Decoded change-event envelope stream (commit-complete, LSN order per
+    source). The Dataset IS the EventStream; chain filters/limits on it."""
+    import ray
+    import ray.data as rd
+
+    shard_paths = discover_shards(wal_dir)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    c = concurrency or max(1, min(len(shard_paths), ncpu // 2))
+    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+                       override_num_blocks=len(shard_paths))
+    return ds.map_batches(DecodeShard, fn_constructor_kwargs={
+        "stop_at_lsn": stop_at_lsn},
+        batch_size=None, batch_format="pyarrow", concurrency=c, num_cpus=1)
+
+
+def filter_ops(ds, ops: Iterable[str]):
+    """Combinator: keep only the given op kinds (insert/update/delete/...)."""
+    vals = pa.array(list(ops), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["op"], value_set=vals))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_tables(ds, names: Iterable[str]):
+    """Combinator: keep only events of the named tables."""
+    vals = pa.array(list(names), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["table_name"], value_set=vals))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def until_lsn(ds, lsn: int):
+    """Combinator: events at or below a commit LSN (take_while analogue —
+    applied per batch; the decoder's stop_at_lsn is the transport-level
+    cutoff when you want commit-boundary rounding)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["commit_lsn"], lsn))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
