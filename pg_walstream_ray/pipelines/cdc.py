@@ -134,10 +134,11 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
         "stop_at_lsn": stop_at_lsn},
         batch_size=None, batch_format="pyarrow", concurrency=dec_c,
-        num_cpus=1)
+        num_cpus=1, max_task_retries=-1)
     typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
         "registry_ref": registry_ref, "oid": oid},
-        batch_format="pyarrow", concurrency=prj_c, num_cpus=1)
+        batch_format="pyarrow", concurrency=prj_c, num_cpus=1,
+        max_task_retries=-1)
     routed = typed.map_batches(Partitioner(num_partitions, hot, salt),
                                batch_format="pyarrow")
     apply_group = ApplyGroup(lake_dir)

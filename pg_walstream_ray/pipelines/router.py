@@ -185,7 +185,7 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
     env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
         "stop_at_lsn": stop_at_lsn},
         batch_size=None, batch_format="pyarrow", concurrency=dec_c,
-        num_cpus=1)
+        num_cpus=1, max_task_retries=-1)
     routed = env.map_batches(
         RouterStage, fn_constructor_kwargs={"registry_ref": registry_ref,
                                             "routes": list(routes)},

@@ -1,0 +1,145 @@
+"""Property-based tests (reference parity: fuzz targets
+fuzz/fuzz_targets/roundtrip_*.rs): random op sequences through the pure
+LWW/TOAST core vs a brute-force dict oracle, random messages through the
+codec fixpoint, and golden byte vectors pinning the wire format."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from pg_walstream_ray.stages.apply import lww_resolve
+from pg_walstream_ray.wire import codec
+from pg_walstream_ray.wire.frames import encode_keepalive, encode_xlogdata
+
+# ---------------------------------------------------------------------------
+# LWW + TOAST vs dict oracle
+# ---------------------------------------------------------------------------
+
+op_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(0, 3),                      # conv
+        st.integers(0, 2),                      # turn
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),  # text
+        st.booleans(),                          # text_unchanged (updates)
+    ),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(op_strategy)
+def test_lww_resolve_matches_dict_oracle(ops):
+    n = len(ops)
+    lsn = list(range(1, n + 1))
+    conv = [f"c{c}" for _, c, _, _, _ in ops]
+    turn = [t for _, _, t, _, _ in ops]
+    kinds = [k for k, _, _, _, _ in ops]
+    text = [None if k == "delete" else x for (k, _, _, x, _) in ops]
+    unch = [(k == "update" and u) for (k, _, _, _, u) in ops]
+    text = [None if u else x for x, u in zip(text, unch)]
+
+    t = pa.table({
+        "lsn": pa.array(lsn, pa.int64()),
+        "op": pa.array(kinds, pa.string()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "text": pa.array(text, pa.string()),
+        "_unchanged_text": pa.array(unch, pa.bool_()),
+    })
+    got = lww_resolve(t, ["conv_id", "turn_idx", "text"])
+    got_map = {(r["conv_id"], r["turn_idx"]): (r["text"], r["_lsn"])
+               for r in got.to_pylist()}
+
+    state = {}
+    for i, (k, c, tu, x, u) in enumerate(ops):
+        key = (f"c{c}", tu)
+        if k == "delete":
+            state.pop(key, None)
+        elif k == "update" and u:
+            prev = state.get(key)
+            state[key] = (prev[0] if prev else None, lsn[i])
+        else:
+            state[key] = (x, lsn[i])
+    assert got_map == state
+
+
+@settings(max_examples=200, deadline=None)
+@given(op_strategy)
+def test_lww_tombstones_partition_alive_plus_dead(ops):
+    """keep_tombstones=True returns every touched key exactly once, with
+    tombstones exactly where the plain resolve drops the key."""
+    n = len(ops)
+    t = pa.table({
+        "lsn": pa.array(range(1, n + 1), pa.int64()),
+        "op": pa.array([k for k, *_ in ops], pa.string()),
+        "conv_id": pa.array([f"c{c}" for _, c, *_ in ops], pa.string()),
+        "turn_idx": pa.array([t for _, _, t, *_ in ops], pa.int32()),
+        "text": pa.array([None if k == "delete" else x
+                          for (k, _, _, x, _) in ops], pa.string()),
+    })
+    alive = lww_resolve(t, ["conv_id", "turn_idx", "text"])
+    both = lww_resolve(t, ["conv_id", "turn_idx", "text"],
+                       keep_tombstones=True)
+    touched = {(f"c{c}", tu) for _, c, tu, _, _ in ops}
+    rows = both.to_pylist()
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == touched
+    dead = {(r["conv_id"], r["turn_idx"]) for r in rows if r["_tombstone"]}
+    alive_keys = {(r["conv_id"], r["turn_idx"]) for r in alive.to_pylist()}
+    assert dead == touched - alive_keys
+
+
+# ---------------------------------------------------------------------------
+# codec fixpoint on random tuples
+# ---------------------------------------------------------------------------
+
+tuple_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just(b"n"), st.none()),
+        st.tuples(st.just(b"u"), st.none()),
+        st.tuples(st.just(b"t"), st.binary(max_size=16)),
+        st.tuples(st.just(b"b"), st.binary(max_size=16)),
+    ), min_size=0, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tuple_strategy, st.integers(1, 2**31 - 1))
+def test_insert_roundtrip_random_tuples(tup, oid):
+    msg = codec.Insert(oid, tup)
+    b = codec.encode_message(msg)
+    parsed, _ = codec.parse_message(b)
+    assert parsed == msg
+    assert codec.encode_message(parsed) == b          # byte fixpoint
+
+
+# ---------------------------------------------------------------------------
+# golden byte vectors (wire-format anchor, pgoutput + replication protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_begin_bytes():
+    # 'B' + final_lsn u64 + commit_ts i64 + xid u32
+    b = codec.encode_message(codec.Begin(0x0102030405060708, 7, 42))
+    assert b.hex() == "42" + "0102030405060708" + \
+        "0000000000000007" + "0000002a"
+
+
+def test_golden_insert_bytes():
+    # 'I' + oid u32 + 'N' + ncols u16 + ('t' + len + bytes | 'n')
+    b = codec.encode_message(codec.Insert(
+        16384, [(b"t", b"hi"), (b"n", None)]))
+    assert b.hex() == "49" + "00004000" + "4e" + "0002" + \
+        "74" + "00000002" + "6869" + "6e"
+
+
+def test_golden_keepalive_bytes():
+    # 'k' + wal_end u64 + ts i64 + reply u8
+    b = encode_keepalive(0x10, 0x20, True)
+    assert b.hex() == "6b" + "0000000000000010" + \
+        "0000000000000020" + "01"
+
+
+def test_golden_xlogdata_bytes():
+    # 'w' + wal_start u64 + wal_end u64 + send_ts i64 + body
+    b = encode_xlogdata(1, 2, 3, b"\xaa")
+    assert b.hex() == "77" + "0000000000000001" + \
+        "0000000000000002" + "0000000000000003" + "aa"
