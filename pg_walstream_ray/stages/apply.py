@@ -300,10 +300,11 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
         ops = pa.concat_tables([pa.table(seed_cols).select(keep), ops],
                                promote_options="default")
 
+    # lww_resolve emits winners in group order of the (key, lsn) sort, so
+    # the result is already key-sorted — no second sort (stable ordering
+    # invariant checked by tests/test_property.py)
     final = lww_resolve(ops, payload, keep_tombstones=not full_merge,
                         key_cols=key_cols)
-    order = _sort_key_indices(final, key_cols)
-    final = final.take(order)
 
     os.makedirs(pdir, exist_ok=True)
     # per-source max applied commit_lsn in this window (vector watermark)

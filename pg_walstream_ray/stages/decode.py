@@ -218,23 +218,109 @@ class PgOutputDecoder:
     # -- frame pump --------------------------------------------------------
 
     def feed_frames(self, frames: List[bytes]) -> None:
-        """Consume frames in order; released rows accumulate internally."""
+        """Consume frames in order; released rows accumulate internally.
+        Hot loop: header fields are unpacked inline (only wal_start is
+        needed) and DML bodies are parsed in place without a body copy."""
+        u64 = codec._u64
+        dispatch_fast = self._dispatch_dml_fast
+        collect = self.collect_dml
         for f in frames:
             if self.stopped:
                 break
-            kind = frame_kind(f)
-            if kind == b"k":
+            if f[0] == 107:                     # 'k' keepalive
                 wal_end, _ts, _reply = parse_keepalive(f)
                 if wal_end > self.last_received_lsn:
                     self.last_received_lsn = wal_end
                 continue
-            wal_start, wal_end, _send_ts = parse_xlogdata_header(f)
+            (wal_start,) = u64.unpack_from(f, 1)
             if wal_start > self.last_received_lsn:
                 self.last_received_lsn = wal_start
-            body = f[XLOGDATA_HEADER_LEN:]
-            self._dispatch(body, wal_start)
+            tag0 = f[XLOGDATA_HEADER_LEN]
+            if collect and tag0 in (73, 85, 68):          # I / U / D
+                dispatch_fast(f, wal_start, XLOGDATA_HEADER_LEN)
+            else:
+                self._dispatch(f[XLOGDATA_HEADER_LEN:], wal_start)
+
+    # -- DML fast path -----------------------------------------------------
+    # Insert/Update/Delete are ~90% of frames; parse their tuples straight
+    # into (values, unchanged) lists in ONE pass, skipping the codec's
+    # dataclass round-trip (TupleData tuples + message object + re-walk).
+    # Control messages still go through codec.parse_message.
+
+    @staticmethod
+    def _tuple_fast(buf: bytes, off: int):
+        (ncols,) = codec._u16.unpack_from(buf, off)
+        off += 2
+        vals: List[Optional[bytes]] = []
+        unch: List[bool] = []
+        vappend = vals.append
+        uappend = unch.append
+        u32 = codec._u32
+        for _ in range(ncols):
+            tag = buf[off]
+            off += 1
+            if tag == 116:                     # 't'
+                (ln,) = u32.unpack_from(buf, off)
+                off += 4
+                vappend(buf[off:off + ln])
+                off += ln
+                uappend(False)
+            elif tag == 110:                   # 'n'
+                vappend(None)
+                uappend(False)
+            elif tag == 117:                   # 'u' unchanged TOAST
+                vappend(None)
+                uappend(True)
+            elif tag == 98:                    # 'b' binary -> hex text form
+                (ln,) = u32.unpack_from(buf, off)
+                off += 4
+                vappend(b"\\x" + buf[off:off + ln].hex().encode())
+                off += ln
+                uappend(False)
+            else:
+                raise ValueError(f"bad tuple tag {tag!r}")
+        return vals, unch, off
+
+    def _dispatch_dml_fast(self, body: bytes, lsn: int,
+                           base: int = 0) -> bool:
+        """Returns True if handled (I/U/D of a known relation).  ``base``
+        lets the caller pass the whole frame without slicing the body."""
+        tag = body[base]
+        off = base + 1
+        stream_xid = None
+        if self.in_stream_xid is not None:
+            (stream_xid,) = codec._u32.unpack_from(body, off)
+            off += 4
+        (oid,) = codec._u32.unpack_from(body, off)
+        off += 4
+        if not self._known(oid):
+            return True                        # known-drop, handled
+        xid = stream_xid or self.tx_xid or 0
+        if tag == 73:                          # 'I'
+            vals, unch, _ = self._tuple_fast(body, off + 1)
+            row = self._mk_row(lsn, xid, "insert", oid, "", None, vals, unch)
+        elif tag == 85:                        # 'U'
+            marker = body[off]
+            bvals = None
+            kt = ""
+            if marker in (75, 79):             # 'K' | 'O'
+                kt = chr(marker)
+                bvals, _b, off2 = self._tuple_fast(body, off + 1)
+                off = off2
+                marker = body[off]
+            vals, unch, _ = self._tuple_fast(body, off + 1)
+            row = self._mk_row(lsn, xid, "update", oid, kt, bvals, vals, unch)
+        else:                                  # 'D'
+            kt = chr(body[off])
+            bvals, _b, _ = self._tuple_fast(body, off + 1)
+            row = self._mk_row(lsn, xid, "delete", oid, kt, bvals, None, None)
+        self._buffer(stream_xid, row)
+        return True
 
     def _dispatch(self, body: bytes, lsn: int) -> None:
+        if self.collect_dml and body[0] in (73, 85, 68):  # I / U / D
+            self._dispatch_dml_fast(body, lsn)
+            return
         in_stream = self.in_stream_xid is not None
         msg, stream_xid = codec.parse_message(body, in_stream=in_stream)
         t = type(msg)

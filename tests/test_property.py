@@ -143,3 +143,27 @@ def test_golden_xlogdata_bytes():
     b = encode_xlogdata(1, 2, 3, b"\xaa")
     assert b.hex() == "77" + "0000000000000001" + \
         "0000000000000002" + "0000000000000003" + "aa"
+
+
+@settings(max_examples=100, deadline=None)
+@given(op_strategy)
+def test_lww_output_is_key_sorted(ops):
+    """Ordering invariant the apply stage relies on (it skips the post-
+    resolve sort): winners come out already sorted by key."""
+    import pyarrow.compute as pc
+
+    n = len(ops)
+    t = pa.table({
+        "lsn": pa.array(range(1, n + 1), pa.int64()),
+        "op": pa.array([k for k, *_ in ops], pa.string()),
+        "conv_id": pa.array([f"c{c}" for _, c, *_ in ops], pa.string()),
+        "turn_idx": pa.array([t for _, _, t, *_ in ops], pa.int32()),
+        "text": pa.array([None if k == "delete" else x
+                          for (k, _, _, x, _) in ops], pa.string()),
+    })
+    for kt in (False, True):
+        out = lww_resolve(t, ["conv_id", "turn_idx", "text"],
+                          keep_tombstones=kt)
+        idx = pc.sort_indices(out, sort_keys=[("conv_id", "ascending"),
+                                              ("turn_idx", "ascending")])
+        assert idx.to_pylist() == list(range(out.num_rows))
