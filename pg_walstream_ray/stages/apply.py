@@ -49,7 +49,7 @@ from ..state.manifest import (
 
 KEY_COLS = ("conv_id", "turn_idx")
 CONTROL = ("source", "lsn", "commit_lsn", "commit_ts_us", "xid", "op",
-           "rel_version", "partition_id")
+           "rel_version", "partition_id", "_cast_errors")
 COMPACT_AT = 8     # fragment-chain length that triggers a full merge
 
 

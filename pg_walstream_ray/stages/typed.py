@@ -58,6 +58,7 @@ def _project_version_slice(t: pa.Table, rv: RelVersion,
 
     version_names = [c.name for c in rv.columns]
     false_arr = pa.array(np.zeros(n, dtype=bool))
+    err_count = np.zeros(n, dtype=np.int32)   # lenient dead-letter counter
     for fi, field in enumerate(unified):
         name = field.name
         if fi < len(rv.columns):
@@ -72,6 +73,9 @@ def _project_version_slice(t: pa.Table, rv: RelVersion,
             else:
                 u = pc.fill_null(u, False)
             typed, _err = cast_pg_text(vals, field.type, lenient=lenient)
+            if _err is not None:
+                err_count += np.asarray(pc.fill_null(_err, False)).astype(
+                    np.int32)
             if typed.type != field.type:
                 typed = pc.cast(typed, field.type)
             cols[name] = typed
@@ -81,6 +85,11 @@ def _project_version_slice(t: pa.Table, rv: RelVersion,
             # evolution rule)
             cols[name] = pa.nulls(n, field.type)
             cols[f"_unchanged_{name}"] = false_arr
+    if lenient:
+        # per-row count of fields that failed the typed cast — the
+        # FieldError-list analogue (deserializer.rs:617-691); rows with
+        # _cast_errors > 0 are the dead-letter set
+        cols["_cast_errors"] = pa.array(err_count)
     return pa.table(cols)
 
 

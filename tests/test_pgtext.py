@@ -81,3 +81,43 @@ def test_cast_dispatch():
     assert out.to_pylist() == [True]
     out, _ = pgtext.cast_pg_text(pa.array(["abc"]), pa.string())
     assert out.to_pylist() == ["abc"]
+
+
+def test_lenient_projection_dead_letter_column():
+    """Lenient typed projection surfaces a per-row _cast_errors count (the
+    FieldError-list analogue); strict mode raises on the same input."""
+    import pyarrow as pa
+    import pytest
+
+    from pg_walstream_ray.stages.decode import decode_frames
+    from pg_walstream_ray.stages.typed import project_envelope
+    from pg_walstream_ray.state.schema_registry import SchemaRegistry
+    from pg_walstream_ray.wire import codec
+    from pg_walstream_ray.wire.frames import encode_xlogdata
+
+    OID = 30001
+    rel = codec.Relation(OID, "public", "m", "d", [
+        codec.ColumnInfo(1, "k", 23, -1),
+        codec.ColumnInfo(0, "n", 23, -1),
+    ])
+
+    def f(lsn, msg):
+        return encode_xlogdata(lsn, lsn, 0, codec.encode_message(msg))
+
+    frames = [
+        f(1, codec.Begin(9, 0, 1)), f(2, rel),
+        f(3, codec.Insert(OID, [(b"t", b"1"), (b"t", b"42")])),
+        f(4, codec.Insert(OID, [(b"t", b"2"), (b"t", b"not_an_int")])),
+        f(9, codec.Commit(0, 9, 10, 0)),
+    ]
+    env = decode_frames(frames)
+    reg = SchemaRegistry()
+    reg.ingest_envelope(env)
+
+    typed = project_envelope(env, reg, OID, lenient=True)
+    rows = {r["k"]: r for r in typed.to_pylist()}
+    assert rows[1]["n"] == 42 and rows[1]["_cast_errors"] == 0
+    assert rows[2]["n"] is None and rows[2]["_cast_errors"] == 1
+
+    with pytest.raises(Exception):
+        project_envelope(env, reg, OID, lenient=False)
