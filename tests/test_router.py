@@ -112,3 +112,55 @@ def test_router_truncate_broadcast(ray_session):
     assert [(r["conv_id"], r["text"]) for r in snap_a] == [("c3", "after")]
     snap_b = lakemod.snapshot_table(lake_b, key_cols=("id",)).to_pylist()
     assert len(snap_b) == 1 and snap_b[0]["name"] == "keep"
+
+
+def test_rename_and_retype_evolution_end_to_end(ray_session):
+    """Mid-stream Relation diff renames a column and widens another; the
+    lake's unified schema keeps the NEWEST name (positional identity) and
+    the widest type, with pre-evolution rows preserved under them
+    (protocol.rs:1430-1483 diff -> SURVEY.md §1.4 merge rules)."""
+    OID = 20003
+    rel_v1 = codec.Relation(OID, "public", "ev", "d", [
+        codec.ColumnInfo(1, "k", 23, -1),          # int4 key
+        codec.ColumnInfo(0, "val", 23, -1),        # int4
+        codec.ColumnInfo(0, "tool", 25, -1),       # text
+    ])
+    rel_v2 = codec.Relation(OID, "public", "ev", "d", [
+        codec.ColumnInfo(1, "k", 23, -1),
+        codec.ColumnInfo(0, "val", 20, -1),        # retype -> int8
+        codec.ColumnInfo(0, "tool_name", 25, -1),  # rename
+    ])
+    frames = [
+        f(1, codec.Begin(20, 0, 1)),
+        f(2, rel_v1),
+        f(3, codec.Insert(OID, tup(1, 10, "a"))),
+        f(4, codec.Insert(OID, tup(2, 20, "b"))),
+        f(20, codec.Commit(0, 20, 21, 0)),
+        f(30, codec.Begin(50, 0, 2)),
+        f(31, rel_v2),
+        f(32, codec.Insert(OID, tup(3, 2**40, "c"))),      # needs int8
+        f(33, codec.Update(OID, b"K", tup(1, None, None),
+                           tup(1, 11, "a2"))),
+        f(50, codec.Commit(0, 50, 51, 0)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="evo_")
+    d = os.path.join(tmp, "shard=0000")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "lsn": pa.array(range(len(frames)), pa.int64()),
+        "frame": pa.array(frames, pa.binary()),
+    }), os.path.join(d, "wal.parquet"))
+
+    from pg_walstream_ray.pipelines.router import TableRoute, run_cdc_router
+
+    lake = tempfile.mkdtemp(prefix="evl_")
+    run_cdc_router(tmp, [TableRoute(OID, lake, 2)])
+    snap = lakemod.snapshot_table(lake, key_cols=("k",))
+    assert snap.schema.field("val").type == pa.int64()      # widened
+    assert "tool_name" in snap.column_names                 # renamed
+    assert "tool" not in snap.column_names
+    rows = {r["k"]: r for r in snap.to_pylist()}
+    assert rows[1]["val"] == 11 and rows[1]["tool_name"] == "a2"
+    assert rows[2]["val"] == 20 and rows[2]["tool_name"] == "b"  # v1 row,
+    #                                    preserved under the NEW names/types
+    assert rows[3]["val"] == 2**40 and rows[3]["tool_name"] == "c"
