@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_order_totals"] = analytics.customer_order_totals
     q["events_sessionize"] = analytics.sessionize_events
     q["events_hourly"] = analytics.hourly_event_stats
+    q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
+    q["q3_top_unshipped"] = analytics.q3_top_unshipped
+
+    # -- fused corpus-cleaning flagship ------------------------------------
+    from pg_walstream_ray.pipelines import corpus
+
+    q["corpus_clean"] = corpus.corpus_clean
 
     # -- training-data ops: dedup ------------------------------------------
     from pg_walstream_ray.pipelines import dedup, similarity, textops
@@ -335,6 +342,31 @@ def oracle_sql() -> dict[str, str]:
       FROM events GROUP BY 1
     """
 
+    sql["q6_forecast_revenue"] = """
+      SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06
+        AND l_quantity < 24
+    """
+
+    sql["q3_top_unshipped"] = """
+      SELECT l.l_orderkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-01'
+        AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, l.l_orderkey
+      LIMIT 10
+    """
+
     # -- training-data ops (md5 bridge: functions/hashing.py docstring) ----
     from pg_walstream_ray.functions.hashing import (H_PRIME,
                                                     minhash_params_sql)
@@ -501,6 +533,54 @@ def oracle_sql() -> dict[str, str]:
              END AS pred_lang,
              hits_en, hits_de, hits_es, hits_fr
       FROM hits
+    """
+
+    from pg_walstream_ray.pipelines.corpus import KEEP_LANG, QUALITY_MIN_Q
+
+    _pred_lang_case = """CASE
+               WHEN hits_en >= hits_de AND hits_en >= hits_es
+                    AND hits_en >= hits_fr THEN 'en'
+               WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+               WHEN hits_es >= hits_fr THEN 'es'
+               ELSE 'fr'
+             END"""
+
+    # fused corpus cleaning: quality + lang filters then exact dedup
+    # (keeper = min doc_id per content hash of the FILTERED set)
+    sql["corpus_clean"] = f"""
+      WITH b AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), hits AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM w GROUP BY doc_id
+      ), q AS (
+        SELECT b.doc_id, b.text, b.n_tokens,
+               FLOOR((0.4 * LEAST(1.0, b.n_tokens / 100.0)
+                      + 0.3 * (b.n_distinct::DOUBLE / b.n_tokens)
+                      + 0.3 * LEAST(1.0,
+                              (b.n_chars::DOUBLE / b.n_tokens) / 8.0))
+                     * 10000)::BIGINT AS quality_q,
+               {_pred_lang_case} AS pred_lang
+        FROM b JOIN hits USING (doc_id)
+      ), f AS (
+        SELECT * FROM q
+        WHERE quality_q >= {QUALITY_MIN_Q} AND pred_lang = '{KEEP_LANG}'
+      ), ranked AS (
+        SELECT doc_id, n_tokens, quality_q,
+               ROW_NUMBER() OVER (
+                 PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+                 ORDER BY doc_id) AS rn
+        FROM f
+      )
+      SELECT doc_id, n_tokens, quality_q FROM ranked WHERE rn = 1
     """
 
     sql["doc_fingerprint"] = """

@@ -188,3 +188,95 @@ def hourly_event_stats(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped filtered aggregate: predicate applied per batch on
+    pruned columns, partial sums, one global reduce. Returns one row."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.and_(
+                        pc.greater_equal(t["l_discount"], 0.04),
+                        pc.less_equal(t["l_discount"], 0.06)),
+                        pc.less(t["l_quantity"], 24.0)))
+        f = t.filter(m)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({"rev": pa.array([rev.as_py() or 0.0])})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("rev")
+    return pa.table({"revenue": _round(np.array([total]), 2)})
+
+
+def q3_top_unshipped(sf_dir: str):
+    """TPC-H Q3-shaped: 3-table join (small sides broadcast), grouped
+    revenue, global sort + limit (the engine's top-k surface).
+    Output: (l_orderkey, revenue, o_orderdate, o_orderpriority)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1997-06-01", "us")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    bld_np = bld.to_numpy(zero_copy_only=False)
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                    "o_orderpriority"])
+    om = pc.and_(pc.less(orders["o_orderdate"], pa.scalar(cutoff)),
+                 pc.is_in(orders["o_custkey"], value_set=bld))
+    orders = orders.filter(om)
+    # broadcast the filtered order dimension (small side; at 100TB this
+    # becomes a hash join on o_orderkey instead)
+    ord_ref = ray.put({
+        int(k): (d, p) for k, d, p in zip(
+            orders["o_orderkey"].to_pylist(),
+            orders["o_orderdate"].to_pylist(),
+            orders["o_orderpriority"].to_pylist())})
+    okeys = orders["o_orderkey"]
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["l_shipdate"], pa.scalar(cutoff)),
+                    pc.is_in(t["l_orderkey"], value_set=okeys))
+        f = t.filter(m)
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        g = f.append_column("rev", rev).group_by("l_orderkey") \
+            .aggregate([("rev", "sum")])
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="rev"))
+
+    class Attach:
+        def __init__(self, ref):
+            self.orders = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_pylist()
+            dates = [self.orders[k][0] for k in keys]
+            prios = [self.orders[k][1] for k in keys]
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "revenue": _round(t["rev"], 2),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(prios, pa.string()),
+            })
+
+    out = agg.map_batches(Attach, fn_constructor_kwargs={"ref": ord_ref},
+                          batch_format="pyarrow", concurrency=2)
+    # deterministic top-10: rounded revenue desc, orderkey asc (same keys
+    # in the oracle's ORDER BY)
+    return out.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
