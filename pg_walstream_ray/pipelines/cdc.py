@@ -82,12 +82,55 @@ def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
     return reg
 
 
+def probe_hot_keys(shard_paths: Sequence[str], registry: SchemaRegistry,
+                   oid: int, frames_per_shard: int = 8192,
+                   threshold_frac: float = 0.2) -> tuple:
+    """Skew probe (SURVEY.md §4): decode a PREFIX of each shard and count
+    key frequencies; keys above ``threshold_frac`` of sampled DML are hot.
+    Driver-side and bounded — the sample is a few thousand frames per
+    shard, not a pipeline pass.  The result must be pinned into the lake
+    config BEFORE the first window so reruns partition identically."""
+    import pyarrow.parquet as pq
+
+    rv = registry.latest(oid)
+    if rv is None:
+        return ()
+    names = [c.name for c in rv.columns]
+    key_i = names.index(rv.key_columns[0]) if rv.key_columns else 0
+    counts: dict = {}
+    total = 0
+    for p in shard_paths:
+        dec = PgOutputDecoder(source=DecodeShard.source_of(p))
+        pf = pq.ParquetFile(p)
+        fed = 0
+        for rg in range(pf.num_row_groups):
+            frames = pf.read_row_group(rg, columns=["frame"])["frame"]
+            dec.feed_frames(frames.to_pylist())
+            fed += len(frames)
+            if fed >= frames_per_shard:
+                break
+        b = dec.take_batch()
+        if b is None:
+            continue
+        t = pa.Table.from_batches([b])
+        t = t.filter(pa.compute.equal(t["rel_oid"], oid))
+        for vals in t["after_values"].to_pylist():
+            if vals is not None and key_i < len(vals) and vals[key_i]:
+                counts[vals[key_i]] = counts.get(vals[key_i], 0) + 1
+                total += 1
+    if not total:
+        return ()
+    return tuple(sorted(k for k, c in counts.items()
+                        if c / total >= threshold_frac))
+
+
 def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
             stop_at_lsn: Optional[int] = None,
             hot_keys: Optional[Iterable[str]] = None, salt: int = 8,
             oid: int = TRANSCRIPTS_OID,
             decode_concurrency: Optional[int] = None,
-            project_concurrency: Optional[int] = None) -> dict:
+            project_concurrency: Optional[int] = None,
+            auto_detect_hot_keys: bool = False) -> dict:
     """Replay the WAL lake into the transcript lake. Returns run metrics.
 
     Safe to re-run (exactly-once); safe to kill at any point and re-run.
@@ -104,6 +147,9 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     cfg = read_lake_config(lake_dir)
     if cfg is None:
         hot = tuple(sorted(hot_keys)) if hot_keys else ()
+        if not hot and auto_detect_hot_keys:
+            hot = probe_hot_keys(shard_paths,
+                                 build_registry(wal_dir, shard_paths), oid)
         write_lake_config(lake_dir, num_partitions, hot, salt)
         cfg = read_lake_config(lake_dir)
     else:

@@ -121,3 +121,23 @@ class TestScenarios:
         run_cdc(wal, lk, num_partitions=4)
         with pytest.raises(ValueError):
             run_cdc(wal, lk, num_partitions=8)
+
+    def test_auto_hot_key_detection(self):
+        """auto_detect_hot_keys probes the WAL prefix, pins the detected
+        keys in the lake config, and the salted run still matches the
+        oracle."""
+        import tempfile
+
+        from pg_walstream_ray.lake import read_lake_config
+
+        from .helpers import assert_lake_matches, make_wal, oracle_df
+
+        spec = walgen.WalSpec(n_convs=12, turns_per_conv=8, update_frac=2.0,
+                              hot_conv_frac=0.7, n_shards=1)
+        wal = make_wal(spec)
+        lk = tempfile.mkdtemp(prefix="auto_hot_")
+        run_cdc(wal, lk, num_partitions=4, auto_detect_hot_keys=True)
+        cfg = read_lake_config(lk)
+        assert cfg["hot_keys"], "no hot key detected despite 70% skew"
+        assert "conv0" in cfg["hot_keys"]
+        assert_lake_matches(lk, oracle_df(spec))
