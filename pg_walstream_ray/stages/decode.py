@@ -182,6 +182,7 @@ class PgOutputDecoder:
         self.source = source
         self.relations: Dict[int, codec.Relation] = {}
         self.rel_versions: Dict[int, int] = {}
+        self._relmeta: Dict[int, tuple] = {}   # oid -> (version, ns, name)
         self._next_version = 1
         self.tx_buf: List[tuple] = []          # current plain transaction
         self.tx_xid: Optional[int] = None
@@ -203,11 +204,9 @@ class PgOutputDecoder:
     def _mk_row(self, lsn: int, xid: int, op: str, rel_oid: int = 0,
                 key_type: str = "", before=None, after=None,
                 unchanged=None, meta: Optional[str] = None) -> tuple:
-        rel = self.relations.get(rel_oid)
-        return (lsn, xid, op, rel_oid,
-                self.rel_versions.get(rel_oid, 0),
-                rel.namespace if rel else "",
-                rel.name if rel else "",
+        # (version, namespace, name) cached per oid — one dict hit per row
+        ver, ns, name = self._relmeta.get(rel_oid, (0, "", ""))
+        return (lsn, xid, op, rel_oid, ver, ns, name,
                 key_type, before, after, unchanged, meta)
 
     def _release_tx(self, rows: List[tuple], commit_lsn: int,
@@ -388,6 +387,7 @@ class PgOutputDecoder:
                 self.relations[msg.oid] = msg
                 version = self._next_version
                 self.rel_versions[msg.oid] = version
+                self._relmeta[msg.oid] = (version, msg.namespace, msg.name)
                 self._next_version += 1
                 if self.emit_control_rows:
                     # schema-change events release immediately (not tx-buffered):
