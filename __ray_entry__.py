@@ -129,8 +129,10 @@ def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
 
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
-    into a transcript lake; returns the final table."""
-    return _cdc_run("/root/testdata/sf0.001", "upsert", n_shards=2)
+    into a transcript lake; returns the final table (pandas per the driver
+    contract: entry() -> Dataset | DataFrame)."""
+    return _cdc_run("/root/testdata/sf0.001", "upsert",
+                    n_shards=2).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -185,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_near_dup"] = lambda sf: similarity.embedding_near_dup(sf) \
         .select_columns(["vec_a", "vec_b"])
     q["ann_lsh_topk"] = lambda sf: similarity.ann_lsh_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
+    q["ann_ivf_topk"] = lambda sf: similarity.ann_ivf_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
 
     # -- text analysis -----------------------------------------------------

@@ -246,3 +246,18 @@ def test_lang_id_stopword_hits(ray_session):
     df = lang_id(d).to_pandas().sort_values("doc_id")
     assert df["pred_lang"].tolist() == ["en", "de", "en"]   # tie -> order
     assert df["hits_en"].tolist()[0] >= 4
+
+
+def test_ann_ivf_recall(ray_session):
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       ann_ivf_topk)
+
+    brute = ann_brute_topk(SF).to_pandas()
+    ivf = ann_ivf_topk(SF).to_pandas()
+    gt = {q: set(g["neighbor_id"]) for q, g in brute.groupby("query_id")}
+    got = {q: set(g["neighbor_id"]) for q, g in ivf.groupby("query_id")}
+    recall = np.mean([len(gt[q] & got.get(q, set())) / len(gt[q])
+                      for q in gt])
+    assert recall >= 0.5, recall
+    # each vector lives in exactly one inverted list -> no dup candidates
+    assert not ivf.duplicated(["query_id", "neighbor_id"]).any()
