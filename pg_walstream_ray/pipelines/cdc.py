@@ -49,10 +49,17 @@ from ..lake import read_lake_config, write_lake_config
 
 
 def discover_shards(wal_dir: str) -> list:
-    paths = sorted(glob.glob(os.path.join(wal_dir, "shard=*", "wal.parquet")))
-    if not paths:
+    """Per shard: the ORDERED list of segment files (single-file shards
+    yield a one-element list).  Segments are the WAL-archive unit: resume
+    prunes fully-applied ones via footer LSN stats without decoding."""
+    out = []
+    for d in sorted(glob.glob(os.path.join(wal_dir, "shard=*"))):
+        segs = sorted(glob.glob(os.path.join(d, "wal*.parquet")))
+        if segs:
+            out.append(segs)
+    if not out:
         raise FileNotFoundError(f"no WAL shards under {wal_dir}")
-    return paths
+    return out
 
 
 def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
@@ -61,21 +68,22 @@ def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
     self-describing via Relation messages, protocol.rs:1871-1879)."""
     reg = SchemaRegistry()
     missing = []
-    for p in shard_paths:
-        sidecar = os.path.join(os.path.dirname(p), "relations.json")
+    for segs in shard_paths:
+        sidecar = os.path.join(os.path.dirname(segs[0]), "relations.json")
         if os.path.exists(sidecar):
             with open(sidecar) as f:
                 reg.ingest_relation_rows(json.load(f))
         else:
-            missing.append(p)
-    for p in missing:
+            missing.append(segs)
+    for segs in missing:
         import pyarrow.parquet as pq
 
         dec = PgOutputDecoder(collect_dml=False)
-        pf = pq.ParquetFile(p)
-        for rg in range(pf.num_row_groups):
-            dec.feed_frames(pf.read_row_group(rg, columns=["frame"])
-                            ["frame"].to_pylist())
+        for p in segs:
+            pf = pq.ParquetFile(p)
+            for rg in range(pf.num_row_groups):
+                dec.feed_frames(pf.read_row_group(rg, columns=["frame"])
+                                ["frame"].to_pylist())
         b = dec.take_batch()
         if b is not None:
             reg.ingest_envelope(pa.Table.from_batches([b]))
@@ -99,7 +107,8 @@ def probe_hot_keys(shard_paths: Sequence[str], registry: SchemaRegistry,
     key_i = names.index(rv.key_columns[0]) if rv.key_columns else 0
     counts: dict = {}
     total = 0
-    for p in shard_paths:
+    for segs in shard_paths:
+        p = segs[0]                       # prefix sample: first segment
         dec = PgOutputDecoder(source=DecodeShard.source_of(p))
         pf = pq.ParquetFile(p)
         fed = 0
@@ -171,14 +180,21 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     dec_c = decode_concurrency or max(1, min(n_shards, ncpu // 2))
     prj_c = project_concurrency or max(2, ncpu // 4)
 
-    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+    # resume pruning: a segment whose footer max(lsn) <= every partition's
+    # applied mark for its source is skipped without decoding.  Conservative
+    # by construction (min over ALL partitions, missing manifests count -1).
+    prune = {int(s): lsn
+             for s, lsn in global_watermark(lake_dir, num_partitions).items()
+             if lsn >= 0}
+
+    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=n_shards)
     # FIXED pool sizes, not autoscaling ranges: under CPU scarcity Ray's
     # autoscaling policy keeps the pool near its minimum (measured: decode
     # stuck at ~1 actor on an 8-CPU cluster -> 4x wall), while a fixed pool
     # at ncpu//2 pipelines cleanly with the downstream stages.
     env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
-        "stop_at_lsn": stop_at_lsn},
+        "stop_at_lsn": stop_at_lsn, "prune_below": prune},
         batch_size=None, batch_format="pyarrow", concurrency=dec_c,
         num_cpus=1, max_task_retries=-1)
     typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
@@ -195,6 +211,32 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     summaries = routed.groupby("partition_id").map_groups(
         apply_fn, batch_format="pyarrow")
     sdf = summaries.to_pandas()   # one row per touched partition — tiny
+
+    # Watermark advancement barrier (the consumer-side "ack up to the last
+    # contiguous applied commit", main.rs:190-206): the pipeline completed,
+    # so EVERY partition has seen its full slice of the released stream —
+    # each may ack the stream's per-source end, not just its own last row.
+    # Without this, a partition whose keys went quiet early drags the
+    # global watermark (and segment pruning) arbitrarily far behind.
+    if len(sdf) and "applied_json" in sdf.columns:
+        stream_end: dict = {}
+        for j in sdf["applied_json"]:
+            for s, lsn in json.loads(j).items():
+                si = int(s)
+                stream_end[si] = max(stream_end.get(si, -1), int(lsn))
+        if stream_end:
+            from ..state.manifest import read_manifest, write_manifest_atomic
+
+            for pid in range(num_partitions):
+                mm = read_manifest(lake_dir, pid)
+                changed = False
+                for s, lsn in stream_end.items():
+                    k = str(s)
+                    if mm.applied_lsns.get(k, -1) < lsn:
+                        mm.applied_lsns[k] = lsn
+                        changed = True
+                if changed:
+                    write_manifest_atomic(lake_dir, mm)
 
     wall = time.time() - t0
     rows_applied = int(sdf["rows_applied"].sum()) if len(sdf) else 0

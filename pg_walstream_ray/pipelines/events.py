@@ -35,15 +35,16 @@ def raw_frames_dataset(wal_dir: str):
     def load(batch: pa.Table):
         import pyarrow.parquet as pq
 
-        for path in batch["wal_path"].to_pylist():
-            src = DecodeShard.source_of(path)
-            pf = pq.ParquetFile(path)
-            for rg in range(pf.num_row_groups):
-                t = pf.read_row_group(rg)
-                yield t.append_column("source", pa.array(
-                    [src] * t.num_rows, pa.int32()))
+        for segs in batch["wal_paths"].to_pylist():
+            src = DecodeShard.source_of(segs[0])
+            for path in segs:
+                pf = pq.ParquetFile(path)
+                for rg in range(pf.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    yield t.append_column("source", pa.array(
+                        [src] * t.num_rows, pa.int32()))
 
-    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
     return ds.map_batches(load, batch_size=1, batch_format="pyarrow")
 
@@ -58,7 +59,7 @@ def envelope_dataset(wal_dir: str, stop_at_lsn: Optional[int] = None,
     shard_paths = discover_shards(wal_dir)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     c = concurrency or max(1, min(len(shard_paths), ncpu // 2))
-    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
     return ds.map_batches(DecodeShard, fn_constructor_kwargs={
         "stop_at_lsn": stop_at_lsn},

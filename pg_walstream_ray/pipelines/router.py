@@ -180,7 +180,7 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     dec_c = max(1, min(len(shard_paths), ncpu // 2))
 
-    ds = rd.from_items([{"wal_path": p} for p in shard_paths],
+    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
     env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
         "stop_at_lsn": stop_at_lsn},

@@ -85,6 +85,8 @@ class WalSpec:
     schema_change_at_frac: Optional[float] = None  # switch to rel v2 here
     uncommitted_tail: bool = False  # leave the last tx without a Commit
     keepalive_every: int = 256     # interleave a keepalive frame every N frames
+    segment_rows: Optional[int] = None  # logical rows per WAL segment file
+                                   # (tx-aligned; Relation re-sent per segment)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))
@@ -351,7 +353,8 @@ def _key_tuple_for(row, version: int) -> codec.TupleData:
     return tup
 
 
-def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int) -> pa.Table:
+def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
+                        segment_rows: Optional[int] = None):
     """Encode one shard's logical ops into framed pgoutput bytes.
 
     Emits, per transaction: Begin .. DML .. Commit — or, for streamed txs,
@@ -360,12 +363,20 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int) -> pa.Tabl
     message precedes the first DML of each relation version
     (protocol.rs:1871-1879: "Relation precedes the first data row").
     Keepalives are interleaved every ``spec.keepalive_every`` frames.
+
+    With ``segment_rows``, transaction-aligned segment break indices are
+    also returned and Relation messages are RE-SENT at the start of every
+    segment (exactly PostgreSQL's reconnect behavior) — each segment is
+    self-describing, which is what makes segment-level resume pruning
+    safe.  Returns ``frames_table`` or ``(frames_table, seg_breaks)``.
     """
     rows = logical.to_pylist()
     frames_lsn: List[int] = []
     frames: List[bytes] = []
     sent_versions = set()
     ka = spec.keepalive_every
+    seg_breaks: List[int] = []
+    rows_in_segment = 0
 
     def emit(lsn: int, msg_bytes: bytes) -> None:
         ts = unix_us_to_pg_ts(BASE_TS_US + lsn)
@@ -378,6 +389,10 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int) -> pa.Tabl
     i = 0
     n = len(rows)
     while i < n:
+        if segment_rows and rows_in_segment >= segment_rows:
+            seg_breaks.append(len(frames))
+            sent_versions.clear()     # Relation re-send in the new segment
+            rows_in_segment = 0
         xid = rows[i]["xid"]
         j = i
         while j < n and rows[j]["xid"] == xid:
@@ -434,26 +449,53 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int) -> pa.Tabl
         elif first["committed"]:
             emit(commit_lsn, codec.encode_message(
                 codec.Commit(0, commit_lsn, end_lsn, commit_ts)))
+        rows_in_segment += len(tx)
 
-    return pa.table({
+    tab = pa.table({
         "lsn": pa.array(frames_lsn, pa.int64()),
         "frame": pa.array(frames, pa.binary()),
     })
+    if segment_rows is not None:
+        return tab, seg_breaks
+    return tab
 
 
 def write_logical_shard(logical: pa.Table, spec: WalSpec, shard: int,
-                        out_dir: str) -> dict:
+                        out_dir: str,
+                        segment_frames: Optional[int] = None) -> dict:
     """Encode + write one shard of an arbitrary logical change table
-    (LOGICAL_SCHEMA): ``out_dir/shard=NNNN/wal.parquet`` + schema sidecar."""
+    (LOGICAL_SCHEMA): ``out_dir/shard=NNNN/wal.parquet`` + schema sidecar.
+
+    With ``segment_frames`` the stream is split into ordered segment files
+    ``wal-0000.parquet, wal-0001.parquet, ...`` — the WAL-archive layout
+    that lets resume prune fully-applied segments via footer LSN stats
+    without decoding them (pipelines/cdc.py).
+    """
     import os
     import pyarrow.parquet as pq
 
-    frames = encode_shard_frames(logical, spec, shard)
+    segment_frames = segment_frames or spec.segment_rows
     d = os.path.join(out_dir, f"shard={shard:04d}")
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, ".wal.parquet.tmp")
-    pq.write_table(frames, tmp, compression="zstd")
-    os.replace(tmp, os.path.join(d, "wal.parquet"))
+    if segment_frames:
+        # segment_frames is interpreted as LOGICAL ROWS per segment; breaks
+        # are tx-aligned and every segment re-sends Relation messages
+        frames, breaks = encode_shard_frames(logical, spec, shard,
+                                             segment_rows=segment_frames)
+        bounds = [0, *breaks, frames.num_rows]
+        for seg, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if hi <= lo:
+                continue
+            part = frames.slice(lo, hi - lo)
+            name = f"wal-{seg:04d}.parquet"
+            tmp = os.path.join(d, f".{name}.tmp")
+            pq.write_table(part, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(d, name))
+    else:
+        frames = encode_shard_frames(logical, spec, shard)
+        tmp = os.path.join(d, ".wal.parquet.tmp")
+        pq.write_table(frames, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, "wal.parquet"))
 
     # sidecar schema registry (fast path for the pipeline's pre-scan; the
     # stream itself stays self-describing via Relation messages)

@@ -258,7 +258,8 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
     if window.num_rows == 0:
         return {"partition_id": pid, "applied_lsn": max(
             m.applied_lsns.values(), default=-1),
-            "rows_applied": 0, "row_count": m.row_count, "skipped": True}
+            "rows_applied": 0, "row_count": m.row_count,
+            "applied_json": "{}", "skipped": True}
 
     payload = payload_columns(window.schema)
     is_trunc = pc.equal(window["op"], "truncate")
@@ -339,9 +340,12 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
             os.remove(os.path.join(pdir, dead))
         except OSError:
             pass
+    import json as _json
+
     return {"partition_id": pid,
             "applied_lsn": max(m.applied_lsns.values(), default=-1),
             "rows_applied": dml.num_rows, "row_count": row_count,
+            "applied_json": _json.dumps(per_source),
             "skipped": False}
 
 

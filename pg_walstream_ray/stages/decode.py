@@ -199,6 +199,26 @@ class PgOutputDecoder:
         self.emit_control_rows = emit_control_rows
         self._released: List[tuple] = []
 
+    def seed_relations(self, metas: List[str]) -> None:
+        """Pre-load the relation cache from registry metadata (the JSON
+        form of relation_to_meta).  Needed when replay starts past the
+        segment that carried the Relation frames (segment pruning): the
+        stream is self-describing, but a pruned prefix isn't re-read."""
+        max_ver = 0
+        for m in metas:
+            d = json.loads(m)
+            cols = [codec.ColumnInfo(
+                (1 if c["is_key"] else 0), c["name"], c["type_oid"],
+                c["type_modifier"]) for c in d["columns"]]
+            rel = codec.Relation(d["oid"], d["namespace"], d["name"],
+                                 d["replica_identity"], cols)
+            ver = int(d["version"])
+            self.relations[d["oid"]] = rel
+            self.rel_versions[d["oid"]] = ver
+            self._relmeta[d["oid"]] = (ver, d["namespace"], d["name"])
+            max_ver = max(max_ver, ver)
+        self._next_version = max(self._next_version, max_ver + 1)
+
     # -- row assembly ------------------------------------------------------
 
     def _mk_row(self, lsn: int, xid: int, op: str, rel_oid: int = 0,
@@ -528,38 +548,76 @@ class DecodeShard:
     """
 
     def __init__(self, stop_at_lsn: Optional[int] = None,
-                 out_batch_rows: int = 16384):
+                 out_batch_rows: int = 16384,
+                 prune_below: Optional[Dict[int, int]] = None,
+                 relation_metas: Optional[List[str]] = None):
         self.stop_at_lsn = stop_at_lsn
         self.out_batch_rows = out_batch_rows
+        # prune_below[source] = commit LSN below-or-at which every
+        # partition has durably applied — segments whose footer max(lsn)
+        # is <= it are skipped WITHOUT decoding (resume must not re-read
+        # 10^10 already-applied events).  Requires relation_metas so the
+        # relation cache survives a pruned prefix.
+        self.prune_below = prune_below or {}
+        self.relation_metas = relation_metas or []
+        self.segments_pruned = 0
 
     @staticmethod
     def source_of(path: str) -> int:
-        """shard id from .../shard=NNNN/wal.parquet path."""
+        """shard id from .../shard=NNNN/wal*.parquet path."""
         import re
 
         m = re.search(r"shard=(\d+)", path)
         return int(m.group(1)) if m else 0
 
+    @staticmethod
+    def _segment_max_lsn(pf) -> Optional[int]:
+        """max(lsn) from parquet footer stats (no data read)."""
+        md = pf.metadata
+        idx = pf.schema_arrow.get_field_index("lsn")
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+        return mx
+
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         import pyarrow.parquet as pq
 
-        for path in batch["wal_path"].to_pylist():
+        col = "wal_paths" if "wal_paths" in batch.column_names else "wal_path"
+        for entry in batch[col].to_pylist():
+            segments = entry if isinstance(entry, list) else [entry]
+            source = self.source_of(segments[0])
             dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
-                                  source=self.source_of(path))
-            pf = pq.ParquetFile(path)
+                                  source=source)
+            if self.relation_metas:
+                dec.seed_relations(self.relation_metas)
+            wm = self.prune_below.get(source, -1)
             pending: List[pa.RecordBatch] = []
             pending_rows = 0
-            for rg in range(pf.num_row_groups):
-                frames = pf.read_row_group(rg, columns=["frame"])["frame"]
-                dec.feed_frames(frames.to_pylist())
-                out = dec.take_batch()
-                if out is not None:
-                    pending.append(out)
-                    pending_rows += out.num_rows
-                if pending_rows >= self.out_batch_rows:
-                    yield pa.Table.from_batches(pending, schema=ENVELOPE_SCHEMA)
-                    pending, pending_rows = [], 0
+            for path in segments:
                 if dec.stopped:
                     break
+                pf = pq.ParquetFile(path)
+                if wm >= 0:
+                    mx = self._segment_max_lsn(pf)
+                    if mx is not None and mx <= wm:
+                        self.segments_pruned += 1
+                        continue          # fully applied everywhere: skip
+                for rg in range(pf.num_row_groups):
+                    frames = pf.read_row_group(rg, columns=["frame"])["frame"]
+                    dec.feed_frames(frames.to_pylist())
+                    out = dec.take_batch()
+                    if out is not None:
+                        pending.append(out)
+                        pending_rows += out.num_rows
+                    if pending_rows >= self.out_batch_rows:
+                        yield pa.Table.from_batches(pending,
+                                                    schema=ENVELOPE_SCHEMA)
+                        pending, pending_rows = [], 0
+                    if dec.stopped:
+                        break
             if pending:
                 yield pa.Table.from_batches(pending, schema=ENVELOPE_SCHEMA)

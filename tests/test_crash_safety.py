@@ -143,3 +143,41 @@ def test_incremental_windows_delta_chain_and_compaction(ray_session):
     for m in ms.values():
         assert len(m.fragments) <= COMPACT_AT
     assert_lake_matches(lk, oracle_df(spec))
+
+
+def test_segmented_wal_resume_prunes_applied_segments(ray_session):
+    """Segmented WAL (Relation re-sent per segment): partial replay then
+    full replay matches the oracle; a fully-applied resume decodes ZERO
+    rows because every segment's footer max(lsn) is under the watermark."""
+    import pyarrow as pa
+
+    from pg_walstream_ray.lake import read_lake_config
+    from pg_walstream_ray.pipelines.cdc import discover_shards
+    from pg_walstream_ray.stages.decode import DecodeShard
+    from pg_walstream_ray.state.manifest import global_watermark
+
+    spec = walgen.WalSpec(n_convs=40, turns_per_conv=6, update_frac=0.5,
+                          delete_frac=0.1, tx_rows=10, n_shards=2,
+                          segment_rows=60,
+                          schema_change_at_frac=0.5)   # evolution crosses
+    #                                                    segment boundaries
+    wal = make_wal(spec)
+    segs = discover_shards(wal)
+    assert all(len(s) > 2 for s in segs), "WAL was not segmented"
+
+    lk = tempfile.mkdtemp(prefix="seg_")
+    cut = walgen.shard_lsn_base(0) + 700
+    run_cdc(wal, lk, num_partitions=4, stop_at_lsn=cut)
+    run_cdc(wal, lk, num_partitions=4)
+    assert_lake_matches(lk, oracle_df(spec))
+
+    # fully-applied resume: with the final watermark every segment prunes
+    wm = {int(s): lsn for s, lsn in global_watermark(lk, 4).items()}
+    assert all(lsn > 0 for lsn in wm.values())
+    dec = DecodeShard(prune_below=wm)
+    rows = 0
+    for shard_segs in segs:
+        for out in dec(pa.table({"wal_paths": [shard_segs]})):
+            rows += out.num_rows
+    assert rows == 0, f"resume decoded {rows} rows; pruning failed"
+    assert dec.segments_pruned == sum(len(s) for s in segs)
