@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     w = sub.add_parser("watermark", help="print per-source applied watermarks")
     w.add_argument("--lake", required=True)
 
+    c = sub.add_parser("compact", help="merge every partition's fragment "
+                                       "chain to one base fragment")
+    c.add_argument("--lake", required=True)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -80,6 +84,10 @@ def main(argv=None) -> int:
 
             print(json.dumps({"per_source": global_watermark(args.lake),
                               "min": min_watermark(args.lake)}))
+        elif args.cmd == "compact":
+            from .lake import compact_lake
+
+            print(json.dumps(compact_lake(args.lake)))
     finally:
         if owns_session:          # never tear down a caller-owned session
             ray.shutdown()

@@ -221,6 +221,47 @@ def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
             "rows": int(summary["rows"].sum()) if len(summary) else 0}
 
 
+def compact_lake(lake_dir: str,
+                 key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")) -> dict:
+    """Force a full merge of every partition's fragment chain to a single
+    base fragment (plus tmp/orphan GC).  Normally compaction happens
+    inline at COMPACT_AT; this is the explicit maintenance entry."""
+    import uuid as _uuid
+
+    from .stages.apply import merged_partition_state
+    from .state.manifest import read_manifest, write_manifest_atomic
+
+    merged_parts = 0
+    for pid, paths in live_fragments(lake_dir):
+        m = read_manifest(lake_dir, pid)
+        if len(m.fragments) <= 1:
+            compact_partition(lake_dir, pid)
+            continue
+        d = partition_dir(lake_dir, pid)
+        state = merged_partition_state(d, m.fragments, key_cols=key_cols)
+        state = state.take(pc.sort_indices(
+            state, sort_keys=[(c, "ascending") for c in key_cols]))
+        frag = f"fragment-{m.epoch + 1:06d}-compact.parquet"
+        tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
+        pq.write_table(state, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, frag))
+        old = list(m.fragments)
+        m.fragments = [frag]
+        m.row_count = state.num_rows
+        m.epoch += 1
+        m.lineage.append({"epoch": m.epoch, "compacted": True,
+                          "rows_applied": 0})
+        write_manifest_atomic(lake_dir, m)
+        for dead in old:
+            try:
+                os.remove(os.path.join(d, dead))
+            except OSError:
+                pass
+        merged_parts += 1
+        compact_partition(lake_dir, pid)
+    return {"partitions_compacted": merged_parts}
+
+
 def compact_partition(lake_dir: str, pid: int) -> None:
     """GC stray tmp/dead fragment files not referenced by the manifest."""
     from .state.manifest import read_manifest

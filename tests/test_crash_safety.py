@@ -181,3 +181,24 @@ def test_segmented_wal_resume_prunes_applied_segments(ray_session):
             rows += out.num_rows
     assert rows == 0, f"resume decoded {rows} rows; pruning failed"
     assert dec.segments_pruned == sum(len(s) for s in segs)
+
+
+def test_explicit_compaction_preserves_state(ray_session):
+    """compact_lake collapses every fragment chain to one base; snapshot
+    (and oracle equality) unchanged."""
+    from pg_walstream_ray.lake import compact_lake
+
+    spec = walgen.WalSpec(n_convs=30, turns_per_conv=5, update_frac=0.6,
+                          delete_frac=0.2, tx_rows=10, n_shards=1)
+    wal = make_wal(spec)
+    lk = tempfile.mkdtemp(prefix="cmp_")
+    logical = walgen.shard_logical_changes(spec, 0)
+    lsn = logical["lsn"].to_numpy(zero_copy_only=False)
+    for frac in (0.3, 0.6):
+        run_cdc(wal, lk, num_partitions=2,
+                stop_at_lsn=int(lsn[int(len(lsn) * frac)]))
+    run_cdc(wal, lk, num_partitions=2)
+    assert any(len(m.fragments) > 1 for m in all_manifests(lk).values())
+    compact_lake(lk)
+    assert all(len(m.fragments) == 1 for m in all_manifests(lk).values())
+    assert_lake_matches(lk, oracle_df(spec))
