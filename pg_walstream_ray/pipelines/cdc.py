@@ -187,8 +187,34 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
              for s, lsn in global_watermark(lake_dir, num_partitions).items()
              if lsn >= 0}
 
-    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
-                       override_num_blocks=n_shards)
+    # SEGMENT-parallel decode: segments written by write_logical_shard are
+    # transaction-closed and self-describing (Relation re-sent per segment
+    # — PostgreSQL reconnect semantics), so each can be decoded by an
+    # independent state machine.  This removes the per-shard serial decode
+    # bottleneck: a 1.5 TB shard is no longer one sequential scan.  Apply
+    # is order-insensitive (per-key LWW by lsn), so cross-segment decode
+    # order does not matter.  Single-file shards degrade to one item.
+    #
+    # Bounded replay composes with this: the crossing transaction lives in
+    # the FIRST segment whose last commit end (footer max lsn + 1) reaches
+    # the target; later segments are dropped up front — otherwise each
+    # would independently deliver its own "first crossing tx".
+    if stop_at_lsn is not None:
+        import pyarrow.parquet as pq
+
+        bounded = []
+        for segs in shard_paths:
+            kept = []
+            for p in segs:
+                kept.append(p)
+                mx = DecodeShard._segment_max_lsn(pq.ParquetFile(p))
+                if mx is not None and mx + 1 >= stop_at_lsn:
+                    break                 # crossing segment: keep, stop here
+            bounded.append(kept)
+        shard_paths = bounded
+    work_items = [{"wal_paths": [seg]} for segs in shard_paths
+                  for seg in segs]
+    ds = rd.from_items(work_items, override_num_blocks=len(work_items))
     # FIXED pool sizes, not autoscaling ranges: under CPU scarcity Ray's
     # autoscaling policy keeps the pool near its minimum (measured: decode
     # stuck at ~1 actor on an 8-CPU cluster -> 4x wall), while a fixed pool
