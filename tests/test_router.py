@@ -164,3 +164,43 @@ def test_rename_and_retype_evolution_end_to_end(ray_session):
     assert rows[2]["val"] == 20 and rows[2]["tool_name"] == "b"  # v1 row,
     #                                    preserved under the NEW names/types
     assert rows[3]["val"] == 2**40 and rows[3]["tool_name"] == "c"
+
+
+def test_toast_unchanged_on_multiple_columns(ray_session):
+    """The 'u' (unchanged TOAST) tag carries prior values forward for ANY
+    column, not just text — two different columns unchanged in different
+    updates of the same key."""
+    OID = 20004
+    rel = codec.Relation(OID, "public", "t4", "d", [
+        codec.ColumnInfo(1, "k", 23, -1),
+        codec.ColumnInfo(0, "a", 25, -1),
+        codec.ColumnInfo(0, "b", 25, -1),
+    ])
+
+    def u():
+        return (b"u", None)
+
+    frames = [
+        f(1, codec.Begin(30, 0, 1)),
+        f(2, rel),
+        f(3, codec.Insert(OID, tup(1, "a0", "b0"))),
+        # update 1: a set, b unchanged
+        f(4, codec.Update(OID, b"K", tup(1, None, None),
+                          [(b"t", b"1"), (b"t", b"a1"), u()])),
+        # update 2: a unchanged, b set
+        f(5, codec.Update(OID, b"K", tup(1, None, None),
+                          [(b"t", b"1"), u(), (b"t", b"b2")])),
+        f(30, codec.Commit(0, 30, 31, 0)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="toastm_")
+    d = os.path.join(tmp, "shard=0000")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "lsn": pa.array(range(len(frames)), pa.int64()),
+        "frame": pa.array(frames, pa.binary()),
+    }), os.path.join(d, "wal.parquet"))
+
+    lake = tempfile.mkdtemp(prefix="toastl_")
+    run_cdc_router(tmp, [TableRoute(OID, lake, 2)])
+    snap = lakemod.snapshot_table(lake, key_cols=("k",)).to_pylist()
+    assert snap == [{"k": 1, "a": "a1", "b": "b2"}]
