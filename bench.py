@@ -50,27 +50,42 @@ def _wal_dir(sf_dir: str, mode: str, n_shards: int) -> str:
     return os.path.join("/tmp/pgwr_bench", f"wal-{mode}-{key}")
 
 
-def _synthetic_wal(n_events: int, n_shards: int = 64) -> str:
+# scenario grid mirroring the reference's load tests (README.md:388-394,
+# LOAD_TEST_COMPARISON.md): Baseline, Batch-5000 (5000-row txs),
+# Payload-2KB (2 KiB text values), Mixed-DML (heavy update/delete mix)
+WAL_SCENARIOS = {
+    "baseline": dict(tx_rows=200),
+    "batch5000": dict(tx_rows=5000),
+    "payload2k": dict(tx_rows=200, payload_bytes=2048),
+    "mixed": dict(tx_rows=200, update_frac=0.8, delete_frac=0.2),
+}
+
+
+def _synthetic_wal(n_events: int, n_shards: int = 64,
+                   scenario: str = "baseline") -> str:
     """Build (once) a WalSpec synthetic WAL with ~n_events DML events —
     the compute-dominated input for the scaling criterion (the sf-tied
     events WAL is too small to outgrow fixed pipeline overhead)."""
     from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
 
-    n_convs = max(n_shards, int(n_events / (10 * 1.35)))
-    wal = os.path.join("/tmp/pgwr_bench", f"wal-synth-{n_events}-{n_shards}")
+    kw = dict(WAL_SCENARIOS[scenario])
+    per_insert = 1 + kw.get("update_frac", 0.3) + kw.get("delete_frac", 0.05)
+    n_convs = max(n_shards, int(n_events / (10 * per_insert)))
+    wal = os.path.join("/tmp/pgwr_bench",
+                       f"wal-synth-{scenario}-{n_events}-{n_shards}")
     if not os.path.exists(os.path.join(wal, "spec.json")):
         spec = WalSpec(n_convs=n_convs, turns_per_conv=10,
-                       n_shards=n_shards, tx_rows=200, keepalive_every=512)
+                       n_shards=n_shards, keepalive_every=512, **kw)
         write_wal_lake(spec, wal, parallel=True)
     return wal
 
 
-def bench_cdc_synthetic(n_events: int) -> dict:
+def bench_cdc_synthetic(n_events: int, scenario: str = "baseline") -> dict:
     """Timed CDC replay over the synthetic WAL (decode->apply only; WAL
     materialization is the stand-in for PostgreSQL and is cached)."""
     from pg_walstream_ray.pipelines.cdc import run_cdc
 
-    wal = _synthetic_wal(n_events)
+    wal = _synthetic_wal(n_events, scenario=scenario)
     lake = tempfile.mkdtemp(prefix="pgwr_bench_lake_syn_")
     try:
         t0 = time.time()
@@ -235,7 +250,32 @@ def main() -> None:
     ap.add_argument("--synthetic-events", type=int, default=0,
                     help="CDC headline over a WalSpec synthetic WAL of ~N "
                          "DML events instead of the sf events table")
+    ap.add_argument("--scenario-grid", action="store_true",
+                    help="run the reference's load-test scenario grid "
+                         "(baseline/batch5000/payload2k/mixed) at "
+                         "--synthetic-events scale")
     args = ap.parse_args()
+
+    if args.scenario_grid:
+        import ray
+
+        n = args.synthetic_events or 4_000_000
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True)
+        try:
+            out = {"metric": "scenario_grid_events_per_s", "unit": "ev/s",
+                   "num_cpus": NUM_CPUS, "events": n, "queries": {},
+                   "value": 0.0, "sf": -1.0}
+            for sc in WAL_SCENARIOS:
+                r = bench_cdc_synthetic(n, scenario=sc)
+                out["queries"][sc] = round(r["sec"], 3)
+                out[f"{sc}_events_per_s"] = round(r["events_per_s"], 1)
+            out["value"] = out["queries"]["baseline"]
+            out["unit"] = "sec"
+        finally:
+            ray.shutdown()
+        print(json.dumps(out))
+        return
 
     if args.scaling:
         out = run_scaling(args.sf_dir, args.low, args.high,
