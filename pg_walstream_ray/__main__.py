@@ -43,6 +43,14 @@ def main(argv=None) -> int:
                                        "chain to one base fragment")
     c.add_argument("--lake", required=True)
 
+    fo = sub.add_parser("follow", help="tail the WAL dir: apply new "
+                                       "segments until idle")
+    fo.add_argument("--wal", required=True)
+    fo.add_argument("--lake", required=True)
+    fo.add_argument("--partitions", type=int, default=32)
+    fo.add_argument("--poll-interval", type=float, default=2.0)
+    fo.add_argument("--max-idle-polls", type=int, default=3)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -88,6 +96,13 @@ def main(argv=None) -> int:
             from .lake import compact_lake
 
             print(json.dumps(compact_lake(args.lake)))
+        elif args.cmd == "follow":
+            from .pipelines.cdc import run_cdc_follow
+
+            print(json.dumps(run_cdc_follow(
+                args.wal, args.lake, num_partitions=args.partitions,
+                poll_interval_s=args.poll_interval,
+                max_idle_polls=args.max_idle_polls)))
     finally:
         if owns_session:          # never tear down a caller-owned session
             ray.shutdown()

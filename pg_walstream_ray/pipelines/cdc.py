@@ -133,6 +133,32 @@ def probe_hot_keys(shard_paths: Sequence[str], registry: SchemaRegistry,
                         if c / total >= threshold_frac))
 
 
+def run_cdc_follow(wal_dir: str, lake_dir: str, num_partitions: int = 16,
+                   poll_interval_s: float = 2.0, max_idle_polls: int = 3,
+                   **kw) -> dict:
+    """Tailing mode: repeatedly replay the WAL directory, picking up
+    segments that appeared since the last pass.  Segment pruning makes
+    each pass incremental (already-applied segments are skipped from
+    footer stats), so the steady-state cost is proportional to NEW data —
+    the micro-batch analogue of the reference's continuous stream.
+    Stops after ``max_idle_polls`` consecutive empty passes."""
+    idle = 0
+    rounds = 0
+    total = 0
+    while idle < max_idle_polls:
+        m = run_cdc(wal_dir, lake_dir, num_partitions=num_partitions, **kw)
+        rounds += 1
+        if m["rows_applied"] == 0:
+            idle += 1
+            time.sleep(poll_interval_s)
+        else:
+            idle = 0
+            total += m["rows_applied"]
+    return {"rounds": rounds, "rows_applied": total,
+            "watermark": global_watermark(lake_dir),
+            "min_watermark": min_watermark(lake_dir)}
+
+
 def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
             stop_at_lsn: Optional[int] = None,
             hot_keys: Optional[Iterable[str]] = None, salt: int = 8,

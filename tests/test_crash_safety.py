@@ -202,3 +202,36 @@ def test_explicit_compaction_preserves_state(ray_session):
     compact_lake(lk)
     assert all(len(m.fragments) == 1 for m in all_manifests(lk).values())
     assert_lake_matches(lk, oracle_df(spec))
+
+
+def test_follow_mode_tails_appended_segments(ray_session):
+    """run_cdc_follow applies segments that appear between passes (live
+    tail posture); final state equals the oracle."""
+    import shutil
+
+    from pg_walstream_ray.pipelines.cdc import run_cdc_follow
+
+    spec = walgen.WalSpec(n_convs=30, turns_per_conv=5, update_frac=0.5,
+                          tx_rows=10, n_shards=1, segment_rows=50)
+    staging = make_wal(spec)
+    live = tempfile.mkdtemp(prefix="live_")
+    sdir = os.path.join(live, "shard=0000")
+    os.makedirs(sdir)
+    src = os.path.join(staging, "shard=0000")
+    segs = sorted(f for f in os.listdir(src) if f.startswith("wal-"))
+    assert len(segs) >= 3
+    shutil.copy(os.path.join(src, "relations.json"),
+                os.path.join(sdir, "relations.json"))
+
+    lk = tempfile.mkdtemp(prefix="lkf_")
+    # phase 1: only the first segment exists
+    shutil.copy(os.path.join(src, segs[0]), os.path.join(sdir, segs[0]))
+    run_cdc_follow(live, lk, num_partitions=2, poll_interval_s=0.01,
+                   max_idle_polls=1)
+    # phase 2: the rest arrive; follow picks them up
+    for s in segs[1:]:
+        shutil.copy(os.path.join(src, s), os.path.join(sdir, s))
+    m = run_cdc_follow(live, lk, num_partitions=2, poll_interval_s=0.01,
+                       max_idle_polls=1)
+    assert m["rows_applied"] > 0
+    assert_lake_matches(lk, oracle_df(spec))
