@@ -167,3 +167,35 @@ def test_lww_output_is_key_sorted(ops):
         idx = pc.sort_indices(out, sort_keys=[("conv_id", "ascending"),
                                               ("turn_idx", "ascending")])
         assert idx.to_pylist() == list(range(out.num_rows))
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline property: random WalSpecs through the REAL Ray pipeline
+# must match the sequential oracle (few examples — each runs a pipeline)
+# ---------------------------------------------------------------------------
+
+spec_strategy = st.builds(
+    dict,
+    n_convs=st.integers(8, 30),
+    turns_per_conv=st.integers(2, 6),
+    update_frac=st.floats(0.0, 1.5),
+    delete_frac=st.floats(0.0, 0.4),
+    tx_rows=st.sampled_from([3, 10, 37]),
+    n_shards=st.integers(1, 3),
+    seed=st.integers(1, 10_000),
+    streamed_frac=st.floats(0.0, 0.6),
+    stream_abort_frac=st.floats(0.0, 0.5),
+    toast_unchanged_frac=st.floats(0.0, 0.5),
+    segment_rows=st.sampled_from([None, 25, 60]),
+    schema_change_at_frac=st.sampled_from([None, 0.5]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(spec_strategy)
+def test_random_specs_full_pipeline(ray_session, spec_kw):
+    from pg_walstream_ray.sources import walgen
+
+    from .helpers import run_and_check
+
+    run_and_check(walgen.WalSpec(**spec_kw), num_partitions=3)
