@@ -197,7 +197,8 @@ class PgOutputDecoder:
         self.stopped = False
         self.unknown_relation_drops = 0
         self.emit_control_rows = emit_control_rows
-        self._released: List[tuple] = []
+        self._released: List[tuple] = []       # 12-tuples (no commit cols)
+        self._commit_runs: List[tuple] = []    # (n_rows, commit_lsn, ts)
 
     def seed_relations(self, metas: List[str]) -> None:
         """Pre-load the relation cache from registry metadata (the JSON
@@ -231,8 +232,12 @@ class PgOutputDecoder:
 
     def _release_tx(self, rows: List[tuple], commit_lsn: int,
                     commit_ts_us: int) -> None:
+        # rows stay as 12-tuples; commit metadata rides as a run-length
+        # entry — no per-row tuple re-allocation on release
         self.last_commit_lsn = commit_lsn
-        self._released.extend(r + (commit_lsn, commit_ts_us) for r in rows)
+        if rows:
+            self._released.extend(rows)
+            self._commit_runs.append((len(rows), commit_lsn, commit_ts_us))
 
     # -- frame pump --------------------------------------------------------
 
@@ -415,7 +420,8 @@ class PgOutputDecoder:
                     meta = relation_to_meta(msg, version, diff)
                     self._released.append(self._mk_row(
                         lsn, stream_xid or self.tx_xid or 0, "relation",
-                        msg.oid, meta=meta) + (lsn, 0))
+                        msg.oid, meta=meta))
+                    self._commit_runs.append((1, lsn, 0))
             return
         if t in (codec.PgType, codec.Origin, codec.LogicalMessage):
             if self.emit_control_rows:
@@ -496,18 +502,28 @@ class PgOutputDecoder:
         rows = self._released
         if not rows:
             return None
+        runs = self._commit_runs
         self._released = []
+        self._commit_runs = []
         cols = list(zip(*rows))
         # row layout: (lsn, xid, op, rel_oid, rel_version, schema, table,
-        #              key_type, before, after, unchanged, meta, commit_lsn,
-        #              commit_ts_us)
+        #              key_type, before, after, unchanged, meta); commit
+        #              metadata reconstructed from run-lengths
         n = len(rows)
+        lens = np.fromiter((r[0] for r in runs), dtype=np.int64,
+                           count=len(runs))
+        commit_lsn = np.repeat(np.fromiter((r[1] for r in runs),
+                                           dtype=np.int64, count=len(runs)),
+                               lens)
+        commit_ts = np.repeat(np.fromiter((r[2] for r in runs),
+                                          dtype=np.int64, count=len(runs)),
+                              lens)
         lstr = pa.list_(pa.string())
         arrays = [
             pa.array(np.full(n, self.source, dtype=np.int32)),   # source
             pa.array(cols[0], pa.int64()),       # lsn
-            pa.array(cols[12], pa.int64()),      # commit_lsn
-            pa.array(cols[13], pa.int64()),      # commit_ts_us
+            pa.array(commit_lsn),                # commit_lsn
+            pa.array(commit_ts),                 # commit_ts_us
             pa.array(cols[1], pa.int64()),       # xid
             pa.array(cols[2], pa.string()),      # op
             pa.array(cols[3], pa.int32()),       # rel_oid

@@ -199,3 +199,22 @@ def test_random_specs_full_pipeline(ray_session, spec_kw):
     from .helpers import run_and_check
 
     run_and_check(walgen.WalSpec(**spec_kw), num_partitions=3)
+
+
+def test_golden_streamed_and_two_phase_bytes():
+    # 'S' + xid u32 + first_segment u8
+    b = codec.encode_message(codec.StreamStart(7, True))
+    assert b.hex() == "53" + "00000007" + "01"
+    # 'c' + flags u8 + commit_lsn u64 + end_lsn u64 + commit_ts i64
+    b = codec.encode_message(codec.StreamCommit(7, 0, 0x10, 0x11, 5))
+    assert b.hex() == "63" + "00000007" + "00" + "0000000000000010" + \
+        "0000000000000011" + "0000000000000005"
+    # 'P' + flags u8 + prepare_lsn u64 + end_lsn u64 + ts i64 + xid u32 + gid cstr
+    b = codec.encode_message(codec.Prepare(0, 0x20, 0x21, 9, 7, "g"))
+    assert b.hex() == "50" + "00" + "0000000000000020" + \
+        "0000000000000021" + "0000000000000009" + "00000007" + "6700"
+    # streamed Insert carries the xid right after the tag
+    b = codec.encode_message(codec.Insert(16384, [(b"t", b"x")]),
+                             in_stream_xid=7)
+    assert b.hex() == "49" + "00000007" + "00004000" + "4e" + "0001" + \
+        "74" + "00000001" + "78"
