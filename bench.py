@@ -80,6 +80,46 @@ def _synthetic_wal(n_events: int, n_shards: int = 64,
     return wal
 
 
+def bench_wide20(n_rows: int = 1_000_000) -> dict:
+    """Wide-20col scenario (reference README.md:392) through the generic
+    table->WAL encoder + the multi-table router pipeline."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pg_walstream_ray.sources.tablegen import write_table_wal
+    from pg_walstream_ray.pipelines.router import (TableRoute,
+                                                   run_cdc_router)
+    from pg_walstream_ray.wire import codec
+
+    OID = 22001
+    ncols = 20
+    wal = os.path.join("/tmp/pgwr_bench", f"wal-wide20-{n_rows}")
+    if not os.path.exists(os.path.join(wal, "shard=0000")):
+        rel = codec.Relation(OID, "public", "wide", "d", [
+            codec.ColumnInfo(1, "id", 20, -1),
+            *[codec.ColumnInfo(0, f"c{i:02d}", 25, -1)
+              for i in range(ncols - 1)],
+        ])
+        rng = np.random.default_rng(5)
+        data = {"id": pa.array(np.arange(n_rows, dtype=np.int64))}
+        vals = np.char.add("val-", rng.integers(
+            0, 10_000, n_rows).astype(str))
+        for i in range(ncols - 1):
+            data[f"c{i:02d}"] = pa.array(np.roll(vals, i))
+        write_table_wal(pa.table(data), rel, wal, tx_rows=500,
+                        segment_rows=50_000)
+    lake = tempfile.mkdtemp(prefix="pgwr_wide_")
+    try:
+        t0 = time.time()
+        m = run_cdc_router(wal, [TableRoute(OID, lake, 32)])
+        wall = time.time() - t0
+        rows = m["tables"][OID]["rows_applied"]
+        return {"sec": wall, "events_per_s": rows / wall,
+                "rows_applied": rows, "lake_rows": rows}
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def bench_cdc_synthetic(n_events: int, scenario: str = "baseline") -> dict:
     """Timed CDC replay over the synthetic WAL (decode->apply only; WAL
     materialization is the stand-in for PostgreSQL and is cached)."""
@@ -270,6 +310,9 @@ def main() -> None:
                 r = bench_cdc_synthetic(n, scenario=sc)
                 out["queries"][sc] = round(r["sec"], 3)
                 out[f"{sc}_events_per_s"] = round(r["events_per_s"], 1)
+            r = bench_wide20(min(n // 4, 1_000_000))
+            out["queries"]["wide20"] = round(r["sec"], 3)
+            out["wide20_events_per_s"] = round(r["events_per_s"], 1)
             out["value"] = out["queries"]["baseline"]
             out["unit"] = "sec"
         finally:

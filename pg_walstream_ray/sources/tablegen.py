@@ -1,0 +1,104 @@
+"""Generic table -> pgoutput WAL encoder: turn ANY Arrow table into a
+synthetic change stream for its own relation schema (the generalization of
+walgen's transcripts-only generator; used for wide-table scenarios and
+router inputs).
+
+Values are rendered in pg text form (everything text-mode, SURVEY.md §1.2);
+segments are transaction-closed with Relation re-sent per segment, so the
+output composes with segment-parallel decode and resume pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import pyarrow as pa
+
+from ..wire import codec
+from ..wire.frames import encode_xlogdata, unix_us_to_pg_ts
+from ..stages.decode import relation_to_meta
+
+BASE_TS_US = 1_700_000_000_000_000
+
+
+def _text_cell(v) -> Optional[bytes]:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    return str(v).encode()
+
+
+def write_table_wal(rows: pa.Table, relation: codec.Relation, out_dir: str,
+                    shard: int = 0, tx_rows: int = 200,
+                    segment_rows: Optional[int] = None,
+                    lsn_base: int = 1 << 44) -> dict:
+    """Encode ``rows`` as one shard of Insert-only pgoutput WAL for
+    ``relation`` (column order must match).  Writes
+    ``out_dir/shard=NNNN/wal[-SSSS].parquet`` + relations.json sidecar."""
+    cols = [rows[c].to_pylist() for c in
+            [f.name for f in rows.schema]]
+    assert len(cols) == len(relation.columns), "schema/relation mismatch"
+    n = rows.num_rows
+
+    frames: List[bytes] = []
+    lsns: List[int] = []
+    seg_breaks: List[int] = []
+    rel_bytes = codec.encode_message(relation)
+    sent_rel = False
+    rows_in_segment = 0
+
+    def emit(lsn, body):
+        lsns.append(lsn)
+        frames.append(encode_xlogdata(
+            lsn, lsn, unix_us_to_pg_ts(BASE_TS_US + lsn), body))
+
+    i = 0
+    xid = 1000
+    while i < n:
+        if segment_rows and rows_in_segment >= segment_rows:
+            seg_breaks.append(len(frames))
+            sent_rel = False
+            rows_in_segment = 0
+        j = min(i + tx_rows, n)
+        begin_lsn = lsn_base + 4 * i + 2
+        commit_lsn = lsn_base + 4 * (j - 1) + 5
+        emit(begin_lsn, codec.encode_message(codec.Begin(
+            commit_lsn, unix_us_to_pg_ts(BASE_TS_US + commit_lsn),
+            xid & 0xFFFFFFFF)))
+        if not sent_rel:
+            emit(begin_lsn + 1, rel_bytes)
+            sent_rel = True
+        for r in range(i, j):
+            tup = [(b"t", _text_cell(col[r])) if col[r] is not None
+                   else (b"n", None) for col in cols]
+            emit(lsn_base + 4 * r + 4,
+                 codec.encode_message(codec.Insert(relation.oid, tup)))
+        emit(commit_lsn, codec.encode_message(codec.Commit(
+            0, commit_lsn, commit_lsn + 1,
+            unix_us_to_pg_ts(BASE_TS_US + commit_lsn))))
+        rows_in_segment += j - i
+        xid += 1
+        i = j
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, f"shard={shard:04d}")
+    os.makedirs(d, exist_ok=True)
+    tab = pa.table({"lsn": pa.array(lsns, pa.int64()),
+                    "frame": pa.array(frames, pa.binary())})
+    if segment_rows:
+        bounds = [0, *seg_breaks, tab.num_rows]
+        for seg, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if hi > lo:
+                pq.write_table(tab.slice(lo, hi - lo),
+                               os.path.join(d, f"wal-{seg:04d}.parquet"),
+                               compression="zstd")
+    else:
+        pq.write_table(tab, os.path.join(d, "wal.parquet"),
+                       compression="zstd")
+    with open(os.path.join(d, "relations.json"), "w") as f:
+        json.dump([relation_to_meta(relation, 1, None)], f)
+    return {"frames": tab.num_rows, "rows": n}
