@@ -198,3 +198,21 @@ def simhash_band_keys(simhash: np.ndarray) -> np.ndarray:
     shifts = np.arange(SIMHASH_BANDS, dtype=np.int64) * SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return (simhash[:, None] >> shifts[None, :]) & mask
+
+
+_WORKER_HASHER = None
+WORKER_HASHER_MAX_VOCAB = 4_000_000
+
+
+def worker_token_hasher() -> "TokenHasher":
+    """Per-worker-process singleton hasher for task-mode stages: the
+    vocabulary cache survives across batches, tasks and pipeline
+    executions exactly like an actor member would, shared by every stage
+    class in the worker.  Reset when the vocabulary exceeds the cap so
+    long-lived workers stay memory-bounded (hash results are deterministic,
+    so a reset only costs recomputation)."""
+    global _WORKER_HASHER
+    if (_WORKER_HASHER is None
+            or len(_WORKER_HASHER._idx) > WORKER_HASHER_MAX_VOCAB):
+        _WORKER_HASHER = TokenHasher()
+    return _WORKER_HASHER

@@ -118,7 +118,12 @@ def customer_order_totals(sf_dir: str):
         return batch.group_by("o_custkey").aggregate([
             ("o_totalprice", "sum"), ("o_totalprice", "count")])
 
-    agg = orders.map_batches(partial, batch_format="pyarrow") \
+    # large partial-agg batches: with Ray's default small blocks each
+    # partial barely reduces (every block touches most customers) and the
+    # sort shuffle sees ~full input; 256k-row batches collapse the shuffle
+    # input to ~key-cardinality rows per task (measured 4x wall)
+    agg = orders.map_batches(partial, batch_format="pyarrow",
+                             batch_size=262144) \
         .groupby("o_custkey").aggregate(
             Sum("o_totalprice_sum", alias_name="total"),
             Sum("o_totalprice_count", alias_name="n_orders"))
@@ -256,7 +261,8 @@ def q3_top_unshipped(sf_dir: str):
             .aggregate([("rev", "sum")])
         return g
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
         .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="rev"))
 
     class Attach:
@@ -276,6 +282,16 @@ def q3_top_unshipped(sf_dir: str):
 
     out = agg.map_batches(Attach, fn_constructor_kwargs={"ref": ord_ref},
                           batch_format="pyarrow", concurrency=2)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        # per-block top-10 under the final ordering: the global top-10 is a
+        # subset of the union of block top-10s, so the all-to-all sort below
+        # sees <= 10 x n_blocks rows instead of the full aggregate
+        idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                            ("l_orderkey", "ascending")])
+        return t.take(idx[:10])
+
+    out = out.map_batches(block_topk, batch_format="pyarrow")
     # deterministic top-10: rounded revenue desc, orderkey asc (same keys
     # in the oracle's ORDER BY)
     return out.sort(["revenue", "l_orderkey"],

@@ -34,6 +34,7 @@ import glob
 import json
 import os
 import time
+from functools import partial
 from typing import Iterable, Optional, Sequence
 
 import pyarrow as pa
@@ -42,7 +43,7 @@ from ..sources.walgen import TRANSCRIPTS_OID
 from ..stages.apply import ApplyGroup
 from ..stages.decode import DecodeShard, ENVELOPE_SCHEMA, PgOutputDecoder
 from ..stages.partition import Partitioner
-from ..stages.typed import ProjectStage
+from ..stages.typed import ProjectStage, project_envelope
 from ..state.schema_registry import SchemaRegistry
 from ..state.manifest import global_watermark, min_watermark
 from ..lake import read_lake_config, write_lake_config
@@ -133,6 +134,33 @@ def probe_hot_keys(shard_paths: Sequence[str], registry: SchemaRegistry,
                         if c / total >= threshold_frac))
 
 
+def decode_segments_fn(batch: pa.Table, *, stop_at_lsn: Optional[int] = None,
+                       prune_below: Optional[dict] = None):
+    """Task-based decode stage: each input row is one self-contained WAL
+    segment (transaction-closed, Relation re-sent per segment), so the
+    decoder state machine never spans batches and the stage runs as plain
+    Ray tasks — no actor pool to spin up per pipeline execution (measured:
+    actor pools cost ~2-3 s of startup per run; warm task workers are
+    reused across executions).  Task retries (Ray default) replace actor
+    restarts for fault recovery: decode is deterministic and side-effect
+    free, so a retried segment yields identical envelope batches."""
+    yield from DecodeShard(stop_at_lsn=stop_at_lsn,
+                           prune_below=prune_below)(batch)
+
+
+def project_batch_fn(batch: pa.Table, *, registry_ref, oid: int,
+                     lenient: bool = False) -> pa.Table:
+    """Task-based typed projection. The registry rides the object store
+    (``ray.put`` once on the driver); ``ray.get`` per batch is a local
+    cached fetch on the worker — broadcast-small-side, never re-shipped
+    with the task closure."""
+    import ray
+
+    reg = registry_ref if isinstance(registry_ref, SchemaRegistry) \
+        else ray.get(registry_ref)
+    return project_envelope(batch, reg, oid, lenient=lenient)
+
+
 def run_cdc_follow(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                    poll_interval_s: float = 2.0, max_idle_polls: int = 3,
                    **kw) -> dict:
@@ -198,14 +226,6 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     registry = build_registry(wal_dir, shard_paths)
     registry_ref = ray.put(registry)
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    # decode actors get at most half the CPUs: the pool must leave head-room
-    # for project/route tasks and the shuffle+apply stages running
-    # concurrently under the streaming executor — a pool saturating every
-    # CPU serializes the pipeline behind itself (measured 1.5x slower)
-    dec_c = decode_concurrency or max(1, min(n_shards, ncpu // 2))
-    prj_c = project_concurrency or max(2, ncpu // 4)
-
     # resume pruning: a segment whose footer max(lsn) <= every partition's
     # applied mark for its source is skipped without decoding.  Conservative
     # by construction (min over ALL partitions, missing manifests count -1).
@@ -241,18 +261,43 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     work_items = [{"wal_paths": [seg]} for segs in shard_paths
                   for seg in segs]
     ds = rd.from_items(work_items, override_num_blocks=len(work_items))
-    # FIXED pool sizes, not autoscaling ranges: under CPU scarcity Ray's
-    # autoscaling policy keeps the pool near its minimum (measured: decode
-    # stuck at ~1 actor on an 8-CPU cluster -> 4x wall), while a fixed pool
-    # at ncpu//2 pipelines cleanly with the downstream stages.
-    env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
-        "stop_at_lsn": stop_at_lsn, "prune_below": prune},
-        batch_size=None, batch_format="pyarrow", concurrency=dec_c,
-        num_cpus=1, max_task_retries=-1)
-    typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
-        "registry_ref": registry_ref, "oid": oid},
-        batch_format="pyarrow", concurrency=prj_c, num_cpus=1,
-        max_task_retries=-1)
+    # Adaptive stage mode.  Decode state never spans batches (segments are
+    # self-contained), so both modes are semantically identical:
+    #  - SMALL inputs (constant-overhead regime): plain TASKS — warm task
+    #    workers are reused across pipeline executions, while actor pools
+    #    cost ~2-3 s of spin-up per run (measured 5x wall on the sf0.1
+    #    headline, 0.5 s vs 3 s).
+    #  - LARGE inputs (throughput regime): FIXED actor pools — dedicated
+    #    pinned processes pipeline ~2x better than task scheduling under a
+    #    saturated box (measured 25 s vs 56 s on the 16M-event bench), and
+    #    under CPU scarcity autoscaling-free fixed pools avoid the
+    #    pool-stuck-at-minimum pathology.
+    # Decode gets at most half the CPUs, project a quarter — a stage
+    # saturating every CPU starves the concurrent shuffle+apply stages.
+    total_bytes = sum(os.path.getsize(it["wal_paths"][0])
+                      for it in work_items)
+    small = total_bytes < 128 * 1024 * 1024
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    dec_c = decode_concurrency or max(1, min(len(work_items), ncpu // 2))
+    prj_c = project_concurrency or max(2, ncpu // 4)
+    if small:
+        env = ds.map_batches(
+            partial(decode_segments_fn, stop_at_lsn=stop_at_lsn,
+                    prune_below=prune),
+            batch_size=None, batch_format="pyarrow", num_cpus=1,
+            concurrency=dec_c)
+        typed = env.map_batches(
+            partial(project_batch_fn, registry_ref=registry_ref, oid=oid),
+            batch_format="pyarrow", num_cpus=1, concurrency=prj_c)
+    else:
+        env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
+            "stop_at_lsn": stop_at_lsn, "prune_below": prune},
+            batch_size=None, batch_format="pyarrow", concurrency=dec_c,
+            num_cpus=1, max_task_retries=-1)
+        typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
+            "registry_ref": registry_ref, "oid": oid},
+            batch_format="pyarrow", concurrency=prj_c, num_cpus=1,
+            max_task_retries=-1)
     routed = typed.map_batches(Partitioner(num_partitions, hot, salt),
                                batch_format="pyarrow")
     apply_group = ApplyGroup(lake_dir)

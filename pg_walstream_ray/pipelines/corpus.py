@@ -17,8 +17,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import (TokenHasher, distinct_doc_tokens,
+from ..functions.hashing import (worker_token_hasher,
+                                 TokenHasher, distinct_doc_tokens,
                                  md5_int60, tokenize_column)
+from ..stages.taskmode import as_tasks
 from .dedup import DEDUP_NPART
 from .textops import LANG_ORDER, STOPWORDS
 
@@ -30,7 +32,7 @@ class CorpusFeatureStage:
     """One pass: (doc_id, text) -> quality_q, pred_lang, content hash."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
         self.stop_h60 = {lang: np.array(sorted(md5_int60(w) for w in ws),
                                         dtype=np.int64)
                          for lang, ws in STOPWORDS.items()}
@@ -79,8 +81,8 @@ def corpus_clean(sf_dir: str, min_quality_q: int = QUALITY_MIN_Q,
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    feat = ds.map_batches(CorpusFeatureStage, batch_format="pyarrow",
-                          concurrency=(1, concurrency), batch_size=4096)
+    feat = ds.map_batches(as_tasks(CorpusFeatureStage),
+                          batch_format="pyarrow", batch_size=4096)
 
     def keep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["quality_q"], min_quality_q),

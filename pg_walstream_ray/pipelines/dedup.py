@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import (
+    worker_token_hasher,
     TokenHasher,
     doc_minhash,
     doc_simhash,
@@ -41,6 +42,7 @@ from ..functions.hashing import (
     distinct_doc_tokens,
     SIMHASH_BANDS,
 )
+from ..stages.taskmode import as_tasks
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -132,7 +134,7 @@ class MinHashBuckets:
     Token hashes cached per actor (__init__-once; SURVEY.md §2.4)."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         offsets, tok = tokenize_column(t["text"], self.hasher)
@@ -149,8 +151,7 @@ def minhash_dedup(sf_dir: str, concurrency: int = 4):
     """MinHash(16 sigs) + LSH(4 bands x 4 rows) near-dup flags.
     Output: (doc_id, is_dup)."""
     bucketed = _docs(sf_dir).map_batches(
-        MinHashBuckets, batch_format="pyarrow", concurrency=(1, concurrency),
-        batch_size=4096)
+        as_tasks(MinHashBuckets), batch_format="pyarrow", batch_size=4096)
     return _dup_flags_from_buckets(bucketed)
 
 
@@ -159,7 +160,7 @@ class SimHashStage:
     over distinct tokens (sign of per-bit signed sums)."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         offsets, tok = tokenize_column(t["text"], self.hasher)
@@ -171,8 +172,8 @@ class SimHashStage:
 def simhash_signatures(sf_dir: str, concurrency: int = 4):
     """Pure map: (doc_id, simhash). The SQL oracle recomputes the exact
     bit pattern."""
-    return _docs(sf_dir).map_batches(SimHashStage, batch_format="pyarrow",
-                                     concurrency=(1, concurrency),
+    return _docs(sf_dir).map_batches(as_tasks(SimHashStage),
+                                     batch_format="pyarrow",
                                      batch_size=4096)
 
 
@@ -206,7 +207,7 @@ class PostingsStage:
     doc_size rides along so pair scoring needs no size broadcast/join."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         offsets, tok = tokenize_column(t["text"], self.hasher)
@@ -245,8 +246,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
     The threshold filter uses the unrounded float64 ratio so the SQL
     oracle (same integer arithmetic) agrees exactly.
     """
-    post = _docs(sf_dir).map_batches(PostingsStage, batch_format="pyarrow",
-                                     concurrency=(1, concurrency),
+    post = _docs(sf_dir).map_batches(as_tasks(PostingsStage),
+                                     batch_format="pyarrow",
                                      batch_size=4096)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:

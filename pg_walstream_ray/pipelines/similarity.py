@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.taskmode import as_tasks
+
 DEFAULT_NQ = 8       # queries = vec_id < DEFAULT_NQ
 DEFAULT_K = 10
 LSH_BITS = 4         # hyperplanes per table (few bits: the synthetic
@@ -131,8 +133,8 @@ def ann_brute_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
 
     queries_ref = ray.put(_load_queries(sf_dir, nq))
     cand = _emb(sf_dir).map_batches(
-        BruteScore, fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+        as_tasks(BruteScore, queries_ref=queries_ref, k=k),
+        batch_format="pyarrow", batch_size=4096)
     return _final_topk(cand, k)
 
 
@@ -181,10 +183,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35,
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     corpus_ref = ray.put((tab["vec_id"].to_numpy(zero_copy_only=False), m))
     return _emb(sf_dir).map_batches(
-        NearDupScore,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref,
-                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+        as_tasks(NearDupScore, corpus_ref=corpus_ref, threshold=threshold),
+        batch_format="pyarrow", batch_size=4096)
 
 
 # ---------------------------------------------------------------------------
@@ -245,9 +245,8 @@ def ann_lsh_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
     qn_by_id = {int(qid): q[i] for i, qid in enumerate(qids)}
 
     bucketed = _emb(sf_dir).map_batches(
-        LshBucketStage,
-        fn_constructor_kwargs={"d": d, "bits": bits, "tables": tables},
-        batch_format="pyarrow", concurrency=(1, concurrency), batch_size=4096)
+        as_tasks(LshBucketStage, d=d, bits=bits, tables=tables),
+        batch_format="pyarrow", batch_size=4096)
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["bucket"].iloc[0])
@@ -356,9 +355,8 @@ def ann_ivf_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
     qn_by_id = {int(qid): q[i] for i, qid in enumerate(qids)}
 
     bucketed = _emb(sf_dir).map_batches(
-        IvfBucketStage, fn_constructor_kwargs={"centroids_ref": cent_ref},
-        batch_format="pyarrow", concurrency=(1, concurrency),
-        batch_size=4096)
+        as_tasks(IvfBucketStage, centroids_ref=cent_ref),
+        batch_format="pyarrow", batch_size=4096)
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["bucket"].iloc[0])

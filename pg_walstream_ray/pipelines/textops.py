@@ -20,8 +20,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import (TokenHasher, distinct_doc_tokens,
+from ..functions.hashing import (worker_token_hasher,
+                                 TokenHasher, distinct_doc_tokens,
                                  md5_int60, tokenize_column)
+from ..stages.taskmode import as_tasks
 
 # fixed stoplists (mirrored verbatim in the SQL oracle)
 STOPWORDS = {
@@ -48,7 +50,7 @@ class TextStatsStage:
     """Actor: documents batch -> token/char counts + quality score."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         text = t["text"]
@@ -86,8 +88,8 @@ class TextStatsStage:
 
 def text_quality(sf_dir: str, concurrency: int = 4):
     """(doc_id, n_tokens, n_distinct, n_subtokens, quality)."""
-    return _docs(sf_dir).map_batches(TextStatsStage, batch_format="pyarrow",
-                                     concurrency=(1, concurrency),
+    return _docs(sf_dir).map_batches(as_tasks(TextStatsStage),
+                                     batch_format="pyarrow",
                                      batch_size=4096)
 
 
@@ -97,7 +99,7 @@ class LangIdStage:
     distinct (doc, token) postings."""
 
     def __init__(self):
-        self.hasher = TokenHasher()
+        self.hasher = worker_token_hasher()
         self.stop_h60 = {lang: np.array(sorted(md5_int60(w) for w in ws),
                                         dtype=np.int64)
                          for lang, ws in STOPWORDS.items()}
@@ -124,8 +126,8 @@ class LangIdStage:
 
 def lang_id(sf_dir: str, concurrency: int = 4):
     """(doc_id, pred_lang, hits_en, hits_de, hits_es, hits_fr)."""
-    return _docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow",
-                                     concurrency=(1, concurrency),
+    return _docs(sf_dir).map_batches(as_tasks(LangIdStage),
+                                     batch_format="pyarrow",
                                      batch_size=4096)
 
 
