@@ -162,6 +162,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = analytics.hourly_event_stats
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
+    q["top_orders_per_customer"] = analytics.top_orders_per_customer
+    q["orders_without_lineitems"] = analytics.orders_without_lineitems
+
+    # -- temporal / ordered-stream custom operators ------------------------
+    from pg_walstream_ray.pipelines import temporal
+
+    q["events_asof_join"] = temporal.events_asof_join
+    q["events_range_join"] = temporal.events_range_join
+    q["events_sliding_window"] = temporal.events_sliding_window
+    q["user_active_days"] = temporal.user_active_days
 
     # -- fused corpus-cleaning flagship ------------------------------------
     from pg_walstream_ray.pipelines import corpus
@@ -344,6 +354,57 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) AS n_events,
              ROUND(SUM(value), 2) AS sum_value
       FROM events GROUP BY 1
+    """
+
+    sql["top_orders_per_customer"] = """
+      SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC,
+                                           o_orderkey ASC) AS rk
+        FROM orders
+      ) WHERE rk <= 2
+    """
+
+    sql["orders_without_lineitems"] = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """
+
+    sql["events_asof_join"] = """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    sql["events_range_join"] = """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             COUNT(c.event_id) AS n_clicks_30m
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+       AND c.ts <  p.ts
+      GROUP BY 1, 2
+    """
+
+    sql["events_sliding_window"] = """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - k * INTERVAL 15 MINUTE AS window_start,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k)
+      GROUP BY 1
+    """
+
+    sql["user_active_days"] = """
+      SELECT user_id,
+             COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+      FROM events GROUP BY user_id
     """
 
     sql["q6_forecast_revenue"] = """

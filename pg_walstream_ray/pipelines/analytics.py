@@ -157,17 +157,28 @@ def sessionize_events(sf_dir: str):
     aggregate surface; Ray Data has no event-time windows natively)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds() * 1e6
-        new_session = (gaps.isna()) | (gaps > SESSION_GAP_US)
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(g)],
-        })
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int64())
+        return t.append_column("bucket", b)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over the whole bucket of users: session
+        # starts where the user changes or the gap exceeds the threshold
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds() * 1e6
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_session = new_user | gaps.isna() | (gaps > SESSION_GAP_US)
+        out = g.assign(new_s=new_session.astype(np.int64)).groupby(
+            "user_id", as_index=False).agg(
+            n_sessions=("new_s", "sum"), n_events=("new_s", "size"))
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))
 
 
 def hourly_event_stats(sf_dir: str):
@@ -296,3 +307,83 @@ def q3_top_unshipped(sf_dir: str):
     # in the oracle's ORDER BY)
     return out.sort(["revenue", "l_orderkey"],
                     descending=[True, False]).limit(10)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Top-k per group (the window-function ROW_NUMBER surface): each
+    customer's k highest-value orders with their rank.
+
+    Output: (o_custkey, o_orderkey, o_totalprice, rk).
+
+    One shuffle on the group key; ranking is a per-group vectorized sort.
+    At 100 TB the per-batch pre-top-k combiner applies (keep k rows per
+    custkey per batch before the shuffle) — cardinality here makes the
+    direct groupby cheaper.
+    """
+    NBUCKET = 64
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def combine_topk(t: pa.Table) -> pa.Table:
+        # per-batch combiner: keep at most k rows per custkey before the
+        # shuffle, and route by a COARSE bucket (custkey % 64) — per-key
+        # map_groups costs ~25 ms of Python per tiny group
+        df = t.to_pandas()
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df[df.groupby("o_custkey").cumcount() < k]
+        df["bucket"] = (df["o_custkey"] % NBUCKET).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        rk = g.groupby("o_custkey").cumcount() + 1
+        g = g.assign(rk=rk.astype(np.int64))
+        return g[g["rk"] <= k][["o_custkey", "o_orderkey",
+                                "o_totalprice", "rk"]]
+
+    return (ds.map_batches(combine_topk, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))
+
+
+def orders_without_lineitems(sf_dir: str):
+    """Broadcast ANTI join: orders with no lineitem rows.
+
+    Output: (o_orderkey, o_custkey, o_totalprice).
+
+    The distinct probe-side key set is built with a per-batch dedup
+    combiner, collected small, and broadcast via ``ray.put`` — the filter
+    side then streams with a vectorized ``np.isin`` per batch and no
+    shuffle.  At 100 TB, when the distinct key set outgrows a broadcast,
+    the drop-in replacement is a bloom filter built the same way (union of
+    per-batch blooms) at ~10 bits/key.
+    """
+    import ray
+
+    lkeys = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by("l_orderkey").aggregate([])
+
+    # per-batch dedup first: the driver collects |distinct| rows, not |rows|
+    distinct = lkeys.map_batches(batch_distinct, batch_format="pyarrow",
+                                 batch_size=1 << 20)
+    have = np.unique(np.concatenate(
+        [b["l_orderkey"].to_numpy(zero_copy_only=False)
+         for b in distinct.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 20)]))
+    have_ref = ray.put(have)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(have_ref)     # local cached fetch per worker
+        m = ~np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(m))
+
+    return orders.map_batches(anti, batch_format="pyarrow")

@@ -1,0 +1,238 @@
+"""Temporal / ordered-stream operators over ``events`` — as-of join,
+range join, sliding windows, distinct-day set aggregation.
+
+These are the custom operators Ray Data lacks natively (reference has no
+analogue either — they're the training-pipeline extensions the engine
+needs at 100 TB).  Partitioning assumption, shared by all of them: ONE
+hash shuffle on ``user_id``; after it every per-user time series is
+partition-local, so the temporal logic is a vectorized numpy pass inside
+``map_groups`` (searchsorted over the sorted per-user timeline), never a
+cross-partition exchange.  Window aggregation instead pre-aggregates
+inside ``map_batches`` (each event maps to a handful of window starts) so
+the global shuffle only moves (window, partial) rows — the partial/
+combiner pattern, not raw events.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
+                                  "event_type")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=list(columns))
+
+
+NPART = 64      # coarse buckets: the shuffle key is user_id % NPART, so a
+                # map_groups call handles a BUCKET of users with vectorized
+                # pandas kernels (merge_asof by=user_id), never one tiny
+                # Python group per user — per-key groups cost ~25 ms each
+                # in Ray's map_groups (measured 38 s for 1.5k groups)
+
+
+def _bucketed(sf_dir: str, *types: str):
+    """events filtered to the given types, with a bucket column."""
+    ds = _events(sf_dir)
+    pred = " or ".join(f"event_type == '{t}'" for t in types)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], NPART - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    return ds.filter(expr=pred).map_batches(add_bucket,
+                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# as-of join: purchase <- latest prior-or-equal click of the same user
+# ---------------------------------------------------------------------------
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """As-of (backward) join: for each ``left_type`` event, the newest
+    ``right_type`` event of the same user with ``right.ts <= left.ts``;
+    lefts with no prior right keep nulls (left join).
+
+    Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
+
+    Per group the match is one ``np.searchsorted`` over the user's sorted
+    right-side timeline — O(n log n) in the group, no pairwise blowup.
+    """
+    ds = _bucketed(sf_dir, left_type, right_type)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        left = g[g["event_type"] == left_type]
+        right = g[g["event_type"] == right_type][
+            ["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "click_id", "ts": "click_ts"})
+        m = pd.merge_asof(left.sort_values("ts"), right.sort_values("click_ts"),
+                          left_on="ts", right_on="click_ts", by="user_id",
+                          direction="backward", allow_exact_matches=True)
+        return pd.DataFrame({
+            "purchase_id": m["event_id"].to_numpy(),
+            "user_id": m["user_id"].to_numpy(),
+            "purchase_ts": m["ts"].to_numpy(),
+            "click_id": m["click_id"].astype("Int64"),
+            "click_ts": m["click_ts"],
+        })
+
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                           num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# range join: clicks in the trailing window before each purchase
+# ---------------------------------------------------------------------------
+
+
+def events_range_join(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "click",
+                      window_minutes: int = 30):
+    """Range (interval) join, pre-aggregated: for each ``left_type`` event,
+    how many ``right_type`` events of the same user fall in
+    ``[left.ts - window, left.ts)``.
+
+    Output: (purchase_id, user_id, n_clicks_30m).
+
+    Same single-shuffle + per-user searchsorted shape as the as-of join:
+    two binary searches per left row give the window's [lo, hi) postings
+    range — never a per-pair expansion (the naive range join is quadratic
+    in hot users).
+    """
+    win = np.timedelta64(window_minutes * 60 * 1_000_000, "us")
+    ds = _bucketed(sf_dir, left_type, right_type)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        left = g[g["event_type"] == left_type].sort_values("ts")
+        right = g[g["event_type"] == right_type].sort_values("ts")
+        # per-user running click count; #(rt < t) via backward as-of with
+        # exact matches excluded, so count([t-win, t)) = hi(t) - hi(t-win)
+        right = right.assign(
+            cum=right.groupby("user_id").cumcount() + 1)[
+            ["user_id", "ts", "cum"]]
+
+        def hi(at: pd.DataFrame) -> np.ndarray:
+            m = pd.merge_asof(at, right, left_on="at", right_on="ts",
+                              by="user_id", direction="backward",
+                              allow_exact_matches=False)
+            return m["cum"].fillna(0).to_numpy(np.int64)
+
+        base = pd.DataFrame({"user_id": left["user_id"].to_numpy(),
+                             "at": left["ts"].to_numpy()})
+        n_hi = hi(base)                          # #(rt <  t)
+        n_lo = hi(base.assign(at=base["at"] - win))   # #(rt < t-win)
+        # [t-win, t) count: rows at exactly t-win are in n_hi, not n_lo
+        return pd.DataFrame({
+            "purchase_id": left["event_id"].to_numpy(),
+            "user_id": left["user_id"].to_numpy(),
+            "n_clicks_30m": (n_hi - n_lo).astype(np.int64),
+        })
+
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                           num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# sliding windows: 1 h length, 15 min slide
+# ---------------------------------------------------------------------------
+
+SLIDE_MIN = 15
+WINDOW_SLIDES = 4      # window length = SLIDE_MIN * WINDOW_SLIDES = 1 h
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows every 15 minutes;
+    per window, event count and value sum.
+
+    Output: (window_start, n_events, sum_value)  [sum rounded to 2dp].
+
+    Each event belongs to exactly ``WINDOW_SLIDES`` windows
+    (``floor15(ts) - k*15min`` for k in 0..3), so the explode factor is a
+    small constant and happens INSIDE ``map_batches`` fused with partial
+    aggregation — the shuffle moves (window, count, sum) partials, not
+    exploded events.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=("ts", "value"))
+    slide = np.timedelta64(SLIDE_MIN * 60 * 1_000_000, "us")
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=SLIDE_MIN, unit="minute")
+        base_np = base.to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        parts = []
+        for k in range(WINDOW_SLIDES):
+            w = base_np - k * slide
+            parts.append(pa.table({
+                "window_start": pa.array(w, pa.timestamp("us")),
+                "value": pa.array(vals),
+            }))
+        cat = pa.concat_tables(parts)
+        return cat.group_by("window_start").aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    agg = ds.map_batches(explode_partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("window_start").aggregate(
+            Sum("value_sum", alias_name="sum_v"),
+            Sum("value_count", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from .analytics import _round   # DuckDB-identical double rounding
+
+        return pa.table({
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["n"], pa.int64()),
+            "sum_value": _round(t["sum_v"], 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distinct active days per user (exact distinct via two-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def user_active_days(sf_dir: str):
+    """Per-user exact count of distinct active days.
+
+    Output: (user_id, n_days).
+
+    Two-level distinct: per-batch (user, day) dedup inside ``map_batches``
+    (the combiner — collapses each batch to at most users x days rows),
+    then one shuffle on user_id and an exact per-group nunique.  The
+    shuffle never moves raw events, only the deduped pairs.
+    """
+    ds = _events(sf_dir, columns=("user_id", "ts"))
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        pairs = pa.table({"user_id": t["user_id"], "day": day})
+        pairs = pairs.group_by(["user_id", "day"]).aggregate([])
+        bucket = pc.cast(pc.bit_wise_and(pairs["user_id"], NPART - 1),
+                         pa.int64())
+        return pairs.append_column("bucket", bucket)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id")["day"].nunique()
+        return pd.DataFrame({"user_id": agg.index.to_numpy(),
+                             "n_days": agg.to_numpy(np.int64)})
+
+    return (ds.map_batches(batch_distinct, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))

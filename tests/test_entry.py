@@ -68,6 +68,9 @@ def test_every_oracle_key_has_query(contract):
     "cdc_toast_carry", "cdc_truncate", "cdc_bounded_replay",
     "cdc_schema_evolution", "q1_pricing_summary", "customer_order_totals",
     "events_sessionize", "events_hourly",
+    "top_orders_per_customer", "orders_without_lineitems",
+    "events_asof_join", "events_range_join", "events_sliding_window",
+    "user_active_days",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
