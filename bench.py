@@ -221,10 +221,16 @@ def run_suite(sf_dir: str, headline_only: bool,
             head = bench_cdc_headline(sf_dir)
         queries = {"cdc_replay": round(head["sec"], 3)}
         extra = {}
+        syn = None
         if not headline_only:
             q = bench_queries(sf_dir)
             queries.update({k: v["sec"] for k, v in q.items()})
             extra = {k: v["rows"] for k, v in q.items()}
+            # throughput-regime headline: the sf-tied WAL (~100k events at
+            # sf0.1) is constant-overhead-dominated, so also measure a 4M
+            # DML-event synthetic replay (WAL generation cached, untimed)
+            syn = bench_cdc_synthetic(4_000_000)
+            queries["cdc_replay_synthetic4m"] = round(syn["sec"], 3)
         return {
             "metric": "cdc_replay_wall_sec (events applied/sec in events_per_s)",
             "value": round(head["sec"], 3),
@@ -235,6 +241,9 @@ def run_suite(sf_dir: str, headline_only: bool,
             "events_per_s": round(head["events_per_s"], 1),
             "rows_applied": head["rows_applied"],
             "lake_rows": head["lake_rows"],
+            **({"synthetic_events_per_s": round(syn["events_per_s"], 1),
+                "synthetic_rows_applied": syn["rows_applied"]}
+               if syn else {}),
             "rows_out": extra,
         }
     finally:
