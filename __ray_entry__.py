@@ -173,6 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding_window"] = temporal.events_sliding_window
     q["user_active_days"] = temporal.user_active_days
 
+    # HLL sketch — approximate by design, no SQL oracle (rows-only check;
+    # accuracy pinned in tests/test_sketches.py against exact counts)
+    from pg_walstream_ray.pipelines import sketches
+
+    q["approx_user_days"] = sketches.approx_user_days
+
     # -- fused corpus-cleaning flagship ------------------------------------
     from pg_walstream_ray.pipelines import corpus
 
