@@ -622,6 +622,23 @@ class DecodeShard:
                     if mx is not None and mx <= wm:
                         self.segments_pruned += 1
                         continue          # fully applied everywhere: skip
+                if self.stop_at_lsn is None:
+                    # vectorized fast path: whole-segment numpy decode
+                    # (~5-10x the scalar state machine); falls back below
+                    # on anything outside the hot profile (vdecode.py)
+                    from .vdecode import try_decode_segment
+
+                    vout = try_decode_segment(
+                        dec, pf.read(columns=["frame"])["frame"])
+                    if vout is not None:
+                        for rb in vout:
+                            pending.append(rb)
+                            pending_rows += rb.num_rows
+                            if pending_rows >= self.out_batch_rows:
+                                yield pa.Table.from_batches(
+                                    pending, schema=ENVELOPE_SCHEMA)
+                                pending, pending_rows = [], 0
+                        continue
                 for rg in range(pf.num_row_groups):
                     frames = pf.read_row_group(rg, columns=["frame"])["frame"]
                     dec.feed_frames(frames.to_pylist())

@@ -1,0 +1,508 @@
+"""Vectorized pgoutput segment decode: numpy over the raw frame buffers.
+
+The scalar ``PgOutputDecoder`` walks every tuple column in Python
+(~100-140k events/s/core); this module decodes a whole segment's DML in
+a handful of numpy gathers instead, at millions of events/s/core, while
+delegating the (rare) control frames — Begin/Commit/Relation/Stream*/
+Truncate/Message/... — to the *same* scalar state machine so semantics
+stay identical by construction:
+
+1. One vectorized pass classifies every frame (tag byte at a fixed
+   offset) and extracts LSNs.
+2. The few control frames (<2% of a stream) run through a CLONE of the
+   caller's ``PgOutputDecoder`` in order, recording transaction spans
+   (Begin..Commit), streamed-xid resolutions (StreamCommit/Abort),
+   relation-version epochs and the released control rows with their
+   release positions.
+3. DML frames are decoded columnar: group by (op, stream-ness, tuple
+   marker, ncols), then peel tuple columns with per-column numpy gathers
+   — value bytes are collected with a single fancy-index per tuple side
+   and wrapped zero-copy into Arrow list<string> arrays.
+4. Rows are ordered exactly as the scalar decoder releases them
+   (sort by (release event position, frame position)) and merged with
+   the control rows into envelope batches.
+
+Falls back (returns None, caller uses the scalar path) on anything
+outside the hot profile: two-phase frames, binary ('b') column tags,
+transactions left unresolved at segment end, bounded replay, or parse
+anomalies.  Correctness is pinned by tests comparing the vectorized
+output byte-for-byte against the scalar decoder over the scenario corpus
+and random WalSpecs (tests/test_vdecode.py).
+
+Reference parity notes: the DML wire layout decoded here is
+protocol.rs:864-951 (Insert/Update/Delete) + protocol.rs:1294-1325
+(tuple data); the release discipline is the safe-transaction-consumer
+contract (commit-complete only).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..wire import codec
+from ..wire.frames import XLOGDATA_HEADER_LEN, pg_ts_to_unix_us
+from .decode import ENVELOPE_SCHEMA, PgOutputDecoder
+
+logger = logging.getLogger(__name__)
+
+_H = XLOGDATA_HEADER_LEN            # 25
+_PREPARED_TAGS = (98, 80, 75, 114, 112)   # b P K r p — two-phase family
+
+
+class _Fallback(Exception):
+    pass
+
+
+def _be(data: np.ndarray, idx: np.ndarray, nbytes: int) -> np.ndarray:
+    """Big-endian uint gather at arbitrary positions (vectorized)."""
+    out = data[idx].astype(np.int64)
+    for k in range(1, nbytes):
+        out = (out << 8) | data[idx + k]
+    return out
+
+
+def _clone_decoder(dec: PgOutputDecoder) -> PgOutputDecoder:
+    c = PgOutputDecoder(emit_control_rows=dec.emit_control_rows,
+                        collect_dml=dec.collect_dml, source=dec.source)
+    c.relations = dict(dec.relations)
+    c.rel_versions = dict(dec.rel_versions)
+    c._relmeta = dict(dec._relmeta)
+    c._next_version = dec._next_version
+    c.last_received_lsn = dec.last_received_lsn
+    c.last_commit_lsn = dec.last_commit_lsn
+    return c
+
+
+def _adopt(dec: PgOutputDecoder, c: PgOutputDecoder) -> None:
+    dec.relations = c.relations
+    dec.rel_versions = c.rel_versions
+    dec._relmeta = c._relmeta
+    dec._next_version = c._next_version
+    dec.last_received_lsn = max(dec.last_received_lsn, c.last_received_lsn)
+    dec.last_commit_lsn = max(dec.last_commit_lsn, c.last_commit_lsn)
+    dec.unknown_relation_drops += c.unknown_relation_drops
+
+
+def _frames_np(col) -> Tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column -> (data bytes, per-frame start offsets[+end])."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise _Fallback("null frames")
+    bufs = col.buffers()
+    if pa.types.is_large_binary(col.type):
+        offs = np.frombuffer(bufs[1], np.int64)
+    else:
+        offs = np.frombuffer(bufs[1], np.int32).astype(np.int64)
+    offs = offs[col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], np.uint8)
+    return data, offs
+
+
+def _peel_tuples(data: np.ndarray, starts: np.ndarray):
+    """Parse one TupleData per row starting at ``starts``.
+
+    Returns (values ListArray [list<string>], unchanged ListArray
+    [list<bool>], end offsets).  Rows must share a column count (caller
+    groups by ncols first).
+    """
+    n = len(starts)
+    ncols_arr = _be(data, starts, 2)
+    ncols = int(ncols_arr[0])
+    if not np.all(ncols_arr == ncols):
+        raise _Fallback("mixed ncols in group")        # caller groups; guard
+    off = starts + 2
+    v_start = np.empty((n, ncols), np.int64)
+    v_len = np.zeros((n, ncols), np.int64)
+    code = np.empty((n, ncols), np.uint8)
+    for j in range(ncols):
+        t = data[off]
+        code[:, j] = t
+        is_txt = t == 116
+        if not np.all(is_txt | (t == 110) | (t == 117)):
+            raise _Fallback("non-text tuple tag")      # 'b' or corrupt
+        ln = np.zeros(n, np.int64)
+        if is_txt.any():
+            ln[is_txt] = _be(data, off[is_txt] + 1, 4)
+        v_start[:, j] = off + 5
+        v_len[:, j] = ln
+        off = off + 1 + np.where(is_txt, 4 + ln, 0)
+    # row-major flatten -> one gather for all value bytes
+    fs = v_start.reshape(-1)
+    fl = v_len.reshape(-1)
+    fc = code.reshape(-1)
+    total = int(fl.sum())
+    cum = np.cumsum(fl)
+    char_off = np.empty(len(fl) + 1, np.int32)
+    char_off[0] = 0
+    char_off[1:] = cum
+    if total:
+        gather = np.arange(total, dtype=np.int64) + np.repeat(
+            fs - (cum - fl), fl)
+        chars = data[gather]
+    else:
+        chars = np.empty(0, np.uint8)
+    valid = fc == 116                                  # null for 'n'/'u'
+    vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    values = pa.Array.from_buffers(
+        pa.utf8(), len(fl),
+        [vbuf, pa.py_buffer(char_off.tobytes()), pa.py_buffer(chars.tobytes())],
+        null_count=int((~valid).sum()))
+    list_off = pa.array(np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32),
+                        pa.int32())
+    vals = pa.ListArray.from_arrays(list_off, values)
+    unch = pa.ListArray.from_arrays(
+        list_off, pa.array(code.reshape(-1) == 117))
+    return vals, unch, off
+
+
+def _const_str(s: str, n: int) -> pa.Array:
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, np.int32)), pa.array([s])).cast(pa.string())
+
+
+def _dict_str(codes: np.ndarray, values: List[str]) -> pa.Array:
+    return pa.DictionaryArray.from_arrays(
+        pa.array(codes.astype(np.int32)), pa.array(values, pa.string())
+    ).cast(pa.string())
+
+
+def try_decode_segment(dec: PgOutputDecoder, frames_col) \
+        -> Optional[List[pa.RecordBatch]]:
+    """Vectorized decode of one segment's frame column using (and
+    advancing) ``dec``'s relation/watermark state.  Returns envelope
+    batches, or None to signal the caller to use the scalar path
+    (``dec`` is left untouched in that case)."""
+    if (dec.stop_at_lsn is not None or not dec.collect_dml
+            or dec.tx_buf or dec.stream_bufs or dec.prepared
+            or dec.in_stream_xid is not None or dec._released):
+        return None
+    try:
+        return _decode_segment(dec, frames_col)
+    except _Fallback as ex:
+        logger.debug("vectorized decode fallback: %s", ex)
+        return None
+
+
+def _decode_segment(dec: PgOutputDecoder, frames_col) \
+        -> List[pa.RecordBatch]:
+    data, offs = _frames_np(frames_col)
+    n_frames = len(offs) - 1
+    if n_frames == 0:
+        return []
+    base = offs[:-1]
+    flen = np.diff(offs)
+    kind = data[base]
+    w = kind == 119                                     # 'w' XLogData
+    if not np.all(w | (kind == 107)):
+        raise _Fallback("unknown frame kind")
+    if np.any(flen[w] < _H + 1):
+        raise _Fallback("short frame")
+    tag = np.zeros(n_frames, np.uint8)
+    tag[w] = data[base[w] + _H]
+    if np.isin(tag, _PREPARED_TAGS).any():
+        raise _Fallback("two-phase frames present")
+    is_dml = w & np.isin(tag, (73, 85, 68))             # I / U / D
+    lsn = np.zeros(n_frames, np.int64)
+    lsn[w] = _be(data, base[w] + 1, 8)
+
+    # ---- control scan (scalar, in order, on a clone) --------------------
+    c = _clone_decoder(dec)
+    ctrl_idx = np.nonzero(~is_dml)[0]
+    begins: List[int] = []
+    begin_xids: List[int] = []
+    commits: List[Tuple[int, int, int]] = []       # (idx, commit_lsn, ts_us)
+    s_starts: List[int] = []
+    s_stops: List[int] = []
+    stream_done: Dict[int, Tuple[int, int, int]] = {}  # xid->(lsn,ts,idx)
+    rel_changes: Dict[int, List[Tuple[int, int, str, str]]] = {
+        oid: [(-1, v[0], v[1], v[2])] for oid, v in dec._relmeta.items()}
+    ctrl_fidx: List[int] = []                      # frame idx per ctrl row
+    ctrl_seq: List[int] = []                       # release seq per ctrl row
+    shadow_tx: List[int] = []
+    shadow_stream: Dict[int, List[int]] = {}
+
+    for i in ctrl_idx.tolist():
+        s, e = int(base[i]), int(base[i] + flen[i])
+        if kind[i] == 107:                          # keepalive
+            wal_end = int.from_bytes(data[s + 1:s + 9].tobytes(), "big")
+            if wal_end > c.last_received_lsn:
+                c.last_received_lsn = wal_end
+            continue
+        body = data[s + _H:e].tobytes()
+        t = tag[i]
+        li = int(lsn[i])
+        if li > c.last_received_lsn:
+            c.last_received_lsn = li
+        pre_rel = len(c._released)
+        msg, _sx = codec.parse_message(body,
+                                       in_stream=c.in_stream_xid is not None)
+        if t == 66:                                 # Begin
+            begins.append(i)
+            begin_xids.append(msg.xid)
+        elif t == 67:                               # Commit
+            commits.append((i, msg.commit_lsn,
+                            pg_ts_to_unix_us(msg.commit_ts)))
+        elif t == 83:                               # StreamStart
+            s_starts.append(i)
+            shadow_stream.setdefault(msg.xid, [])
+        elif t == 69:                               # StreamStop
+            s_stops.append(i)
+        elif t == 99:                               # StreamCommit
+            stream_done[msg.xid] = (msg.commit_lsn,
+                                    pg_ts_to_unix_us(msg.commit_ts), i)
+        elif t == 65:                               # StreamAbort
+            stream_done[msg.xid] = (0, 0, -1)       # discarded
+        pre_tx = len(c.tx_buf)
+        pre_sb = {x: len(b) for x, b in c.stream_bufs.items()}
+        c._dispatch(body, li)
+        # mirror frame indices of any rows the dispatch buffered/released
+        if t == 82:                                 # Relation (immediate)
+            for _ in range(len(c._released) - pre_rel):
+                ctrl_fidx.append(i)
+                ctrl_seq.append(i)
+        elif t == 67:                               # Commit released tx_buf
+            ctrl_fidx.extend(shadow_tx)
+            ctrl_seq.extend([i] * len(shadow_tx))
+            shadow_tx = []
+        elif t == 99:                               # StreamCommit released
+            rows = shadow_stream.pop(msg.xid, [])
+            ctrl_fidx.extend(rows)
+            ctrl_seq.extend([i] * len(rows))
+        elif t == 65:                               # StreamAbort discarded
+            shadow_stream.pop(msg.xid, None)
+        else:                                       # Y/O/M/T buffered rows
+            grew = len(c.tx_buf) - pre_tx
+            if grew:
+                shadow_tx.extend([i] * grew)
+            for x, b in c.stream_bufs.items():
+                g = len(b) - pre_sb.get(x, 0)
+                if g:
+                    shadow_stream.setdefault(x, []).extend([i] * g)
+        if t == 82:                                 # record version epoch
+            oid = msg.oid
+            ver, ns, name = c._relmeta[oid]
+            rel_changes.setdefault(oid, []).append((i, ver, ns, name))
+
+    if c.tx_buf or any(c.stream_bufs.values()) or c.prepared \
+            or c.in_stream_xid is not None:
+        raise _Fallback("unresolved transaction at segment end")
+    if len(begins) != len(commits):
+        raise _Fallback("unbalanced begin/commit")
+
+    # ---- per-frame context for DML rows ---------------------------------
+    dml_idx = np.nonzero(is_dml)[0]
+    out_tables: List[pa.Table] = []
+    if len(dml_idx):
+        b_arr = np.asarray(begins, np.int64)
+        c_idx = np.asarray([x[0] for x in commits], np.int64)
+        c_lsn = np.asarray([x[1] for x in commits], np.int64)
+        c_ts = np.asarray([x[2] for x in commits], np.int64)
+        bx = np.asarray(begin_xids, np.int64)
+        ss = np.asarray(s_starts, np.int64)
+        se = np.asarray(s_stops + [n_frames] * (len(s_starts) - len(s_stops)),
+                        np.int64)
+        f = dml_idx
+        if len(ss):
+            si = np.searchsorted(ss, f, side="right") - 1
+            in_stream = (si >= 0) & (f < se[np.clip(si, 0, None)])
+        else:
+            in_stream = np.zeros(len(f), bool)
+
+        hdr = base[f] + _H + 1 + np.where(in_stream, 4, 0)
+        xid_stream = np.zeros(len(f), np.int64)
+        if in_stream.any():
+            xid_stream[in_stream] = _be(data, base[f[in_stream]] + _H + 1, 4)
+        oid_arr = _be(data, hdr, 4)
+
+        # plain-tx assignment
+        if len(b_arr):
+            ordn = np.searchsorted(b_arr, f, side="right") - 1
+            plain_ok = (ordn >= 0) & (f < c_idx[np.clip(ordn, 0, None)])
+        else:
+            ordn = np.zeros(len(f), np.int64)
+            plain_ok = np.zeros(len(f), bool)
+        if np.any(~in_stream & ~plain_ok):
+            raise _Fallback("DML outside any transaction")
+
+        # streamed-tx resolution
+        released = np.ones(len(f), bool)
+        row_xid = np.where(in_stream, xid_stream,
+                           bx[np.clip(ordn, 0, None)] if len(b_arr) else 0)
+        commit_lsn_row = np.where(
+            plain_ok & ~in_stream,
+            c_lsn[np.clip(ordn, 0, None)] if len(c_idx) else 0, 0)
+        commit_ts_row = np.where(
+            plain_ok & ~in_stream,
+            c_ts[np.clip(ordn, 0, None)] if len(c_idx) else 0, 0)
+        seq_row = np.where(plain_ok & ~in_stream,
+                           c_idx[np.clip(ordn, 0, None)] if len(c_idx) else 0,
+                           0)
+        if in_stream.any():
+            for x in np.unique(xid_stream[in_stream]):
+                m = in_stream & (xid_stream == x)
+                done = stream_done.get(int(x))
+                if done is None:
+                    raise _Fallback("unresolved streamed xid")
+                if done[2] < 0:                     # aborted
+                    released[m] = False
+                else:
+                    commit_lsn_row[m] = done[0]
+                    commit_ts_row[m] = done[1]
+                    seq_row[m] = done[2]
+
+        # relation-version epochs + unknown-relation drop
+        rel_code = np.full(len(f), -1, np.int64)
+        code_meta: List[Tuple[int, int, str, str]] = []   # (oid,ver,ns,name)
+        for oid in np.unique(oid_arr):
+            m = oid_arr == oid
+            ch = rel_changes.get(int(oid))
+            if not ch:
+                dec_unknown = int(m.sum())
+                c.unknown_relation_drops += dec_unknown
+                released[m] = False
+                continue
+            pos_arr = np.asarray([p for p, *_ in ch], np.int64)
+            which = np.searchsorted(pos_arr, f[m], side="right") - 1
+            if np.any(which < 0):
+                c.unknown_relation_drops += int((which < 0).sum())
+                mm = np.nonzero(m)[0][which < 0]
+                released[mm] = False
+                which = np.clip(which, 0, None)
+            codes = np.empty(len(which), np.int64)
+            for k, (_p, ver, ns, name) in enumerate(ch):
+                code_meta.append((int(oid), ver, ns, name))
+                codes[which == k] = len(code_meta) - 1
+            rel_code[m] = codes
+
+        keep = released
+        # ---- decode DML groups vectorized ------------------------------
+        for op_tag, op_name in ((73, "insert"), (85, "update"),
+                                (68, "delete")):
+            gm = keep & (tag[f] == op_tag)
+            if not gm.any():
+                continue
+            for marker_split in _marker_groups(data, hdr, op_tag, gm):
+                sub, before_start, after_start, key_type = marker_split
+                if not sub.any():
+                    continue
+                for tbl in _emit_group(
+                        data, f, sub, before_start, after_start, key_type,
+                        op_name, lsn, row_xid, commit_lsn_row, commit_ts_row,
+                        seq_row, rel_code, code_meta, oid_arr, dec.source):
+                    out_tables.append(tbl)
+
+    # ---- control rows table ---------------------------------------------
+    ctrl_batch = c.take_batch()
+    if ctrl_batch is not None:
+        t = pa.Table.from_batches([ctrl_batch])
+        t = t.append_column("_seq", pa.array(np.asarray(ctrl_seq, np.int64)))
+        t = t.append_column("_fidx", pa.array(np.asarray(ctrl_fidx,
+                                                         np.int64)))
+        out_tables.append(t)
+
+    _adopt(dec, c)
+    if not out_tables:
+        return []
+    merged = pa.concat_tables(out_tables)
+    order = pa.compute.sort_indices(
+        merged.select(["_seq", "_fidx"]),
+        sort_keys=[("_seq", "ascending"), ("_fidx", "ascending")])
+    merged = merged.take(order).drop(["_seq", "_fidx"])
+    merged = merged.select([fld.name for fld in ENVELOPE_SCHEMA])
+    merged = merged.cast(ENVELOPE_SCHEMA)
+    return merged.to_batches()
+
+
+def _marker_groups(data, hdr, op_tag, gm):
+    """Split a DML group by old-tuple marker; yields
+    (mask, before_tuple_start|None, after_tuple_start|None, key_type)."""
+    if op_tag == 73:                                # Insert: 'N' + tuple
+        yield gm, None, hdr + 5, ""
+        return
+    marker = np.zeros(len(gm), np.uint8)
+    marker[gm] = data[hdr[gm] + 4]
+    if op_tag == 68:                                # Delete: K|O + old tuple
+        for mk in (75, 79):
+            sub = gm & (marker == mk)
+            if sub.any():
+                yield sub, hdr + 5, None, chr(mk)
+        if np.any(gm & ~np.isin(marker, (75, 79, 0))):
+            raise _Fallback("bad delete marker")
+        return
+    # Update: optional K|O old tuple, then 'N' new tuple
+    sub_n = gm & (marker == 78)
+    if sub_n.any():
+        yield sub_n, None, hdr + 5, ""
+    for mk in (75, 79):
+        sub = gm & (marker == mk)
+        if sub.any():
+            # before tuple at hdr+5; after tuple located after peel —
+            # signalled with after_start=None + key_type marker
+            yield sub, hdr + 5, "after-follows", chr(mk)
+    if np.any(gm & ~np.isin(marker, (75, 79, 78, 0))):
+        raise _Fallback("bad update marker")
+
+
+def _emit_group(data, f, sub, before_start, after_start, key_type, op_name,
+                lsn, row_xid, commit_lsn_row, commit_ts_row, seq_row,
+                rel_code, code_meta, oid_arr, source):
+    """Build envelope tables for one (op, marker) group, sub-split by
+    ncols inside _peel_tuples' caller loop."""
+    idx = np.nonzero(sub)[0]
+    # sub-split by ncols of the first tuple to peel (groups are usually 1)
+    first_start = before_start if before_start is not None else after_start
+    fs = first_start[idx] if isinstance(first_start, np.ndarray) else None
+    ncols_first = _be(data, fs, 2)
+    for nc in np.unique(ncols_first):
+        m2 = ncols_first == nc
+        rows = idx[m2]
+        n = len(rows)
+        before = after = unch = None
+        if before_start is not None:
+            bvals, _bunch, end = _peel_tuples(data, before_start[rows])
+            before = bvals
+            if after_start == "after-follows":      # update K|O: 'N' + tuple
+                if not np.all(data[end] == 78):
+                    raise _Fallback("update missing new tuple")
+                avals, aunch, _ = _peel_tuples(data, end + 1)
+                after, unch = avals, aunch
+        if isinstance(after_start, np.ndarray):
+            avals, aunch, _ = _peel_tuples(data, after_start[rows])
+            after, unch = avals, aunch
+        null_list_str = pa.nulls(n, pa.list_(pa.string()))
+        null_list_bool = pa.nulls(n, pa.list_(pa.bool_()))
+        codes = rel_code[rows]
+        if np.any(codes < 0):
+            raise _Fallback("released row without relation")
+        tbl = pa.table({
+            "source": pa.array(np.full(n, source, np.int32)),
+            "lsn": pa.array(lsn[f[rows]]),
+            "commit_lsn": pa.array(commit_lsn_row[rows]),
+            "commit_ts_us": pa.array(commit_ts_row[rows]),
+            "xid": pa.array(row_xid[rows]),
+            "op": _const_str(op_name, n),
+            "rel_oid": pa.array(oid_arr[rows].astype(np.int32)),
+            "rel_version": pa.array(
+                np.asarray([code_meta[cd][1] for cd in range(len(code_meta))],
+                           np.int32)[codes] if code_meta
+                else np.zeros(n, np.int32)),
+            "schema_name": _dict_str(
+                codes, [cm[2] for cm in code_meta]) if code_meta
+            else _const_str("", n),
+            "table_name": _dict_str(
+                codes, [cm[3] for cm in code_meta]) if code_meta
+            else _const_str("", n),
+            "key_type": _const_str(key_type, n),
+            "before_values": before if before is not None else null_list_str,
+            "after_values": after if after is not None else null_list_str,
+            "unchanged_mask": unch if unch is not None else null_list_bool,
+            "meta": pa.nulls(n, pa.string()),
+            "_seq": pa.array(seq_row[rows]),
+            "_fidx": pa.array(f[rows]),
+        })
+        yield tbl

@@ -1,0 +1,140 @@
+"""Vectorized decoder == scalar decoder, byte-for-byte.
+
+The vectorized path (stages/vdecode.py) must produce the exact envelope
+table — same rows, same order, same decoder state afterwards — as the
+scalar ``PgOutputDecoder`` over every scenario shape, or cleanly fall
+back (return None).  No Ray needed: both decoders are pure functions
+over frame lists."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pg_walstream_ray.sources import walgen
+from pg_walstream_ray.stages import vdecode
+from pg_walstream_ray.stages.decode import ENVELOPE_SCHEMA, PgOutputDecoder
+
+from .helpers import make_wal
+
+
+def _frames_of(wal_dir: str):
+    """Per shard: frame column (arrow) for each segment, in order."""
+    for d in sorted(glob.glob(os.path.join(wal_dir, "shard=*"))):
+        segs = sorted(glob.glob(os.path.join(d, "wal*.parquet")))
+        yield [pq.read_table(p, columns=["frame"])["frame"] for p in segs]
+
+
+def _assert_equivalent(spec: walgen.WalSpec, expect_fallback: bool = False):
+    wal = make_wal(spec)
+    saw_vectorized = False
+    for seg_cols in _frames_of(wal):
+        ds = PgOutputDecoder(source=0)
+        dv = PgOutputDecoder(source=0)
+        for col in seg_cols:
+            ds.feed_frames(col.to_pylist())
+            b = ds.take_batch()
+            scalar = pa.Table.from_batches([b] if b else [],
+                                           schema=ENVELOPE_SCHEMA)
+            out = vdecode.try_decode_segment(dv, col)
+            if out is None:
+                # fallback: replay through the scalar path on dv to keep
+                # state in sync for the next segment (what DecodeShard does)
+                dv.feed_frames(col.to_pylist())
+                bv = dv.take_batch()
+                vec = pa.Table.from_batches([bv] if bv else [],
+                                            schema=ENVELOPE_SCHEMA)
+            else:
+                saw_vectorized = True
+                vec = pa.Table.from_batches(list(out),
+                                            schema=ENVELOPE_SCHEMA)
+            assert scalar.equals(vec), \
+                f"envelope mismatch (spec={spec.to_json()})"
+        assert ds._next_version == dv._next_version
+        assert ds.last_commit_lsn == dv.last_commit_lsn
+        assert ds.unknown_relation_drops == dv.unknown_relation_drops
+    if expect_fallback:
+        assert not saw_vectorized
+    else:
+        assert saw_vectorized, "vectorized path never engaged"
+
+
+def test_baseline():
+    _assert_equivalent(walgen.WalSpec(n_convs=60, turns_per_conv=8,
+                                      n_shards=2))
+
+
+def test_mixed_dml_toast_truncate():
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=50, turns_per_conv=6, update_frac=0.6, delete_frac=0.2,
+        toast_unchanged_frac=0.4, truncate_at_frac=0.5, n_shards=2))
+
+
+def test_streamed_and_aborted():
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=50, turns_per_conv=6, streamed_frac=0.5,
+        stream_abort_frac=0.3, n_shards=2))
+
+
+def test_schema_evolution_and_segments():
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=60, turns_per_conv=6, schema_change_at_frac=0.5,
+        segment_rows=120, n_shards=2))
+
+
+def test_hot_keys_payload():
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=40, turns_per_conv=6, hot_conv_frac=0.5, payload_bytes=256,
+        n_shards=1))
+
+
+def test_uncommitted_tail_falls_back():
+    # an unresolved transaction at segment end must NOT be half-decoded
+    _assert_equivalent(walgen.WalSpec(n_convs=20, turns_per_conv=4,
+                                      uncommitted_tail=True, n_shards=1),
+                       expect_fallback=True)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.builds(
+    walgen.WalSpec,
+    n_convs=st.integers(10, 60),
+    turns_per_conv=st.integers(2, 8),
+    update_frac=st.floats(0, 0.8),
+    delete_frac=st.floats(0, 0.3),
+    tx_rows=st.integers(5, 80),
+    n_shards=st.integers(1, 3),
+    seed=st.integers(0, 10_000),
+    hot_conv_frac=st.floats(0, 0.6),
+    truncate_at_frac=st.one_of(st.none(), st.floats(0.1, 0.9)),
+    streamed_frac=st.floats(0, 0.7),
+    stream_abort_frac=st.floats(0, 0.5),
+    toast_unchanged_frac=st.floats(0, 0.5),
+    schema_change_at_frac=st.one_of(st.none(), st.floats(0.1, 0.9)),
+    keepalive_every=st.integers(16, 512),
+    segment_rows=st.one_of(st.none(), st.integers(50, 200)),
+))
+def test_property_random_specs(spec):
+    wal = make_wal(spec)
+    for seg_cols in _frames_of(wal):
+        ds = PgOutputDecoder(source=0)
+        dv = PgOutputDecoder(source=0)
+        for col in seg_cols:
+            ds.feed_frames(col.to_pylist())
+            b = ds.take_batch()
+            scalar = pa.Table.from_batches([b] if b else [],
+                                           schema=ENVELOPE_SCHEMA)
+            out = vdecode.try_decode_segment(dv, col)
+            if out is None:
+                dv.feed_frames(col.to_pylist())
+                bv = dv.take_batch()
+                vec = pa.Table.from_batches([bv] if bv else [],
+                                            schema=ENVELOPE_SCHEMA)
+            else:
+                vec = pa.Table.from_batches(list(out),
+                                            schema=ENVELOPE_SCHEMA)
+            assert scalar.equals(vec), spec.to_json()
+        assert ds._next_version == dv._next_version
