@@ -127,6 +127,74 @@ def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
         shutil.rmtree(lake2, ignore_errors=True)
 
 
+def _cdc_upsert_compacted(sf_dir: str) -> Any:
+    """Upsert replay + explicit lake compaction; final state must equal the
+    uncompacted LWW result (compaction is a pure physical rewrite)."""
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.lake import compact_lake, snapshot_table
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_compact_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        compact_lake(lake_dir)
+        snap = snapshot_table(lake_dir)
+        return snap.select(["conv_id", "turn_idx", "role", "text",
+                            "tool", "ts"])
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+def _cdc_router_two_tables(sf_dir: str) -> Any:
+    """Multi-table fan-out (WalRouter parity): one WAL carrying two
+    relations (nation + region), one decode pass, routed to two lakes;
+    the result joins both lakes so the oracle checks both tables."""
+    import pyarrow.parquet as pq
+
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.router import TableRoute, run_cdc_router
+    from pg_walstream_ray.sources.tablegen import write_table_wal
+    from pg_walstream_ray.wire import codec
+
+    NAT_OID, REG_OID = 31001, 31002
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|router2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-router2-{key}")
+    done = os.path.join(wal_dir, "_DONE")
+    if not os.path.exists(done):
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        rel_n = codec.Relation(NAT_OID, "public", "nation", "d", [
+            codec.ColumnInfo(1, "n_nationkey", 23, -1),
+            codec.ColumnInfo(0, "n_name", 25, -1),
+            codec.ColumnInfo(0, "n_regionkey", 23, -1)])
+        rel_r = codec.Relation(REG_OID, "public", "region", "d", [
+            codec.ColumnInfo(1, "r_regionkey", 23, -1),
+            codec.ColumnInfo(0, "r_name", 25, -1)])
+        write_table_wal(nation, rel_n, wal_dir, shard=0, tx_rows=50)
+        write_table_wal(region, rel_r, wal_dir, shard=1, tx_rows=50)
+        open(done, "w").close()
+    lake_n = tempfile.mkdtemp(prefix="pgwr_lake_nat_")
+    lake_r = tempfile.mkdtemp(prefix="pgwr_lake_reg_")
+    try:
+        run_cdc_router(wal_dir, [TableRoute(NAT_OID, lake_n, 4),
+                                 TableRoute(REG_OID, lake_r, 4)])
+        nat = snapshot_table(lake_n, key_cols=("n_nationkey",)).select(
+            ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+        reg = snapshot_table(lake_r, key_cols=("r_regionkey",)).select(
+            ["r_regionkey", "r_name"]).to_pandas()
+        return nat.merge(reg, left_on="n_regionkey",
+                         right_on="r_regionkey")[
+            ["n_nationkey", "n_name", "n_regionkey", "r_name"]]
+    finally:
+        shutil.rmtree(lake_n, ignore_errors=True)
+        shutil.rmtree(lake_r, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table (pandas per the driver
@@ -154,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_schema_evolution"] = lambda sf: _cdc_run(
         sf, "evolve", extra_cols=("score",))
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
+    q["cdc_upsert_compacted"] = _cdc_upsert_compacted
+    q["cdc_router_two_tables"] = _cdc_router_two_tables
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -246,6 +316,11 @@ def oracle_sql() -> dict[str, str]:
 
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
+    sql["cdc_upsert_compacted"] = sql["cdc_upsert_lww"]
+    sql["cdc_router_two_tables"] = """
+      SELECT n_nationkey, n_name, n_regionkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    """
 
     sql["cdc_upsert_delete"] = f"""
       WITH changes AS (

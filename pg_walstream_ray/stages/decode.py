@@ -622,7 +622,9 @@ class DecodeShard:
                     if mx is not None and mx <= wm:
                         self.segments_pruned += 1
                         continue          # fully applied everywhere: skip
-                if self.stop_at_lsn is None:
+                import os as _os
+                if self.stop_at_lsn is None and not _os.environ.get(
+                        "PGWR_NO_VDECODE"):
                     # vectorized fast path: whole-segment numpy decode
                     # (~5-10x the scalar state machine); falls back below
                     # on anything outside the hot profile (vdecode.py)

@@ -115,9 +115,9 @@ def _peel_tuples(data: np.ndarray, starts: np.ndarray):
     ncols = int(ncols_arr[0])
     if not np.all(ncols_arr == ncols):
         raise _Fallback("mixed ncols in group")        # caller groups; guard
-    off = starts + 2
-    v_start = np.empty((n, ncols), np.int64)
-    v_len = np.zeros((n, ncols), np.int64)
+    off = (starts + 2).astype(np.int32)                # segment < 2 GB
+    v_start = np.empty((n, ncols), np.int32)
+    v_len = np.zeros((n, ncols), np.int32)
     code = np.empty((n, ncols), np.uint8)
     for j in range(ncols):
         t = data[off]
@@ -125,24 +125,32 @@ def _peel_tuples(data: np.ndarray, starts: np.ndarray):
         is_txt = t == 116
         if not np.all(is_txt | (t == 110) | (t == 117)):
             raise _Fallback("non-text tuple tag")      # 'b' or corrupt
-        ln = np.zeros(n, np.int64)
+        ln = np.zeros(n, np.int32)
         if is_txt.any():
-            ln[is_txt] = _be(data, off[is_txt] + 1, 4)
+            it = off[is_txt] + 1
+            ln[is_txt] = ((data[it].astype(np.int32) << 24)
+                          | (data[it + 1].astype(np.int32) << 16)
+                          | (data[it + 2].astype(np.int32) << 8)
+                          | data[it + 3])
         v_start[:, j] = off + 5
         v_len[:, j] = ln
-        off = off + 1 + np.where(is_txt, 4 + ln, 0)
-    # row-major flatten -> one gather for all value bytes
+        off = off + 1 + np.where(is_txt, 4 + ln, 0).astype(np.int32)
+    # row-major flatten -> one gather for all value bytes.  int32 index
+    # math throughout: the gather index array is the biggest memory
+    # consumer of this module (20M+ elements for a 250k x 10 segment) and
+    # concurrent decoders are bandwidth-bound, not compute-bound — int64
+    # indices measurably slow the whole pipeline at 16+ parallel decoders.
     fs = v_start.reshape(-1)
     fl = v_len.reshape(-1)
     fc = code.reshape(-1)
-    total = int(fl.sum())
-    cum = np.cumsum(fl)
+    cum = np.cumsum(fl, dtype=np.int64)
+    total = int(cum[-1]) if len(cum) else 0
     char_off = np.empty(len(fl) + 1, np.int32)
     char_off[0] = 0
     char_off[1:] = cum
     if total:
-        gather = np.arange(total, dtype=np.int64) + np.repeat(
-            fs - (cum - fl), fl)
+        gather = np.arange(total, dtype=np.int32) + np.repeat(
+            (fs - (cum - fl)).astype(np.int32), fl)
         chars = data[gather]
     else:
         chars = np.empty(0, np.uint8)
@@ -414,8 +422,14 @@ def _decode_segment(dec: PgOutputDecoder, frames_col) \
         sort_keys=[("_seq", "ascending"), ("_fidx", "ascending")])
     merged = merged.take(order).drop(["_seq", "_fidx"])
     merged = merged.select([fld.name for fld in ENVELOPE_SCHEMA])
-    merged = merged.cast(ENVELOPE_SCHEMA)
-    return merged.to_batches()
+    merged = merged.cast(ENVELOPE_SCHEMA).combine_chunks()
+    # zero-copy slices: restore the scalar path's batch granularity so the
+    # downstream stages pipeline per chunk instead of per whole segment
+    out: List[pa.RecordBatch] = []
+    step = 32768
+    for s in range(0, merged.num_rows, step):
+        out.extend(merged.slice(s, step).to_batches())
+    return out
 
 
 def _marker_groups(data, hdr, op_tag, gm):

@@ -66,7 +66,8 @@ def test_every_oracle_key_has_query(contract):
 @pytest.mark.parametrize("name", [
     "cdc_insert_only", "cdc_upsert_lww", "cdc_upsert_delete",
     "cdc_toast_carry", "cdc_truncate", "cdc_bounded_replay",
-    "cdc_schema_evolution", "q1_pricing_summary", "customer_order_totals",
+    "cdc_schema_evolution", "cdc_upsert_compacted", "cdc_router_two_tables",
+    "q1_pricing_summary", "customer_order_totals",
     "events_sessionize", "events_hourly",
     "top_orders_per_customer", "orders_without_lineitems",
     "events_asof_join", "events_range_join", "events_sliding_window",
