@@ -194,6 +194,12 @@ def try_decode_segment(dec: PgOutputDecoder, frames_col) \
     except _Fallback as ex:
         logger.debug("vectorized decode fallback: %s", ex)
         return None
+    except Exception:                      # noqa: BLE001 — any parse anomaly
+        # correctness-preserving fallback: _adopt runs last, so dec is
+        # untouched and the scalar path re-decodes the segment cleanly
+        logger.warning("vectorized decode failed; using scalar path",
+                       exc_info=True)
+        return None
 
 
 def _decode_segment(dec: PgOutputDecoder, frames_col) \
@@ -413,8 +419,8 @@ def _decode_segment(dec: PgOutputDecoder, frames_col) \
                                                          np.int64)))
         out_tables.append(t)
 
-    _adopt(dec, c)
     if not out_tables:
+        _adopt(dec, c)
         return []
     merged = pa.concat_tables(out_tables)
     order = pa.compute.sort_indices(
@@ -429,6 +435,7 @@ def _decode_segment(dec: PgOutputDecoder, frames_col) \
     step = 32768
     for s in range(0, merged.num_rows, step):
         out.extend(merged.slice(s, step).to_batches())
+    _adopt(dec, c)                 # mutate dec only once nothing can throw
     return out
 
 
