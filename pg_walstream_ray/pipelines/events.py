@@ -61,9 +61,14 @@ def envelope_dataset(wal_dir: str, stop_at_lsn: Optional[int] = None,
     c = concurrency or max(1, min(len(shard_paths), ncpu // 2))
     ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
-    return ds.map_batches(DecodeShard, fn_constructor_kwargs={
-        "stop_at_lsn": stop_at_lsn},
-        batch_size=None, batch_format="pyarrow", concurrency=c, num_cpus=1)
+
+    def decode_fn(batch: pa.Table):
+        # task-based (no actor-pool spin-up; taps are short-lived) —
+        # same rationale as cdc.decode_segments_fn
+        yield from DecodeShard(stop_at_lsn=stop_at_lsn)(batch)
+
+    return ds.map_batches(decode_fn, batch_size=None,
+                          batch_format="pyarrow", concurrency=c, num_cpus=1)
 
 
 def filter_ops(ds, ops: Iterable[str]):
