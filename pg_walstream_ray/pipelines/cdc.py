@@ -261,45 +261,43 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     work_items = [{"wal_paths": [seg]} for segs in shard_paths
                   for seg in segs]
     ds = rd.from_items(work_items, override_num_blocks=len(work_items))
-    # Adaptive stage mode.  Decode state never spans batches (segments are
-    # self-contained), so both modes are semantically identical:
+    # FUSED map side: decode -> typed projection -> partition routing run
+    # inside ONE stage per segment (stages/fused.py) — the intermediate
+    # envelope and typed tables never hit the object store (two ~2 GB hops
+    # saved on the 16M-event bench).  Adaptive execution mode:
     #  - SMALL inputs (constant-overhead regime): plain TASKS — warm task
     #    workers are reused across pipeline executions, while actor pools
     #    cost ~2-3 s of spin-up per run (measured 5x wall on the sf0.1
-    #    headline, 0.5 s vs 3 s).
-    #  - LARGE inputs (throughput regime): FIXED actor pools — dedicated
-    #    pinned processes pipeline ~2x better than task scheduling under a
-    #    saturated box (measured 25 s vs 56 s on the 16M-event bench), and
-    #    under CPU scarcity autoscaling-free fixed pools avoid the
+    #    headline).
+    #  - LARGE inputs (throughput regime): a FIXED actor pool — dedicated
+    #    pinned processes pipeline better under a saturated box, and under
+    #    CPU scarcity fixed pools avoid the autoscaling
     #    pool-stuck-at-minimum pathology.
-    # Decode gets at most half the CPUs, project a quarter — a stage
-    # saturating every CPU starves the concurrent shuffle+apply stages.
+    # The pool gets at most 3/4 of the CPUs — a map side saturating every
+    # CPU starves the concurrent shuffle+apply stages.
+    from ..stages.fused import DecodeProjectRoute
+
     total_bytes = sum(os.path.getsize(it["wal_paths"][0])
                       for it in work_items)
     small = total_bytes < 128 * 1024 * 1024
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    dec_c = decode_concurrency or max(1, min(len(work_items), ncpu // 2))
-    prj_c = project_concurrency or max(2, ncpu // 4)
+    map_c = decode_concurrency or max(1, min(len(work_items),
+                                             (3 * ncpu) // 4))
+    fused_kw = dict(registry_ref=registry_ref, oid=oid,
+                    num_partitions=num_partitions, hot_keys=hot, salt=salt,
+                    stop_at_lsn=stop_at_lsn, prune_below=prune)
     if small:
-        env = ds.map_batches(
-            partial(decode_segments_fn, stop_at_lsn=stop_at_lsn,
-                    prune_below=prune),
-            batch_size=None, batch_format="pyarrow", num_cpus=1,
-            concurrency=dec_c)
-        typed = env.map_batches(
-            partial(project_batch_fn, registry_ref=registry_ref, oid=oid),
-            batch_format="pyarrow", num_cpus=1, concurrency=prj_c)
+        def fused_fn(batch: pa.Table):
+            yield from DecodeProjectRoute(**fused_kw)(batch)
+
+        routed = ds.map_batches(fused_fn, batch_size=None,
+                                batch_format="pyarrow", num_cpus=1,
+                                concurrency=map_c)
     else:
-        env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
-            "stop_at_lsn": stop_at_lsn, "prune_below": prune},
-            batch_size=None, batch_format="pyarrow", concurrency=dec_c,
+        routed = ds.map_batches(
+            DecodeProjectRoute, fn_constructor_kwargs=fused_kw,
+            batch_size=None, batch_format="pyarrow", concurrency=map_c,
             num_cpus=1, max_task_retries=-1)
-        typed = env.map_batches(ProjectStage, fn_constructor_kwargs={
-            "registry_ref": registry_ref, "oid": oid},
-            batch_format="pyarrow", concurrency=prj_c, num_cpus=1,
-            max_task_retries=-1)
-    routed = typed.map_batches(Partitioner(num_partitions, hot, salt),
-                               batch_format="pyarrow")
     apply_group = ApplyGroup(lake_dir)
 
     def apply_fn(group: pa.Table) -> pa.Table:
