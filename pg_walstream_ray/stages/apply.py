@@ -49,7 +49,7 @@ from ..state.manifest import (
 
 KEY_COLS = ("conv_id", "turn_idx")
 CONTROL = ("source", "lsn", "commit_lsn", "commit_ts_us", "xid", "op",
-           "rel_version", "partition_id", "_cast_errors")
+           "rel_version", "partition_id", "_cast_errors", "_weight")
 COMPACT_AT = 8     # fragment-chain length that triggers a full merge
 
 
@@ -167,6 +167,81 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str],
                                              pa.scalar(None, typ), col)
         out_cols["_tombstone"] = tomb_arr
     return pa.table(out_cols)
+
+
+def precompact_typed(t: pa.Table,
+                     key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
+    """Within-window LWW pre-compaction — the map-side COMBINER for the
+    apply shuffle (SURVEY.md §7: pre-aggregate before the exchange).
+
+    Collapses each ``key_cols`` group to its max-lsn winner, resolving the
+    winner's TOAST-unchanged columns from earlier in-window setters (the
+    same carry rule as lww_resolve, so the surviving row is exactly the
+    row the apply-side LWW would have produced from this window slice).
+    A ``_weight`` column accumulates how many events each survivor
+    represents (exact events/s accounting downstream).
+
+    Safe ONLY for a single source's contiguous LSN range with no truncate
+    barrier — exactly one WAL segment, which is what the fused stage
+    feeds it.  Anything else passes through untouched.
+    """
+    n = t.num_rows
+    if (n == 0 or "_cast_errors" in t.column_names
+            or any(k not in t.column_names for k in key_cols)):
+        return t
+    if pc.any(pc.equal(t["op"], "truncate")).as_py():
+        return t                  # truncate barrier: order matters
+    if pc.count_distinct(t["source"]).as_py() > 1:
+        return t                  # cross-source lsn spaces are unordered
+    idx = _sort_key_indices(t, [*key_cols, "lsn"])
+    s = t.take(idx)
+    boundary = _group_boundaries(s, key_cols)
+    grp = np.cumsum(boundary) - 1
+    G = int(grp[-1]) + 1
+    in_w = (s["_weight"].to_numpy(zero_copy_only=False)
+            if "_weight" in s.column_names
+            else np.ones(n, dtype=np.int64))
+    if G == n:
+        if "_weight" in t.column_names:
+            return t
+        return t.append_column("_weight",
+                               pa.array(np.ones(n, dtype=np.int32)))
+    pos = np.arange(n, dtype=np.int64)
+    winners = np.empty(G, dtype=np.int64)
+    winners[grp] = pos                       # ascending lsn -> last wins
+    weights = np.bincount(grp, weights=in_w, minlength=G).astype(np.int32)
+    payload = payload_columns(s.schema)
+    take_w = pa.array(winners)
+    out: dict = {}
+    for name in s.column_names:
+        if name == "_weight" or name.startswith("_unchanged_"):
+            continue                          # handled with their payload
+        unch_name = f"_unchanged_{name}"
+        if name in payload and unch_name in s.column_names and pc.any(
+                pc.fill_null(s[unch_name], False)).as_py():
+            # TOAST carry (same rule as lww_resolve): winner's value comes
+            # from the last non-unchanged row at-or-before it in the group
+            unch = pc.fill_null(s[unch_name], False).to_numpy(
+                zero_copy_only=False)
+            setter = ~unch
+            BIG = np.int64(n + 2)
+            coord = np.where(setter, pos, np.int64(-1)) + grp * BIG
+            last_setter = np.maximum.accumulate(coord) - grp * BIG
+            srcp = last_setter[winners]
+            valid = srcp >= 0
+            vals = s[name].take(pa.array(np.where(valid, srcp, 0)))
+            if not valid.all():
+                vals = pc.if_else(pa.array(valid), vals,
+                                  pa.scalar(None, s[name].type))
+            out[name] = vals
+            out[unch_name] = pa.array(~valid)  # residual: fragment fill
+        else:
+            out[name] = s[name].take(take_w)
+            if unch_name in s.column_names:
+                out[unch_name] = s[unch_name].take(take_w)
+    out["_weight"] = pa.array(weights)
+    cols = [c for c in s.column_names if c != "_weight"] + ["_weight"]
+    return pa.table({c: out[c] for c in cols})
 
 
 def merged_partition_state(pdir: str, fragments: Sequence[str],
@@ -301,6 +376,10 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
         ops = pa.concat_tables([pa.table(seed_cols).select(keep), ops],
                                promote_options="default")
 
+    applied_events = (
+        int(pc.sum(dml["_weight"]).as_py() or 0)
+        if "_weight" in dml.column_names else dml.num_rows)
+
     # lww_resolve emits winners in group order of the (key, lsn) sort, so
     # the result is already key-sorted — no second sort (stable ordering
     # invariant checked by tests/test_property.py)
@@ -331,7 +410,7 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
         row_count = m.row_count + final.num_rows
     record_window(m, per_source_max_commit=per_source,
                   window_min_lsn=pc.min(window["lsn"]).as_py(),
-                  rows_applied=dml.num_rows, fragments=new_frags,
+                  rows_applied=applied_events, fragments=new_frags,
                   row_count=row_count, compacted=full_merge)
     write_manifest_atomic(lake_dir, m)
     for dead in set(old_frags) - set(new_frags):
@@ -344,7 +423,7 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
 
     return {"partition_id": pid,
             "applied_lsn": max(m.applied_lsns.values(), default=-1),
-            "rows_applied": dml.num_rows, "row_count": row_count,
+            "rows_applied": applied_events, "row_count": row_count,
             "applied_json": _json.dumps(per_source),
             "skipped": False}
 

@@ -631,7 +631,8 @@ class DecodeShard:
                     from .vdecode import try_decode_segment
 
                     vout = try_decode_segment(
-                        dec, pf.read(columns=["frame"])["frame"])
+                        dec, pf.read(columns=["frame"])["frame"],
+                        out_batch_rows=self.out_batch_rows)
                     if vout is not None:
                         for rb in vout:
                             pending.append(rb)

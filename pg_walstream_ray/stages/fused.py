@@ -34,7 +34,7 @@ class DecodeProjectRoute:
                  hot_keys=(), salt: int = 8,
                  stop_at_lsn: Optional[int] = None,
                  prune_below: Optional[Dict[int, int]] = None,
-                 out_batch_rows: int = 32768):
+                 out_batch_rows: int = 32768, precompact: Optional[bool] = None):
         import ray
 
         self.registry = registry_ref if isinstance(
@@ -44,15 +44,31 @@ class DecodeProjectRoute:
         self.stop_at_lsn = stop_at_lsn
         self.prune_below = prune_below or {}
         self.out_batch_rows = out_batch_rows
+        if precompact is None:
+            import os
+            precompact = not os.environ.get("PGWR_NO_PRECOMPACT")
+        self.precompact = precompact
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        from .apply import precompact_typed
+
         # reuse DecodeShard's segment loop (pruning, vectorized fast path,
-        # stop-at-LSN, scalar fallback); fuse projection+routing per yield
+        # stop-at-LSN, scalar fallback) at WHOLE-SEGMENT granularity
+        # (out_batch_rows=0): the per-segment LWW pre-compaction combiner
+        # needs the segment's full key history to collapse superseded rows
+        # (~26% of the upsert shape) before the shuffle
         shard = DecodeShard(stop_at_lsn=self.stop_at_lsn,
                             prune_below=self.prune_below,
-                            out_batch_rows=self.out_batch_rows)
+                            out_batch_rows=0)
         for env in shard(batch):
-            routed = self.partitioner(
-                project_envelope(env, self.registry, self.oid))
-            if routed.num_rows:
-                yield routed
+            typed = project_envelope(env, self.registry, self.oid)
+            if self.precompact:
+                typed = precompact_typed(typed)
+            routed = self.partitioner(typed)
+            # slice the ROUTED output (zero-copy) so the shuffle sees
+            # pipelinable chunks, not whole-segment blocks
+            step = self.out_batch_rows or routed.num_rows or 1
+            for s in range(0, routed.num_rows, step):
+                sl = routed.slice(s, step)
+                if sl.num_rows:
+                    yield sl

@@ -179,18 +179,20 @@ def _dict_str(codes: np.ndarray, values: List[str]) -> pa.Array:
     ).cast(pa.string())
 
 
-def try_decode_segment(dec: PgOutputDecoder, frames_col) \
+def try_decode_segment(dec: PgOutputDecoder, frames_col,
+                       out_batch_rows: int = 32768) \
         -> Optional[List[pa.RecordBatch]]:
     """Vectorized decode of one segment's frame column using (and
     advancing) ``dec``'s relation/watermark state.  Returns envelope
-    batches, or None to signal the caller to use the scalar path
-    (``dec`` is left untouched in that case)."""
+    batches (sliced to ``out_batch_rows``; pass 0/None for one
+    whole-segment batch), or None to signal the caller to use the scalar
+    path (``dec`` is left untouched in that case)."""
     if (dec.stop_at_lsn is not None or not dec.collect_dml
             or dec.tx_buf or dec.stream_bufs or dec.prepared
             or dec.in_stream_xid is not None or dec._released):
         return None
     try:
-        return _decode_segment(dec, frames_col)
+        return _decode_segment(dec, frames_col, out_batch_rows)
     except _Fallback as ex:
         logger.debug("vectorized decode fallback: %s", ex)
         return None
@@ -202,8 +204,8 @@ def try_decode_segment(dec: PgOutputDecoder, frames_col) \
         return None
 
 
-def _decode_segment(dec: PgOutputDecoder, frames_col) \
-        -> List[pa.RecordBatch]:
+def _decode_segment(dec: PgOutputDecoder, frames_col,
+                    out_batch_rows: int = 32768) -> List[pa.RecordBatch]:
     data, offs = _frames_np(frames_col)
     n_frames = len(offs) - 1
     if n_frames == 0:
@@ -431,8 +433,10 @@ def _decode_segment(dec: PgOutputDecoder, frames_col) \
     merged = merged.cast(ENVELOPE_SCHEMA).combine_chunks()
     # zero-copy slices: restore the scalar path's batch granularity so the
     # downstream stages pipeline per chunk instead of per whole segment
+    # (the fused stage passes 0: it compacts per whole segment, then
+    # slices its own routed output)
     out: List[pa.RecordBatch] = []
-    step = 32768
+    step = out_batch_rows or merged.num_rows or 1
     for s in range(0, merged.num_rows, step):
         out.extend(merged.slice(s, step).to_batches())
     _adopt(dec, c)                 # mutate dec only once nothing can throw
