@@ -277,7 +277,10 @@ def run_scaling(sf_dir: str, low: int, high: int,
         finally:
             ray.shutdown()
     results = {}
-    for cpus in (low, high):
+    # interleave the legs (low, high, low, high) and keep each leg's best:
+    # the host's shared-infra noise comes in waves, so a single unlucky
+    # window would otherwise poison one leg and randomize the ratio
+    for cpus in (low, high, low, high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
         cmd = [sys.executable, os.path.abspath(__file__), "--headline-only",
                "--synthetic-events", str(synthetic_events)]
@@ -291,7 +294,9 @@ def run_scaling(sf_dir: str, low: int, high: int,
         if not line:
             raise RuntimeError(f"scaling run cpus={cpus} failed:\n"
                                f"{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
-        results[cpus] = json.loads(line[-1])
+        r = json.loads(line[-1])
+        if cpus not in results or r["value"] < results[cpus]["value"]:
+            results[cpus] = r
     thr_low = results[low]["events_per_s"]
     thr_high = results[high]["events_per_s"]
     eff = (thr_high / thr_low) / (high / low)
