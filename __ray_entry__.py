@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis -----------------------------------------------------
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
+    q["doc_sample"] = textops.doc_sample
+    q["text_normalize"] = textops.text_normalize
     q["doc_fingerprint"] = textops.doc_fingerprint
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
@@ -435,6 +437,24 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) AS n_events,
              ROUND(SUM(value), 2) AS sum_value
       FROM events GROUP BY 1
+    """
+
+    sql["doc_sample"] = """
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 100 < 10
+    """
+
+    sql["text_normalize"] = """
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+             length(text) AS n_chars_before,
+             length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS n_chars_after
+      FROM documents
     """
 
     sql["top_orders_per_customer"] = """

@@ -144,3 +144,44 @@ def doc_fingerprint(sf_dir: str):
                          "fp_int": pa.array(ints, pa.int64())})
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def doc_sample(sf_dir: str, pct: int = 10):
+    """Deterministic content-hash sampling — the reproducible train/eval
+    split primitive: keep documents whose md5(doc_id)-derived bucket is
+    below ``pct`` (stable across runs, partitionings and cluster sizes;
+    never a seeded RNG, which would depend on row order).
+    Output: (doc_id, bucket)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        keep = buckets < pct
+        return pa.table({"doc_id": pa.array(np.asarray(ids)[keep]),
+                         "bucket": pa.array(buckets[keep])})
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def text_normalize(sf_dir: str):
+    """Canonical text normalization pass: lowercase + whitespace collapse
+    + trim, with before/after length accounting (the cleanup primitive
+    every corpus pipeline runs first).
+    Output: (doc_id, norm_text, n_chars_before, n_chars_after)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        collapsed = pc.replace_substring_regex(low, r"\s+", " ")
+        norm = pc.utf8_trim_whitespace(collapsed)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": norm,
+            "n_chars_before": pc.cast(pc.utf8_length(t["text"]),
+                                      pa.int64()),
+            "n_chars_after": pc.cast(pc.utf8_length(norm), pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
