@@ -177,40 +177,43 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
         if read_lake_config(r.lake_dir) is None:
             write_lake_config(r.lake_dir, r.num_partitions)
 
-    # adaptive stage mode — tasks for small inputs, fixed actor pools for
-    # large ones (same measured rationale as cdc.run_cdc)
-    from functools import partial
+    # FUSED decode+route in one per-shard stage (same rationale as
+    # cdc.run_cdc's fused map side: the envelope never hits the object
+    # store); adaptive tasks vs fixed actor pool by input size
 
-    from .cdc import decode_segments_fn
+    class DecodeRoute:
+        def __init__(self, registry_ref, routes, stop_at_lsn=None):
+            self.router = RouterStage(registry_ref=registry_ref,
+                                      routes=routes)
+            self.stop_at_lsn = stop_at_lsn
 
-    def route_batch_fn(batch, *, registry_ref, routes):
-        return RouterStage(registry_ref=registry_ref, routes=routes)(batch)
+        def __call__(self, batch):
+            shard = DecodeShard(stop_at_lsn=self.stop_at_lsn)
+            for env in shard(batch):
+                routed = self.router(env)
+                if routed.num_rows:
+                    yield routed
 
+    fused_kw = dict(registry_ref=registry_ref, routes=list(routes),
+                    stop_at_lsn=stop_at_lsn)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    dec_c = max(1, min(len(shard_paths), ncpu // 2))
-    rte_c = max(2, ncpu // 4)
+    map_c = max(1, min(len(shard_paths), (3 * ncpu) // 4))
     total_bytes = sum(os.path.getsize(p) for segs in shard_paths
                       for p in segs)
     ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
     if total_bytes < 128 * 1024 * 1024:
-        env = ds.map_batches(
-            partial(decode_segments_fn, stop_at_lsn=stop_at_lsn),
-            batch_size=None, batch_format="pyarrow", num_cpus=1,
-            concurrency=dec_c)
-        routed = env.map_batches(
-            partial(route_batch_fn, registry_ref=registry_ref,
-                    routes=list(routes)),
-            batch_format="pyarrow", num_cpus=1, concurrency=rte_c)
+        def fused_fn(batch):
+            yield from DecodeRoute(**fused_kw)(batch)
+
+        routed = ds.map_batches(fused_fn, batch_size=None,
+                                batch_format="pyarrow", num_cpus=1,
+                                concurrency=map_c)
     else:
-        env = ds.map_batches(DecodeShard, fn_constructor_kwargs={
-            "stop_at_lsn": stop_at_lsn},
-            batch_size=None, batch_format="pyarrow", concurrency=dec_c,
+        routed = ds.map_batches(
+            DecodeRoute, fn_constructor_kwargs=fused_kw,
+            batch_size=None, batch_format="pyarrow", concurrency=map_c,
             num_cpus=1, max_task_retries=-1)
-        routed = env.map_batches(
-            RouterStage, fn_constructor_kwargs={
-                "registry_ref": registry_ref, "routes": list(routes)},
-            batch_format="pyarrow", concurrency=rte_c, num_cpus=1)
     applier = MultiApply(registry, routes)
 
     def apply_fn(group: pa.Table) -> pa.Table:

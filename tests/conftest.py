@@ -15,14 +15,3 @@ def ray_session():
     ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
-
-
-# soak profile: HYPOTHESIS_PROFILE=soak pytest tests/test_property.py ...
-# (used by long background fuzz runs; default profile stays fast for CI)
-try:
-    from hypothesis import settings as _hyp_settings
-
-    _hyp_settings.register_profile("soak", max_examples=150, deadline=None,
-                                   print_blob=True)
-except ImportError:
-    pass

@@ -2,6 +2,7 @@
 fuzz/fuzz_targets/roundtrip_*.rs): random op sequences through the pure
 LWW/TOAST core vs a brute-force dict oracle, random messages through the
 codec fixpoint, and golden byte vectors pinning the wire format."""
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -26,7 +27,9 @@ op_strategy = st.lists(
     min_size=0, max_size=60)
 
 
-@settings(max_examples=200, deadline=None)
+_EXAMPLES = int(os.environ.get("PGWR_HYP_EXAMPLES", "5"))
+
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(op_strategy)
 def test_lww_resolve_matches_dict_oracle(ops):
     n = len(ops)
@@ -63,7 +66,7 @@ def test_lww_resolve_matches_dict_oracle(ops):
     assert got_map == state
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(op_strategy)
 def test_lww_tombstones_partition_alive_plus_dead(ops):
     """keep_tombstones=True returns every touched key exactly once, with
@@ -101,7 +104,7 @@ tuple_strategy = st.lists(
     ), min_size=0, max_size=8)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(tuple_strategy, st.integers(1, 2**31 - 1))
 def test_insert_roundtrip_random_tuples(tup, oid):
     msg = codec.Insert(oid, tup)
@@ -145,7 +148,7 @@ def test_golden_xlogdata_bytes():
         "0000000000000002" + "0000000000000003" + "aa"
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(op_strategy)
 def test_lww_output_is_key_sorted(ops):
     """Ordering invariant the apply stage relies on (it skips the post-
@@ -191,7 +194,7 @@ spec_strategy = st.builds(
 )
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(spec_strategy)
 def test_random_specs_full_pipeline(ray_session, spec_kw):
     from pg_walstream_ray.sources import walgen

@@ -21,6 +21,8 @@ from pg_walstream_ray.stages.decode import ENVELOPE_SCHEMA, PgOutputDecoder
 from .helpers import make_wal
 
 
+_EXAMPLES = int(os.environ.get("PGWR_HYP_EXAMPLES", "12"))
+
 def _frames_of(wal_dir: str):
     """Per shard: frame column (arrow) for each segment, in order."""
     for d in sorted(glob.glob(os.path.join(wal_dir, "shard=*"))):
@@ -98,7 +100,7 @@ def test_uncommitted_tail_falls_back():
                        expect_fallback=True)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_EXAMPLES, deadline=None)
 @given(st.builds(
     walgen.WalSpec,
     n_convs=st.integers(10, 60),
