@@ -189,6 +189,12 @@ def precompact_typed(t: pa.Table,
     if (n == 0 or "_cast_errors" in t.column_names
             or any(k not in t.column_names for k in key_cols)):
         return t
+    if t.nbytes > 512 * n:
+        # heavy-payload rows (2 KB texts, wide tables): the combiner's
+        # sort+take copies the payload twice, which costs more than the
+        # shuffle rows it saves (interleaved A/B on the Payload-2KB
+        # scenario: 68.5 s with vs 41.5 s without) — skip
+        return t
     if pc.any(pc.equal(t["op"], "truncate")).as_py():
         return t                  # truncate barrier: order matters
     if pc.count_distinct(t["source"]).as_py() > 1:
