@@ -2,16 +2,23 @@
 
 Dataflow (all Ray Data, streaming executor with backpressure):
 
-  from_items(shard descriptors)                # N shards = N ordered logs
-    -> map_batches(DecodeShard, actor pool)    # sequential pgoutput decode
-                                               #   per shard, shards parallel
-    -> map_batches(ProjectStage, actor pool)   # vectorized typed projection
-                                               #   (registry broadcast once)
-    -> map_batches(Partitioner)                # stable-hash route + hot-key
-                                               #   salt + truncate broadcast
+  from_items(segment descriptors)              # N segments, decode-parallel
+    -> map_batches(DecodeProjectRoute)         # FUSED map side: vectorized
+                                               #   pgoutput decode + typed
+                                               #   projection + stable-hash
+                                               #   route + per-segment LWW
+                                               #   pre-compaction (combiner)
+                                               #   in ONE stage — the
+                                               #   envelope/typed tables
+                                               #   never hit the object
+                                               #   store (stages/fused.py)
     -> groupby(partition_id).map_groups(Apply) # THE shuffle; per-partition
                                                #   exactly-once upsert
     -> small summary table                     # one row per partition
+
+(The unfused building blocks — decode_segments_fn / project_batch_fn /
+ProjectStage / Partitioner — remain public for taps, tests and custom
+pipelines.)
 
 The only all-to-all exchange is the partition routing (SURVEY.md §7
 "Shuffles and their keys"); everything upstream is per-shard-local and
