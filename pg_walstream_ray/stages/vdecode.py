@@ -155,10 +155,14 @@ def _peel_tuples(data: np.ndarray, starts: np.ndarray):
     else:
         chars = np.empty(0, np.uint8)
     valid = fc == 116                                  # null for 'n'/'u'
-    vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    # pa.py_buffer wraps the numpy arrays zero-copy (holds a reference);
+    # the previous .tobytes() round-trips copied ~2x the segment payload
+    # per tuple side — pure DRAM traffic, which is what caps concurrent
+    # decoders on a shared box
+    vbuf = pa.py_buffer(np.packbits(valid, bitorder="little"))
     values = pa.Array.from_buffers(
         pa.utf8(), len(fl),
-        [vbuf, pa.py_buffer(char_off.tobytes()), pa.py_buffer(chars.tobytes())],
+        [vbuf, pa.py_buffer(char_off), pa.py_buffer(chars)],
         null_count=int((~valid).sum()))
     list_off = pa.array(np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32),
                         pa.int32())
