@@ -294,12 +294,14 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                     num_partitions=num_partitions, hot_keys=hot, salt=salt,
                     stop_at_lsn=stop_at_lsn, prune_below=prune)
     if small:
-        def fused_fn(batch: pa.Table):
-            yield from DecodeProjectRoute(**fused_kw)(batch)
+        # tasks with per-worker instance caching: the stage (registry
+        # ray.get, Partitioner/hot-key build) is constructed once per warm
+        # task worker, not once per batch (stages/taskmode.py)
+        from ..stages.taskmode import as_tasks
 
-        routed = ds.map_batches(fused_fn, batch_size=None,
-                                batch_format="pyarrow", num_cpus=1,
-                                concurrency=map_c)
+        routed = ds.map_batches(as_tasks(DecodeProjectRoute, **fused_kw),
+                                batch_size=None, batch_format="pyarrow",
+                                num_cpus=1, concurrency=map_c)
     else:
         routed = ds.map_batches(
             DecodeProjectRoute, fn_constructor_kwargs=fused_kw,

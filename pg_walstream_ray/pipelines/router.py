@@ -161,6 +161,23 @@ class MultiApply:
         return pa.table({k: [v] for k, v in summary.items()})
 
 
+class DecodeRoute:
+    """FUSED decode+route per-shard stage (same rationale as cdc.run_cdc's
+    fused map side: the envelope never hits the object store).  Module-level
+    so the task-mode per-worker instance cache keys on a stable class."""
+
+    def __init__(self, registry_ref, routes, stop_at_lsn=None):
+        self.router = RouterStage(registry_ref=registry_ref, routes=routes)
+        self.stop_at_lsn = stop_at_lsn
+
+    def __call__(self, batch):
+        shard = DecodeShard(stop_at_lsn=self.stop_at_lsn)
+        for env in shard(batch):
+            routed = self.router(env)
+            if routed.num_rows:
+                yield routed
+
+
 def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
                    stop_at_lsn: Optional[int] = None) -> dict:
     """One decode pass, one shuffle, N destination tables."""
@@ -177,24 +194,7 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
         if read_lake_config(r.lake_dir) is None:
             write_lake_config(r.lake_dir, r.num_partitions)
 
-    # FUSED decode+route in one per-shard stage (same rationale as
-    # cdc.run_cdc's fused map side: the envelope never hits the object
-    # store); adaptive tasks vs fixed actor pool by input size
-
-    class DecodeRoute:
-        def __init__(self, registry_ref, routes, stop_at_lsn=None):
-            self.router = RouterStage(registry_ref=registry_ref,
-                                      routes=routes)
-            self.stop_at_lsn = stop_at_lsn
-
-        def __call__(self, batch):
-            shard = DecodeShard(stop_at_lsn=self.stop_at_lsn)
-            for env in shard(batch):
-                routed = self.router(env)
-                if routed.num_rows:
-                    yield routed
-
-    fused_kw = dict(registry_ref=registry_ref, routes=list(routes),
+    fused_kw = dict(registry_ref=registry_ref, routes=tuple(routes),
                     stop_at_lsn=stop_at_lsn)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     map_c = max(1, min(len(shard_paths), (3 * ncpu) // 4))
@@ -203,12 +203,11 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
     ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
                        override_num_blocks=len(shard_paths))
     if total_bytes < 128 * 1024 * 1024:
-        def fused_fn(batch):
-            yield from DecodeRoute(**fused_kw)(batch)
+        from ..stages.taskmode import as_tasks
 
-        routed = ds.map_batches(fused_fn, batch_size=None,
-                                batch_format="pyarrow", num_cpus=1,
-                                concurrency=map_c)
+        routed = ds.map_batches(as_tasks(DecodeRoute, **fused_kw),
+                                batch_size=None, batch_format="pyarrow",
+                                num_cpus=1, concurrency=map_c)
     else:
         routed = ds.map_batches(
             DecodeRoute, fn_constructor_kwargs=fused_kw,

@@ -69,7 +69,7 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
     """
     ds = _bucketed(sf_dir, left_type, right_type)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("ts", kind="mergesort")
         left = g[g["event_type"] == left_type]
         right = g[g["event_type"] == right_type][
@@ -78,12 +78,16 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
         m = pd.merge_asof(left.sort_values("ts"), right.sort_values("click_ts"),
                           left_on="ts", right_on="click_ts", by="user_id",
                           direction="backward", allow_exact_matches=True)
-        return pd.DataFrame({
-            "purchase_id": m["event_id"].to_numpy(),
-            "user_id": m["user_id"].to_numpy(),
-            "purchase_ts": m["ts"].to_numpy(),
-            "click_id": m["click_id"].astype("Int64"),
-            "click_ts": m["click_ts"],
+        # Arrow-typed output: click_id must be int64-with-nulls (NOT pandas
+        # nullable Int64) so downstream pandas conversion matches DuckDB's
+        # NULL-able BIGINT representation and the value hash agrees.
+        return pa.table({
+            "purchase_id": pa.array(m["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+            "purchase_ts": pa.array(m["ts"].to_numpy(), pa.timestamp("us")),
+            "click_id": pa.array(m["click_id"].astype("Int64"),
+                                 pa.int64()),
+            "click_ts": pa.array(m["click_ts"], pa.timestamp("us")),
         })
 
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas",

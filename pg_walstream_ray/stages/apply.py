@@ -169,6 +169,17 @@ def lww_resolve(ops: pa.Table, payload: Sequence[str],
     return pa.table(out_cols)
 
 
+def _ensure_weight(t: pa.Table) -> pa.Table:
+    """Uniform combiner output schema: every row carries ``_weight`` (how
+    many source events it represents) so pass-through batches and compacted
+    batches concat without null-filling — a missing ``_weight`` would make
+    ``pc.sum(_weight)`` silently undercount pass-through rows."""
+    if "_weight" in t.column_names:
+        return t
+    return t.append_column(
+        "_weight", pa.array(np.ones(t.num_rows, dtype=np.int32)))
+
+
 def precompact_typed(t: pa.Table,
                      key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
     """Within-window LWW pre-compaction — the map-side COMBINER for the
@@ -188,17 +199,17 @@ def precompact_typed(t: pa.Table,
     n = t.num_rows
     if (n == 0 or "_cast_errors" in t.column_names
             or any(k not in t.column_names for k in key_cols)):
-        return t
+        return _ensure_weight(t)
     if t.nbytes > 512 * n:
         # heavy-payload rows (2 KB texts, wide tables): the combiner's
         # sort+take copies the payload twice, which costs more than the
         # shuffle rows it saves (interleaved A/B on the Payload-2KB
         # scenario: 68.5 s with vs 41.5 s without) — skip
-        return t
+        return _ensure_weight(t)
     if pc.any(pc.equal(t["op"], "truncate")).as_py():
-        return t                  # truncate barrier: order matters
+        return _ensure_weight(t)  # truncate barrier: order matters
     if pc.count_distinct(t["source"]).as_py() > 1:
-        return t                  # cross-source lsn spaces are unordered
+        return _ensure_weight(t)  # cross-source lsn spaces are unordered
     idx = _sort_key_indices(t, [*key_cols, "lsn"])
     s = t.take(idx)
     boundary = _group_boundaries(s, key_cols)
@@ -208,10 +219,7 @@ def precompact_typed(t: pa.Table,
             if "_weight" in s.column_names
             else np.ones(n, dtype=np.int64))
     if G == n:
-        if "_weight" in t.column_names:
-            return t
-        return t.append_column("_weight",
-                               pa.array(np.ones(n, dtype=np.int32)))
+        return _ensure_weight(t)
     pos = np.arange(n, dtype=np.int64)
     winners = np.empty(G, dtype=np.int64)
     winners[grp] = pos                       # ascending lsn -> last wins
@@ -383,7 +391,7 @@ def apply_partition_window(group: pa.Table, lake_dir: str,
                                promote_options="default")
 
     applied_events = (
-        int(pc.sum(dml["_weight"]).as_py() or 0)
+        int(pc.sum(pc.fill_null(dml["_weight"], 1)).as_py() or 0)
         if "_weight" in dml.column_names else dml.num_rows)
 
     # lww_resolve emits winners in group order of the (key, lsn) sort, so

@@ -40,7 +40,12 @@ class DecodeProjectRoute:
         self.registry = registry_ref if isinstance(
             registry_ref, SchemaRegistry) else ray.get(registry_ref)
         self.oid = oid
-        self.partitioner = Partitioner(num_partitions, hot_keys, salt)
+        # shed control columns the apply side never reads BEFORE the
+        # all-to-all exchange — xid/commit_ts_us are ~12% of shuffle bytes
+        # on the baseline shape (apply keys its replay filter on
+        # source+commit_lsn and LWW on lsn only)
+        self.partitioner = Partitioner(num_partitions, hot_keys, salt,
+                                       drop_cols=("xid", "commit_ts_us"))
         self.stop_at_lsn = stop_at_lsn
         self.prune_below = prune_below or {}
         self.out_batch_rows = out_batch_rows

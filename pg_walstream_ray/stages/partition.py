@@ -47,18 +47,19 @@ class Partitioner:
     """
 
     def __init__(self, num_partitions: int,
-                 hot_keys: Optional[Iterable[str]] = None, salt: int = 8):
+                 hot_keys: Optional[Iterable[str]] = None, salt: int = 8,
+                 drop_cols: Iterable[str] = ()):
         self.num_partitions = num_partitions
         self.hot_keys: FrozenSet[str] = frozenset(hot_keys or ())
         self.salt = max(1, salt)
+        # optional column shed before the all-to-all exchange; the generic
+        # stage is schema-preserving by default (taps/custom pipelines may
+        # rely on envelope control columns) — the CDC pipeline opts in
+        self.drop_cols = tuple(drop_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         P = self.num_partitions
-        # shed control columns the apply side never reads BEFORE the
-        # all-to-all exchange — xid/commit_ts_us are ~12% of shuffle bytes
-        # on the baseline shape (apply keys its replay filter on
-        # source+commit_lsn and LWW on lsn only)
-        drop = [c for c in ("xid", "commit_ts_us") if c in batch.column_names]
+        drop = [c for c in self.drop_cols if c in batch.column_names]
         if drop:
             batch = batch.drop(drop)
         n = batch.num_rows

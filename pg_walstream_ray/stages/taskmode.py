@@ -29,9 +29,20 @@ _CACHE: OrderedDict = OrderedDict()
 _CACHE_MAX = 32
 
 
+def _freeze(v):
+    """Hashable view of a ctor kwarg (dicts/lists/sets -> sorted tuples)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, (set, frozenset)):
+        return tuple(sorted(_freeze(x) for x in v))
+    return v
+
+
 def worker_stage(cls, **kwargs):
     """Construct-or-reuse a stage instance in this worker process."""
-    key = (cls, tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))
+    key = (cls, tuple(sorted((k, _freeze(v)) for k, v in kwargs.items())))
     inst = _CACHE.get(key)
     if inst is None:
         inst = cls(**kwargs)

@@ -100,6 +100,12 @@ def _frames_np(col) -> Tuple[np.ndarray, np.ndarray]:
         offs = np.frombuffer(bufs[1], np.int32).astype(np.int64)
     offs = offs[col.offset: col.offset + len(col) + 1]
     data = np.frombuffer(bufs[2], np.uint8)
+    # the tuple-peel index math below is int32 (bandwidth: the gather index
+    # arrays are the module's biggest allocation); a >2 GiB segment would
+    # silently wrap those indices, so route it to the scalar path instead
+    if len(data) > np.iinfo(np.int32).max - 8 or (
+            len(offs) and int(offs[-1]) > np.iinfo(np.int32).max - 8):
+        raise _Fallback("segment exceeds int32 index range")
     return data, offs
 
 

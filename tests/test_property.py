@@ -27,7 +27,7 @@ op_strategy = st.lists(
     min_size=0, max_size=60)
 
 
-_EXAMPLES = int(os.environ.get("PGWR_HYP_EXAMPLES", "5"))
+_EXAMPLES = int(os.environ.get("PGWR_HYP_EXAMPLES", "50"))
 
 @settings(max_examples=_EXAMPLES, deadline=None)
 @given(op_strategy)
