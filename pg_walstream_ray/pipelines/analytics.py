@@ -107,10 +107,13 @@ def customer_order_totals(sf_dir: str):
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_name", "c_mktsegment"])
-    lookup_ref = ray.put({
-        k: (n, s) for k, n, s in zip(cust["c_custkey"].to_pylist(),
-                                     cust["c_name"].to_pylist(),
-                                     cust["c_mktsegment"].to_pylist())})
+    cust = cust.take(pc.sort_indices(cust["c_custkey"])).combine_chunks()
+    # broadcast sorted parallel arrays; attach via searchsorted (vectorized,
+    # no per-row dict lookups)
+    lookup_ref = ray.put((
+        cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        cust["c_name"].combine_chunks(),
+        cust["c_mktsegment"].combine_chunks()))
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -130,22 +133,23 @@ def customer_order_totals(sf_dir: str):
 
     class AttachName:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.names, self.segs = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            names = [self.lookup.get(k, (None, None))[0] for k in keys]
-            segs = [self.lookup.get(k, (None, None))[1] for k in keys]
+            k = t["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = pa.array(np.searchsorted(self.keys, k))  # FK: all hit
             return pa.table({
                 "c_custkey": t["o_custkey"],
-                "c_name": pa.array(names, pa.string()),
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_name": self.names.take(idx),
+                "c_mktsegment": self.segs.take(idx),
                 "total_spent": _round(t["total"], 2),
                 "n_orders": pc.cast(t["n_orders"], pa.int64()),
             })
 
-    return agg.map_batches(AttachName, fn_constructor_kwargs={"ref": lookup_ref},
-                           batch_format="pyarrow", concurrency=2)
+    from ..stages.taskmode import as_tasks
+
+    return agg.map_batches(as_tasks(AttachName, ref=lookup_ref),
+                           batch_format="pyarrow")
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -155,10 +159,13 @@ def sessionize_events(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session) —
     groupby(key).map_groups over ts-sorted groups (the engine's windowed
     aggregate surface; Ray Data has no event-time windows natively)."""
+    from ..functions.scale import coarse_npart
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    npart = coarse_npart()
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int64())
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
         return t.append_column("bucket", b)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -235,64 +242,100 @@ def q3_top_unshipped(sf_dir: str):
     revenue, global sort + limit (the engine's top-k surface).
     Output: (l_orderkey, revenue, o_orderdate, o_orderpriority)."""
     import ray
-    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
+    from ..stages.taskmode import as_tasks
+
     cutoff = np.datetime64("1997-06-01", "us")
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
-    bld_np = bld.to_numpy(zero_copy_only=False)
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_orderkey", "o_custkey", "o_orderdate",
-                                    "o_orderpriority"])
-    om = pc.and_(pc.less(orders["o_orderdate"], pa.scalar(cutoff)),
-                 pc.is_in(orders["o_custkey"], value_set=bld))
-    orders = orders.filter(om)
-    # broadcast the filtered order dimension (small side; at 100TB this
-    # becomes a hash join on o_orderkey instead)
-    ord_ref = ray.put({
-        int(k): (d, p) for k, d, p in zip(
-            orders["o_orderkey"].to_pylist(),
-            orders["o_orderdate"].to_pylist(),
-            orders["o_orderpriority"].to_pylist())})
-    okeys = orders["o_orderkey"]
+
+    # dimension build is DISTRIBUTED: both filters run in map_batches over
+    # the streaming read; only the FILTERED dimension (BUILDING customers'
+    # pre-cutoff orders — a few % of the orders table) is collected and
+    # broadcast.  Driver memory is bounded by the filtered dimension, never
+    # the raw fact/dimension cardinality.
+    bld_parts = [
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in _read(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    bld = np.sort(np.concatenate(bld_parts)) if bld_parts \
+        else np.array([], dtype=np.int64)
+    bld_ref = ray.put(bld)
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(bld_ref)          # local cached fetch per worker
+        m = pc.less(t["o_orderdate"], pa.scalar(cutoff))
+        f = t.filter(m)
+        ck = f["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        hit = (pos < len(keys)) & (keys[np.clip(pos, 0, max(len(keys) - 1,
+                                                            0))] == ck)
+        return f.filter(pa.array(hit))
+
+    dim = _read(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"]) \
+        .map_batches(filter_orders, batch_format="pyarrow")
+    # collect ONLY the filtered dimension; broadcast as sorted parallel
+    # arrays (searchsorted attach — no per-row dict lookups)
+    dim_parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                 for b in dim.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20)]
+    dim_tbl = pa.concat_tables(dim_parts) if dim_parts else \
+        pa.table({"o_orderkey": pa.array([], pa.int64()),
+                  "o_custkey": pa.array([], pa.int64()),
+                  "o_orderdate": pa.array([], pa.timestamp("us")),
+                  "o_orderpriority": pa.array([], pa.string())})
+    order = pc.sort_indices(dim_tbl["o_orderkey"])
+    dim_tbl = dim_tbl.take(order).combine_chunks()
+    okeys_np = dim_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    dim_ref = ray.put((okeys_np,
+                       dim_tbl["o_orderdate"].combine_chunks(),
+                       dim_tbl["o_orderpriority"].combine_chunks()))
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_shipdate", "l_extendedprice",
                         "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater(t["l_shipdate"], pa.scalar(cutoff)),
-                    pc.is_in(t["l_orderkey"], value_set=okeys))
-        f = t.filter(m)
-        rev = pc.multiply(f["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
-        g = f.append_column("rev", rev).group_by("l_orderkey") \
-            .aggregate([("rev", "sum")])
-        return g
+    class Partial:
+        def __init__(self, ref):
+            self.okeys = ray.get(ref)[0]
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         batch_size=262144) \
+        def __call__(self, t: pa.Table) -> pa.Table:
+            f = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+            lk = f["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.okeys, lk)
+            hit = (pos < len(self.okeys)) & (
+                self.okeys[np.clip(pos, 0, max(len(self.okeys) - 1, 0))]
+                == lk)
+            f = f.filter(pa.array(hit))
+            rev = pc.multiply(f["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), f["l_discount"]))
+            return f.append_column("rev", rev).group_by("l_orderkey") \
+                .aggregate([("rev", "sum")])
+
+    agg = ds.map_batches(as_tasks(Partial, ref=dim_ref),
+                         batch_format="pyarrow", batch_size=262144) \
         .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="rev"))
 
     class Attach:
         def __init__(self, ref):
-            self.orders = ray.get(ref)
+            self.okeys, self.dates, self.prios = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_orderkey"].to_pylist()
-            dates = [self.orders[k][0] for k in keys]
-            prios = [self.orders[k][1] for k in keys]
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx = pa.array(np.searchsorted(self.okeys, k))  # all hit
             return pa.table({
                 "l_orderkey": t["l_orderkey"],
                 "revenue": _round(t["rev"], 2),
-                "o_orderdate": pa.array(dates, pa.timestamp("us")),
-                "o_orderpriority": pa.array(prios, pa.string()),
+                "o_orderdate": self.dates.take(idx),
+                "o_orderpriority": self.prios.take(idx),
             })
 
-    out = agg.map_batches(Attach, fn_constructor_kwargs={"ref": ord_ref},
-                          batch_format="pyarrow", concurrency=2)
+    out = agg.map_batches(as_tasks(Attach, ref=dim_ref),
+                          batch_format="pyarrow")
 
     def block_topk(t: pa.Table) -> pa.Table:
         # per-block top-10 under the final ordering: the global top-10 is a
@@ -320,19 +363,21 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
     custkey per batch before the shuffle) — cardinality here makes the
     direct groupby cheaper.
     """
-    NBUCKET = 64
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def combine_topk(t: pa.Table) -> pa.Table:
         # per-batch combiner: keep at most k rows per custkey before the
-        # shuffle, and route by a COARSE bucket (custkey % 64) — per-key
+        # shuffle, and route by a COARSE bucket (custkey % npart) — per-key
         # map_groups costs ~25 ms of Python per tiny group
         df = t.to_pandas()
         df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True], kind="mergesort")
         df = df[df.groupby("o_custkey").cumcount() < k]
-        df["bucket"] = (df["o_custkey"] % NBUCKET).astype(np.int64)
+        df["bucket"] = (df["o_custkey"] % npart).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -351,39 +396,61 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
 
 
 def orders_without_lineitems(sf_dir: str):
-    """Broadcast ANTI join: orders with no lineitem rows.
+    """Partitioned ANTI join: orders with no lineitem rows.
 
     Output: (o_orderkey, o_custkey, o_totalprice).
 
-    The distinct probe-side key set is built with a per-batch dedup
-    combiner, collected small, and broadcast via ``ray.put`` — the filter
-    side then streams with a vectorized ``np.isin`` per batch and no
-    shuffle.  At 100 TB, when the distinct key set outgrows a broadcast,
-    the drop-in replacement is a bloom filter built the same way (union of
-    per-batch blooms) at ~10 bits/key.
+    Fully distributed and exact — nothing key-cardinality-sized ever
+    lands on the driver.  Both sides are bucketed by ``orderkey % NPART``
+    (probe side pre-deduped per batch so the shuffle ships distinct keys,
+    not lineitem rows), unioned, and each bucket resolves the anti-join
+    with one vectorized ``np.isin``.  Every orderkey lives wholly in one
+    bucket, so the per-bucket result is the global result.
     """
-    import ray
+    import ray.data as rd
 
-    lkeys = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    from ..functions.scale import coarse_npart
 
-    def batch_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by("l_orderkey").aggregate([])
+    npart = coarse_npart()
 
-    # per-batch dedup first: the driver collects |distinct| rows, not |rows|
-    distinct = lkeys.map_batches(batch_distinct, batch_format="pyarrow",
-                                 batch_size=1 << 20)
-    have = np.unique(np.concatenate(
-        [b["l_orderkey"].to_numpy(zero_copy_only=False)
-         for b in distinct.iter_batches(batch_format="pyarrow",
-                                        batch_size=1 << 20)]))
-    have_ref = ray.put(have)
+    def probe_side(t: pa.Table) -> pa.Table:
+        d = t.group_by("l_orderkey").aggregate([])   # per-batch combiner
+        k = d["l_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(k, npart - 1), pa.int64()),
+            "o_orderkey": pc.cast(k, pa.int64()),
+            "o_custkey": pa.nulls(d.num_rows, pa.int64()),
+            "o_totalprice": pa.nulls(d.num_rows, pa.float64()),
+            "is_probe": pa.array(np.ones(d.num_rows, dtype=bool)),
+        })
 
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    def build_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(k, npart - 1), pa.int64()),
+            "o_orderkey": pc.cast(k, pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            "is_probe": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        })
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(have_ref)     # local cached fetch per worker
-        m = ~np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False), keys)
-        return t.filter(pa.array(m))
+    probe = _read(sf_dir, "lineitem", columns=["l_orderkey"]) \
+        .map_batches(probe_side, batch_format="pyarrow", batch_size=1 << 20)
+    build = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(build_side, batch_format="pyarrow")
 
-    return orders.map_batches(anti, batch_format="pyarrow")
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_probe = g["is_probe"].to_numpy()
+        have = np.unique(g["o_orderkey"].to_numpy()[is_probe])
+        orders = g[~is_probe]
+        m = ~np.isin(orders["o_orderkey"].to_numpy(), have)
+        out = orders[m]
+        return pd.DataFrame({
+            "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": out["o_custkey"].to_numpy(np.int64),
+            "o_totalprice": out["o_totalprice"].to_numpy(np.float64),
+        })
+
+    return build.union(probe).groupby("bucket").map_groups(
+        anti_bucket, batch_format="pandas", num_cpus=1)

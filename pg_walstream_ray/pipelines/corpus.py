@@ -20,8 +20,8 @@ import pyarrow.compute as pc
 from ..functions.hashing import (worker_token_hasher,
                                  TokenHasher, distinct_doc_tokens,
                                  md5_int60, tokenize_column)
+from ..functions.scale import coarse_npart
 from ..stages.taskmode import as_tasks
-from .dedup import DEDUP_NPART
 from .textops import LANG_ORDER, STOPWORDS
 
 QUALITY_MIN_Q = 5500          # basis points (mirrored in the oracle)
@@ -83,12 +83,13 @@ def corpus_clean(sf_dir: str, min_quality_q: int = QUALITY_MIN_Q,
                          columns=["doc_id", "text"])
     feat = ds.map_batches(as_tasks(CorpusFeatureStage),
                           batch_format="pyarrow", batch_size=4096)
+    npart = coarse_npart()
 
     def keep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["quality_q"], min_quality_q),
                     pc.equal(t["pred_lang"], lang))
         kept = t.filter(m)
-        part = kept["h"].to_numpy(zero_copy_only=False) % DEDUP_NPART
+        part = kept["h"].to_numpy(zero_copy_only=False) % npart
         return kept.append_column("part", pa.array(part))
 
     filtered = feat.map_batches(keep, batch_format="pyarrow")

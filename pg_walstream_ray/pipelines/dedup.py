@@ -57,23 +57,26 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 # ---------------------------------------------------------------------------
 
 
-DEDUP_NPART = 64     # coarse hash partitions for fine-grained reductions.
-# Ray's groupby is sort-based and pays per-group overhead, so reducing over
-# millions of tiny key groups directly is ~100x slower than shuffling into a
-# few coarse hash partitions and running an in-memory (pandas/numpy) groupby
-# inside each — the same partial-aggregation discipline the CDC apply stage
-# uses.  All fine-grained reductions in this module follow that pattern.
+# Coarse hash partitions for fine-grained reductions: Ray's groupby is
+# sort-based and pays per-group overhead, so reducing over millions of tiny
+# key groups directly is ~100x slower than shuffling into coarse hash
+# partitions and running an in-memory (pandas/numpy) groupby inside each —
+# the same partial-aggregation discipline the CDC apply stage uses.  All
+# fine-grained reductions in this module follow that pattern; the partition
+# count derives from the live cluster size (functions/scale.py).
+from ..functions.scale import coarse_npart
 
 
 def exact_dedup(sf_dir: str):
     """Exact dedup on content hash: one surviving doc_id (the minimum) per
     distinct text + the group size.  Output: (doc_id, n_copies).
     Ships (hash, doc_id) pairs only — never the text."""
+    npart = coarse_npart()
 
     def to_hash(t: pa.Table) -> pa.Table:
         h = np.array([md5_int60(s) for s in t["text"].to_pylist()],
                      dtype=np.int64)
-        return pa.table({"part": pa.array(h % DEDUP_NPART),
+        return pa.table({"part": pa.array(h % npart),
                          "h": pa.array(h), "doc_id": t["doc_id"]})
 
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,18 +98,19 @@ def _dup_flags_from_buckets(bucketed):
     some bucket it occupies contains a smaller doc_id.  Two coarse-partition
     reductions (bucket -> min, then doc -> min over its buckets); never
     materializes candidate pairs.  ``bucket`` may be string or int."""
+    npart = coarse_npart()
 
     def add_bpart(t: pa.Table) -> pa.Table:
         b = t["bucket"]
         if pa.types.is_integer(b.type):
             part = pc.cast(b, pa.int64()).to_numpy(
-                zero_copy_only=False) % DEDUP_NPART
+                zero_copy_only=False) % npart
         else:
             # NOT builtin hash(): that's per-process-seed randomized, which
             # would scatter one bucket across partitions on different workers
             from zlib import crc32
 
-            part = np.array([crc32(s.encode()) % DEDUP_NPART
+            part = np.array([crc32(s.encode()) % npart
                              for s in b.to_pylist()], dtype=np.int64)
         return t.append_column("part", pa.array(part))
 
@@ -115,7 +119,7 @@ def _dup_flags_from_buckets(bucketed):
         # the global bucket min
         m = g.groupby("bucket")["doc_id"].transform("min")
         df = pd.DataFrame({"doc_id": g["doc_id"], "bucket_min": m})
-        df["part"] = df["doc_id"] % DEDUP_NPART
+        df["part"] = df["doc_id"] % npart
         return df
 
     def doc_min_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -227,47 +231,86 @@ NGRAM_MAX_DF = 2_000         # stop-token cutoff (mirrored in the oracle).
 # stop-word dominates the whole job (at df=5000 one token alone is 12.5M
 # pairs).  This is the standard prefix/frequency filter of all-pairs
 # similarity systems.
-NGRAM_NPART = 64             # coarse pair partitions for the count reduce
-
-
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                         max_df: Optional[int] = NGRAM_MAX_DF,
                         concurrency: int = 4):
     """All pairs with word-set Jaccard >= threshold.
     Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b.
 
-    Pipeline: distinct postings -> groupby(token) pair emission (bounded by
-    ``max_df`` — tokens above it are skipped, the stop-token cutoff every
-    published all-pairs system applies; mirrored in the oracle) ->
-    groupby(coarse pair-hash partition) with the fine-grained per-pair
-    count done in pandas inside map_groups.  The fine aggregation is NOT a
-    Ray groupby: 10^5+ tiny groups through the sort-based aggregate is
-    ~100x slower than 64 coarse partitions x an in-memory hash groupby.
-    The threshold filter uses the unrounded float64 ratio so the SQL
-    oracle (same integer arithmetic) agrees exactly.
+    Pipeline: distinct postings -> postings routed by ``token_h % NPART``
+    -> per-BUCKET pair emission (one vectorized numpy pass emits every
+    within-token pair for all of the bucket's tokens at once — task count
+    is NPART, independent of token cardinality; per-token ``map_groups``
+    would pay ~25 ms of Python per token group) -> groupby(coarse
+    pair-hash partition) with the fine-grained per-pair count done in
+    pandas inside map_groups.  The ``max_df`` stop-token cutoff (tokens in
+    more docs are skipped, mirrored in the oracle) bounds the per-token
+    pair blowup.  The fine aggregation is NOT a Ray groupby: 10^5+ tiny
+    groups through the sort-based aggregate is ~100x slower than coarse
+    partitions x an in-memory hash groupby.  The threshold filter uses the
+    unrounded float64 ratio so the SQL oracle (same integer arithmetic)
+    agrees exactly.
     """
+    npart = coarse_npart()
     post = _docs(sf_dir).map_batches(as_tasks(PostingsStage),
                                      batch_format="pyarrow",
                                      batch_size=4096)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = np.array([], dtype=np.int64)
-        if max_df is not None and len(g) > max_df:
-            return pd.DataFrame({"part": empty, "doc_a": empty,
-                                 "doc_b": empty, "size_a": empty,
-                                 "size_b": empty})
-        g = g.sort_values("doc_id")
+    def add_tpart(t: pa.Table) -> pa.Table:
+        tp = t["token"].to_numpy(zero_copy_only=False) % npart
+        return t.append_column("tpart", pa.array(tp))
+
+    def _boundaries(tok: np.ndarray):
+        n = len(tok)
+        bnd = np.empty(n, dtype=bool)
+        bnd[0] = True
+        bnd[1:] = tok[1:] != tok[:-1]
+        starts = np.nonzero(bnd)[0]
+        cnt = np.diff(np.append(starts, n))
+        return bnd, starts, cnt
+
+    def emit_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all of this bucket's tokens in ONE vectorized pass: sort by
+        # (token, doc), then for the row at local offset k within its token
+        # group emit k pairs (row as doc_b, each predecessor as doc_a)
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        tok = g["token"].to_numpy()
         ids = g["doc_id"].to_numpy()
         sizes = g["doc_size"].to_numpy()
-        n = len(ids)
-        ia, ib = np.triu_indices(n, k=1)
-        da, db = ids[ia], ids[ib]
-        return pd.DataFrame({"part": (da * 1_000_003 + db) % NGRAM_NPART,
-                             "doc_a": da, "doc_b": db,
-                             "size_a": sizes[ia], "size_b": sizes[ib]})
+        empty = np.array([], dtype=np.int64)
+        empty_df = pd.DataFrame({"part": empty, "doc_a": empty,
+                                 "doc_b": empty, "size_a": empty,
+                                 "size_b": empty})
+        if len(tok) == 0:
+            return empty_df
+        if max_df is not None:
+            bnd, starts, cnt = _boundaries(tok)
+            grp = np.cumsum(bnd) - 1
+            keep = (cnt <= max_df)[grp]
+            tok, ids, sizes = tok[keep], ids[keep], sizes[keep]
+            if len(tok) == 0:
+                return empty_df
+        _, starts, cnt = _boundaries(tok)
+        local = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, cnt)
+        csum = np.cumsum(local)
+        total = int(csum[-1])
+        if total == 0:
+            return empty_df
+        doc_b = np.repeat(ids, local)
+        size_b = np.repeat(sizes, local)
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum - local,
+                                                           local)
+        a_idx = np.repeat(np.arange(len(ids), dtype=np.int64) - local,
+                          local) + off
+        doc_a = ids[a_idx]
+        size_a = sizes[a_idx]
+        return pd.DataFrame({"part": (doc_a * 1_000_003 + doc_b) % npart,
+                             "doc_a": doc_a, "doc_b": doc_b,
+                             "size_a": size_a, "size_b": size_b})
 
-    pairs = post.groupby("token").map_groups(emit_pairs,
-                                             batch_format="pandas")
+    pairs = (post.map_batches(add_tpart, batch_format="pyarrow")
+             .groupby("tpart").map_groups(emit_pairs_bucket,
+                                          batch_format="pandas"))
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(

@@ -31,20 +31,24 @@ def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
                            columns=list(columns))
 
 
-NPART = 64      # coarse buckets: the shuffle key is user_id % NPART, so a
-                # map_groups call handles a BUCKET of users with vectorized
-                # pandas kernels (merge_asof by=user_id), never one tiny
-                # Python group per user — per-key groups cost ~25 ms each
-                # in Ray's map_groups (measured 38 s for 1.5k groups)
+from ..functions.scale import coarse_npart
+
+# coarse buckets: the shuffle key is user_id % NPART, so a map_groups call
+# handles a BUCKET of users with vectorized pandas kernels (merge_asof
+# by=user_id), never one tiny Python group per user — per-key groups cost
+# ~25 ms each in Ray's map_groups (measured 38 s for 1.5k groups).  NPART
+# derives from the live cluster size (functions/scale.py) so reduce
+# parallelism scales with the cluster instead of capping at a constant.
 
 
 def _bucketed(sf_dir: str, *types: str):
     """events filtered to the given types, with a bucket column."""
     ds = _events(sf_dir)
     pred = " or ".join(f"event_type == '{t}'" for t in types)
+    npart = coarse_npart()
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], NPART - 1), pa.int64())
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
         return t.append_column("bucket", b)
 
     return ds.filter(expr=pred).map_batches(add_bucket,
@@ -221,12 +225,13 @@ def user_active_days(sf_dir: str):
     shuffle never moves raw events, only the deduped pairs.
     """
     ds = _events(sf_dir, columns=("user_id", "ts"))
+    npart = coarse_npart()
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day")
         pairs = pa.table({"user_id": t["user_id"], "day": day})
         pairs = pairs.group_by(["user_id", "day"]).aggregate([])
-        bucket = pc.cast(pc.bit_wise_and(pairs["user_id"], NPART - 1),
+        bucket = pc.cast(pc.bit_wise_and(pairs["user_id"], npart - 1),
                          pa.int64())
         return pairs.append_column("bucket", bucket)
 
