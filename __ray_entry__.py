@@ -35,7 +35,7 @@ _CDC_TMP_ROOT = "/tmp/pgwr_cdc"
 
 def _cdc_run(sf_dir: str, mode: str, n_shards: int = 2,
              stop_at_lsn: Optional[int] = None,
-             extra_cols: tuple = ()) -> Any:
+             extra_cols: tuple = (), auto_hot: bool = False) -> Any:
     from pg_walstream_ray.sources.events_cdc import build_wal_from_events
     from pg_walstream_ray.pipelines.cdc import run_cdc
     from pg_walstream_ray.lake import snapshot_table
@@ -46,7 +46,8 @@ def _cdc_run(sf_dir: str, mode: str, n_shards: int = 2,
     build_wal_from_events(sf_dir, mode, wal_dir, n_shards=n_shards)
     lake_dir = tempfile.mkdtemp(prefix=f"pgwr_lake_{mode}_")
     try:
-        run_cdc(wal_dir, lake_dir, num_partitions=8, stop_at_lsn=stop_at_lsn)
+        run_cdc(wal_dir, lake_dir, num_partitions=8, stop_at_lsn=stop_at_lsn,
+                auto_detect_hot_keys=auto_hot)
         snap = snapshot_table(lake_dir)
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
                 *extra_cols]
@@ -195,6 +196,21 @@ def _cdc_router_two_tables(sf_dir: str) -> Any:
         shutil.rmtree(lake_r, ignore_errors=True)
 
 
+def _cdc_lenient_deadletter(sf_dir: str) -> Any:
+    """Lenient typed projection over a WAL whose evolved ``score`` column
+    carries unparseable values on a deterministic subset of rows: the cast
+    failures surface as per-row ``_cast_errors`` (dead-letter) counts
+    instead of failing the pipeline (deserializer.rs:617-691 parity)."""
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.pipelines.cdc import lenient_deadletter_stats
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|dirty|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-dirty-{key}")
+    build_wal_from_events(sf_dir, "dirty", wal_dir, n_shards=2)
+    return lenient_deadletter_stats(wal_dir)
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table (pandas per the driver
@@ -224,6 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
     q["cdc_router_two_tables"] = _cdc_router_two_tables
+    # hot-key skew: every event lands on one of 3 conversations (~33% each),
+    # the auto-probe flags them, and the salted-partition path (SURVEY hard
+    # part 4) must still produce the exact LWW result
+    q["cdc_hot_key"] = lambda sf: _cdc_run(sf, "hot", n_shards=1,
+                                           auto_hot=True)
+    q["cdc_lenient_deadletter"] = _cdc_lenient_deadletter
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -295,8 +317,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pg_walstream_ray.sources.events_cdc import (BOUNDED_STOP_EVENT,
+                                                     DIRTY_SCORE_MOD,
                                                      EVOLVE_AT,
-                                                     TRUNCATE_AFTER, TX_ROWS)
+                                                     HOT_CONV_MOD,
+                                                     HOT_TURN_MOD,
+                                                     TRUNCATE_AFTER, TURN_MOD,
+                                                     TX_ROWS)
 
     sql: dict[str, str] = {}
 
@@ -314,6 +340,36 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    # hot-key mode: conv collapses onto user_id % HOT_CONV_MOD, turn spreads
+    # over HOT_TURN_MOD; same LWW as upsert
+    sql["cdc_hot_key"] = f"""
+      WITH changes AS (
+        SELECT event_id * 4 + 4 AS lsn,
+               'c' || CAST(user_id % {HOT_CONV_MOD} AS VARCHAR) AS conv_id,
+               CAST(event_id % {HOT_TURN_MOD} AS INTEGER) AS turn_idx,
+               CASE WHEN event_type IN ('signup','view') THEN 'insert'
+                    ELSE 'update' END AS op,
+               {_ROLE_SQL} AS role,
+               {_TEXT_SQL} AS text,
+               {_TOOL_SQL} AS tool,
+               ts, event_id, event_type
+        FROM events
+      ), ranked AS ({_LWW})
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1
+    """
+
+    # lenient dead-letter: v2 rows (event_id >= EVOLVE_AT) whose turn_idx %
+    # DIRTY_SCORE_MOD == 0 carry an unparseable score -> one cast error each
+    sql["cdc_lenient_deadletter"] = f"""
+      SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+             COUNT(*) AS n_ops,
+             CAST(SUM(CASE WHEN event_id >= {EVOLVE_AT}
+                      AND (event_id % {TURN_MOD}) % {DIRTY_SCORE_MOD} = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM events GROUP BY 1
     """
 
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
@@ -448,7 +504,7 @@ def oracle_sql() -> dict[str, str]:
             AS BIGINT) % 100 < 10
     """
 
-    sql["text_normalize"] = """
+    sql["text_normalize"] = r"""
       SELECT doc_id,
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
              length(text) AS n_chars_before,

@@ -168,6 +168,58 @@ def project_batch_fn(batch: pa.Table, *, registry_ref, oid: int,
     return project_envelope(batch, reg, oid, lenient=lenient)
 
 
+def lenient_deadletter_stats(wal_dir: str, oid: int = TRANSCRIPTS_OID):
+    """Lenient-mode scan: decode + LENIENT typed projection (cast failures
+    become per-row ``_cast_errors`` counts instead of hard errors — the
+    FieldError-list contract, /root/reference/src/deserializer.rs:617-691),
+    reduced to per-conversation dead-letter stats.
+
+    Returns a Dataset of (conv_id, n_ops, n_bad): total change ops and ops
+    with at least one failed column cast.  Per-batch partial aggregation
+    before the (tiny) conv_id groupby — the dead-letter COUNT streams, the
+    bad rows themselves never leave their decode task.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    shard_paths = discover_shards(wal_dir)
+    registry_ref = ray.put(build_registry(wal_dir, shard_paths))
+    work = [{"wal_paths": [seg]} for segs in shard_paths for seg in segs]
+    ds = rd.from_items(work, override_num_blocks=len(work))
+
+    def scan(batch: pa.Table):
+        for env in DecodeShard()(batch):
+            t = project_batch_fn(env, registry_ref=registry_ref, oid=oid,
+                                 lenient=True)
+            if t.num_rows == 0:
+                continue
+            part = pa.table({
+                "conv_id": t["conv_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "bad": pc.cast(pc.greater(t["_cast_errors"], 0), pa.int64()),
+            }).group_by("conv_id").aggregate([("one", "sum"),
+                                              ("bad", "sum")])
+            yield part
+
+    agg = ds.map_batches(scan, batch_size=None, batch_format="pyarrow",
+                         num_cpus=1) \
+        .groupby("conv_id").aggregate(Sum("one_sum", alias_name="n_ops"),
+                                      Sum("bad_sum", alias_name="n_bad"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "n_ops": pc.cast(t["n_ops"], pa.int64()),
+            "n_bad": pc.cast(t["n_bad"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def run_cdc_follow(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                    poll_interval_s: float = 2.0, max_idle_polls: int = 3,
                    **kw) -> dict:

@@ -91,6 +91,54 @@ def filter_tables(ds, names: Iterable[str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class _ThrottleStage:
+    """Token-bucket release gate: the pacing state lives in ONE actor so
+    the cap is global, not per-task."""
+
+    def __init__(self, rows_per_s=None, bytes_per_s=None):
+        import time
+
+        self._now = time.monotonic
+        self._sleep = time.sleep
+        self.rows_per_s = rows_per_s
+        self.bytes_per_s = bytes_per_s
+        self.t0 = self._now()
+        self.rows_out = 0
+        self.bytes_out = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        self.rows_out += t.num_rows
+        self.bytes_out += t.nbytes
+        elapsed = self._now() - self.t0
+        due = 0.0
+        if self.rows_per_s:
+            due = max(due, self.rows_out / self.rows_per_s)
+        if self.bytes_per_s:
+            due = max(due, self.bytes_out / self.bytes_per_s)
+        if due > elapsed:
+            self._sleep(due - elapsed)
+        return t
+
+
+def throttle(ds, rows_per_s: Optional[float] = None,
+             bytes_per_s: Optional[float] = None,
+             batch_size: int = 4096):
+    """Combinator: cap the tap's release rate (rows/s and/or bytes/s) —
+    EventStream throttle parity (stream.rs:1524-1767,
+    examples/rate-limited-streaming).  A single-actor token-bucket stage:
+    each batch is released only once the cumulative budget allows it, so
+    downstream consumers see a paced stream while upstream decode proceeds
+    under normal backpressure.  ``batch_size`` bounds burst granularity."""
+    if not rows_per_s and not bytes_per_s:
+        return ds
+    return ds.map_batches(
+        _ThrottleStage,
+        fn_constructor_kwargs={"rows_per_s": rows_per_s,
+                               "bytes_per_s": bytes_per_s},
+        batch_size=batch_size, batch_format="pyarrow", concurrency=1,
+        num_cpus=0.5)
+
+
 def until_lsn(ds, lsn: int):
     """Combinator: events at or below a commit LSN (take_while analogue —
     applied per batch; the decoder's stop_at_lsn is the transport-level

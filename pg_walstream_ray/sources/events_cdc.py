@@ -51,6 +51,16 @@ EVOLVE_AT = 500          # event_id threshold for relation v2
 TRUNCATE_AFTER = 600     # truncate lands between events 599 and 600
 BOUNDED_STOP_EVENT = 675  # stop target inside tx 13 (events 650..699)
 
+# hot mode: every event collapses onto one of HOT_CONV_MOD conversations
+# (each ~1/3 of the stream — far above the 0.2 hot-key probe threshold), so
+# the salted-partition path MUST engage for the query to pass; the larger
+# turn space gives the salt room to spread each hot conversation
+HOT_CONV_MOD = 3
+HOT_TURN_MOD = 997
+
+DIRTY_SCORE_MOD = 10     # dirty mode: v2 rows with turn_idx % 10 == 0 carry
+                         # an unparseable score (lenient dead-letter fixture)
+
 
 def derive_changes(events: pa.Table, mode: str) -> pa.Table:
     """events rows -> logical change table (walgen.LOGICAL_SCHEMA order
@@ -64,14 +74,19 @@ def derive_changes(events: pa.Table, mode: str) -> pa.Table:
         turn = ev_id.astype(np.int32)
         op = np.full(n, "insert", dtype=object)
     else:
-        turn = (ev_id % TURN_MOD).astype(np.int32)
+        turn = (ev_id % (HOT_TURN_MOD if mode == "hot" else TURN_MOD)) \
+            .astype(np.int32)
         op = np.where(np.isin(et, ["signup", "view"]), "insert", "update")
         if mode == "upsert_delete":
             op = np.where(et == "error", "delete", op)
         op = op.astype(object)
 
+    user_col = events["user_id"]
+    if mode == "hot":
+        u = user_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        user_col = pa.array(u % HOT_CONV_MOD)
     conv = pc.binary_join_element_wise(
-        "c", pc.cast(events["user_id"], pa.string()), "")
+        "c", pc.cast(user_col, pa.string()), "")
     role_np = np.empty(n, dtype=object)
     for k, v in ROLE_MAP.items():
         role_np[et == k] = v
@@ -89,7 +104,7 @@ def derive_changes(events: pa.Table, mode: str) -> pa.Table:
         unchanged = (et == "click")  # updates carrying 'u' text
 
     rel_version = np.ones(n, dtype=np.int32)
-    if mode == "evolve":
+    if mode in ("evolve", "dirty"):
         rel_version[ev_id >= EVOLVE_AT] = 2
 
     is_del = op == "delete"
@@ -160,7 +175,8 @@ def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
                                                              "ascending")]))
     logical = derive_changes(events, mode)
     user = events["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    spec = WalSpec(n_shards=n_shards)
+    spec = WalSpec(n_shards=n_shards,
+                   dirty_score_mod=DIRTY_SCORE_MOD if mode == "dirty" else 0)
     os.makedirs(out_dir, exist_ok=True)
     for s in range(n_shards):
         part = logical.filter(pa.array(user % n_shards == s))

@@ -84,6 +84,9 @@ class WalSpec:
     toast_unchanged_frac: float = 0.0  # fraction of updates with 'u' text
     schema_change_at_frac: Optional[float] = None  # switch to rel v2 here
     uncommitted_tail: bool = False  # leave the last tx without a Commit
+    dirty_score_mod: int = 0       # >0: v2 rows with turn_idx % mod == 0
+                                   # carry an UNPARSEABLE score value (the
+                                   # lenient dead-letter fixture)
     keepalive_every: int = 256     # interleave a keepalive frame every N frames
     segment_rows: Optional[int] = None  # logical rows per WAL segment file
                                    # (tx-aligned; Relation re-sent per segment)
@@ -327,7 +330,8 @@ def _fmt_ts(ts_us: int) -> bytes:
     return str(ts_us).encode()
 
 
-def _tuple_for(row, version: int, unchanged_text: bool) -> codec.TupleData:
+def _tuple_for(row, version: int, unchanged_text: bool,
+               dirty_score_mod: int = 0) -> codec.TupleData:
     tup: codec.TupleData = [
         (b"t", row["conv_id"].encode()),
         (b"t", str(row["turn_idx"]).encode()),
@@ -338,8 +342,14 @@ def _tuple_for(row, version: int, unchanged_text: bool) -> codec.TupleData:
         (b"t", _fmt_ts(row["ts_us"])),
     ]
     if version >= 2:
-        # evolved column: deterministic small int payload
-        tup.append((b"t", str(row["turn_idx"] % 5).encode()))
+        if dirty_score_mod and row["turn_idx"] % dirty_score_mod == 0:
+            # deliberately unparseable int4 text — the upstream-producer
+            # corruption the lenient consumer must dead-letter, not crash on
+            # (FieldError analogue, deserializer.rs:617-691)
+            tup.append((b"t", b"x" + str(row["turn_idx"]).encode()))
+        else:
+            # evolved column: deterministic small int payload
+            tup.append((b"t", str(row["turn_idx"] % 5).encode()))
     return tup
 
 
@@ -424,10 +434,13 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
                 sent_versions.add(ver)
             op = row["op"]
             if op == "insert":
-                m = codec.Insert(TRANSCRIPTS_OID, _tuple_for(row, ver, False))
+                m = codec.Insert(TRANSCRIPTS_OID, _tuple_for(
+                    row, ver, False, spec.dirty_score_mod))
             elif op == "update":
                 m = codec.Update(TRANSCRIPTS_OID, b"K", _key_tuple_for(row, ver),
-                                 _tuple_for(row, ver, bool(row["text_unchanged"])))
+                                 _tuple_for(row, ver,
+                                            bool(row["text_unchanged"]),
+                                            spec.dirty_score_mod))
             elif op == "delete":
                 m = codec.Delete(TRANSCRIPTS_OID, b"K", _key_tuple_for(row, ver))
             elif op == "truncate":

@@ -125,6 +125,8 @@ def project_envelope(envelope: pa.Table, registry: SchemaRegistry, oid: int,
             cols[f.name] = pa.nulls(n, f.type)
             cols[f"_unchanged_{f.name}"] = pa.array(
                 np.zeros(n, dtype=bool))
+        if "_cast_errors" in typed.column_names:
+            cols["_cast_errors"] = pa.array(np.zeros(n, dtype=np.int32))
         typed = pa.concat_tables([typed, pa.table(cols).select(
             typed.column_names)])
     return typed
