@@ -269,18 +269,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # accuracy pinned in tests/test_sketches.py against exact counts)
     from pg_walstream_ray.pipelines import sketches
 
-    q["approx_user_days"] = sketches.approx_user_days
+    # oracle-bridge hash mode pinned for driver checks; the operators
+    # default to the vectorized xxhash fast path in production
+    q["approx_user_days"] = lambda sf: sketches.approx_user_days(
+        sf, hash_mode="md5")
 
     # -- fused corpus-cleaning flagship ------------------------------------
     from pg_walstream_ray.pipelines import corpus
 
-    q["corpus_clean"] = corpus.corpus_clean
+    q["corpus_clean"] = lambda sf: corpus.corpus_clean(sf, hash_mode="md5")
 
     # -- training-data ops: dedup ------------------------------------------
     from pg_walstream_ray.pipelines import dedup, similarity, textops
     from pg_walstream_ray.pipelines import multimodal
 
-    q["dedup_exact"] = dedup.exact_dedup
+    q["dedup_exact"] = lambda sf: dedup.exact_dedup(sf, hash_mode="md5")
     q["dedup_minhash_lsh"] = dedup.minhash_dedup
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
@@ -302,9 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- text analysis -----------------------------------------------------
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
-    q["doc_sample"] = textops.doc_sample
+    q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
-    q["doc_fingerprint"] = textops.doc_fingerprint
+    q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
+        sf, hash_mode="md5")
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \

@@ -211,6 +211,20 @@ def bench_queries(sf_dir: str) -> dict:
         t0 = time.time()
         n = _consume(fn(sf_dir))
         out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+
+    # production-default hash mode (vectorized xxhash) for the content-hash
+    # operators — the queries() entries above pin hash_mode='md5' so the
+    # driver's SQL-oracle compare stays exact; these rows quantify the gap
+    from pg_walstream_ray.pipelines import corpus, dedup, textops
+
+    for name, fn in (
+            ("dedup_exact_fast", dedup.exact_dedup),
+            ("corpus_clean_fast", corpus.corpus_clean),
+            ("doc_fingerprint_fast", textops.doc_fingerprint),
+            ("doc_sample_fast", textops.doc_sample)):
+        t0 = time.time()
+        n = _consume(fn(sf_dir))
+        out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
     return out
 
 

@@ -18,7 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import (worker_token_hasher,
-                                 TokenHasher, distinct_doc_tokens,
+                                 TokenHasher, content_hash60,
+                                 distinct_doc_tokens,
                                  md5_int60, tokenize_column)
 from ..functions.scale import coarse_npart
 from ..stages.taskmode import as_tasks
@@ -29,10 +30,13 @@ KEEP_LANG = "en"
 
 
 class CorpusFeatureStage:
-    """One pass: (doc_id, text) -> quality_q, pred_lang, content hash."""
+    """One pass: (doc_id, text) -> quality_q, pred_lang, content hash.
+    ``hash_mode``: 'fast' = vectorized xxhash (default), 'md5' = SQL-oracle
+    bridge (functions/hashing.content_hash60)."""
 
-    def __init__(self):
+    def __init__(self, hash_mode: str = "fast"):
         self.hasher = worker_token_hasher()
+        self.hash_mode = hash_mode
         self.stop_h60 = {lang: np.array(sorted(md5_int60(w) for w in ws),
                                         dtype=np.int64)
                          for lang, ws in STOPWORDS.items()}
@@ -62,8 +66,7 @@ class CorpusFeatureStage:
                         minlength=n) for lang in LANG_ORDER])
         pred = np.array(LANG_ORDER, dtype=object)[np.argmax(hits, axis=0)]
 
-        content_h = np.fromiter((md5_int60(s) for s in text.to_pylist()),
-                                dtype=np.int64, count=n)
+        content_h = content_hash60(text, self.hash_mode)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(n_tokens),
@@ -74,14 +77,15 @@ class CorpusFeatureStage:
 
 
 def corpus_clean(sf_dir: str, min_quality_q: int = QUALITY_MIN_Q,
-                 lang: str = KEEP_LANG, concurrency: int = 4):
+                 lang: str = KEEP_LANG, concurrency: int = 4,
+                 hash_mode: str = "fast"):
     """Kept documents after quality + language filters and exact dedup.
     Output: (doc_id, n_tokens, quality_q)."""
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    feat = ds.map_batches(as_tasks(CorpusFeatureStage),
+    feat = ds.map_batches(as_tasks(CorpusFeatureStage, hash_mode=hash_mode),
                           batch_format="pyarrow", batch_size=4096)
     npart = coarse_npart()
 

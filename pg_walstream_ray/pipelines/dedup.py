@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import (
     worker_token_hasher,
     TokenHasher,
+    content_hash60,
     doc_minhash,
     doc_simhash,
     md5_int60,
@@ -67,15 +68,18 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 from ..functions.scale import coarse_npart
 
 
-def exact_dedup(sf_dir: str):
+def exact_dedup(sf_dir: str, hash_mode: str = "fast"):
     """Exact dedup on content hash: one surviving doc_id (the minimum) per
     distinct text + the group size.  Output: (doc_id, n_copies).
-    Ships (hash, doc_id) pairs only — never the text."""
+    Ships (hash, doc_id) pairs only — never the text.
+
+    ``hash_mode='fast'`` (default) uses the vectorized xxhash path;
+    ``'md5'`` is the SQL-oracle bridge mode pinned by the driver queries
+    (functions/hashing.content_hash60)."""
     npart = coarse_npart()
 
     def to_hash(t: pa.Table) -> pa.Table:
-        h = np.array([md5_int60(s) for s in t["text"].to_pylist()],
-                     dtype=np.int64)
+        h = content_hash60(t["text"], hash_mode)
         return pa.table({"part": pa.array(h % npart),
                          "h": pa.array(h), "doc_id": t["doc_id"]})
 

@@ -65,7 +65,7 @@ def md5_hash64(values) -> np.ndarray:
         dtype=np.uint64, count=len(values))
 
 
-def approx_user_days(sf_dir: str):
+def approx_user_days(sf_dir: str, hash_mode: str = "fast"):
     """Approximate count of distinct (user_id, day) pairs over events.
 
     Output: one row (n_approx:int64).
@@ -74,8 +74,15 @@ def approx_user_days(sf_dir: str):
     the driver merges the tiny per-batch sketches by elementwise max —
     no shuffle, O(batches * 4KiB) network.  Compare
     ``temporal.user_active_days`` for the exact (shuffling) variant.
+
+    ``hash_mode='fast'`` (default) feeds the HLL with the vectorized
+    xxhash64; ``'md5'`` keeps the md5-prefix hash (both seedless and
+    order-independent, so either estimate is run-stable; accuracy tests
+    pin both).
     """
     import ray.data as rd
+
+    from ..functions.hashing import fast_hash64
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
@@ -84,9 +91,13 @@ def approx_user_days(sf_dir: str):
         day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), "%Y-%m-%d")
         keys = pa.table({"user_id": t["user_id"], "day": day}) \
             .group_by(["user_id", "day"]).aggregate([])
-        vals = [f"{u}|{d}" for u, d in zip(keys["user_id"].to_pylist(),
-                                           keys["day"].to_pylist())]
-        regs = hll_fold(md5_hash64(vals), np.zeros(HLL_M, dtype=np.int8))
+        joined = pc.binary_join_element_wise(
+            pc.cast(keys["user_id"], pa.string()), keys["day"], "|")
+        if hash_mode == "md5":
+            hashes = md5_hash64(joined.to_pylist())
+        else:
+            hashes = fast_hash64(joined)
+        regs = hll_fold(hashes, np.zeros(HLL_M, dtype=np.int8))
         return pa.table({"registers": pa.array([regs.tobytes()],
                                                pa.binary())})
 

@@ -131,35 +131,57 @@ def lang_id(sf_dir: str, concurrency: int = 4):
                                      batch_size=4096)
 
 
-def doc_fingerprint(sf_dir: str):
-    """Content fingerprint: md5 hex of lowercased text + its 60-bit int
-    form (the exact-dedup / shard-routing key).  (doc_id, fp, fp_int)."""
+def doc_fingerprint(sf_dir: str, hash_mode: str = "fast"):
+    """Content fingerprint of lowercased text: hex digest + 60-bit int form
+    (the exact-dedup / shard-routing key).  (doc_id, fp, fp_int).
+
+    ``hash_mode='fast'`` (default): vectorized xxhash64 — fp is its 16-hex
+    form.  ``'md5'``: per-row md5 (SQL-oracle bridge, pinned by the driver
+    query)."""
+    from ..functions.hashing import fast_hash64
 
     def fp(t: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(t["text"]).to_pylist()
-        digests = [hashlib.md5(s.encode()).hexdigest() for s in texts]
-        ints = [int(d[:15], 16) for d in digests]
-        return pa.table({"doc_id": t["doc_id"],
-                         "fp": pa.array(digests, pa.string()),
-                         "fp_int": pa.array(ints, pa.int64())})
+        low = pc.utf8_lower(t["text"])
+        if hash_mode == "md5":
+            digests = [hashlib.md5(s.encode()).hexdigest()
+                       for s in low.to_pylist()]
+            ints = [int(d[:15], 16) for d in digests]
+            return pa.table({"doc_id": t["doc_id"],
+                             "fp": pa.array(digests, pa.string()),
+                             "fp_int": pa.array(ints, pa.int64())})
+        h = fast_hash64(low)
+        hexes = np.char.mod("%016x", h.astype(np.uint64))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp": pa.array(hexes.astype(object), pa.string()),
+            "fp_int": pa.array((h >> np.uint64(4)).astype(np.int64)),
+        })
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
-def doc_sample(sf_dir: str, pct: int = 10):
+def doc_sample(sf_dir: str, pct: int = 10, hash_mode: str = "fast"):
     """Deterministic content-hash sampling — the reproducible train/eval
-    split primitive: keep documents whose md5(doc_id)-derived bucket is
-    below ``pct`` (stable across runs, partitionings and cluster sizes;
-    never a seeded RNG, which would depend on row order).
-    Output: (doc_id, bucket)."""
+    split primitive: keep documents whose id-hash-derived bucket is below
+    ``pct`` (stable across runs, partitionings and cluster sizes; never a
+    seeded RNG, which would depend on row order).
+    Output: (doc_id, bucket).
+
+    ``hash_mode='md5'`` is the SQL-oracle bridge (md5 of the id string);
+    'fast' (default) uses the vectorized xxhash path."""
+    from ..functions.hashing import fast_hash64
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        buckets = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-             for i in ids), dtype=np.int64, count=len(ids))
+        if hash_mode == "md5":
+            ids = t["doc_id"].to_pylist()
+            buckets = np.fromiter(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                 for i in ids), dtype=np.int64, count=len(ids))
+        else:
+            buckets = (fast_hash64(pc.cast(t["doc_id"], pa.string()))
+                       % np.uint64(100)).astype(np.int64)
         keep = buckets < pct
-        return pa.table({"doc_id": pa.array(np.asarray(ids)[keep]),
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(keep)),
                          "bucket": pa.array(buckets[keep])})
 
     return _docs(sf_dir, columns=("doc_id",)).map_batches(

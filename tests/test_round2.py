@@ -93,6 +93,34 @@ def test_throttle_caps_release_rate(ray_session):
     assert wall >= n / 2000 * 0.8           # paced (some slop for startup)
 
 
+def test_fast_hash_dedup_equivalent_to_md5(ray_session):
+    """hash_mode only changes the hash function, never the dedup result
+    (both are collision-free at test scale)."""
+    from pg_walstream_ray.pipelines import dedup
+
+    a = _norm(dedup.exact_dedup(SF, hash_mode="fast").to_pandas())
+    b = _norm(dedup.exact_dedup(SF, hash_mode="md5").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fast_hash_corpus_clean_equivalent_to_md5(ray_session):
+    from pg_walstream_ray.pipelines import corpus
+
+    a = _norm(corpus.corpus_clean(SF, hash_mode="fast").to_pandas())
+    b = _norm(corpus.corpus_clean(SF, hash_mode="md5").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fast_hash_hll_accuracy(ray_session):
+    from pg_walstream_ray.pipelines import sketches
+
+    exact = _con().execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT user_id,"
+        " date_trunc('day', ts) FROM events)").fetchone()[0]
+    approx = int(sketches.approx_user_days(SF)["n_approx"][0])  # fast mode
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_throttle_noop_without_caps(ray_session):
     import ray.data as rd
 
