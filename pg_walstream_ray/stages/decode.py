@@ -171,7 +171,14 @@ class PgOutputDecoder:
     def __init__(self, stop_at_lsn: Optional[int] = None,
                  emit_control_rows: bool = True,
                  collect_dml: bool = True,
-                 source: int = 0):
+                 source: int = 0,
+                 version_map: Optional[Dict[tuple, int]] = None):
+        # version_map: relation fingerprint -> GLOBAL version id (from
+        # SchemaRegistry.version_map()).  Keeps rel_version numbering
+        # consistent across decoders that each see only a slice of the
+        # Relation stream (segment-parallel replay of a segmented archive);
+        # unmapped relations fall back to local arrival-order numbering.
+        self.version_map = version_map or {}
         # collect_dml=False turns this into a control-plane-only scan
         # (relation/commit bookkeeping without materializing DML rows) —
         # used by the registry pre-scan fallback when no sidecar exists.
@@ -411,9 +418,18 @@ class PgOutputDecoder:
             if old is None or diff is not None:
                 self.relations[msg.oid] = msg
                 version = self._next_version
+                if self.version_map:
+                    from ..state.schema_registry import relation_fingerprint
+
+                    fp = relation_fingerprint(
+                        msg.oid, msg.namespace, msg.name,
+                        msg.replica_identity,
+                        ((c.name, c.type_oid, c.type_modifier,
+                          bool(c.flags & 1)) for c in msg.columns))
+                    version = self.version_map.get(fp, version)
                 self.rel_versions[msg.oid] = version
                 self._relmeta[msg.oid] = (version, msg.namespace, msg.name)
-                self._next_version += 1
+                self._next_version = max(self._next_version, version) + 1
                 if self.emit_control_rows:
                     # schema-change events release immediately (not tx-buffered):
                     # downstream needs them before the rows that use them.
@@ -566,9 +582,11 @@ class DecodeShard:
     def __init__(self, stop_at_lsn: Optional[int] = None,
                  out_batch_rows: int = 16384,
                  prune_below: Optional[Dict[int, int]] = None,
-                 relation_metas: Optional[List[str]] = None):
+                 relation_metas: Optional[List[str]] = None,
+                 version_map: Optional[Dict[tuple, int]] = None):
         self.stop_at_lsn = stop_at_lsn
         self.out_batch_rows = out_batch_rows
+        self.version_map = version_map
         # prune_below[source] = commit LSN below-or-at which every
         # partition has durably applied — segments whose footer max(lsn)
         # is <= it are skipped WITHOUT decoding (resume must not re-read
@@ -607,7 +625,8 @@ class DecodeShard:
             segments = entry if isinstance(entry, list) else [entry]
             source = self.source_of(segments[0])
             dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
-                                  source=source)
+                                  source=source,
+                                  version_map=self.version_map)
             if self.relation_metas:
                 dec.seed_relations(self.relation_metas)
             wm = self.prune_below.get(source, -1)

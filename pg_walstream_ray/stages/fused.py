@@ -4,10 +4,22 @@ The unfused pipeline ships the full change stream through the object
 store twice between map stages (envelope -> typed -> routed is ~32 MB per
 250k-event segment per hop — ~4 GB of extra store traffic on the
 16M-event bench).  Fusing the three per-segment transforms into one
-stage removes both hops: a segment is decoded (vectorized fast path with
-scalar fallback, stages/vdecode.py), typed-projected and partition-routed
-inside a single task, and only the routed output — the one table the
-shuffle actually needs — is materialized.
+stage removes both hops: a segment is decoded, typed-projected and
+partition-routed inside a single task, and only the routed output — the
+one table the shuffle actually needs — is materialized.
+
+Decode ladder per segment, fastest first:
+  1. TYPED-DIRECT vectorized decode (vdecode.try_decode_segment_typed):
+     per-column typed arrays built straight from the wire buffers — the
+     ``list<string>`` envelope is never built and never re-split.  This
+     removes ~2 full payload passes per segment, the measured map-side
+     DRAM ceiling of round 1 (BASELINE.md).
+  2. Envelope vectorized decode + project_envelope (anything the typed
+     emitter can't express falls through here).
+  3. Scalar state-machine decode + project_envelope (bounded replay,
+     two-phase, parse anomalies).
+All three produce the same typed schema; per-segment LWW pre-compaction
+and partition routing run on the result.
 
 Semantics are identical to the unfused stages by construction (the same
 functions run in the same order); run_cdc output equality is covered by
@@ -16,12 +28,13 @@ the scenario/property suites.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterator, List, Optional
 
 import pyarrow as pa
 
 from ..state.schema_registry import SchemaRegistry
-from .decode import DecodeShard, PgOutputDecoder
+from .decode import DecodeShard, ENVELOPE_SCHEMA, PgOutputDecoder
 from .partition import Partitioner
 from .typed import project_envelope
 
@@ -34,7 +47,9 @@ class DecodeProjectRoute:
                  hot_keys=(), salt: int = 8,
                  stop_at_lsn: Optional[int] = None,
                  prune_below: Optional[Dict[int, int]] = None,
-                 out_batch_rows: int = 32768, precompact: Optional[bool] = None):
+                 out_batch_rows: int = 32768,
+                 precompact: Optional[bool] = None,
+                 version_map: Optional[Dict[tuple, int]] = None):
         import ray
 
         self.registry = registry_ref if isinstance(
@@ -50,23 +65,70 @@ class DecodeProjectRoute:
         self.prune_below = prune_below or {}
         self.out_batch_rows = out_batch_rows
         if precompact is None:
-            import os
             precompact = not os.environ.get("PGWR_NO_PRECOMPACT")
         self.precompact = precompact
+        # global rel_version numbering for segment-parallel decoders
+        # (SchemaRegistry.version_map()); default-derive so every caller
+        # gets consistent numbering even on multi-segment shards
+        self.version_map = version_map if version_map is not None \
+            else self.registry.version_map()
+        self.typed_direct = not os.environ.get("PGWR_NO_TYPED_DECODE")
+        self.vdecode_env = not os.environ.get("PGWR_NO_VDECODE")
+
+    def _decode_typed_segments(self, batch: pa.Table) -> Iterator[pa.Table]:
+        """Per WAL entry: stream TYPED tables, one per segment (whole-
+        segment granularity, as the pre-compaction combiner needs the
+        segment's full key history)."""
+        import pyarrow.parquet as pq
+
+        from .vdecode import try_decode_segment, try_decode_segment_typed
+
+        col = "wal_paths" if "wal_paths" in batch.column_names else "wal_path"
+        for entry in batch[col].to_pylist():
+            segments = entry if isinstance(entry, list) else [entry]
+            source = DecodeShard.source_of(segments[0])
+            dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
+                                  source=source,
+                                  version_map=self.version_map)
+            wm = self.prune_below.get(source, -1)
+            for path in segments:
+                if dec.stopped:
+                    break
+                pf = pq.ParquetFile(path)
+                if wm >= 0:
+                    mx = DecodeShard._segment_max_lsn(pf)
+                    if mx is not None and mx <= wm:
+                        continue          # fully applied everywhere: skip
+                frames = pf.read(columns=["frame"])["frame"]
+                if self.typed_direct:
+                    tout = try_decode_segment_typed(dec, frames,
+                                                    self.registry, self.oid)
+                    if tout is not None:
+                        if tout:
+                            yield pa.concat_tables(tout)
+                        continue
+                env_out = try_decode_segment(dec, frames, out_batch_rows=0) \
+                    if self.vdecode_env else None
+                if env_out is not None:
+                    env = pa.Table.from_batches(env_out,
+                                                schema=ENVELOPE_SCHEMA)
+                else:
+                    # scalar fallback: the sequential state machine handles
+                    # everything (two-phase, bounded replay, anomalies)
+                    dec.feed_frames(frames.to_pylist())
+                    b = dec.take_batch()
+                    if b is None:
+                        continue
+                    env = pa.Table.from_batches([b], schema=ENVELOPE_SCHEMA)
+                if env.num_rows:
+                    yield project_envelope(env, self.registry, self.oid)
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         from .apply import precompact_typed
 
-        # reuse DecodeShard's segment loop (pruning, vectorized fast path,
-        # stop-at-LSN, scalar fallback) at WHOLE-SEGMENT granularity
-        # (out_batch_rows=0): the per-segment LWW pre-compaction combiner
-        # needs the segment's full key history to collapse superseded rows
-        # (~26% of the upsert shape) before the shuffle
-        shard = DecodeShard(stop_at_lsn=self.stop_at_lsn,
-                            prune_below=self.prune_below,
-                            out_batch_rows=0)
-        for env in shard(batch):
-            typed = project_envelope(env, self.registry, self.oid)
+        for typed in self._decode_typed_segments(batch):
+            if typed.num_rows == 0:
+                continue
             if self.precompact:
                 typed = precompact_typed(typed)
             routed = self.partitioner(typed)

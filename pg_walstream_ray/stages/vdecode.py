@@ -22,12 +22,21 @@ stay identical by construction:
    (sort by (release event position, frame position)) and merged with
    the control rows into envelope batches.
 
-Falls back (returns None, caller uses the scalar path) on anything
-outside the hot profile: two-phase frames, binary ('b') column tags,
+Binary ('b') column tags — protocol ``with_binary`` mode, the reference's
+best-case config (stream.rs:219-222, LOAD_TEST_COMPARISON.md:10) — stay
+on the fast path: values render to the pg hex text form with a
+vectorized nibble LUT.  Falls back (returns None, caller uses the scalar
+path) on anything outside the hot profile: two-phase frames,
 transactions left unresolved at segment end, bounded replay, or parse
 anomalies.  Correctness is pinned by tests comparing the vectorized
 output byte-for-byte against the scalar decoder over the scenario corpus
 and random WalSpecs (tests/test_vdecode.py).
+
+``try_decode_segment_typed`` additionally fuses the typed projection INTO
+the decode: per-column value arrays are built straight from the wire
+buffers and cast to the unified schema, skipping the ``list<string>``
+envelope build + ``list_element`` re-split entirely (round-1's measured
+map-side DRAM ceiling — see BASELINE.md).
 
 Reference parity notes: the DML wire layout decoded here is
 protocol.rs:864-951 (Insert/Update/Delete) + protocol.rs:1294-1325
@@ -67,7 +76,8 @@ def _be(data: np.ndarray, idx: np.ndarray, nbytes: int) -> np.ndarray:
 
 def _clone_decoder(dec: PgOutputDecoder) -> PgOutputDecoder:
     c = PgOutputDecoder(emit_control_rows=dec.emit_control_rows,
-                        collect_dml=dec.collect_dml, source=dec.source)
+                        collect_dml=dec.collect_dml, source=dec.source,
+                        version_map=dec.version_map)
     c.relations = dict(dec.relations)
     c.rel_versions = dict(dec.rel_versions)
     c._relmeta = dict(dec._relmeta)
@@ -109,67 +119,125 @@ def _frames_np(col) -> Tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-def _peel_tuples(data: np.ndarray, starts: np.ndarray):
-    """Parse one TupleData per row starting at ``starts``.
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", np.uint8)
 
-    Returns (values ListArray [list<string>], unchanged ListArray
-    [list<bool>], end offsets).  Rows must share a column count (caller
-    groups by ncols first).
+
+def _scan_tuples(data: np.ndarray, starts: np.ndarray):
+    """One vectorized pass over a TupleData per row at ``starts``.
+
+    Returns (v_start[n,ncols], v_len[n,ncols], code[n,ncols], end offsets).
+    Tags: 't' (text) and 'b' (binary, protocol with_binary mode,
+    stream.rs:219-222) are length-prefixed; 'n'/'u' are empty.  Rows must
+    share a column count (caller groups by ncols first).
+
+    int32 index math throughout: the gather index arrays are the module's
+    biggest memory consumers (20M+ elements for a 250k x 10 segment) and
+    concurrent decoders are bandwidth-bound, not compute-bound — int64
+    indices measurably slow the whole pipeline at 16+ parallel decoders.
+    (A >2 GiB segment falls back to the scalar path in _frames_np.)
     """
     n = len(starts)
     ncols_arr = _be(data, starts, 2)
     ncols = int(ncols_arr[0])
     if not np.all(ncols_arr == ncols):
         raise _Fallback("mixed ncols in group")        # caller groups; guard
-    off = (starts + 2).astype(np.int32)                # segment < 2 GB
+    off = (starts + 2).astype(np.int32)
     v_start = np.empty((n, ncols), np.int32)
     v_len = np.zeros((n, ncols), np.int32)
     code = np.empty((n, ncols), np.uint8)
     for j in range(ncols):
         t = data[off]
         code[:, j] = t
-        is_txt = t == 116
-        if not np.all(is_txt | (t == 110) | (t == 117)):
-            raise _Fallback("non-text tuple tag")      # 'b' or corrupt
+        has_len = (t == 116) | (t == 98)               # 't' | 'b'
+        if not np.all(has_len | (t == 110) | (t == 117)):
+            raise _Fallback("unknown tuple tag")
         ln = np.zeros(n, np.int32)
-        if is_txt.any():
-            it = off[is_txt] + 1
-            ln[is_txt] = ((data[it].astype(np.int32) << 24)
-                          | (data[it + 1].astype(np.int32) << 16)
-                          | (data[it + 2].astype(np.int32) << 8)
-                          | data[it + 3])
+        if has_len.any():
+            it = off[has_len] + 1
+            ln[has_len] = ((data[it].astype(np.int32) << 24)
+                           | (data[it + 1].astype(np.int32) << 16)
+                           | (data[it + 2].astype(np.int32) << 8)
+                           | data[it + 3])
         v_start[:, j] = off + 5
         v_len[:, j] = ln
-        off = off + 1 + np.where(is_txt, 4 + ln, 0).astype(np.int32)
-    # row-major flatten -> one gather for all value bytes.  int32 index
-    # math throughout: the gather index array is the biggest memory
-    # consumer of this module (20M+ elements for a 250k x 10 segment) and
-    # concurrent decoders are bandwidth-bound, not compute-bound — int64
-    # indices measurably slow the whole pipeline at 16+ parallel decoders.
-    fs = v_start.reshape(-1)
-    fl = v_len.reshape(-1)
-    fc = code.reshape(-1)
-    cum = np.cumsum(fl, dtype=np.int64)
+        off = off + 1 + np.where(has_len, 4 + ln, 0).astype(np.int32)
+    return v_start, v_len, code, off
+
+
+def _values_from_scan(data: np.ndarray, fs: np.ndarray, fl: np.ndarray,
+                      fc: np.ndarray) -> pa.Array:
+    """Flat per-value (start, len, code) arrays -> utf8 values Array.
+
+    'n'/'u' -> null; 't' -> raw bytes (one fancy-index gather, zero-copy
+    Arrow wrap); 'b' -> pg hex bytea text form '\\x…' built with a
+    vectorized nibble-LUT (column_value.rs:17-56 text rendering) — binary
+    mode stays on the fast path instead of falling back to the 5-10x
+    slower scalar decoder.
+    """
+    is_t = fc == 116
+    is_b = fc == 98
+    out_len = np.where(is_t, fl, 0).astype(np.int64) \
+        + np.where(is_b, 2 * fl.astype(np.int64) + 2, 0)
+    cum = np.cumsum(out_len)
     total = int(cum[-1]) if len(cum) else 0
+    if total > np.iinfo(np.int32).max - 8:
+        raise _Fallback("value bytes exceed int32 offset range")
     char_off = np.empty(len(fl) + 1, np.int32)
     char_off[0] = 0
     char_off[1:] = cum
-    if total:
+    if total and is_b.any():
+        chars = np.empty(total, np.uint8)
+        if is_t.any():
+            tl = fl[is_t]
+            csT = np.cumsum(tl)
+            run = np.arange(int(csT[-1]) if len(csT) else 0, dtype=np.int32)
+            src = run + np.repeat((fs[is_t] - (csT - tl)).astype(np.int32),
+                                  tl)
+            dst = run + np.repeat(
+                (char_off[:-1][is_t] - (csT - tl)).astype(np.int32), tl)
+            chars[dst] = data[src]
+        bl = fl[is_b]
+        bout = char_off[:-1][is_b]
+        chars[bout] = 0x5C                               # '\'
+        chars[bout + 1] = 0x78                           # 'x'
+        csB = np.cumsum(bl)
+        totB = int(csB[-1]) if len(csB) else 0
+        if totB:
+            run = np.arange(totB, dtype=np.int32)
+            src = run + np.repeat((fs[is_b] - (csB - bl)).astype(np.int32),
+                                  bl)
+            raw = data[src]
+            # per source byte k of value v: dest = out_start(v) + 2 + 2k
+            dstb = 2 * run + np.repeat(
+                (bout + 2 - 2 * (csB - bl)).astype(np.int32), bl)
+            chars[dstb] = _HEX_LUT[raw >> 4]
+            chars[dstb + 1] = _HEX_LUT[raw & 15]
+    elif total:
+        # text-only: ONE gather for all value bytes
         gather = np.arange(total, dtype=np.int32) + np.repeat(
             (fs - (cum - fl)).astype(np.int32), fl)
         chars = data[gather]
     else:
         chars = np.empty(0, np.uint8)
-    valid = fc == 116                                  # null for 'n'/'u'
+    valid = is_t | is_b                                # null for 'n'/'u'
     # pa.py_buffer wraps the numpy arrays zero-copy (holds a reference);
-    # the previous .tobytes() round-trips copied ~2x the segment payload
-    # per tuple side — pure DRAM traffic, which is what caps concurrent
-    # decoders on a shared box
+    # .tobytes() round-trips would copy ~2x the segment payload per tuple
+    # side — pure DRAM traffic, which is what caps concurrent decoders on
+    # a shared box
     vbuf = pa.py_buffer(np.packbits(valid, bitorder="little"))
-    values = pa.Array.from_buffers(
+    return pa.Array.from_buffers(
         pa.utf8(), len(fl),
         [vbuf, pa.py_buffer(char_off), pa.py_buffer(chars)],
         null_count=int((~valid).sum()))
+
+
+def _peel_tuples(data: np.ndarray, starts: np.ndarray):
+    """Envelope form: (values ListArray [list<string>], unchanged ListArray
+    [list<bool>], end offsets) — row-major flatten, one value build."""
+    v_start, v_len, code, off = _scan_tuples(data, starts)
+    n, ncols = code.shape
+    values = _values_from_scan(data, v_start.reshape(-1), v_len.reshape(-1),
+                               code.reshape(-1))
     list_off = pa.array(np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32),
                         pa.int32())
     vals = pa.ListArray.from_arrays(list_off, values)
@@ -189,6 +257,12 @@ def _dict_str(codes: np.ndarray, values: List[str]) -> pa.Array:
     ).cast(pa.string())
 
 
+def _vdecode_ready(dec: PgOutputDecoder) -> bool:
+    return not (dec.stop_at_lsn is not None or not dec.collect_dml
+                or dec.tx_buf or dec.stream_bufs or dec.prepared
+                or dec.in_stream_xid is not None or dec._released)
+
+
 def try_decode_segment(dec: PgOutputDecoder, frames_col,
                        out_batch_rows: int = 32768) \
         -> Optional[List[pa.RecordBatch]]:
@@ -197,9 +271,7 @@ def try_decode_segment(dec: PgOutputDecoder, frames_col,
     batches (sliced to ``out_batch_rows``; pass 0/None for one
     whole-segment batch), or None to signal the caller to use the scalar
     path (``dec`` is left untouched in that case)."""
-    if (dec.stop_at_lsn is not None or not dec.collect_dml
-            or dec.tx_buf or dec.stream_bufs or dec.prepared
-            or dec.in_stream_xid is not None or dec._released):
+    if not _vdecode_ready(dec):
         return None
     try:
         return _decode_segment(dec, frames_col, out_batch_rows)
@@ -214,12 +286,46 @@ def try_decode_segment(dec: PgOutputDecoder, frames_col,
         return None
 
 
-def _decode_segment(dec: PgOutputDecoder, frames_col,
-                    out_batch_rows: int = 32768) -> List[pa.RecordBatch]:
+def try_decode_segment_typed(dec: PgOutputDecoder, frames_col, registry,
+                             oid: int) -> Optional[List[pa.Table]]:
+    """Fused vectorized decode + typed projection of one segment: emits
+    tables on the TYPED schema (``stages/typed.py`` CONTROL_COLS + unified
+    payload + ``_unchanged_*``) directly from the wire buffers — the
+    ``list<string>`` envelope is never built and never re-split, saving
+    ~2 full payload passes per segment (the round-1 map-side DRAM
+    ceiling).  Semantically identical to
+    ``project_envelope(decode(segment))`` up to row order (downstream LWW
+    orders by lsn, not row position).  Returns None to fall back (caller
+    then uses the scalar decode + projection path; ``dec`` untouched)."""
+    if not _vdecode_ready(dec):
+        return None
+    try:
+        return _decode_segment_typed(dec, frames_col, registry, oid)
+    except _Fallback as ex:
+        logger.debug("typed vectorized decode fallback: %s", ex)
+        return None
+    except Exception:                      # noqa: BLE001 — any parse anomaly
+        logger.warning("typed vectorized decode failed; using scalar path",
+                       exc_info=True)
+        return None
+
+
+class _SegCtx:
+    """Shared per-segment scan result: frame classification, control-scan
+    bookkeeping and per-DML-row context arrays — consumed by both the
+    envelope emitter (_decode_segment) and the typed emitter
+    (_decode_segment_typed)."""
+
+    __slots__ = ("data", "tag", "lsn", "c", "f", "keep", "hdr", "oid_arr",
+                 "row_xid", "commit_lsn_row", "commit_ts_row", "seq_row",
+                 "rel_code", "code_meta", "ctrl_seq", "ctrl_fidx")
+
+
+def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
     data, offs = _frames_np(frames_col)
     n_frames = len(offs) - 1
     if n_frames == 0:
-        return []
+        return None
     base = offs[:-1]
     flen = np.diff(offs)
     kind = data[base]
@@ -321,9 +427,23 @@ def _decode_segment(dec: PgOutputDecoder, frames_col,
         raise _Fallback("unbalanced begin/commit")
 
     # ---- per-frame context for DML rows ---------------------------------
+    ctx = _SegCtx()
+    ctx.data, ctx.tag, ctx.lsn, ctx.c = data, tag, lsn, c
+    ctx.ctrl_seq, ctx.ctrl_fidx = ctrl_seq, ctrl_fidx
     dml_idx = np.nonzero(is_dml)[0]
-    out_tables: List[pa.Table] = []
-    if len(dml_idx):
+    ctx.f = dml_idx
+    if len(dml_idx) == 0:
+        ctx.keep = np.zeros(0, bool)
+        ctx.hdr = np.zeros(0, np.int64)
+        ctx.oid_arr = np.zeros(0, np.int64)
+        ctx.row_xid = np.zeros(0, np.int64)
+        ctx.commit_lsn_row = np.zeros(0, np.int64)
+        ctx.commit_ts_row = np.zeros(0, np.int64)
+        ctx.seq_row = np.zeros(0, np.int64)
+        ctx.rel_code = np.zeros(0, np.int64)
+        ctx.code_meta = []
+        return ctx
+    if True:
         b_arr = np.asarray(begins, np.int64)
         c_idx = np.asarray([x[0] for x in commits], np.int64)
         c_lsn = np.asarray([x[1] for x in commits], np.int64)
@@ -405,29 +525,50 @@ def _decode_segment(dec: PgOutputDecoder, frames_col,
                 codes[which == k] = len(code_meta) - 1
             rel_code[m] = codes
 
-        keep = released
-        # ---- decode DML groups vectorized ------------------------------
+        ctx.keep = released
+        ctx.hdr = hdr
+        ctx.oid_arr = oid_arr
+        ctx.row_xid = row_xid
+        ctx.commit_lsn_row = commit_lsn_row
+        ctx.commit_ts_row = commit_ts_row
+        ctx.seq_row = seq_row
+        ctx.rel_code = rel_code
+        ctx.code_meta = code_meta
+    return ctx
+
+
+def _decode_segment(dec: PgOutputDecoder, frames_col,
+                    out_batch_rows: int = 32768) -> List[pa.RecordBatch]:
+    ctx = _scan_segment(dec, frames_col)
+    if ctx is None:
+        return []
+    data, tag, lsn, c, f = ctx.data, ctx.tag, ctx.lsn, ctx.c, ctx.f
+    out_tables: List[pa.Table] = []
+    # ---- decode DML groups vectorized -----------------------------------
+    if len(f):
         for op_tag, op_name in ((73, "insert"), (85, "update"),
                                 (68, "delete")):
-            gm = keep & (tag[f] == op_tag)
+            gm = ctx.keep & (tag[f] == op_tag)
             if not gm.any():
                 continue
-            for marker_split in _marker_groups(data, hdr, op_tag, gm):
+            for marker_split in _marker_groups(data, ctx.hdr, op_tag, gm):
                 sub, before_start, after_start, key_type = marker_split
                 if not sub.any():
                     continue
                 for tbl in _emit_group(
                         data, f, sub, before_start, after_start, key_type,
-                        op_name, lsn, row_xid, commit_lsn_row, commit_ts_row,
-                        seq_row, rel_code, code_meta, oid_arr, dec.source):
+                        op_name, lsn, ctx.row_xid, ctx.commit_lsn_row,
+                        ctx.commit_ts_row, ctx.seq_row, ctx.rel_code,
+                        ctx.code_meta, ctx.oid_arr, dec.source):
                     out_tables.append(tbl)
 
     # ---- control rows table ---------------------------------------------
     ctrl_batch = c.take_batch()
     if ctrl_batch is not None:
         t = pa.Table.from_batches([ctrl_batch])
-        t = t.append_column("_seq", pa.array(np.asarray(ctrl_seq, np.int64)))
-        t = t.append_column("_fidx", pa.array(np.asarray(ctrl_fidx,
+        t = t.append_column("_seq", pa.array(np.asarray(ctx.ctrl_seq,
+                                                        np.int64)))
+        t = t.append_column("_fidx", pa.array(np.asarray(ctx.ctrl_fidx,
                                                          np.int64)))
         out_tables.append(t)
 
@@ -449,6 +590,105 @@ def _decode_segment(dec: PgOutputDecoder, frames_col,
     step = out_batch_rows or merged.num_rows or 1
     for s in range(0, merged.num_rows, step):
         out.extend(merged.slice(s, step).to_batches())
+    _adopt(dec, c)                 # mutate dec only once nothing can throw
+    return out
+
+
+def _decode_segment_typed(dec: PgOutputDecoder, frames_col, registry,
+                          oid: int) -> List[pa.Table]:
+    """Typed-direct emit: per (op, marker, ncols, rel_version) group, build
+    per-COLUMN utf8 value arrays straight from the wire buffers and cast
+    them to the unified typed schema — no list<string> envelope, no
+    list_element re-split (round-1's measured map-side DRAM ceiling).
+    Row order is NOT the scalar release order (irrelevant downstream:
+    LWW/apply order by lsn)."""
+    from ..functions.pgtext import cast_pg_text
+    from .typed import project_envelope
+
+    ctx = _scan_segment(dec, frames_col)
+    if ctx is None:
+        return []
+    data, tag, lsn, c, f = ctx.data, ctx.tag, ctx.lsn, ctx.c, ctx.f
+    unified = registry.unified_arrow_schema(oid)
+    ver_of_code = np.asarray([cm[1] for cm in ctx.code_meta] or [0],
+                             np.int64)
+    out: List[pa.Table] = []
+
+    def emit(sub, before_start, after_start, key_type, op_name):
+        idx = np.nonzero(sub)[0]
+        first_start = before_start if before_start is not None \
+            else after_start
+        ncols_first = _be(data, first_start[idx], 2)
+        for nc in np.unique(ncols_first):
+            rows0 = idx[ncols_first == nc]
+            codes = ctx.rel_code[rows0]
+            if np.any(codes < 0):
+                raise _Fallback("released row without relation")
+            vers = ver_of_code[codes]
+            for v in np.unique(vers):
+                rows = rows0[vers == v]
+                rv = registry.maybe(oid, int(v))
+                if rv is None or len(rv.columns) != int(nc):
+                    raise _Fallback("version/ncols mismatch")
+                if op_name == "delete":
+                    v_start, v_len, code, _end = _scan_tuples(
+                        data, before_start[rows])
+                elif isinstance(after_start, str):      # update K|O + 'N'
+                    _bs, _bl, _bc, end = _scan_tuples(data,
+                                                      before_start[rows])
+                    if not np.all(data[end] == 78):
+                        raise _Fallback("update missing new tuple")
+                    v_start, v_len, code, _e2 = _scan_tuples(data, end + 1)
+                else:
+                    v_start, v_len, code, _end = _scan_tuples(
+                        data, after_start[rows])
+                n = len(rows)
+                cols: dict = {
+                    "source": pa.array(np.full(n, dec.source, np.int32)),
+                    "lsn": pa.array(lsn[f[rows]]),
+                    "commit_lsn": pa.array(ctx.commit_lsn_row[rows]),
+                    "commit_ts_us": pa.array(ctx.commit_ts_row[rows]),
+                    "xid": pa.array(ctx.row_xid[rows]),
+                    "op": _const_str(op_name, n),
+                    "rel_version": pa.array(np.full(n, v, np.int32)),
+                }
+                false_arr = pa.array(np.zeros(n, dtype=bool))
+                is_del = op_name == "delete"
+                for fi, field in enumerate(unified):
+                    if fi < int(nc):
+                        vals = _values_from_scan(data, v_start[:, fi],
+                                                 v_len[:, fi], code[:, fi])
+                        typed, _err = cast_pg_text(vals, field.type)
+                        if typed.type != field.type:
+                            typed = pa.compute.cast(typed, field.type)
+                        cols[field.name] = typed
+                        cols[f"_unchanged_{field.name}"] = false_arr \
+                            if is_del else pa.array(code[:, fi] == 117)
+                    else:
+                        cols[field.name] = pa.nulls(n, field.type)
+                        cols[f"_unchanged_{field.name}"] = false_arr
+                out.append(pa.table(cols))
+
+    if len(f):
+        oid_ok = ctx.oid_arr == oid
+        for op_tag, op_name in ((73, "insert"), (85, "update"),
+                                (68, "delete")):
+            gm = ctx.keep & oid_ok & (tag[f] == op_tag)
+            if not gm.any():
+                continue
+            for sub, b_start, a_start, kt in _marker_groups(
+                    data, ctx.hdr, op_tag, gm):
+                if sub.any():
+                    emit(sub, b_start, a_start, kt, op_name)
+
+    # control rows (truncate barriers and friends): tiny — project the
+    # scalar clone's envelope batch with the standard projection
+    ctrl_batch = c.take_batch()
+    if ctrl_batch is not None:
+        pt = project_envelope(pa.Table.from_batches([ctrl_batch]),
+                              registry, oid)
+        if pt.num_rows:
+            out.append(pt)
     _adopt(dec, c)                 # mutate dec only once nothing can throw
     return out
 

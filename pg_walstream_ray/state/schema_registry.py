@@ -83,6 +83,16 @@ def parse_relation_meta(meta_json: str) -> RelVersion:
                       d["replica_identity"], cols, diff)
 
 
+def relation_fingerprint(oid: int, namespace: str, name: str,
+                         replica_identity: str, columns) -> tuple:
+    """Content identity of one relation version — the exact fields
+    relation_diff compares (stages/decode.py), so two Relation messages
+    with equal fingerprints are the same version by construction.
+    ``columns``: iterable of (name, type_oid, type_modifier, is_key)."""
+    return (oid, namespace, name, replica_identity,
+            tuple((n, int(t), int(m), bool(k)) for n, t, m, k in columns))
+
+
 class SchemaRegistry:
     """(rel_oid, rel_version) -> RelVersion, built from relation rows."""
 
@@ -116,6 +126,26 @@ class SchemaRegistry:
 
     def merge(self, other: "SchemaRegistry") -> None:
         self._versions.update(other._versions)
+
+    def version_map(self) -> Dict[tuple, int]:
+        """fingerprint -> global version id, for seeding decoders.
+
+        A decoder replaying ONE segment of a segmented archive sees only
+        the Relation messages that segment re-sends; without this map it
+        would number them by local arrival order (a v2-only segment's
+        relation becomes "version 1"), silently de-syncing rel_version
+        from the registry the typed projection uses.  Highest version
+        wins on (theoretical) fingerprint collisions — identical layouts
+        project identically either way."""
+        out: Dict[tuple, int] = {}
+        for (oid, ver) in sorted(self._versions):
+            rv = self._versions[(oid, ver)]
+            fp = relation_fingerprint(
+                rv.oid, rv.namespace, rv.name, rv.replica_identity,
+                ((c.name, c.type_oid, c.type_modifier, c.is_key)
+                 for c in rv.columns))
+            out[fp] = ver
+        return out
 
     def unified_arrow_schema(self, oid: int) -> pa.Schema:
         """Union schema across all versions of a relation, with widening.
