@@ -87,6 +87,12 @@ class WalSpec:
     dirty_score_mod: int = 0       # >0: v2 rows with turn_idx % mod == 0
                                    # carry an UNPARSEABLE score value (the
                                    # lenient dead-letter fixture)
+    binary_text: bool = False      # ship the text column as 'b' (binary)
+                                   # tuple tags — the protocol with_binary
+                                   # analogue (stream.rs:219-222); consumers
+                                   # see the decoder's canonical hex text
+                                   # form, so the logical ground truth
+                                   # records that form too
     keepalive_every: int = 256     # interleave a keepalive frame every N frames
     segment_rows: Optional[int] = None  # logical rows per WAL segment file
                                    # (tx-aligned; Relation re-sent per segment)
@@ -227,6 +233,13 @@ def shard_logical_changes(spec: WalSpec, shard: int) -> pa.Table:
     tool = pc.if_else(no_payload, null_str, tool)
     conv_col = pc.if_else(is_trunc, null_str, conv_str)
     turn_col = pc.if_else(is_trunc, pa.scalar(None, pa.int32()), pa.array(turn))
+    if spec.binary_text:
+        # binary ('b') values decode to the canonical \x hex text form
+        # (stages/decode.py 'b' handler / column_value.rs:17-56), so the
+        # ground truth IS that form; the encoder un-hexes it back to raw
+        # bytes for the wire (generation-time only, not a benched path)
+        text = pa.array([None if s is None else "\\x" + s.encode().hex()
+                         for s in text.to_pylist()], pa.string())
 
     return pa.table({
         "lsn": pa.array(lsn),
@@ -331,13 +344,23 @@ def _fmt_ts(ts_us: int) -> bytes:
 
 
 def _tuple_for(row, version: int, unchanged_text: bool,
-               dirty_score_mod: int = 0) -> codec.TupleData:
+               dirty_score_mod: int = 0,
+               binary_text: bool = False) -> codec.TupleData:
+    if unchanged_text:
+        text_cell = (b"u", None)
+    elif row["text"] is None:
+        text_cell = (b"n", None)
+    elif binary_text:
+        # logical records the decoder-canonical \x hex form; the wire
+        # carries the raw bytes under a 'b' tag (with_binary mode)
+        text_cell = (b"b", bytes.fromhex(row["text"][2:]))
+    else:
+        text_cell = (b"t", row["text"].encode())
     tup: codec.TupleData = [
         (b"t", row["conv_id"].encode()),
         (b"t", str(row["turn_idx"]).encode()),
         (b"t", row["role"].encode()) if row["role"] is not None else (b"n", None),
-        ((b"u", None) if unchanged_text else
-         ((b"t", row["text"].encode()) if row["text"] is not None else (b"n", None))),
+        text_cell,
         (b"t", row["tool"].encode()) if row["tool"] is not None else (b"n", None),
         (b"t", _fmt_ts(row["ts_us"])),
     ]
@@ -435,12 +458,14 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
             op = row["op"]
             if op == "insert":
                 m = codec.Insert(TRANSCRIPTS_OID, _tuple_for(
-                    row, ver, False, spec.dirty_score_mod))
+                    row, ver, False, spec.dirty_score_mod,
+                    spec.binary_text))
             elif op == "update":
                 m = codec.Update(TRANSCRIPTS_OID, b"K", _key_tuple_for(row, ver),
                                  _tuple_for(row, ver,
                                             bool(row["text_unchanged"]),
-                                            spec.dirty_score_mod))
+                                            spec.dirty_score_mod,
+                                            spec.binary_text))
             elif op == "delete":
                 m = codec.Delete(TRANSCRIPTS_OID, b"K", _key_tuple_for(row, ver))
             elif op == "truncate":

@@ -7,6 +7,7 @@ back (return None).  No Ray needed: both decoders are pure functions
 over frame lists."""
 
 import glob
+import json
 import os
 
 import pyarrow as pa
@@ -17,6 +18,8 @@ from hypothesis import given, settings, strategies as st
 from pg_walstream_ray.sources import walgen
 from pg_walstream_ray.stages import vdecode
 from pg_walstream_ray.stages.decode import ENVELOPE_SCHEMA, PgOutputDecoder
+from pg_walstream_ray.stages.typed import project_envelope
+from pg_walstream_ray.state.schema_registry import SchemaRegistry
 
 from .helpers import make_wal
 
@@ -64,9 +67,88 @@ def _assert_equivalent(spec: walgen.WalSpec, expect_fallback: bool = False):
         assert saw_vectorized, "vectorized path never engaged"
 
 
+def _registry_of(wal_dir: str) -> SchemaRegistry:
+    reg = SchemaRegistry()
+    for d in sorted(glob.glob(os.path.join(wal_dir, "shard=*"))):
+        with open(os.path.join(d, "relations.json")) as f:
+            reg.ingest_relation_rows(json.load(f))
+    return reg
+
+
+def _assert_typed_equivalent(spec: walgen.WalSpec,
+                             expect_fallback: bool = False):
+    """typed-direct decode == project_envelope(scalar decode), up to row
+    order (typed emits grouped by op/version; downstream orders by lsn)."""
+    wal = make_wal(spec)
+    reg = _registry_of(wal)
+    vmap = reg.version_map()
+    oid = walgen.TRANSCRIPTS_OID
+    saw_typed = False
+    for seg_cols in _frames_of(wal):
+        ds = PgOutputDecoder(source=0, version_map=vmap)
+        dt = PgOutputDecoder(source=0, version_map=vmap)
+        for col in seg_cols:
+            ds.feed_frames(col.to_pylist())
+            b = ds.take_batch()
+            env = pa.Table.from_batches([b] if b else [],
+                                        schema=ENVELOPE_SCHEMA)
+            expect = project_envelope(env, reg, oid)
+            out = vdecode.try_decode_segment_typed(dt, col, reg, oid)
+            if out is None:
+                # fallback: sync state through the scalar path, like fused
+                dt.feed_frames(col.to_pylist())
+                dt.take_batch()
+                continue
+            saw_typed = True
+            got = pa.concat_tables(out) if out else expect.slice(0, 0)
+            assert got.num_rows == expect.num_rows, spec.to_json()
+            if expect.num_rows:
+                # every DML/truncate row has a unique lsn in walgen
+                e = expect.sort_by("lsn")
+                g = got.select(expect.column_names).sort_by("lsn")
+                assert e.equals(g), spec.to_json()
+        assert ds._next_version == dt._next_version
+        assert ds.last_commit_lsn == dt.last_commit_lsn
+    if expect_fallback:
+        assert not saw_typed
+    else:
+        assert saw_typed, "typed-direct path never engaged"
+
+
 def test_baseline():
     _assert_equivalent(walgen.WalSpec(n_convs=60, turns_per_conv=8,
                                       n_shards=2))
+
+
+def test_binary_mode_fast_path():
+    # protocol with_binary analogue: 'b' tuple tags must stay vectorized
+    # (stream.rs:219-222 — binary mode is the reference's best-case config)
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=50, turns_per_conv=6, update_frac=0.5, delete_frac=0.1,
+        toast_unchanged_frac=0.3, binary_text=True, n_shards=2))
+
+
+def test_typed_direct_scenarios():
+    for spec in (
+        walgen.WalSpec(n_convs=60, turns_per_conv=8, n_shards=2),
+        walgen.WalSpec(n_convs=50, turns_per_conv=6, update_frac=0.6,
+                       delete_frac=0.2, toast_unchanged_frac=0.4,
+                       truncate_at_frac=0.5, n_shards=2),
+        walgen.WalSpec(n_convs=60, turns_per_conv=6,
+                       schema_change_at_frac=0.5, segment_rows=120,
+                       n_shards=2),
+        walgen.WalSpec(n_convs=50, turns_per_conv=6, update_frac=0.5,
+                       binary_text=True, n_shards=1),
+        walgen.WalSpec(n_convs=40, turns_per_conv=6, hot_conv_frac=0.5,
+                       payload_bytes=256, n_shards=1),
+    ):
+        _assert_typed_equivalent(spec)
+
+
+def test_typed_direct_uncommitted_tail_falls_back():
+    _assert_typed_equivalent(
+        walgen.WalSpec(n_convs=20, turns_per_conv=4, uncommitted_tail=True,
+                       n_shards=1), expect_fallback=True)
 
 
 def test_mixed_dml_toast_truncate():
@@ -118,6 +200,7 @@ def test_uncommitted_tail_falls_back():
     schema_change_at_frac=st.one_of(st.none(), st.floats(0.1, 0.9)),
     keepalive_every=st.integers(16, 512),
     segment_rows=st.one_of(st.none(), st.integers(50, 200)),
+    binary_text=st.booleans(),
 ))
 def test_property_random_specs(spec):
     wal = make_wal(spec)
