@@ -58,6 +58,10 @@ WAL_SCENARIOS = {
     "batch5000": dict(tx_rows=5000),
     "payload2k": dict(tx_rows=200, payload_bytes=2048),
     "mixed": dict(tx_rows=200, update_frac=0.8, delete_frac=0.2),
+    # with_binary mode (reference best-case config, LOAD_TEST_COMPARISON.md:10):
+    # text column ships as 'b'-tagged raw bytes, decoded on the vectorized
+    # fast path to the canonical hex text form
+    "binary": dict(tx_rows=200, binary_text=True),
 }
 
 

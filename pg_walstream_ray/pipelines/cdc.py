@@ -367,6 +367,9 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     summaries = routed.groupby("partition_id").map_groups(
         apply_fn, batch_format="pyarrow")
     sdf = summaries.to_pandas()   # one row per touched partition — tiny
+    if os.environ.get("PGWR_STATS"):
+        import sys
+        print(summaries.stats(), file=sys.stderr)
 
     # Watermark advancement barrier (the consumer-side "ack up to the last
     # contiguous applied commit", main.rs:190-206): the pipeline completed,
