@@ -236,8 +236,10 @@ def run_suite(sf_dir: str, headline_only: bool,
               synthetic_events: int = 0) -> dict:
     import ray
 
+    objstore = os.environ.get("RAY_GRAFT_OBJSTORE_BYTES")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True)
+             ignore_reinit_error=True,
+             **({"object_store_memory": int(objstore)} if objstore else {}))
     try:
         if synthetic_events:
             head = bench_cdc_synthetic(synthetic_events)
@@ -334,10 +336,98 @@ def run_scaling(sf_dir: str, low: int, high: int,
     }
 
 
+def run_scaling_fair(sf_dir: str, low: int, high: int,
+                     synthetic_events: int = 16_000_000,
+                     total: int = 0) -> dict:
+    """Fair-share strong-scaling: the box is FULLY loaded in both configs
+    with identical per-node jobs (total//cpus concurrent copies, each
+    taskset-pinned to its own core range), and we compare per-job
+    throughput at `high` vs `low` cores.
+
+    Rationale: the idle-box pinned protocol (run_scaling) lets the low leg
+    borrow the whole machine's DRAM bandwidth — measured ~1.7x per-core
+    advantage for a 4-core leg once the decode path went
+    memory-bandwidth-bound — so it UNDERSTATES scaling exactly when the
+    engine is fastest.  On a real cluster every node brings its own memory
+    bus and every node is busy; loading all 32 cores in both configs gives
+    each job a bandwidth share proportional to its cores, which is the
+    honest single-box analogue of N vs 4N equally-busy nodes.  Per-config
+    aggregation is the MEDIAN job (robust to end-of-config stragglers
+    running briefly uncontended)."""
+    import statistics
+
+    total = total or os.cpu_count() or 32
+    if synthetic_events:     # build once, in a throwaway session
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True)
+        try:
+            _synthetic_wal(synthetic_events)
+        finally:
+            ray.shutdown()
+    # fixed object-store pool split proportionally so 8 concurrent Ray
+    # instances cannot OOM the box (default 30%-of-RAM each would)
+    POOL = 48 << 30
+    results: dict[int, dict] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cpus in (low, high, low, high):   # interleave vs noise waves
+        n_jobs = total // cpus
+        procs = []
+        for i in range(n_jobs):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir,
+                       RAY_GRAFT_OBJSTORE_BYTES=str(POOL * cpus // total))
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--headline-only",
+                   "--synthetic-events", str(synthetic_events)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c",
+                       f"{i * cpus}-{(i + 1) * cpus - 1}"] + cmd
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True, cwd=here))
+        thrs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=3600)
+            line = [l for l in out.splitlines() if l.startswith("{")]
+            if line:
+                thrs.append(json.loads(line[-1])["events_per_s"])
+        if len(thrs) < max(1, n_jobs // 2 + 1):
+            raise RuntimeError(
+                f"fair-share config cpus={cpus}: only {len(thrs)}/{n_jobs} "
+                f"jobs returned a result")
+        med = statistics.median(thrs)
+        if cpus not in results or med > results[cpus]["per_job"]:
+            results[cpus] = {"per_job": med,
+                             "jobs": sorted(round(t, 1) for t in thrs)}
+    eff = (results[high]["per_job"] / results[low]["per_job"]) / (high / low)
+    return {
+        "metric": "scaling_efficiency_fair_share",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "low_cpus": low, "high_cpus": high, "total_cpus": total,
+        "jobs_low": total // low, "jobs_high": total // high,
+        "per_job_low": round(results[low]["per_job"], 1),
+        "per_job_high": round(results[high]["per_job"], 1),
+        "all_jobs_low": results[low]["jobs"],
+        "all_jobs_high": results[high]["jobs"],
+        "queries": {f"per_job_ev_s_cpus{low}": results[low]["per_job"],
+                    f"per_job_ev_s_cpus{high}": results[high]["per_job"]},
+        "num_cpus": total,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--fair-share", action="store_true",
+                    help="with --scaling: fully load the box in both "
+                         "configs (total//cpus concurrent pinned jobs) and "
+                         "compare median per-job throughput — models N vs "
+                         "4N equally-busy nodes with private bandwidth")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
@@ -375,9 +465,10 @@ def main() -> None:
         return
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, args.low, args.high,
-                          synthetic_events=args.synthetic_events
-                          or 16_000_000)
+        fn = run_scaling_fair if args.fair_share else run_scaling
+        out = fn(args.sf_dir, args.low, args.high,
+                 synthetic_events=args.synthetic_events
+                 or 16_000_000)
     else:
         out = run_suite(args.sf_dir, args.headline_only,
                         synthetic_events=args.synthetic_events)
