@@ -2,9 +2,14 @@
 
 Usage:
     python bench.py                  # full suite over $GRAFT_SF_DIR (sf0.1)
-    python bench.py --scaling        # same headline job at 8 vs 32 CPUs in
-                                     # fresh processes; prints both
+    python bench.py --scaling        # same headline job at 4 vs 16 pinned
+                                     # cores in fresh processes; prints both
                                      # throughputs + scaling efficiency
+    python bench.py --scaling --fair-share
+                                     # fully-loaded-box variant: 8x4-core vs
+                                     # 2x16-core concurrent jobs, median
+                                     # per-job throughput (models N vs 4N
+                                     # equally-busy nodes; see BASELINE.md)
     python bench.py --headline-only  # just the CDC replay (used by --scaling)
 
 Prints ONE JSON line:
