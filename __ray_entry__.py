@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_hot_key"] = lambda sf: _cdc_run(sf, "hot", n_shards=1,
                                            auto_hot=True)
     q["cdc_lenient_deadletter"] = _cdc_lenient_deadletter
+    # streamed (v2 in-progress) transactions: every 3rd tx arrives as
+    # StreamStart..StreamStop segments, every 9th StreamAborts and must
+    # vanish; n_shards=1 so the tx rank is SQL-expressible
+    q["cdc_streamed_tx"] = lambda sf: _cdc_run(sf, "streamed", n_shards=1)
+    # two-phase (v3 prepared) transactions: every 4th tx stages via
+    # BeginPrepare/Prepare (every 12th through StreamPrepare), every 8th is
+    # RollbackPrepared and must vanish
+    q["cdc_two_phase"] = lambda sf: _cdc_run(sf, "two_phase", n_shards=1)
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -375,6 +383,38 @@ def oracle_sql() -> dict[str, str]:
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
       FROM events GROUP BY 1
     """
+
+    # streamed / two-phase transport modes: the surviving changes are the
+    # upsert derivation minus the discarded transactions (tx rank over the
+    # single shard's event_id order; StreamAbort for every 9th tx in
+    # streamed mode, RollbackPrepared for every 8th in two_phase mode)
+    from pg_walstream_ray.sources.events_cdc import (PREPARED_ROLLBACK_TX_MOD,
+                                                     STREAM_ABORT_TX_MOD)
+
+    def _tx_filtered_lww(abort_mod: int) -> str:
+        return f"""
+          WITH seq AS (
+            SELECT *, (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // {TX_ROWS}
+                      AS tx
+            FROM events
+          ), changes AS (
+            SELECT event_id * 4 + 4 AS lsn,
+                   {_CONV_SQL} AS conv_id,
+                   CAST(event_id % {TURN_MOD} AS INTEGER) AS turn_idx,
+                   CASE WHEN event_type IN ('signup','view') THEN 'insert'
+                        ELSE 'update' END AS op,
+                   {_ROLE_SQL} AS role,
+                   {_TEXT_SQL} AS text,
+                   {_TOOL_SQL} AS tool,
+                   ts
+            FROM seq WHERE tx % {abort_mod} <> 0
+          ), ranked AS ({_LWW})
+          SELECT conv_id, turn_idx, role, text, tool, ts
+          FROM ranked WHERE rn = 1
+        """
+
+    sql["cdc_streamed_tx"] = _tx_filtered_lww(STREAM_ABORT_TX_MOD)
+    sql["cdc_two_phase"] = _tx_filtered_lww(PREPARED_ROLLBACK_TX_MOD)
 
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]

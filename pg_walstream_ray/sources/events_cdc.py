@@ -47,6 +47,19 @@ ROLE_MAP = {"signup": "system", "click": "user", "purchase": "assistant",
 
 TURN_MOD = 13
 TX_ROWS = 50
+
+# streamed mode (protocol v2+ in-progress-transaction framing): every 3rd tx
+# is emitted as StreamStart..StreamStop segments; every 9th is StreamAborted
+# (a subset of the streamed ones) and must vanish from the final table
+STREAMED_TX_MOD = 3
+STREAM_ABORT_TX_MOD = 9
+
+# two_phase mode (protocol v3+): every 4th tx goes through BeginPrepare..
+# Prepare staging; every 12th is ALSO streamed (StreamPrepare variant); every
+# 8th is resolved by RollbackPrepared and must vanish from the final table
+PREPARED_TX_MOD = 4
+PREPARED_STREAM_TX_MOD = 12
+PREPARED_ROLLBACK_TX_MOD = 8
 EVOLVE_AT = 500          # event_id threshold for relation v2
 TRUNCATE_AFTER = 600     # truncate lands between events 599 and 600
 BOUNDED_STOP_EVENT = 675  # stop target inside tx 13 (events 650..699)
@@ -119,6 +132,7 @@ def derive_changes(events: pa.Table, mode: str) -> pa.Table:
         "committed": pa.array(np.ones(n, dtype=bool)),
         "streamed": pa.array(np.zeros(n, dtype=bool)),
         "aborted": pa.array(np.zeros(n, dtype=bool)),
+        "prepared": pa.array(np.zeros(n, dtype=bool)),
         "op": pa.array(op, pa.string()),
         "conv_id": conv,
         "turn_idx": pa.array(turn),
@@ -142,6 +156,7 @@ def _splice_truncate(logical: pa.Table) -> pa.Table:
         "committed": pa.array([True]),
         "streamed": pa.array([False]),
         "aborted": pa.array([False]),
+        "prepared": pa.array([False]),
         "op": pa.array(["truncate"]),
         "conv_id": pa.array([None], pa.string()),
         "turn_idx": pa.array([None], pa.int32()),
@@ -184,9 +199,27 @@ def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
             part = _splice_truncate(part)
         # transaction grouping: TX_ROWS consecutive ops within the shard
         rank = np.arange(part.num_rows, dtype=np.int64)
-        xid = (np.int64(s) << 24) + rank // TX_ROWS + 1000
+        tx_idx = rank // TX_ROWS
+        xid = (np.int64(s) << 24) + tx_idx + 1000
         part = part.set_column(part.schema.get_field_index("xid"), "xid",
                                pa.array(xid))
+
+        def _set_bool(tbl: pa.Table, name: str, vals: np.ndarray) -> pa.Table:
+            return tbl.set_column(tbl.schema.get_field_index(name), name,
+                                  pa.array(vals))
+
+        if mode == "streamed":
+            # SQL-expressible tx rank (n_shards=1 in the driver query):
+            # tx = (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // TX_ROWS
+            part = _set_bool(part, "streamed", tx_idx % STREAMED_TX_MOD == 0)
+            part = _set_bool(part, "aborted",
+                             tx_idx % STREAM_ABORT_TX_MOD == 0)
+        elif mode == "two_phase":
+            part = _set_bool(part, "prepared", tx_idx % PREPARED_TX_MOD == 0)
+            part = _set_bool(part, "streamed",
+                             tx_idx % PREPARED_STREAM_TX_MOD == 0)
+            part = _set_bool(part, "aborted",
+                             tx_idx % PREPARED_ROLLBACK_TX_MOD == 0)
         write_logical_shard(part, spec, s, out_dir)
     with open(done, "w") as f:
         f.write("ok")

@@ -81,6 +81,10 @@ class WalSpec:
     truncate_at_frac: Optional[float] = None  # position in op stream, 0..1
     streamed_frac: float = 0.0     # fraction of txs emitted as stream segments
     stream_abort_frac: float = 0.0  # fraction of *streamed* txs aborted
+    two_phase_frac: float = 0.0    # fraction of txs prepared (two-phase,
+                                   # protocol v3+: BeginPrepare..Prepare then
+                                   # CommitPrepared / RollbackPrepared)
+    two_phase_rollback_frac: float = 0.0  # fraction of *prepared* txs rolled back
     toast_unchanged_frac: float = 0.0  # fraction of updates with 'u' text
     schema_change_at_frac: Optional[float] = None  # switch to rel v2 here
     uncommitted_tail: bool = False  # leave the last tx without a Commit
@@ -110,7 +114,8 @@ LOGICAL_SCHEMA = pa.schema([
     ("xid", pa.int64()),
     ("committed", pa.bool_()),
     ("streamed", pa.bool_()),
-    ("aborted", pa.bool_()),
+    ("aborted", pa.bool_()),      # streamed: StreamAbort; prepared: RollbackPrepared
+    ("prepared", pa.bool_()),     # two-phase tx (BeginPrepare/Prepare staging)
     ("op", pa.string()),          # insert|update|delete|truncate
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -196,6 +201,15 @@ def shard_logical_changes(spec: WalSpec, shard: int) -> pa.Table:
         tx_aborted = tx_streamed & (rng.random(n_tx) < spec.stream_abort_frac)
         streamed = tx_streamed[tx_idx]
         aborted = tx_aborted[tx_idx]
+    prepared = np.zeros(n, dtype=bool)
+    if spec.two_phase_frac > 0 and n_tx > 0:
+        tx_prepared = rng.random(n_tx) < spec.two_phase_frac
+        tx_rolled = tx_prepared & (rng.random(n_tx)
+                                   < spec.two_phase_rollback_frac)
+        prepared = tx_prepared[tx_idx]
+        # rollback reuses the aborted flag (replay_oracle excludes either
+        # kind of discarded tx the same way)
+        aborted = aborted | tx_rolled[tx_idx]
 
     rel_version = np.ones(n, dtype=np.int32)
     if spec.schema_change_at_frac is not None:
@@ -247,6 +261,7 @@ def shard_logical_changes(spec: WalSpec, shard: int) -> pa.Table:
         "committed": pa.array(committed),
         "streamed": pa.array(streamed),
         "aborted": pa.array(aborted),
+        "prepared": pa.array(prepared),
         "op": pa.array(op, type=pa.string()),
         "conv_id": conv_col,
         "turn_idx": turn_col,
@@ -438,11 +453,23 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
         end_lsn = commit_lsn + 1
         commit_ts = unix_us_to_pg_ts(BASE_TS_US + commit_lsn)
         streamed = bool(first["streamed"])
+        prepared = bool(first.get("prepared", False))
         stream_xid = (xid & 0xFFFFFFFF) if streamed else None
+        xid32 = xid & 0xFFFFFFFF
+        gid = f"gid-{xid32}"
 
         if streamed:
             emit(begin_lsn, codec.encode_message(
                 codec.StreamStart(stream_xid, True)))
+        elif prepared:
+            # two-phase (protocol v3+): BeginPrepare opens, Prepare stages
+            # at tx end, CommitPrepared/RollbackPrepared resolves
+            # (protocol.rs:1135-1292).  The whole lifecycle stays inside
+            # this transaction's frame run so tx-aligned segment breaks
+            # keep every segment self-contained (parallel segment decode).
+            emit(begin_lsn, codec.encode_message(
+                codec.BeginPrepare(commit_lsn, end_lsn, commit_ts, xid32,
+                                   gid)))
         else:
             # Begin is always emitted; an uncommitted tail tx simply never
             # gets its Commit (crash mid-transaction).
@@ -474,7 +501,22 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
                 raise ValueError(op)
             emit(row["lsn"], codec.encode_message(m, in_stream_xid=stream_xid))
 
-        if streamed:
+        if streamed and prepared:
+            # streamed two-phase: StreamPrepare stages the assembled stream
+            # buffer, then CommitPrepared / RollbackPrepared resolves it
+            emit(commit_lsn - 1, codec.encode_message(codec.StreamStop()))
+            emit(commit_lsn, codec.encode_message(
+                codec.StreamPrepare(0, commit_lsn, end_lsn, commit_ts,
+                                    xid32, gid)))
+            if first["aborted"]:
+                emit(end_lsn, codec.encode_message(
+                    codec.RollbackPrepared(0, end_lsn, end_lsn + 1,
+                                           commit_ts, commit_ts, xid32, gid)))
+            elif first["committed"]:
+                emit(end_lsn, codec.encode_message(
+                    codec.CommitPrepared(0, end_lsn, end_lsn + 1, commit_ts,
+                                         xid32, gid)))
+        elif streamed:
             emit(commit_lsn - 1, codec.encode_message(codec.StreamStop()))
             if first["aborted"]:
                 emit(commit_lsn, codec.encode_message(
@@ -484,6 +526,17 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
                 emit(commit_lsn, codec.encode_message(
                     codec.StreamCommit(stream_xid, 0, commit_lsn, end_lsn,
                                        commit_ts)))
+        elif prepared:
+            emit(commit_lsn, codec.encode_message(
+                codec.Prepare(0, commit_lsn, end_lsn, commit_ts, xid32, gid)))
+            if first["aborted"]:
+                emit(end_lsn, codec.encode_message(
+                    codec.RollbackPrepared(0, end_lsn, end_lsn + 1,
+                                           commit_ts, commit_ts, xid32, gid)))
+            elif first["committed"]:
+                emit(end_lsn, codec.encode_message(
+                    codec.CommitPrepared(0, end_lsn, end_lsn + 1, commit_ts,
+                                         xid32, gid)))
         elif first["committed"]:
             emit(commit_lsn, codec.encode_message(
                 codec.Commit(0, commit_lsn, end_lsn, commit_ts)))

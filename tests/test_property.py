@@ -188,6 +188,8 @@ spec_strategy = st.builds(
     seed=st.integers(1, 10_000),
     streamed_frac=st.floats(0.0, 0.6),
     stream_abort_frac=st.floats(0.0, 0.5),
+    two_phase_frac=st.floats(0.0, 0.6),
+    two_phase_rollback_frac=st.floats(0.0, 0.5),
     toast_unchanged_frac=st.floats(0.0, 0.5),
     segment_rows=st.sampled_from([None, 25, 60]),
     schema_change_at_frac=st.sampled_from([None, 0.5]),

@@ -44,6 +44,26 @@ class TestScenarios:
                                      streamed_frac=0.5, stream_abort_frac=0.3,
                                      n_shards=2))
 
+    def test_two_phase_prepared_transactions(self):
+        """BeginPrepare/Prepare stage, CommitPrepared publishes,
+        RollbackPrepared discards (protocol.rs:1135-1292) — through the
+        FULL pipeline, mixed with plain and streamed transactions."""
+        run_and_check(walgen.WalSpec(n_convs=40, turns_per_conv=6,
+                                     update_frac=0.4, delete_frac=0.1,
+                                     two_phase_frac=0.5,
+                                     two_phase_rollback_frac=0.3,
+                                     n_shards=2))
+
+    def test_two_phase_streamed_prepare(self):
+        """A tx that is both streamed and prepared resolves via
+        StreamPrepare -> CommitPrepared/RollbackPrepared."""
+        run_and_check(walgen.WalSpec(n_convs=30, turns_per_conv=5,
+                                     update_frac=0.5, streamed_frac=0.6,
+                                     two_phase_frac=0.6,
+                                     two_phase_rollback_frac=0.4,
+                                     stream_abort_frac=0.2, n_shards=2,
+                                     segment_rows=40))
+
     def test_toast_unchanged_carry_forward(self):
         run_and_check(walgen.WalSpec(n_convs=30, turns_per_conv=5,
                                      update_frac=0.6,
