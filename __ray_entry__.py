@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
     q["orders_without_lineitems"] = analytics.orders_without_lineitems
+    q["q4_order_priority"] = analytics.q4_order_priority
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -272,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_range_join"] = temporal.events_range_join
     q["events_sliding_window"] = temporal.events_sliding_window
     q["user_active_days"] = temporal.user_active_days
+    q["events_window_functions"] = temporal.events_window_functions
 
     # HLL sketch — approximate by design, no SQL oracle (rows-only check;
     # accuracy pinned in tests/test_sketches.py against exact counts)
@@ -571,6 +573,28 @@ def oracle_sql() -> dict[str, str]:
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """
+
+    sql["q4_order_priority"] = """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+    """
+
+    sql["events_window_functions"] = """
+      SELECT event_id, user_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
+             DATE_DIFF('microsecond',
+                       LAG(ts) OVER w, ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
     sql["events_asof_join"] = """

@@ -454,3 +454,78 @@ def orders_without_lineitems(sf_dir: str):
 
     return build.union(probe).groupby("bucket").map_groups(
         anti_bucket, batch_format="pandas", num_cpus=1)
+
+
+def q4_order_priority(sf_dir: str):
+    """Co-partitioned large-large SEMI join (TPC-H Q4 shape): count orders,
+    per priority, having at least one lineitem shipped after the order
+    date.
+
+    Output: (o_orderpriority, order_count).
+
+    Neither side fits a broadcast at 100 TB, so this is the canonical
+    co-partitioned join: both tables bucket by ``orderkey % NPART`` (ONE
+    shuffle each), and every orderkey resolves wholly inside its bucket.
+    The lineitem side pre-aggregates per batch to ``max(l_shipdate) per
+    orderkey`` — the EXISTS predicate only needs the max — so the shuffle
+    ships one row per (batch, orderkey), never raw lineitems.  Bucket
+    output is a per-priority partial count; the final groupby moves
+    NPART x 5 tiny rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+
+    def li_side(t: pa.Table) -> pa.Table:
+        d = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        k = d["l_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(k, npart - 1), pa.int64()),
+            "orderkey": pc.cast(k, pa.int64()),
+            "date_us": pc.cast(d["l_shipdate_max"], pa.int64()),
+            "priority": pa.nulls(d.num_rows, pa.string()),
+            "is_li": pa.array(np.ones(d.num_rows, dtype=bool)),
+        })
+
+    def o_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(k, npart - 1), pa.int64()),
+            "orderkey": pc.cast(k, pa.int64()),
+            "date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "priority": t["o_orderpriority"],
+            "is_li": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        })
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(o_side, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_li = g["is_li"].to_numpy()
+        li_g = g[is_li]
+        od_g = g[~is_li]
+        mx = li_g.groupby("orderkey")["date_us"].max()  # max of partial maxes
+        m = od_g.merge(mx.rename("max_ship"), left_on="orderkey",
+                       right_index=True, how="inner")
+        m = m[m["max_ship"] > m["date_us"]]
+        cnt = m.groupby("priority").size()
+        return pd.DataFrame({"o_orderpriority": cnt.index.to_numpy(object),
+                             "n": cnt.to_numpy(np.int64)})
+
+    agg = orders.union(li).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas", num_cpus=1) \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "order_count": pc.cast(t["cnt"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -245,3 +245,58 @@ def user_active_days(sf_dir: str):
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas",
                                           num_cpus=1))
+
+
+# ---------------------------------------------------------------------------
+# per-user window functions: ROW_NUMBER, running SUM, LAG delta
+# ---------------------------------------------------------------------------
+
+
+def events_window_functions(sf_dir: str):
+    """The ROW_NUMBER / cumulative-SUM / LAG window-function surface, per
+    user over the event stream ordered by (ts, event_id).
+
+    Output: (event_id, user_id, rn, cum_cents, gap_us)
+      rn        ROW_NUMBER() within the user's timeline
+      cum_cents running sum of ROUND(value*100) as int64 (integer cents —
+                float accumulation order would make the value-hash flaky)
+      gap_us    microseconds since the user's previous event (NULL first)
+
+    Same single-shuffle shape as the other temporal operators: bucket by
+    ``user_id % NPART``, then one vectorized pandas pass per bucket —
+    cumulative kernels are exactly the per-key order-dependent compute
+    that must live inside a partition at 100 TB.
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id", "value"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        # DuckDB-identical ROUND(value*100): rint differs half-to-even vs
+        # half-away, but *100 of two-decimal doubles never lands exactly
+        # on .5; analytics._round documents the ULP rationale
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "t": ts_us, "c": cents},
+                          index=np.arange(len(g)))
+        gr = df.groupby("u", sort=False)
+        rn = (gr.cumcount() + 1).to_numpy(np.int64)
+        cum = gr["c"].cumsum().to_numpy(np.int64)
+        gap = df["t"] - gr["t"].shift()          # float64 with NaN firsts
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["u"].to_numpy()),
+            "rn": pa.array(rn),
+            "cum_cents": pa.array(cum),
+            "gap_us": pa.array(gap.astype("Int64"), pa.int64()),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))

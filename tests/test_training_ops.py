@@ -261,3 +261,48 @@ def test_ann_ivf_recall(ray_session):
     assert recall >= 0.5, recall
     # each vector lives in exactly one inverted list -> no dup candidates
     assert not ivf.duplicated(["query_id", "neighbor_id"]).any()
+
+
+def test_q4_semi_join_matches_duckdb(ray_session):
+    import duckdb
+
+    from pg_walstream_ray.pipelines.analytics import q4_order_priority
+
+    got = q4_order_priority(SF).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM '{SF}/orders.parquet' o
+        WHERE EXISTS (SELECT 1 FROM '{SF}/lineitem.parquet'
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == want["order_count"].tolist()
+
+
+def test_window_functions_match_duckdb(ray_session):
+    import duckdb
+
+    from pg_walstream_ray.pipelines.temporal import events_window_functions
+
+    got = events_window_functions(SF).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT event_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_cents,
+               DATE_DIFF('microsecond', LAG(ts) OVER w, ts) AS gap_us
+        FROM '{SF}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """).df()
+    assert got["rn"].tolist() == want["rn"].tolist()
+    assert got["cum_cents"].tolist() == want["cum_cents"].tolist()
+    import numpy as np
+    g = got["gap_us"].to_numpy(np.float64)
+    w = want["gap_us"].to_numpy(np.float64)
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
