@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
     q["orders_without_lineitems"] = analytics.orders_without_lineitems
     q["q4_order_priority"] = analytics.q4_order_priority
+    q["group_quantiles"] = analytics.group_quantiles
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -283,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # default to the vectorized xxhash fast path in production
     q["approx_user_days"] = lambda sf: sketches.approx_user_days(
         sf, hash_mode="md5")
+    # t-digest / count-min: approximate by design (no SQL oracle; accuracy
+    # pinned in tests/test_sketches.py against exact quantiles / top-k)
+    q["approx_quantiles"] = sketches.approx_quantiles
+    q["approx_heavy_hitters"] = sketches.approx_heavy_hitters
 
     # -- fused corpus-cleaning flagship ------------------------------------
     from pg_walstream_ray.pipelines import corpus
@@ -313,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
 
     # -- text analysis -----------------------------------------------------
+    q["token_heavy_hitters"] = textops.token_heavy_hitters
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -582,6 +588,23 @@ def oracle_sql() -> dict[str, str]:
                     WHERE l_orderkey = o_orderkey
                       AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
+    """
+
+    sql["group_quantiles"] = """
+      SELECT l_returnflag,
+             quantile_disc(l_quantity, 0.25) AS p25,
+             quantile_disc(l_quantity, 0.5) AS p50,
+             quantile_disc(l_quantity, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["token_heavy_hitters"] = """
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+      ORDER BY n DESC, token ASC
+      LIMIT 20
     """
 
     sql["events_window_functions"] = """

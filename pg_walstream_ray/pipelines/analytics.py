@@ -529,3 +529,50 @@ def q4_order_priority(sf_dir: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_quantiles(sf_dir: str):
+    """Exact distributed grouped quantiles via value histograms: p25/p50/p90
+    of ``l_quantity`` per ``l_returnflag`` (DuckDB ``quantile_disc``
+    semantics: the element at index ``ceil(q*n)-1`` of the sorted group).
+
+    Output: (l_returnflag, p25, p50, p90).
+
+    Scale shape: the shuffle moves (group, value, count) histogram partials
+    — one row per distinct value per batch — never data rows.  Exact for
+    any bounded-cardinality value domain (quantities, ratings, code
+    points); for unbounded/continuous domains the t-digest sketch
+    (pipelines/sketches.py) is the companion scale path.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": d["l_returnflag"],
+            "val": d["l_quantity"],
+            "cnt": pc.cast(d["l_quantity_count"], pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=262144) \
+        .groupby(["l_returnflag", "val"]).aggregate(Sum("cnt",
+                                                        alias_name="n"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("val", kind="mergesort")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        vals = g["val"].to_numpy(np.float64)
+        n = int(cum[-1])
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            idx = max(int(np.ceil(q * float(n))) - 1, 0)
+            out[name] = [vals[np.searchsorted(cum, idx + 1)]]
+        return pd.DataFrame(out)
+
+    return hist.groupby("l_returnflag").map_groups(per_group,
+                                                   batch_format="pandas",
+                                                   num_cpus=1)

@@ -109,3 +109,202 @@ def approx_user_days(sf_dir: str, hash_mode: str = "fast"):
             merged = np.maximum(merged,
                                 np.frombuffer(blob, dtype=np.int8))
     return pd.DataFrame({"n_approx": [np.int64(hll_estimate(merged))]})
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles (the unbounded-domain companion
+# to the exact histogram quantiles in analytics.group_quantiles)
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 200             # compression: <= ~2*delta centroids
+
+
+def tdigest_build(values: np.ndarray, weights: np.ndarray,
+                  delta: int = TDIGEST_DELTA):
+    """Merging t-digest over (value, weight) pairs — fully vectorized.
+
+    Sorts by value, bins midpoint ranks with the k1 scale function
+    ``k(q) = (delta/2pi) * (asin(2q-1) + pi/2)`` (tight centroids at the
+    tails, coarse near the median), and reduces each bin to its weighted
+    mean.  Returns (means, weights) float64 arrays, <= ~2*delta long.
+    """
+    order = np.argsort(values, kind="mergesort")
+    v, w = values[order].astype(np.float64), weights[order].astype(np.float64)
+    total = w.sum()
+    if total == 0:
+        return np.zeros(0), np.zeros(0)
+    mid = np.cumsum(w) - w / 2.0
+    q = mid / total
+    k = np.floor((delta / (2 * np.pi))
+                 * (np.arcsin(2.0 * q - 1.0) + np.pi / 2)).astype(np.int64)
+    _, ids = np.unique(k, return_inverse=True)
+    sw = np.bincount(ids, weights=w)
+    sm = np.bincount(ids, weights=v * w) / sw
+    return sm, sw
+
+
+def tdigest_merge(parts):
+    """Merge [(means, weights), ...] into one digest (concat + rebuild)."""
+    means = np.concatenate([m for m, _ in parts if len(m)])
+    weights = np.concatenate([w for _, w in parts if len(w)])
+    if len(means) == 0:
+        return np.zeros(0), np.zeros(0)
+    return tdigest_build(means, weights)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                     q: float) -> float:
+    """Quantile estimate: linear interpolation between centroid midpoints."""
+    total = weights.sum()
+    target = q * total
+    mid = np.cumsum(weights) - weights / 2.0
+    i = int(np.searchsorted(mid, target))
+    if i <= 0:
+        return float(means[0])
+    if i >= len(means):
+        return float(means[-1])
+    t = (target - mid[i - 1]) / (mid[i] - mid[i - 1])
+    return float(means[i - 1] + t * (means[i] - means[i - 1]))
+
+
+def approx_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Approximate grouped quantiles of ``l_extendedprice`` per
+    ``l_returnflag`` via mergeable t-digests.
+
+    Output: (l_returnflag, p50, p90, p99) — one row per flag.
+
+    Scale shape (same as HLL): each batch ships one <=2*delta-centroid
+    digest per group — constant bytes per (batch, group), ZERO shuffle;
+    the driver merges the tiny digests.  Exactness trade: rank error
+    O(q(1-q)/delta), pinned by accuracy tests against the exact
+    quantiles; no SQL oracle by design.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def batch_digest(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                           "v": t["l_extendedprice"].to_numpy(zero_copy_only=False)})
+        rows = {"l_returnflag": [], "means": [], "weights": []}
+        for g, sub in df.groupby("g", sort=False):
+            v = sub["v"].to_numpy(np.float64)
+            m, w = tdigest_build(v, np.ones_like(v))
+            rows["l_returnflag"].append(g)
+            rows["means"].append(m.tobytes())
+            rows["weights"].append(w.tobytes())
+        return pa.table({
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "means": pa.array(rows["means"], pa.binary()),
+            "weights": pa.array(rows["weights"], pa.binary()),
+        })
+
+    parts: dict = {}
+    for b in ds.map_batches(batch_digest, batch_format="pyarrow",
+                            batch_size=262144).iter_batches(
+            batch_format="pyarrow"):
+        for g, m, w in zip(b["l_returnflag"].to_pylist(),
+                           b["means"].to_pylist(),
+                           b["weights"].to_pylist()):
+            parts.setdefault(g, []).append(
+                (np.frombuffer(m, np.float64), np.frombuffer(w, np.float64)))
+    out = {"l_returnflag": [], "p50": [], "p90": [], "p99": []}
+    for g in sorted(parts):
+        m, w = tdigest_merge(parts[g])
+        out["l_returnflag"].append(g)
+        for q, name in zip(qs, ("p50", "p90", "p99")):
+            out[name].append(tdigest_quantile(m, w, q))
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch + candidate tracking: approximate heavy hitters (the
+# zero-token-shuffle companion to textops.token_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4                       # hash rows
+CMS_W = 1 << 14                 # counters per row (16384)
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def cms_positions(h64: np.ndarray) -> np.ndarray:
+    """Derive the CMS_D row positions from one 64-bit hash per key
+    (multiply-shift; shape (CMS_D, n))."""
+    pos = np.empty((CMS_D, len(h64)), np.int64)
+    for d in range(CMS_D):
+        pos[d] = ((h64 * _CMS_SALTS[d]) >> np.uint64(64 - 14)).astype(np.int64)
+    return pos
+
+
+def cms_fold(h64: np.ndarray, counts: np.ndarray,
+             table: np.ndarray) -> np.ndarray:
+    """Add (key-hash, count) pairs into the (CMS_D, CMS_W) table."""
+    pos = cms_positions(h64)
+    for d in range(CMS_D):
+        np.add.at(table[d], pos[d], counts)
+    return table
+
+
+def cms_estimate(h64: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Point-query estimates (min over rows) for each key hash."""
+    pos = cms_positions(h64)
+    return np.min(
+        np.stack([table[d][pos[d]] for d in range(CMS_D)]), axis=0)
+
+
+def approx_heavy_hitters(sf_dir: str, k: int = 20, cand_per_batch: int = 80):
+    """Approximate top-k tokens: per-batch count-min sketches + local
+    candidate lists, merged on the driver.
+
+    Output: (token, n_approx) ordered (n_approx DESC, token ASC), k rows.
+
+    Scale shape: each batch ships one fixed 512 KiB CMS + its local top-C
+    candidate tokens — constant bytes per batch, no token-keyed shuffle at
+    all (compare textops.token_heavy_hitters, which shuffles the distinct
+    token set).  CMS only OVERestimates, so any true top-k member appears
+    in some batch's local top-C; accuracy is pinned by tests (top-k
+    overlap + bounded overestimate), no SQL oracle by design.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import fast_hash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        vals, cnts = vc.field("values"), \
+            vc.field("counts").to_numpy(zero_copy_only=False)
+        h = fast_hash64(vals)
+        table = cms_fold(h, cnts.astype(np.int64),
+                         np.zeros((CMS_D, CMS_W), np.int64))
+        top = np.argsort(cnts, kind="mergesort")[::-1][:cand_per_batch]
+        return pa.table({
+            "cms": pa.array([table.tobytes()], pa.binary()),
+            "cands": pa.array([vals.take(pa.array(top)).to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    table = np.zeros((CMS_D, CMS_W), np.int64)
+    cands: set = set()
+    for b in ds.map_batches(batch_sketch, batch_format="pyarrow",
+                            batch_size=262144).iter_batches(
+            batch_format="pyarrow"):
+        for blob, cl in zip(b["cms"].to_pylist(), b["cands"].to_pylist()):
+            table += np.frombuffer(blob, np.int64).reshape(CMS_D, CMS_W)
+            cands.update(cl)
+    from ..functions.hashing import fast_hash64 as _fh
+
+    cand_list = sorted(cands)
+    est = cms_estimate(_fh(cand_list), table)
+    order = np.lexsort((np.array(cand_list, dtype=object), -est))[:k]
+    return pd.DataFrame({
+        "token": [cand_list[i] for i in order],
+        "n_approx": est[order].astype(np.int64),
+    })

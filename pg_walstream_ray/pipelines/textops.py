@@ -207,3 +207,44 @@ def text_normalize(sf_dir: str):
         })
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def token_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact corpus-wide heavy hitters: the k most frequent tokens
+    (``string_split(text, ' ')`` semantics, empties dropped), ties broken
+    by token text ascending.
+
+    Output: (token, n)  ordered (n DESC, token ASC), k rows.
+
+    Scale shape: per-batch token value_counts (the combiner — each batch
+    ships one row per distinct token, not per occurrence), one token-keyed
+    groupby sum, per-block top-k prefilter, then a k x n_blocks sort.  The
+    count-min sketch variant (pipelines/sketches.py) removes even the
+    token-cardinality shuffle for approximate use.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("text",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("token").aggregate(Sum("cnt", alias_name="n"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"],
+                      "n": pc.cast(t["n"], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx[:k])
+
+    return (agg.map_batches(block_topk, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False]).limit(k))
