@@ -336,8 +336,6 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
         raise _Fallback("short frame")
     tag = np.zeros(n_frames, np.uint8)
     tag[w] = data[base[w] + _H]
-    if np.isin(tag, _PREPARED_TAGS).any():
-        raise _Fallback("two-phase frames present")
     is_dml = w & np.isin(tag, (73, 85, 68))             # I / U / D
     lsn = np.zeros(n_frames, np.int64)
     lsn[w] = _be(data, base[w] + 1, 8)
@@ -347,7 +345,14 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
     ctrl_idx = np.nonzero(~is_dml)[0]
     begins: List[int] = []
     begin_xids: List[int] = []
-    commits: List[Tuple[int, int, int]] = []       # (idx, commit_lsn, ts_us)
+    # per-tx close records: [boundary_idx, commit_lsn, ts_us, release_idx]
+    # — for a plain Commit boundary == release; for a prepared tx the
+    # boundary is the Prepare frame and the release is the CommitPrepared
+    # (lsn/ts stay -1 = dropped until the gid resolves)
+    commits: List[list] = []
+    prep_pending: Dict[str, int] = {}              # gid -> commits index
+    stream_prep: Dict[str, int] = {}               # gid -> streamed xid
+    shadow_prepared: Dict[str, List[int]] = {}     # gid -> ctrl frame idxs
     s_starts: List[int] = []
     s_stops: List[int] = []
     stream_done: Dict[int, Tuple[int, int, int]] = {}  # xid->(lsn,ts,idx)
@@ -377,8 +382,32 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
             begins.append(i)
             begin_xids.append(msg.xid)
         elif t == 67:                               # Commit
-            commits.append((i, msg.commit_lsn,
-                            pg_ts_to_unix_us(msg.commit_ts)))
+            commits.append([i, msg.commit_lsn,
+                            pg_ts_to_unix_us(msg.commit_ts), i])
+        elif t == 98:                               # BeginPrepare: opens a tx
+            begins.append(i)
+            begin_xids.append(msg.xid)
+        elif t == 80:                               # Prepare: closes the tx's
+            # DML span; release context stays pending on the gid (dropped
+            # -1 markers unless CommitPrepared resolves it in this segment)
+            commits.append([i, -1, -1, i])
+            prep_pending[msg.gid] = len(commits) - 1
+        elif t == 112:                              # StreamPrepare
+            stream_prep[msg.gid] = msg.xid
+        elif t == 75:                               # CommitPrepared
+            ts_us = pg_ts_to_unix_us(msg.commit_ts)
+            if msg.gid in prep_pending:
+                j = prep_pending.pop(msg.gid)
+                commits[j][1:] = [msg.commit_lsn, ts_us, i]
+            elif msg.gid in stream_prep:
+                stream_done[stream_prep.pop(msg.gid)] = \
+                    (msg.commit_lsn, ts_us, i)
+            # unknown gid (prepared before the replay window): nothing
+        elif t == 114:                              # RollbackPrepared
+            if msg.gid in prep_pending:
+                prep_pending.pop(msg.gid)           # stays dropped (-1)
+            elif msg.gid in stream_prep:
+                stream_done[stream_prep.pop(msg.gid)] = (0, 0, -1)
         elif t == 83:                               # StreamStart
             s_starts.append(i)
             shadow_stream.setdefault(msg.xid, [])
@@ -407,6 +436,19 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
             ctrl_seq.extend([i] * len(rows))
         elif t == 65:                               # StreamAbort discarded
             shadow_stream.pop(msg.xid, None)
+        elif t == 80:                               # Prepare staged tx_buf
+            shadow_prepared[msg.gid] = shadow_tx
+            shadow_tx = []
+        elif t == 112:                              # StreamPrepare staged
+            shadow_prepared[msg.gid] = shadow_stream.pop(msg.xid, [])
+        elif t == 75:                               # CommitPrepared released
+            rows = shadow_prepared.pop(msg.gid, [])
+            ctrl_fidx.extend(rows)
+            ctrl_seq.extend([i] * len(rows))
+        elif t == 114:                              # RollbackPrepared dropped
+            shadow_prepared.pop(msg.gid, None)
+        elif t == 98:                               # BeginPrepare: no rows
+            pass
         else:                                       # Y/O/M/T buffered rows
             grew = len(c.tx_buf) - pre_tx
             if grew:
@@ -448,6 +490,7 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
         c_idx = np.asarray([x[0] for x in commits], np.int64)
         c_lsn = np.asarray([x[1] for x in commits], np.int64)
         c_ts = np.asarray([x[2] for x in commits], np.int64)
+        c_seq = np.asarray([x[3] for x in commits], np.int64)
         bx = np.asarray(begin_xids, np.int64)
         ss = np.asarray(s_starts, np.int64)
         se = np.asarray(s_stops + [n_frames] * (len(s_starts) - len(s_stops)),
@@ -486,8 +529,18 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
             plain_ok & ~in_stream,
             c_ts[np.clip(ordn, 0, None)] if len(c_idx) else 0, 0)
         seq_row = np.where(plain_ok & ~in_stream,
-                           c_idx[np.clip(ordn, 0, None)] if len(c_idx) else 0,
+                           c_seq[np.clip(ordn, 0, None)] if len(c_seq) else 0,
                            0)
+        if len(c_lsn):
+            # prepared txs whose gid resolved to RollbackPrepared (or never
+            # resolved inside this segment — impossible here, the
+            # unresolved-at-end check below falls back first) keep the -1
+            # drop marker: their rows are never released
+            dropped = plain_ok & ~in_stream \
+                & (c_lsn[np.clip(ordn, 0, None)] < 0)
+        else:
+            dropped = np.zeros(len(f), bool)
+        released[dropped] = False
         if in_stream.any():
             for x in np.unique(xid_stream[in_stream]):
                 m = in_stream & (xid_stream == x)

@@ -157,6 +157,18 @@ def test_mixed_dml_toast_truncate():
         toast_unchanged_frac=0.4, truncate_at_frac=0.5, n_shards=2))
 
 
+def test_two_phase_vectorized():
+    # prepared txs (incl. StreamPrepare + RollbackPrepared) must stay on
+    # the vectorized path and match the scalar decoder byte-for-byte
+    _assert_equivalent(walgen.WalSpec(
+        n_convs=50, turns_per_conv=6, update_frac=0.5, delete_frac=0.1,
+        two_phase_frac=0.6, two_phase_rollback_frac=0.4,
+        streamed_frac=0.4, stream_abort_frac=0.2, n_shards=2))
+    _assert_typed_equivalent(walgen.WalSpec(
+        n_convs=50, turns_per_conv=6, update_frac=0.5,
+        two_phase_frac=0.5, two_phase_rollback_frac=0.3, n_shards=2))
+
+
 def test_streamed_and_aborted():
     _assert_equivalent(walgen.WalSpec(
         n_convs=50, turns_per_conv=6, streamed_frac=0.5,
@@ -196,6 +208,8 @@ def test_uncommitted_tail_falls_back():
     truncate_at_frac=st.one_of(st.none(), st.floats(0.1, 0.9)),
     streamed_frac=st.floats(0, 0.7),
     stream_abort_frac=st.floats(0, 0.5),
+    two_phase_frac=st.floats(0, 0.7),
+    two_phase_rollback_frac=st.floats(0, 0.5),
     toast_unchanged_frac=st.floats(0, 0.5),
     schema_change_at_frac=st.one_of(st.none(), st.floats(0.1, 0.9)),
     keepalive_every=st.integers(16, 512),
