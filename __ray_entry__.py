@@ -211,6 +211,46 @@ def _cdc_lenient_deadletter(sf_dir: str) -> Any:
     return lenient_deadletter_stats(wal_dir)
 
 
+def _cdc_events_tap(sf_dir: str) -> Any:
+    """EventStream-combinator surface (stream.rs:1524-1767 parity) through
+    the driver oracle: decode the upsert WAL via the no-ack envelope tap,
+    apply the filter_ops combinator, and aggregate per op kind — the
+    result is SQL-derivable from the same change derivation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from pg_walstream_ray.pipelines import events
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+
+    ds = events.envelope_dataset(wal_dir)
+    ds = events.filter_ops(ds, ["insert", "update", "delete"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"op": pc.cast(t["op"], pa.string()),
+                      "lsn": t["lsn"]}) \
+            .group_by("op").aggregate([("lsn", "count"), ("lsn", "max")])
+        return pa.table({"op": d["op"],
+                         "cnt": pc.cast(d["lsn_count"], pa.int64()),
+                         "mx": d["lsn_max"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("op").aggregate(Sum("cnt", alias_name="n"),
+                                 Max("mx", alias_name="max_lsn"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"op": t["op"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "max_lsn": pc.cast(t["max_lsn"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table (pandas per the driver
@@ -254,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # BeginPrepare/Prepare (every 12th through StreamPrepare), every 8th is
     # RollbackPrepared and must vanish
     q["cdc_two_phase"] = lambda sf: _cdc_run(sf, "two_phase", n_shards=1)
+    # EventStream tap + combinators, oracled per-op aggregate
+    q["cdc_events_tap"] = _cdc_events_tap
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -420,6 +462,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT conv_id, turn_idx, role, text, tool, ts
           FROM ranked WHERE rn = 1
         """
+
+    sql["cdc_events_tap"] = f"""
+      SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(lsn) AS BIGINT) AS max_lsn
+      FROM ({_UPSERT_CHANGES}) GROUP BY op
+    """
 
     sql["cdc_streamed_tx"] = _tx_filtered_lww(STREAM_ABORT_TX_MOD)
     sql["cdc_two_phase"] = _tx_filtered_lww(PREPARED_ROLLBACK_TX_MOD)
