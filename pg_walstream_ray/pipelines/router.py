@@ -197,11 +197,17 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
     fused_kw = dict(registry_ref=registry_ref, routes=tuple(routes),
                     stop_at_lsn=stop_at_lsn)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    map_c = max(1, min(len(shard_paths), (3 * ncpu) // 4))
-    total_bytes = sum(os.path.getsize(p) for segs in shard_paths
-                      for p in segs)
-    ds = rd.from_items([{"wal_paths": segs} for segs in shard_paths],
-                       override_num_blocks=len(shard_paths))
+    # SEGMENT-parallel decode (same as run_cdc): segments are
+    # transaction-closed and self-describing (Relation re-sent per
+    # segment), so decode parallelism scales with data size, not with the
+    # slot count — a single-shard wide-table WAL otherwise decodes on ONE
+    # task regardless of cluster width
+    work_items = [{"wal_paths": [seg]} for segs in shard_paths
+                  for seg in segs]
+    map_c = max(1, min(len(work_items), (3 * ncpu) // 4))
+    total_bytes = sum(os.path.getsize(it["wal_paths"][0])
+                      for it in work_items)
+    ds = rd.from_items(work_items, override_num_blocks=len(work_items))
     if total_bytes < 128 * 1024 * 1024:
         from ..stages.taskmode import as_tasks
 
@@ -221,6 +227,9 @@ def run_cdc_router(wal_dir: str, routes: Sequence[TableRoute],
     summaries = routed.groupby("route_pid").map_groups(
         apply_fn, batch_format="pyarrow")
     sdf = summaries.to_pandas()
+    if os.environ.get("PGWR_STATS"):
+        import sys
+        print(summaries.stats(), file=sys.stderr)
     wall = time.time() - t0
     per_table = {}
     if len(sdf):
