@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_without_lineitems"] = analytics.orders_without_lineitems
     q["q4_order_priority"] = analytics.q4_order_priority
     q["group_quantiles"] = analytics.group_quantiles
+    q["events_rollup"] = analytics.events_rollup
+    q["events_pivot"] = analytics.events_pivot
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -364,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
+    q["stratified_sample"] = lambda sf: textops.stratified_sample(
+        sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
@@ -644,6 +648,39 @@ def oracle_sql() -> dict[str, str]:
              quantile_disc(l_quantity, 0.5) AS p50,
              quantile_disc(l_quantity, 0.9) AS p90
       FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["events_rollup"] = """
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY ROLLUP (day, event_type)
+    """
+
+    sql["events_pivot"] = """
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_view
+      FROM events GROUP BY 1
+    """
+
+    sql["stratified_sample"] = """
+      SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 25
     """
 
     sql["token_heavy_hitters"] = """

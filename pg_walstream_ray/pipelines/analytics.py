@@ -576,3 +576,107 @@ def group_quantiles(sf_dir: str):
     return hist.groupby("l_returnflag").map_groups(per_group,
                                                    batch_format="pandas",
                                                    num_cpus=1)
+
+
+def events_rollup(sf_dir: str):
+    """Hierarchical aggregate (GROUP BY ROLLUP (day, event_type)): event
+    counts and value sums at the (day, type), (day) and grand-total
+    levels, NULL-filled like SQL ROLLUP.
+
+    Output: (day, event_type, n, sum_cents).
+
+    Scale shape: ONE distributed leaf aggregation at the finest level;
+    the coarser rollup levels derive from the leaves in a final
+    single-block pass (leaf cardinality = days x types — tiny by
+    construction, so re-aggregating leaves costs nothing and the raw
+    events are only scanned once).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cents = pa.array(np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64))
+        d = pa.table({"day": day, "event_type": t["event_type"],
+                      "c": cents}) \
+            .group_by(["day", "event_type"]).aggregate(
+                [("c", "sum"), ("c", "count")])
+        return pa.table({"day": d["day"], "event_type": d["event_type"],
+                         "s": d["c_sum"],
+                         "n": pc.cast(d["c_count"], pa.int64())})
+
+    leaves = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=262144) \
+        .groupby(["day", "event_type"]).aggregate(
+            Sum("s", alias_name="sum_c"), Sum("n", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        leaf = pd.DataFrame({
+            "day": df["day"], "event_type": df["event_type"],
+            "n": df["cnt"].astype(np.int64),
+            "sum_cents": df["sum_c"].astype(np.int64)})
+        by_day = leaf.groupby("day", as_index=False)[["n", "sum_cents"]] \
+            .sum().assign(event_type=None)
+        total = pd.DataFrame({"day": [pd.NaT], "event_type": [None],
+                              "n": [leaf["n"].sum()],
+                              "sum_cents": [leaf["sum_cents"].sum()]})
+        out = pd.concat([leaf, by_day, total], ignore_index=True)
+        return pa.table({
+            "day": pa.array(out["day"], pa.timestamp("us")),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "sum_cents": pa.array(out["sum_cents"].to_numpy(np.int64)),
+        })
+
+    return leaves.repartition(1).map_batches(finalize,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """Pivot (long -> wide): per day, one count column per event type.
+
+    Output: (day, n_click, n_error, n_purchase, n_signup, n_view).
+
+    Scale shape: the pivot happens INSIDE map_batches (each batch emits
+    one wide partial row per day), so the shuffle moves wide partials
+    keyed by day — the column fan-out never becomes a join or a second
+    pass over the events.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": pc.floor_temporal(t["ts"], unit="day")
+            .to_numpy(zero_copy_only=False),
+            "et": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        wide = pd.crosstab(df["day"], df["et"])
+        cols = {"day": pa.array(wide.index.to_numpy(), pa.timestamp("us"))}
+        for et in EVENT_TYPES:
+            vals = wide[et].to_numpy(np.int64) if et in wide.columns \
+                else np.zeros(len(wide), np.int64)
+            cols[f"n_{et}"] = pa.array(vals)
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("day").aggregate(
+            *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"day": t["day"]}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(t[f"n_{et}"], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

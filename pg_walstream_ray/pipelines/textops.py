@@ -248,3 +248,50 @@ def token_heavy_hitters(sf_dir: str, k: int = 20):
 
     return (agg.map_batches(block_topk, batch_format="pyarrow")
             .sort(["n", "token"], descending=[True, False]).limit(k))
+
+
+def stratified_sample(sf_dir: str, per_group: int = 25,
+                      hash_mode: str = "fast"):
+    """Deterministic stratified sampling: the ``per_group``
+    lowest-content-hash documents per language — a reproducible per-stratum
+    split that never depends on row order, partitioning or a seeded RNG.
+
+    Output: (lang, doc_id, rk)  with rk = 1..per_group within the stratum.
+
+    Scale shape: per-batch combiner keeps at most ``per_group`` candidates
+    per stratum, so the shuffle ships O(groups x per_group x batches)
+    candidate rows, never the corpus.  ``hash_mode='md5'`` orders by the
+    md5 hex digest (SQL-oracle bridge); 'fast' by the vectorized xxhash.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import fast_hash64
+
+    def rank_keys(t: pa.Table):
+        if hash_mode == "md5":
+            return np.array([hashlib.md5(str(i).encode()).hexdigest()
+                             for i in t["doc_id"].to_pylist()], dtype=object)
+        return fast_hash64(pc.cast(t["doc_id"], pa.string()))
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "h": rank_keys(t),
+        })
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df = df[df.groupby("lang").cumcount() < per_group]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(per_group)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(object),
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return _docs(sf_dir, columns=("doc_id", "lang")) \
+        .map_batches(combine, batch_format="pyarrow", batch_size=262144) \
+        .groupby("lang").map_groups(per_lang, batch_format="pandas",
+                                    num_cpus=1)

@@ -306,3 +306,40 @@ def test_window_functions_match_duckdb(ray_session):
     g = got["gap_us"].to_numpy(np.float64)
     w = want["gap_us"].to_numpy(np.float64)
     assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+def test_rollup_pivot_stratified_match_duckdb(ray_session):
+    import duckdb
+
+    from pg_walstream_ray.pipelines.analytics import (events_pivot,
+                                                      events_rollup)
+    from pg_walstream_ray.pipelines.textops import stratified_sample
+
+    roll = events_rollup(SF).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM '{SF}/events.parquet' GROUP BY ROLLUP (day, event_type)
+    """).df()
+    assert len(roll) == len(want)
+    assert roll["n"].sum() == want["n"].sum()
+    # grand-total row present exactly once
+    assert int(roll["day"].isna().sum()) == 1
+
+    piv = events_pivot(SF).to_pandas()
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert int(piv[[c for c in piv.columns if c.startswith("n_")]]
+               .to_numpy().sum()) == n_events
+
+    ss = stratified_sample(SF, hash_mode="md5").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM '{SF}/documents.parquet') WHERE rk <= 25
+    """).df()
+    got_pairs = set(zip(ss["lang"], ss["doc_id"]))
+    want_pairs = set(zip(want["lang"], want["doc_id"]))
+    assert got_pairs == want_pairs
