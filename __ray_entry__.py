@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["doc_id", "width", "height", "channels", "n_bytes"])
     q["media_frame_sample"] = lambda sf: multimodal.frame_samples(sf) \
         .select_columns(["doc_id", "frame_idx"])
+    q["media_resize"] = multimodal.media_resize
+    # feature extraction: bytes never leave Ray -> rows-only driver check;
+    # determinism + shape pinned in tests
+    q["media_features"] = lambda sf: multimodal.media_features(sf) \
+        .select_columns(["doc_id", "argmax_bin"])
 
     return q
 
@@ -995,6 +1000,23 @@ def oracle_sql() -> dict[str, str]:
              ((16 + doc_id % 48) * (16 + (doc_id * 7) % 48)
               * (1 + doc_id % 3))::BIGINT AS n_bytes
       FROM documents
+    """
+
+    sql["media_resize"] = """
+      WITH g AS (
+        SELECT doc_id,
+               (16 + doc_id % 48)::BIGINT AS w,
+               (16 + (doc_id * 7) % 48)::BIGINT AS h,
+               (1 + doc_id % 3)::BIGINT AS c
+        FROM documents
+      )
+      SELECT doc_id,
+             GREATEST(1, (w * 32) // GREATEST(w, h))::INT AS out_w,
+             GREATEST(1, (h * 32) // GREATEST(w, h))::INT AS out_h,
+             (GREATEST(1, (w * 32) // GREATEST(w, h))
+              * GREATEST(1, (h * 32) // GREATEST(w, h)) * c)::BIGINT
+               AS out_bytes
+      FROM g
     """
 
     sql["media_frame_sample"] = """

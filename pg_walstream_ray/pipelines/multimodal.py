@@ -158,3 +158,96 @@ def frame_samples(sf_dir: str, every: int = 4, concurrency: int = 4):
     return synthesize_media(sf_dir).map_batches(
         FrameSampleStage, fn_constructor_kwargs={"every": every},
         batch_format="pyarrow", concurrency=(1, concurrency), batch_size=256)
+
+
+class MediaResizeStage:
+    """Actor: nearest-neighbor "resize" of the fake image payload to fit a
+    target max dimension (aspect-preserving, integer math so the output
+    geometry has an exact SQL oracle).  The pixel work is real vectorized
+    numpy over a (h, w, c) view — with a real codec this is where
+    PIL.Image.resize would run; the Ray plumbing (actor pool, small
+    batches, binary in -> binary out) is the part that matters at scale.
+    """
+
+    def __init__(self, target: int = 32):
+        self.target = target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_w, out_h, out_blob = [], [], [], []
+        for doc_id, blob in zip(t["doc_id"].to_pylist(),
+                                t["media"].to_pylist()):
+            _, w, h, c = struct.unpack_from(HEADER_FMT, blob, 0)
+            m = max(w, h)
+            nw = max(1, (w * self.target) // m)
+            nh = max(1, (h * self.target) // m)
+            img = np.frombuffer(blob, dtype=np.uint8,
+                                offset=HEADER_SIZE).reshape(h, w, c)
+            yi = (np.arange(nh) * h) // nh
+            xi = (np.arange(nw) * w) // nw
+            small = img[yi][:, xi]               # nearest-neighbor gather
+            out_id.append(doc_id)
+            out_w.append(nw)
+            out_h.append(nh)
+            out_blob.append(struct.pack(HEADER_FMT, MAGIC, nw, nh, c)
+                            + small.tobytes())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "out_w": pa.array(out_w, pa.int32()),
+            "out_h": pa.array(out_h, pa.int32()),
+            "media": pa.array(out_blob, pa.binary()),
+        })
+
+
+def media_resize(sf_dir: str, target: int = 32, concurrency: int = 4):
+    """Resized media + geometry audit.
+    Output: (doc_id, out_w, out_h, out_bytes) — all pure integer functions
+    of doc_id (SQL-oracled); the resized payload itself stays in Ray."""
+
+    def audit(t: pa.Table) -> pa.Table:
+        sizes = pc.binary_length(t["media"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "out_w": t["out_w"],
+            "out_h": t["out_h"],
+            "out_bytes": pc.cast(pc.subtract(sizes, HEADER_SIZE), pa.int64()),
+        })
+
+    return synthesize_media(sf_dir).map_batches(
+        MediaResizeStage, fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_size=256).map_batches(audit, batch_format="pyarrow")
+
+
+class MediaFeatureStage:
+    """Actor: per-payload feature extraction — a 16-bin byte histogram
+    (the stand-in for a vision-model embedding; batched model inference
+    would live here, loaded once in __init__)."""
+
+    N_BINS = 16
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, feats, argmax = [], [], []
+        for doc_id, blob in zip(t["doc_id"].to_pylist(),
+                                t["media"].to_pylist()):
+            payload = np.frombuffer(blob, dtype=np.uint8,
+                                    offset=HEADER_SIZE)
+            hist = np.bincount(payload >> 4, minlength=self.N_BINS) \
+                .astype(np.float64)
+            hist /= max(1.0, hist.sum())
+            ids.append(doc_id)
+            feats.append(hist.tolist())
+            argmax.append(int(hist.argmax()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+            "argmax_bin": pa.array(argmax, pa.int32()),
+        })
+
+
+def media_features(sf_dir: str, concurrency: int = 4):
+    """(doc_id, feature list<float64>[16], argmax_bin) — deterministic
+    per-payload features via the actor pool; no SQL oracle (the bytes
+    never leave Ray), determinism + shape pinned in tests."""
+    return synthesize_media(sf_dir).map_batches(
+        MediaFeatureStage, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=256)

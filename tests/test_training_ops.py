@@ -343,3 +343,35 @@ def test_rollup_pivot_stratified_match_duckdb(ray_session):
     got_pairs = set(zip(ss["lang"], ss["doc_id"]))
     want_pairs = set(zip(want["lang"], want["doc_id"]))
     assert got_pairs == want_pairs
+
+
+def test_media_resize_and_features(ray_session):
+    import duckdb
+
+    from pg_walstream_ray.pipelines.multimodal import (media_features,
+                                                       media_resize)
+
+    got = media_resize(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH g AS (SELECT doc_id, (16 + doc_id % 48)::BIGINT AS w,
+                          (16 + (doc_id*7) % 48)::BIGINT AS h,
+                          (1 + doc_id % 3)::BIGINT AS c
+                   FROM '{SF}/documents.parquet')
+        SELECT doc_id,
+               GREATEST(1, (w*32) // GREATEST(w,h)) AS out_w,
+               GREATEST(1, (h*32) // GREATEST(w,h)) AS out_h,
+               GREATEST(1, (w*32) // GREATEST(w,h))
+               * GREATEST(1, (h*32) // GREATEST(w,h)) * c AS out_bytes
+        FROM g ORDER BY doc_id
+    """).df()
+    assert got["out_w"].tolist() == want["out_w"].tolist()
+    assert got["out_h"].tolist() == want["out_h"].tolist()
+    assert got["out_bytes"].tolist() == want["out_bytes"].tolist()
+
+    f1 = media_features(SF).to_pandas().sort_values("doc_id")
+    f2 = media_features(SF).to_pandas().sort_values("doc_id")
+    assert (f1["argmax_bin"].to_numpy() == f2["argmax_bin"].to_numpy()).all()
+    feats = np.stack(f1["feature"].to_numpy())
+    assert feats.shape[1] == 16
+    assert np.allclose(feats.sum(axis=1), 1.0)
