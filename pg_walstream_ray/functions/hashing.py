@@ -171,10 +171,17 @@ def tokenize_column(texts: pa.ChunkedArray | pa.Array,
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     split = pc.split_pattern(texts, " ")
-    flat = split.flatten().to_pylist()
     offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = offsets - offsets[0]
-    return offsets, hasher.encode_tokens(flat)
+    # Dictionary-encode first (C++ hash table) so the Python intern loop
+    # runs once per DISTINCT token in the batch, not once per occurrence —
+    # ~10-50x less GIL-bound work on natural-language shards where each
+    # token repeats many times.  md5 bridge semantics are unchanged: the
+    # hasher still interns by exact token string.
+    denc = pc.dictionary_encode(split.flatten())
+    vocab_ids = hasher.encode_tokens(denc.dictionary.to_pylist())
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return offsets, vocab_ids[idx]
 
 
 def distinct_doc_tokens(offsets: np.ndarray, token_ids: np.ndarray
@@ -226,18 +233,24 @@ def doc_simhash(offsets: np.ndarray, token_ids: np.ndarray,
     return ((sums > 0).astype(np.int64) * weights).sum(axis=1)
 
 
-def minhash_band_keys(sigs: np.ndarray) -> List[List[str]]:
-    """Per doc, MINHASH_BANDS bucket keys 'band:s0,s1,...' (SQL-mirrored)."""
+def minhash_band_keys(sigs: np.ndarray) -> pa.Array:
+    """Flat BAND-MAJOR bucket keys: element ``b*n + i`` is doc i's band-b
+    key ``'b:s0,s1,...'`` — byte-identical strings to the SQL oracle's
+    ``string_agg`` expression.  Vectorized (per-column cast +
+    binary_join_element_wise); no per-doc Python loop."""
     n = len(sigs)
-    out: List[List[str]] = []
-    for i in range(n):
-        row = sigs[i]
-        keys = []
-        for b in range(MINHASH_BANDS):
-            seg = row[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
-            keys.append(f"{b}:" + ",".join(str(int(v)) for v in seg))
-        out.append(keys)
-    return out
+    if n == 0:
+        return pa.array([], pa.string())
+    cols = [pc.cast(pa.array(sigs[:, c]), pa.string())
+            for c in range(MINHASH_K)]
+    bands = []
+    for b in range(MINHASH_BANDS):
+        seg = cols[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
+        joined = pc.binary_join_element_wise(*seg, ",")
+        bands.append(pc.binary_join_element_wise(f"{b}:", joined, ""))
+    return pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+         for a in bands])
 
 
 def simhash_band_keys(simhash: np.ndarray) -> np.ndarray:

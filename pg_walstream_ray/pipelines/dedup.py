@@ -41,6 +41,8 @@ from ..functions.hashing import (
     simhash_band_keys,
     tokenize_column,
     distinct_doc_tokens,
+    fast_hash64,
+    MINHASH_BANDS,
     SIMHASH_BANDS,
 )
 from ..stages.taskmode import as_tasks
@@ -111,11 +113,10 @@ def _dup_flags_from_buckets(bucketed):
                 zero_copy_only=False) % npart
         else:
             # NOT builtin hash(): that's per-process-seed randomized, which
-            # would scatter one bucket across partitions on different workers
-            from zlib import crc32
-
-            part = np.array([crc32(s.encode()) % npart
-                             for s in b.to_pylist()], dtype=np.int64)
+            # would scatter one bucket across partitions on different
+            # workers.  fast_hash64 (polars xxhash, seed=0) is vectorized
+            # AND process-stable.
+            part = (fast_hash64(b) % np.uint64(npart)).astype(np.int64)
         return t.append_column("part", pa.array(part))
 
     def bucket_min_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -147,11 +148,10 @@ class MinHashBuckets:
     def __call__(self, t: pa.Table) -> pa.Table:
         offsets, tok = tokenize_column(t["text"], self.hasher)
         sigs = doc_minhash(offsets, tok, self.hasher)
-        keys = minhash_band_keys(sigs)
+        keys = minhash_band_keys(sigs)        # band-major, len n*BANDS
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        flat_keys = [k for doc in keys for k in doc]
-        flat_ids = np.repeat(doc_ids, [len(k) for k in keys])
-        return pa.table({"bucket": pa.array(flat_keys, pa.string()),
+        flat_ids = np.tile(doc_ids, MINHASH_BANDS)
+        return pa.table({"bucket": keys,
                          "doc_id": pa.array(flat_ids, pa.int64())})
 
 

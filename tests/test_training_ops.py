@@ -39,9 +39,15 @@ def test_minhash_identical_docs_share_all_bands():
     texts = pa.array(["a b c d e", "a b c d e", "x y z w v"])
     offsets, tok = H.tokenize_column(texts, hasher)
     sigs = H.doc_minhash(offsets, tok, hasher)
-    keys = H.minhash_band_keys(sigs)
+    flat = H.minhash_band_keys(sigs).to_pylist()   # band-major, b*n + i
+    n = len(sigs)
+    keys = [flat[i::n] for i in range(n)]          # per-doc band keys
     assert keys[0] == keys[1]
     assert set(keys[0]).isdisjoint(keys[2])
+    # key text matches the SQL oracle's 'b:s0,s1,..' shape
+    assert all(k.split(":")[0] == str(b)
+               for b in range(H.MINHASH_BANDS)
+               for k in [keys[0][b]])
 
 
 def test_simhash_near_identical_docs_close():
@@ -375,3 +381,29 @@ def test_media_resize_and_features(ray_session):
     feats = np.stack(f1["feature"].to_numpy())
     assert feats.shape[1] == 16
     assert np.allclose(feats.sum(axis=1), 1.0)
+
+
+def test_embedding_kmeans_clusters_cohesive(ray_session):
+    """k-means assignments: full coverage, valid ids, and clusters are
+    geometrically meaningful (mean intra-cluster cosine beats the global
+    mean pairwise cosine)."""
+    import pyarrow.parquet as pq
+
+    from pg_walstream_ray.pipelines import similarity as S
+
+    res = S.embedding_kmeans(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    assert len(res) == len(emb)
+    assert res["cluster_id"].between(0, S.KMEANS_K - 1).all()
+    assert res["cluster_id"].nunique() >= 2
+
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    lab = res.set_index("vec_id").loc[emb["vec_id"]]["cluster_id"] \
+        .to_numpy()
+    sims = m @ m.T
+    n = len(m)
+    off = ~np.eye(n, dtype=bool)
+    same = (lab[:, None] == lab[None, :]) & off
+    assert same.any()
+    assert sims[same].mean() > sims[off].mean()
