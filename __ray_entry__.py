@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["group_quantiles"] = analytics.group_quantiles
     q["events_rollup"] = analytics.events_rollup
     q["events_pivot"] = analytics.events_pivot
+    q["docs_cube"] = analytics.docs_cube
+    q["group_quantiles_cont"] = analytics.group_quantiles_cont
+    q["user_segments"] = analytics.user_segments
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -360,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
     q["ann_ivf_topk"] = lambda sf: similarity.ann_ivf_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
+    # k-means clustering: iterative (non-SQL-expressible) -> rows-only
+    # driver check; self-consistency + determinism pinned in tests
+    q["embedding_kmeans"] = similarity.embedding_kmeans
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters
@@ -653,6 +659,38 @@ def oracle_sql() -> dict[str, str]:
              quantile_disc(l_quantity, 0.5) AS p50,
              quantile_disc(l_quantity, 0.9) AS p90
       FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["group_quantiles_cont"] = """
+      SELECT l_returnflag,
+             CAST(ROUND(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT)
+               AS p25_cents,
+             CAST(ROUND(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT)
+               AS p50_cents,
+             CAST(ROUND(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT)
+               AS p90_cents
+      FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["docs_cube"] = """
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY CUBE (lang, source)
+    """
+
+    sql["user_segments"] = """
+      WITH c AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'click'),
+           p AS (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase')
+      SELECT user_id, 'both' AS segment
+        FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      UNION ALL
+      SELECT user_id, 'click_only'
+        FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      UNION ALL
+      SELECT user_id, 'purchase_only'
+        FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
     """
 
     sql["events_rollup"] = """

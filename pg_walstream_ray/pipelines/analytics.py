@@ -680,3 +680,154 @@ def events_pivot(sf_dir: str):
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def docs_cube(sf_dir: str):
+    """CUBE aggregate (GROUP BY CUBE (lang, source)) over documents: doc
+    counts and n_chars sums at the (lang, source), (lang), (source) and
+    grand-total levels, NULL-filled like SQL CUBE.
+
+    Output: (lang, source, n, sum_chars).
+
+    Scale shape: ONE distributed leaf aggregation at the finest level
+    (lang x source); all four CUBE levels derive from the leaves in a
+    final single-block pass (leaf cardinality is tiny by construction, so
+    re-aggregating leaves costs nothing and the corpus is scanned once).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({"lang": d["lang"], "source": d["source"],
+                         "s": d["n_chars_sum"],
+                         "n": pc.cast(d["n_chars_count"], pa.int64())})
+
+    leaves = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=262144) \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("s", alias_name="sum_c"), Sum("n", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        leaf = pd.DataFrame({
+            "lang": df["lang"], "source": df["source"],
+            "n": df["cnt"].astype(np.int64),
+            "sum_chars": df["sum_c"].astype(np.int64)})
+        by_lang = leaf.groupby("lang", as_index=False)[["n", "sum_chars"]] \
+            .sum().assign(source=None)
+        by_source = leaf.groupby("source",
+                                 as_index=False)[["n", "sum_chars"]] \
+            .sum().assign(lang=None)
+        total = pd.DataFrame({"lang": [None], "source": [None],
+                              "n": [leaf["n"].sum()],
+                              "sum_chars": [leaf["sum_chars"].sum()]})
+        out = pd.concat([leaf, by_lang, by_source, total],
+                        ignore_index=True)
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(np.int64)),
+        })
+
+    return leaves.repartition(1).map_batches(finalize,
+                                             batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def group_quantiles_cont(sf_dir: str):
+    """Interpolated grouped quantiles (SQL ``quantile_cont`` semantics:
+    linear interpolation at index ``q*(n-1)`` of the sorted group) —
+    p25/p50/p90 of ``l_quantity`` per ``l_returnflag``, emitted as exact
+    integer cents so the driver's value-hash compare is float-order-proof.
+
+    Output: (l_returnflag, p25_cents, p50_cents, p90_cents).
+
+    Scale shape: identical to group_quantiles — the shuffle moves
+    (group, value, count) histogram partials, never data rows; the
+    interpolation happens on the tiny per-group histogram.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": d["l_returnflag"],
+            "val": d["l_quantity"],
+            "cnt": pc.cast(d["l_quantity_count"], pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=262144) \
+        .groupby(["l_returnflag", "val"]).aggregate(Sum("cnt",
+                                                        alias_name="n"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("val", kind="mergesort")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        vals = g["val"].to_numpy(np.float64)
+        n = int(cum[-1])
+        out = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for q, name in ((0.25, "p25_cents"), (0.5, "p50_cents"),
+                        (0.9, "p90_cents")):
+            h = q * float(n - 1)
+            lo_i = int(np.floor(h))
+            frac = h - lo_i
+            lo = vals[np.searchsorted(cum, lo_i + 1)]
+            hi = vals[np.searchsorted(cum, min(lo_i + 1, n - 1) + 1)]
+            out[name] = [int(np.rint((lo + frac * (hi - lo)) * 100.0))]
+        return pd.DataFrame(out)
+
+    return hist.groupby("l_returnflag").map_groups(per_group,
+                                                   batch_format="pandas",
+                                                   num_cpus=1)
+
+
+def user_segments(sf_dir: str):
+    """Distinct-set operations (INTERSECT / EXCEPT) as audience segments:
+    users who both clicked AND purchased ('both'), clicked only, or
+    purchased only.
+
+    Output: (user_id, segment).
+
+    Scale shape: per-batch distinct (user_id, has_click, has_purchase)
+    partials collapse inside map_batches (an Arrow group_by per batch), so
+    the ONE shuffle moves at most one row per distinct user per batch; the
+    set algebra (INTERSECT = both bits, EXCEPT = one bit) is a vectorized
+    bit test after a Max-reduce — pairwise comparison never materializes.
+    """
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        c = pc.cast(pc.equal(et, "click"), pa.int64())
+        p = pc.cast(pc.equal(et, "purchase"), pa.int64())
+        t2 = pa.table({"user_id": t["user_id"], "c": c, "p": p})
+        d = t2.group_by("user_id").aggregate([("c", "max"), ("p", "max")])
+        d = d.filter(pc.or_(pc.equal(d["c_max"], 1),
+                            pc.equal(d["p_max"], 1)))
+        return pa.table({"user_id": d["user_id"],
+                         "c": d["c_max"], "p": d["p_max"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("user_id").aggregate(Max("c", alias_name="c"),
+                                      Max("p", alias_name="p"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(bool)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(bool)
+        seg = np.where(c & p, "both",
+                       np.where(c, "click_only", "purchase_only"))
+        return pa.table({"user_id": t["user_id"],
+                         "segment": pa.array(seg, pa.string())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -37,11 +37,11 @@ LSH_TABLES = 16
 LSH_SEED = 20_240_817
 
 
-def _emb(sf_dir: str):
+def _emb(sf_dir: str, columns=("vec_id", "embedding")):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+                           columns=list(columns))
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
@@ -381,3 +381,90 @@ def ann_ivf_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
     cand = bucketed.groupby("bucket").map_groups(score_bucket,
                                                  batch_format="pandas")
     return _final_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means clustering (semantic bucketing / corpus balancing)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the embedding column (cosine
+    geometry: unit vectors, spherical centroid update) — the semantic
+    bucketing primitive behind cluster-balanced sampling and
+    semantic dedup of training corpora.
+
+    Output: (vec_id, cluster_id) final assignments.
+
+    Scale shape: centroids initialize from a seeded driver-side sample
+    (same bootstrap as the IVF quantizer); each Lloyd iteration is ONE
+    streaming pass — map_batches reduces each batch to k partial rows
+    (cluster, count, sum-vector as float64 bytes) against the broadcast
+    centroids (``ray.put`` once per iteration), so only
+    O(k x d x num_batches) floats leave the workers and the corpus is
+    never shuffled or materialized.  The final labeling pass streams
+    straight out.  Deterministic: seeded init, bounded iterations.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["embedding"])
+    if sample.num_rows > IVF_TRAIN_SAMPLE:
+        sample = sample.slice(0, IVF_TRAIN_SAMPLE)
+    sm = _batch_matrix(sample)
+    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    rng = np.random.default_rng(IVF_SEED)
+    cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)] \
+        .copy()
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _batch_matrix(t)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((len(c), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(counts),
+                "vecsum": pa.array([row.tobytes() for row in sums],
+                                   pa.binary()),
+            })
+
+        parts = _emb(sf_dir, columns=["embedding"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for cl, n, buf in zip(parts["cluster"], parts["n"],
+                              parts["vecsum"]):
+            sums[cl] += np.frombuffer(buf, dtype=np.float64)
+            counts[cl] += n
+        for c_i in range(k):
+            if counts[c_i]:
+                v = sums[c_i]
+                cent[c_i] = v / (np.linalg.norm(v) or 1.0)
+            else:                                  # re-seed empty cluster
+                cent[c_i] = sm[rng.integers(0, len(sm))]
+
+    cent_ref = ray.put(cent)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix(t)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster_id": pa.array(assign)})
+
+    return _emb(sf_dir).map_batches(label, batch_format="pyarrow",
+                                    batch_size=8192)

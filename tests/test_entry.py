@@ -72,6 +72,7 @@ def test_every_oracle_key_has_query(contract):
     "top_orders_per_customer", "orders_without_lineitems",
     "events_asof_join", "events_range_join", "events_sliding_window",
     "user_active_days", "doc_sample", "text_normalize",
+    "docs_cube", "group_quantiles_cont", "user_segments",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
