@@ -209,7 +209,12 @@ def _consume(res) -> int:
 
 def bench_queries(sf_dir: str) -> dict:
     """Time every queries() entry that isn't a CDC-harness duplicate of the
-    headline (those re-run the same engine stack at other modes)."""
+    headline (those re-run the same engine stack at other modes).
+
+    Best-of-2 per query, same as the scenario grid: the first execution of
+    a pipeline in a session pays task-worker spin-up and page-cache warmup
+    (measured 2-5x inflation on payload-heavy queries), which is a
+    process-lifetime artifact, not engine throughput (BASELINE.md)."""
     import __ray_entry__ as e
 
     skip_prefix = "cdc_"   # headline already covers the CDC stack
@@ -217,9 +222,13 @@ def bench_queries(sf_dir: str) -> dict:
     for name, fn in e.queries().items():
         if name.startswith(skip_prefix):
             continue
-        t0 = time.time()
-        n = _consume(fn(sf_dir))
-        out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = _consume(fn(sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = {"sec": round(best, 3), "rows": n}
 
     # production-default hash mode (vectorized xxhash) for the content-hash
     # operators — the queries() entries above pin hash_mode='md5' so the
@@ -231,9 +240,13 @@ def bench_queries(sf_dir: str) -> dict:
             ("corpus_clean_fast", corpus.corpus_clean),
             ("doc_fingerprint_fast", textops.doc_fingerprint),
             ("doc_sample_fast", textops.doc_sample)):
-        t0 = time.time()
-        n = _consume(fn(sf_dir))
-        out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = _consume(fn(sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = {"sec": round(best, 3), "rows": n}
     return out
 
 
