@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pg_walstream_ray.pipelines import multimodal
 
     q["dedup_exact"] = lambda sf: dedup.exact_dedup(sf, hash_mode="md5")
+    q["dedup_incremental"] = lambda sf: dedup.incremental_dedup(
+        sf, hash_mode="md5")
     q["dedup_minhash_lsh"] = dedup.minhash_dedup
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
@@ -375,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
+    # sequence packing: bin assignment is algorithmic (FFD), not
+    # SQL-expressible -> rows-only driver check; invariants pinned in tests
+    q["pack_sequences"] = textops.pack_sequences
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
 
@@ -818,6 +823,23 @@ def oracle_sql() -> dict[str, str]:
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       FROM documents
       GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+    """
+
+    from pg_walstream_ray.pipelines.dedup import INCREMENT_SOURCES
+
+    _inc = ", ".join(f"'{s}'" for s in INCREMENT_SOURCES)
+    sql["dedup_incremental"] = f"""
+      WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents
+      ), base AS (
+        SELECT DISTINCT h FROM h WHERE source NOT IN ({_inc})
+      ), inc AS (
+        SELECT h, MIN(doc_id) AS doc_id FROM h
+        WHERE source IN ({_inc}) GROUP BY h
+      )
+      SELECT doc_id FROM inc WHERE h NOT IN (SELECT h FROM base)
     """
 
     sql["dedup_minhash_lsh"] = f"""

@@ -331,3 +331,46 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
 
     return pairs.groupby("part").map_groups(count_part,
                                             batch_format="pandas")
+
+
+INCREMENT_SOURCES = ("src0", "src1", "src2")
+
+
+def incremental_dedup(sf_dir: str, new_sources=INCREMENT_SOURCES,
+                      hash_mode: str = "fast"):
+    """Incremental corpus dedup: documents arriving from ``new_sources``
+    (the increment) survive only if their content hash appears neither in
+    the existing corpus (every other source) nor earlier in the increment
+    itself (min-doc_id keeper) — the "dedup the new crawl against the
+    lake" pipeline of a continuously-updated training corpus.
+
+    Output: (doc_id,) — surviving increment docs.
+
+    Scale shape: ONE shuffle of (hash, doc_id, is_new) triples routed by
+    ``hash % NPART`` — the text never moves, neither side is broadcast,
+    and the per-bucket pass is a vectorized pandas reduction (groupby
+    transform), so base-corpus cardinality only widens the shuffle, never
+    a driver or worker working set.
+    """
+    npart = coarse_npart()
+    new_set = set(new_sources)
+
+    def to_hash(t: pa.Table) -> pa.Table:
+        h = content_hash60(t["text"], hash_mode)
+        is_new = pc.is_in(t["source"],
+                          value_set=pa.array(sorted(new_set)))
+        return pa.table({"part": pa.array(h % npart), "h": pa.array(h),
+                         "doc_id": t["doc_id"],
+                         "is_new": pc.cast(is_new, pa.int8())})
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["is_new"] == 1]
+        base_h = g.loc[g["is_new"] == 0, "h"].unique()
+        keep = new.groupby("h", as_index=False)["doc_id"].min()
+        keep = keep[~keep["h"].isin(base_h)]
+        return pd.DataFrame({"doc_id": keep["doc_id"]
+                             .to_numpy(np.int64)})
+
+    return _docs(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(to_hash, batch_format="pyarrow") \
+        .groupby("part").map_groups(dedup_part, batch_format="pandas")

@@ -290,6 +290,23 @@ IVF_TRAIN_SAMPLE = 16_384
 IVF_SEED = 20_240_818
 
 
+def _sample_matrix(sf_dir: str, n: int = IVF_TRAIN_SAMPLE) -> np.ndarray:
+    """Unit-normalized [<=n, d] training sample via a DISTRIBUTED
+    Dataset pass: `read_parquet(...).limit(n)` only pulls the blocks the
+    limit needs (streaming executor stops the read early), so the driver
+    collects at most n vectors no matter the corpus size — the 100 TB
+    scale path for quantizer/centroid bootstrap."""
+    tab = _emb(sf_dir, columns=["embedding"]).limit(n) \
+        .to_arrow_refs()
+    import ray
+
+    parts = [t for t in ray.get(tab) if t.num_rows]
+    m = np.concatenate([_batch_matrix(t) for t in parts]) if parts \
+        else np.empty((0, 0), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m
+
+
 def _train_centroids(m: np.ndarray, k: int, iters: int = 12,
                      seed: int = IVF_SEED) -> np.ndarray:
     """Seeded Lloyd's k-means on unit vectors (cosine == dot on the
@@ -331,18 +348,13 @@ def ann_ivf_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
                  concurrency: int = 4):
     """IVF approximate top-k: a coarse seeded-k-means quantizer partitions
     the corpus into inverted lists; each query scores only its ``nprobe``
-    nearest lists.  The quantizer trains on a driver-side sample (at scale:
-    a Dataset sample pass); assignment + scoring are distributed.  Output:
-    (query_id, neighbor_id, rnk, cos_sim); recall asserted in tests."""
+    nearest lists.  The quantizer trains on a bounded sample collected via
+    a distributed limit pass (_sample_matrix); assignment + scoring are
+    distributed.  Output: (query_id, neighbor_id, rnk, cos_sim); recall
+    asserted in tests."""
     import ray
-    import pyarrow.parquet as pq
 
-    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
-    if sample.num_rows > IVF_TRAIN_SAMPLE:
-        sample = sample.slice(0, IVF_TRAIN_SAMPLE)
-    sm = _batch_matrix(sample)
-    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    sm = _sample_matrix(sf_dir)
     cent = _train_centroids(sm, n_centroids)
     cent_ref = ray.put(cent)
 
@@ -410,14 +422,8 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
     straight out.  Deterministic: seeded init, bounded iterations.
     """
     import ray
-    import pyarrow.parquet as pq
 
-    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["embedding"])
-    if sample.num_rows > IVF_TRAIN_SAMPLE:
-        sample = sample.slice(0, IVF_TRAIN_SAMPLE)
-    sm = _batch_matrix(sample)
-    sm /= np.linalg.norm(sm, axis=1, keepdims=True)
+    sm = _sample_matrix(sf_dir)
     rng = np.random.default_rng(IVF_SEED)
     cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)] \
         .copy()

@@ -295,3 +295,64 @@ def stratified_sample(sf_dir: str, per_group: int = 25,
         .map_batches(combine, batch_format="pyarrow", batch_size=262144) \
         .groupby("lang").map_groups(per_lang, batch_format="pandas",
                                     num_cpus=1)
+
+
+PACK_CAPACITY = 2048        # chars per training bin (stand-in for tokens)
+
+
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
+    """Greedy sequence packing (training-batch construction): pack
+    documents into bins of at most ``capacity`` chars via
+    first-fit-decreasing, the standard sample-packing step that turns a
+    ragged corpus into dense fixed-budget training rows.
+
+    Output: (doc_id, part, bin_id, n_chars) — bin identity is the pair
+    (part, bin_id); every bin's total n_chars <= capacity (documents
+    longer than the capacity get a singleton bin).
+
+    Scale shape: ONE shuffle of (doc_id, n_chars) pairs routed by
+    ``doc_id % NPART`` — the text never moves.  Packing runs
+    independently per partition (FFD is sequential by nature, so the
+    partition IS the parallelism unit); within a partition the bin-residual
+    scan is a numpy argmax over <= n_bins residuals per doc, on a few
+    hundred thousand ints per partition at most.  Deterministic: fixed
+    partitioner, stable descending sort with doc_id tie-break.
+    """
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+
+    def route(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"part": pa.array(d % npart),
+                         "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    def pack_part(g: "pd.DataFrame"):
+        import pandas as pd
+
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        sizes = g["n_chars"].to_numpy(np.int64)
+        resid = np.empty(len(sizes), dtype=np.int64)   # bin residuals
+        n_bins = 0
+        assign = np.empty(len(sizes), dtype=np.int64)
+        for i, s in enumerate(sizes):
+            fit = np.flatnonzero(resid[:n_bins] >= s)
+            if len(fit):
+                b = int(fit[0])                        # first fit
+                resid[b] -= s
+            else:
+                b = n_bins
+                resid[b] = max(capacity - s, 0)        # oversize: singleton
+                n_bins += 1
+            assign[i] = b
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "part": g["part"].to_numpy(np.int64),
+            "bin_id": assign,
+            "n_chars": sizes,
+        })
+
+    return _docs(sf_dir, columns=("doc_id", "n_chars")) \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack_part, batch_format="pandas")

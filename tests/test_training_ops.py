@@ -407,3 +407,55 @@ def test_embedding_kmeans_clusters_cohesive(ray_session):
     same = (lab[:, None] == lab[None, :]) & off
     assert same.any()
     assert sims[same].mean() > sims[off].mean()
+
+
+def test_incremental_dedup_planted(ray_session):
+    """Increment docs duplicated in the base corpus (or earlier in the
+    increment) are dropped; unique increment docs survive."""
+    import pandas as pd
+
+    from pg_walstream_ray.pipelines.dedup import incremental_dedup
+
+    d = tempfile.mkdtemp(prefix="incdedup_")
+    rows = [
+        # base corpus (other sources)
+        (0, "shared text one", "src9"),
+        (1, "base only text", "src9"),
+        # increment
+        (10, "shared text one", "src0"),      # dup of base -> dropped
+        (11, "fresh increment text", "src1"), # unique -> kept
+        (12, "twice in increment", "src2"),   # keeper (min doc_id)
+        (13, "twice in increment", "src0"),   # intra-increment dup
+    ]
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    got = sorted(incremental_dedup(d).to_pandas()["doc_id"])
+    assert got == [11, 12]
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Every doc lands in exactly one bin; bins respect capacity (oversize
+    docs get singleton bins); packing is deterministic."""
+    import pandas as pd
+
+    from pg_walstream_ray.pipelines.textops import pack_sequences
+
+    cap = 600
+    a = pack_sequences(SF, capacity=cap).to_pandas()
+    b = pack_sequences(SF, capacity=cap).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(docs["doc_id"])   # full coverage
+
+    fills = a.groupby(["part", "bin_id"]).agg(
+        total=("n_chars", "sum"), n=("doc_id", "size"))
+    over = fills[fills["total"] > cap]
+    assert (over["n"] == 1).all()          # only oversize singletons exceed
+
+    key = ["doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
