@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
     q["orders_without_lineitems"] = analytics.orders_without_lineitems
     q["q4_order_priority"] = analytics.q4_order_priority
+    q["q5_local_supplier"] = analytics.q5_local_supplier
+    q["props_json_stats"] = analytics.props_json_stats
     q["group_quantiles"] = analytics.group_quantiles
     q["events_rollup"] = analytics.events_rollup
     q["events_pivot"] = analytics.events_pivot
@@ -377,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
+    q["tfidf_top_terms"] = textops.tfidf_top_terms
     # sequence packing: bin assignment is algorithmic (FFD), not
     # SQL-expressible -> rows-only driver check; invariants pinned in tests
     q["pack_sequences"] = textops.pack_sequences
@@ -624,6 +627,30 @@ def oracle_sql() -> dict[str, str]:
             AS BIGINT) % 100 < 10
     """
 
+    sql["tfidf_top_terms"] = """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w
+      ), df AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w
+      ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+      ), s AS (
+        SELECT tf.doc_id,
+               ('0x' || substr(md5(tf.w), 1, 15))::BIGINT AS token_h,
+               CAST(ROUND(tf.tf * ln((SELECT n FROM n) / df.df) * 1e6)
+                    AS BIGINT) AS score_u
+        FROM tf JOIN df USING (w)
+      ), r AS (
+        SELECT doc_id, token_h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_u DESC, token_h) AS rnk
+        FROM s
+      )
+      SELECT doc_id, token_h, rnk FROM r WHERE rnk <= 3
+    """
+
     sql["text_normalize"] = r"""
       SELECT doc_id,
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
@@ -656,6 +683,29 @@ def oracle_sql() -> dict[str, str]:
                     WHERE l_orderkey = o_orderkey
                       AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
+    """
+
+    sql["q5_local_supplier"] = """
+      SELECT n_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+    """
+
+    sql["props_json_stats"] = r"""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                           AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                           AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type
     """
 
     sql["group_quantiles"] = """

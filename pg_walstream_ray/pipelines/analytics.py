@@ -831,3 +831,212 @@ def user_segments(sf_dir: str):
                          "segment": pa.array(seg, pa.string())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5-shaped 6-table join: revenue per nation from lineitems
+    where the supplier's nation equals the customer's nation, customers
+    restricted to one region, orders to one year.
+
+    Output: (n_name, revenue) — revenue rounded to cents at the edge.
+
+    Scale shape (the canonical distributed Q5 plan):
+      - region -> nation -> supplier are broadcast dimensions: filtered
+        distributed reads collected into sorted key arrays (bounded by the
+        dimension sizes, tiny by TPC-H construction) and attached via
+        searchsorted inside map_batches;
+      - customer x orders is a co-partitioned large-large equijoin — both
+        sides bucket by ``custkey % NPART`` (ONE shuffle each side, only
+        (custkey, nationkey) / (custkey, orderkey) pairs move);
+      - its output co-partitions with lineitem by ``orderkey % NPART``
+        (second shuffle), where the supplier-nation == customer-nation
+        filter and the revenue partial aggregation happen in-bucket;
+      - the final groupby moves NPART x |nations| tiny partials.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    # -- broadcast chain: region -> nations -> suppliers ------------------
+    def _collect(ds, cols):
+        parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=1 << 20)]
+        if not parts:
+            return {c: np.array([], np.int64) for c in cols}
+        t = pa.concat_tables(
+            [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+             for p in parts])
+        return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+
+    reg = _collect(
+        _read(sf_dir, "region").filter(expr=f"r_name == '{region}'"),
+        ["r_regionkey"])["r_regionkey"]
+    nat = _collect(_read(sf_dir, "nation"),
+                   ["n_nationkey", "n_regionkey"])
+    # nation names need string handling — fetch via a small table read
+    nat_full = pa.concat_tables(list(
+        _read(sf_dir, "nation").iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 20)))
+    in_region = np.isin(nat["n_regionkey"], reg)
+    region_nations = np.sort(nat["n_nationkey"][in_region])
+    name_by_key = dict(zip(nat_full["n_nationkey"].to_pylist(),
+                           nat_full["n_name"].to_pylist()))
+
+    sup = _collect(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"])
+    s_in = np.isin(sup["s_nationkey"], region_nations)
+    s_keys = sup["s_suppkey"][s_in]
+    s_nat = sup["s_nationkey"][s_in]
+    order_s = np.argsort(s_keys)
+    sup_ref = ray.put((s_keys[order_s], s_nat[order_s]))
+    rn_ref = ray.put(region_nations)
+
+    # -- stage 1: customer x orders co-partitioned by custkey -------------
+    def cust_side(t: pa.Table) -> pa.Table:
+        rn = ray.get(rn_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(np.isin(nk, rn)))
+        ck = pc.cast(f["c_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pc.cast(f["c_nationkey"], pa.int64()),
+            "is_cust": pa.array(np.ones(f.num_rows, dtype=bool)),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        ck = pc.cast(f["o_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pc.cast(f["o_orderkey"], pa.int64()),
+            "is_cust": pa.array(np.zeros(f.num_rows, dtype=bool)),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g[g["is_cust"]]
+        od = g[~g["is_cust"]]
+        m = od.merge(cu[["custkey", "payload"]].rename(
+            columns={"payload": "c_nationkey"}), on="custkey", how="inner")
+        ok = m["payload"].to_numpy(np.int64)        # orderkey
+        # Arrow output so the downstream union with the Arrow-block
+        # lineitem stream stays homogeneous
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "c_nationkey": pa.array(m["c_nationkey"].to_numpy(np.int64)),
+            "rev_c": pa.array(np.zeros(len(m), np.float64)),
+            "is_ord": pa.array(np.ones(len(m), bool)),
+        })
+
+    ord_nat = cust.union(orders).groupby("bucket").map_groups(
+        join_cust, batch_format="pandas", num_cpus=1)
+
+    # -- stage 2: x lineitem co-partitioned by orderkey --------------------
+    def li_side(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = (pos < len(keys)) & (len(keys) > 0) & (keys[pos_c] == sk)
+        f = t.filter(pa.array(hit))
+        snat = nats[np.searchsorted(keys, f["l_suppkey"].to_numpy(
+            zero_copy_only=False))] if f.num_rows else \
+            np.array([], np.int64)
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        ok = pc.cast(f["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "c_nationkey": pa.array(snat.astype(np.int64)),  # s_nat here
+            "rev_c": pa.array(rev),
+            "is_ord": pa.array(np.zeros(len(ok), bool)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "c_nationkey"]].rename(
+            columns={"c_nationkey": "cust_nat"}), on="orderkey",
+            how="inner")
+        m = m[m["c_nationkey"] == m["cust_nat"]]    # local supplier only
+        agg = m.groupby("c_nationkey", as_index=False)["rev_c"].sum()
+        return pd.DataFrame({
+            "nationkey": agg["c_nationkey"].to_numpy(np.int64),
+            "rev": agg["rev_c"].to_numpy(np.float64)})
+
+    agg = ord_nat.union(li).groupby("bucket").map_groups(
+        join_li, batch_format="pandas", num_cpus=1) \
+        .groupby("nationkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keys = t["nationkey"].to_pylist()
+        names = [name_by_key[k] for k in keys]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue": _round(t["revenue"], 2)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def props_json_stats(sf_dir: str):
+    """Semi-structured column extraction: parse the integer ``k`` out of
+    the JSON-ish ``props`` string with a vectorized regex
+    (pyarrow.compute.extract_regex — RE2, no Python per row) and
+    aggregate per event_type.
+
+    Output: (event_type, n, sum_k, max_k).
+
+    Scale shape: extraction + partial aggregation fuse into the scan
+    batch; the shuffle moves |event_type| x num_batches partial rows.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        d = pa.table({"event_type": t["event_type"], "k": k}) \
+            .group_by("event_type").aggregate(
+                [("k", "sum"), ("k", "count"), ("k", "max")])
+        return pa.table({"event_type": d["event_type"],
+                         "s": d["k_sum"],
+                         "n": pc.cast(d["k_count"], pa.int64()),
+                         "mx": d["k_max"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("event_type").aggregate(
+            Sum("s", alias_name="sum_k"), Sum("n", alias_name="n"),
+            Max("mx", alias_name="max_k"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                         "max_k": pc.cast(t["max_k"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -356,3 +356,81 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
     return _docs(sf_dir, columns=("doc_id", "n_chars")) \
         .map_batches(route, batch_format="pyarrow") \
         .groupby("part").map_groups(pack_part, batch_format="pandas")
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(sf_dir: str, top_k: int = TFIDF_TOP_K):
+    """TF-IDF top-k terms per document: score = tf * ln(N/df), ranked
+    per doc with deterministic tie-break (micro-rounded score desc, then
+    token hash asc) — the classic relevance/keyword-extraction primitive.
+
+    Output: (doc_id, token_h, rnk) — integer-only so the driver's
+    value-hash compare is float-order-proof (scores are micro-rounded
+    identically on both sides before ranking).
+
+    Scale shape: two posting-sized shuffles, text never moves —
+      1. (token_h, doc_id, tf) postings route by token bucket; df is a
+         vectorized in-bucket count and rides back on each posting row;
+      2. postings re-route by doc bucket; scoring + per-doc top-k is one
+         vectorized pandas pass per bucket.
+    N (corpus size) comes from the parquet row-count metadata.
+    """
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    n_docs = float(_docs(sf_dir, columns=("doc_id",)).count())
+
+    class Postings:
+        def __init__(self):
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            offsets, tok = tokenize_column(t["text"], self.hasher)
+            n = len(offsets) - 1
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offsets))
+            vocab = int(tok.max()) + 1 if len(tok) else 1
+            key = doc_idx * vocab + tok
+            uniq, tf = np.unique(key, return_counts=True)
+            u_doc = uniq // vocab
+            u_tok = uniq % vocab
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            token_h = self.hasher.h60_array[u_tok]
+            return pa.table({
+                "part": pa.array(token_h % npart),
+                "token_h": pa.array(token_h, pa.int64()),
+                "doc_id": pa.array(doc_ids[u_doc], pa.int64()),
+                "tf": pa.array(tf.astype(np.int64)),
+            })
+
+    def attach_df(g: "pd.DataFrame"):
+        import pandas as pd
+
+        df = g.groupby("token_h")["doc_id"].transform("size")
+        return pd.DataFrame({
+            "part": g["doc_id"].to_numpy(np.int64) % npart,
+            "token_h": g["token_h"], "doc_id": g["doc_id"],
+            "tf": g["tf"], "df": df.to_numpy(np.int64)})
+
+    def per_doc_topk(g: "pd.DataFrame"):
+        import pandas as pd
+
+        score = g["tf"].to_numpy(np.float64) * \
+            np.log(n_docs / g["df"].to_numpy(np.float64))
+        g = g.assign(score_u=np.rint(score * 1e6).astype(np.int64))
+        g = g.sort_values(["doc_id", "score_u", "token_h"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = g.groupby("doc_id").cumcount() + 1
+        g = g.assign(rnk=rnk)
+        g = g[g["rnk"] <= top_k]
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "token_h": g["token_h"].to_numpy(np.int64),
+                             "rnk": g["rnk"].to_numpy(np.int64)})
+
+    return _docs(sf_dir).map_batches(as_tasks(Postings),
+                                     batch_format="pyarrow",
+                                     batch_size=4096) \
+        .groupby("part").map_groups(attach_df, batch_format="pandas") \
+        .groupby("part").map_groups(per_doc_topk, batch_format="pandas")

@@ -73,6 +73,8 @@ def test_every_oracle_key_has_query(contract):
     "events_asof_join", "events_range_join", "events_sliding_window",
     "user_active_days", "doc_sample", "text_normalize",
     "docs_cube", "group_quantiles_cont", "user_segments",
+    "q5_local_supplier", "props_json_stats", "tfidf_top_terms",
+    "dedup_incremental",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
