@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
     q["tfidf_top_terms"] = textops.tfidf_top_terms
+    q["decontaminate"] = textops.decontaminate
     # sequence packing: bin assignment is algorithmic (FFD), not
     # SQL-expressible -> rows-only driver check; invariants pinned in tests
     q["pack_sequences"] = textops.pack_sequences
@@ -649,6 +650,35 @@ def oracle_sql() -> dict[str, str]:
         FROM s
       )
       SELECT doc_id, token_h, rnk FROM r WHERE rnk <= 3
+    """
+
+    from pg_walstream_ray.pipelines.textops import DECON_BENCH_MOD
+
+    sql["decontaminate"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' ||
+                 lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ), shv AS (
+        SELECT doc_id, s FROM sh WHERE s IS NOT NULL
+      ), bench AS (
+        SELECT DISTINCT s FROM shv WHERE doc_id % {DECON_BENCH_MOD} = 0
+      ), hits AS (
+        SELECT t.doc_id,
+               MAX(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM shv t LEFT JOIN bench b USING (s)
+        WHERE t.doc_id % {DECON_BENCH_MOD} <> 0
+        GROUP BY t.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(h.hit, 0) AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
     """
 
     sql["text_normalize"] = r"""

@@ -434,3 +434,99 @@ def tfidf_top_terms(sf_dir: str, top_k: int = TFIDF_TOP_K):
                                      batch_size=4096) \
         .groupby("part").map_groups(attach_df, batch_format="pandas") \
         .groupby("part").map_groups(per_doc_topk, batch_format="pandas")
+
+
+DECON_BENCH_MOD = 50       # doc_id % MOD == 0 -> held-out benchmark doc
+
+
+def _shingles3(texts: pa.ChunkedArray | pa.Array) -> tuple:
+    """Vectorized 3-token shingles: returns (doc_offsets[n+1], shingle
+    StringArray flat, grouped by doc).  binary_join_element_wise over the
+    shifted flat-token array — no Python per token."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern(texts, " ")
+    flat = split.flatten()
+    offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    m = len(flat)
+    if m < 3:
+        return np.zeros(len(offs), np.int64), pa.array([], pa.string())
+    sh = pc.binary_join_element_wise(
+        flat.slice(0, m - 2), flat.slice(1, m - 2), flat.slice(2, m - 2),
+        " ")
+    # positions i where i and i+2 fall in the same doc
+    doc_idx = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                        np.diff(offs))
+    valid = doc_idx[:m - 2] == doc_idx[2:]
+    sh_counts = np.maximum(np.diff(offs) - 2, 0)
+    new_offs = np.concatenate([[0], np.cumsum(sh_counts)])
+    return new_offs, sh.filter(pa.array(valid))
+
+
+def decontaminate(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
+    """Benchmark decontamination: flag every training document that shares
+    at least one 3-token shingle with the held-out benchmark set
+    (``doc_id % bench_mod == 0``) — the standard train/eval overlap check
+    run before every serious pretraining job.
+
+    Output: (doc_id, contaminated) over the training (non-benchmark) docs.
+
+    Scale shape: the benchmark set is small by definition, so its distinct
+    shingles are built in a distributed filtered pass, collected bounded,
+    and broadcast once (``ray.put``); the training scan matches each doc's
+    shingles via searchsorted inside map_batches — no shuffle at all.
+    Shingles stay raw strings here so the SQL oracle compares exactly; at
+    production scale hash them to 64-bit (functions/hashing.fast_hash64)
+    and broadcast the hash set (or a bloom filter past ~10^8 shingles).
+    """
+    import ray
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        # Ray's expr-filter has no modulo; fuse the benchmark predicate here
+        t = t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % bench_mod == 0))
+        _, sh = _shingles3(t["text"])
+        return pa.table({"s": pc.unique(sh)})
+
+    parts = [b for b in _docs(sf_dir).map_batches(bench_shingles,
+                                                  batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    if parts:
+        allsh = pa.concat_tables(
+            [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+             for p in parts])
+        bench_arr = np.sort(np.asarray(
+            pc.unique(allsh["s"]).to_pylist(), dtype=object))
+    else:
+        bench_arr = np.array([], dtype=object)
+    bench_ref = ray.put(bench_arr)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        # training docs only
+        d = t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % bench_mod != 0))
+        offs, sh = _shingles3(d["text"])
+        n = d.num_rows
+        if len(bset) and len(sh):
+            # match DISTINCT shingles only, then gather back per occurrence
+            denc = pc.dictionary_encode(sh)
+            dvals = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            pos = np.searchsorted(bset, dvals)
+            pos_c = np.clip(pos, 0, len(bset) - 1)
+            dhit = (pos < len(bset)) & (bset[pos_c] == dvals)
+            hit = dhit[denc.indices.to_numpy(zero_copy_only=False)
+                       .astype(np.int64)]
+            doc_of_sh = np.repeat(np.arange(n, dtype=np.int64),
+                                  np.diff(offs))
+            per_doc = np.bincount(doc_of_sh[hit], minlength=n)
+        else:
+            per_doc = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": d["doc_id"],
+            "contaminated": pa.array((per_doc > 0).astype(np.int64)),
+        })
+
+    return _docs(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                     batch_size=4096)

@@ -74,7 +74,7 @@ def test_every_oracle_key_has_query(contract):
     "user_active_days", "doc_sample", "text_normalize",
     "docs_cube", "group_quantiles_cont", "user_segments",
     "q5_local_supplier", "props_json_stats", "tfidf_top_terms",
-    "dedup_incremental",
+    "dedup_incremental", "decontaminate",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract

@@ -459,3 +459,26 @@ def test_pack_sequences_invariants(ray_session):
     key = ["doc_id"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_decontaminate_planted(ray_session):
+    """A training doc sharing a 3-token shingle with a benchmark doc is
+    flagged; disjoint docs are not; benchmark docs are excluded."""
+    from pg_walstream_ray.pipelines.textops import decontaminate
+
+    d = tempfile.mkdtemp(prefix="decon_")
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),      # benchmark (0 % 5 == 0)
+        (5, "zeta eta theta iota kappa"),            # benchmark
+        (1, "xx alpha beta gamma yy"),               # shares shingle w/ 0
+        (2, "totally unrelated words here now"),     # clean
+        (3, "eta theta iota trailing tail"),         # shares shingle w/ 5
+    ]
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    got = decontaminate(d, bench_mod=5).to_pandas() \
+        .set_index("doc_id")["contaminated"].to_dict()
+    assert got == {1: 1, 2: 0, 3: 1}
