@@ -223,3 +223,31 @@ def test_golden_streamed_and_two_phase_bytes():
                              in_stream_xid=7)
     assert b.hex() == "49" + "00000007" + "00004000" + "4e" + "0001" + \
         "74" + "00000001" + "78"
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_characters="\x00",
+                           blacklist_categories=("Cs",)),
+    max_size=30), min_size=0, max_size=20))
+def test_tokenize_column_matches_naive_split(texts):
+    """The dictionary-encode fast path of tokenize_column produces exactly
+    the token sequence of a naive per-row str.split(' ') mapped through
+    the same hasher (guards the distinct-only interning optimization)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pg_walstream_ray.functions import hashing as H
+
+    fast = H.TokenHasher()
+    offs, tok = H.tokenize_column(pa.array(texts, pa.string()), fast)
+
+    naive = H.TokenHasher()
+    expect_h60 = []
+    expect_offs = [0]
+    for s in texts:
+        toks = s.split(" ")
+        expect_h60.extend(H.md5_int60(w) for w in toks)
+        expect_offs.append(expect_offs[-1] + len(toks))
+    assert offs.tolist() == expect_offs
+    assert fast.h60_array[tok].tolist() == expect_h60
