@@ -354,6 +354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+    # transitive duplicate clusters: distributed connected components
+    # (MapReduce-CC min-label propagation) over the near-dup pair graph
+    q["dedup_clusters"] = dedup.dedup_clusters
 
     # -- similarity search -------------------------------------------------
     # oracled queries expose only exact-integer columns (rank, ids); the
@@ -1031,6 +1034,29 @@ def oracle_sql() -> dict[str, str]:
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]) >= 0.35
+    """
+
+    sql["dedup_clusters"] = """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+      ), edges AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION ALL SELECT vb, va FROM pairs
+      ), reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+      ), cc AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+      )
+      SELECT node AS vec_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             CAST(node = cluster_id AS INTEGER) AS keep
+      FROM cc
     """
 
     sql["text_quality"] = f"""

@@ -482,3 +482,65 @@ def test_decontaminate_planted(ray_session):
     got = decontaminate(d, bench_mod=5).to_pandas() \
         .set_index("doc_id")["contaminated"].to_dict()
     assert got == {1: 1, 2: 0, 3: 1}
+
+
+def test_connected_components_planted(ray_session):
+    """CC over a planted graph: a 6-node chain (worst-case diameter), a
+    triangle, an isolated pair, and multi-bucket routing (npart=4 forces
+    cross-bucket message rounds)."""
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import connected_components
+
+    #  chain 100-101-102-103-104-105; triangle 200,201,202; pair 300,301
+    pairs = pa.table({
+        "vec_a": pa.array([100, 101, 102, 103, 104, 200, 200, 201, 300],
+                          pa.int64()),
+        "vec_b": pa.array([101, 102, 103, 104, 105, 201, 202, 202, 301],
+                          pa.int64()),
+    })
+    labels = connected_components(rd.from_arrow(pairs), npart=4) \
+        .to_pandas().set_index("node")["lbl"].to_dict()
+    assert {n: labels[n] for n in sorted(labels)} == {
+        100: 100, 101: 100, 102: 100, 103: 100, 104: 100, 105: 100,
+        200: 200, 201: 200, 202: 200, 300: 300, 301: 300}
+
+
+def test_dedup_clusters_matches_local_cc(ray_session):
+    """dedup_clusters at sf0.001 equals a local numpy CC oracle over the
+    same near-dup pair set (transitive closure, min-id labels, sizes)."""
+    import duckdb
+
+    from pg_walstream_ray.pipelines.dedup import dedup_clusters
+
+    got = dedup_clusters(SF).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    p = duckdb.sql(f"""
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM read_parquet('{SF}/embeddings.parquet') a,
+           read_parquet('{SF}/embeddings.parquet') b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.35
+    """).fetchnumpy()
+    a, b = p["va"].astype(np.int64), p["vb"].astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    ai = np.array([idx[v] for v in a]); bi = np.array([idx[v] for v in b])
+    lbl = nodes.copy()
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ai, lbl[bi])
+        np.minimum.at(new, bi, lbl[ai])
+        if (new == lbl).all():
+            break
+        lbl = new
+    import pandas as pd
+    want = pd.DataFrame({"vec_id": nodes, "cluster_id": lbl})
+    want["cluster_size"] = want.groupby("cluster_id")["vec_id"] \
+        .transform("size").astype(np.int64)
+    want["keep"] = (want.vec_id == want.cluster_id).astype(np.int32)
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster_id", "cluster_size", "keep"]],
+        want.sort_values("vec_id").reset_index(drop=True),
+        check_dtype=False)
