@@ -251,6 +251,43 @@ def _cdc_events_tap(sf_dir: str) -> Any:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _cdc_logical_messages(sf_dir: str) -> Any:
+    """pg_logical_emit_message parity (protocol.rs:985-1053 'M' decode;
+    `messages` slot option, stream.rs:1377-1411): every 5th tx opens with
+    a transactional logical message; the no-ack envelope tap surfaces them
+    as op="message" control rows carrying (prefix, content) in the meta
+    JSON, released with their transaction's Commit.
+    Output: (xid, prefix, content)."""
+    import json
+
+    import pyarrow as pa
+
+    from pg_walstream_ray.pipelines import events
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|messages|1"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-messages-{key}")
+    build_wal_from_events(sf_dir, "messages", wal_dir, n_shards=1)
+
+    ds = events.envelope_dataset(wal_dir)
+    ds = events.filter_ops(ds, ["message"])
+
+    def project(t: pa.Table) -> pa.Table:
+        # control rows only (one per MESSAGE_TX_MOD txs) — per-row JSON
+        # parse is off the hot path by construction
+        metas = [json.loads(m) for m in t["meta"].to_pylist()]
+        return pa.table({
+            "xid": t["xid"],
+            "prefix": pa.array([m["prefix"] for m in metas], pa.string()),
+            "content": pa.array(
+                [bytes.fromhex(m["content_hex"]).decode() for m in metas],
+                pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table (pandas per the driver
@@ -296,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_two_phase"] = lambda sf: _cdc_run(sf, "two_phase", n_shards=1)
     # EventStream tap + combinators, oracled per-op aggregate
     q["cdc_events_tap"] = _cdc_events_tap
+    # pg_logical_emit_message ('M') transport: transactional messages
+    # released with their tx's commit, surfaced via the tap
+    q["cdc_logical_messages"] = _cdc_logical_messages
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -410,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
                                                      EVOLVE_AT,
                                                      HOT_CONV_MOD,
                                                      HOT_TURN_MOD,
+                                                     MESSAGE_TX_MOD,
                                                      TRUNCATE_AFTER, TURN_MOD,
                                                      TX_ROWS)
 
@@ -494,6 +535,17 @@ def oracle_sql() -> dict[str, str]:
       SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(MAX(lsn) AS BIGINT) AS max_lsn
       FROM ({_UPSERT_CHANGES}) GROUP BY op
+    """
+
+    sql["cdc_logical_messages"] = f"""
+      WITH r AS (
+        SELECT (ROW_NUMBER() OVER (ORDER BY event_id) - 1) // {TX_ROWS} AS t
+        FROM events
+      ), tx AS (SELECT DISTINCT t FROM r)
+      SELECT 1000 + t AS xid,
+             'audit' AS prefix,
+             'tx=' || CAST(1000 + t AS VARCHAR) AS content
+      FROM tx WHERE t % {MESSAGE_TX_MOD} = 0
     """
 
     sql["cdc_streamed_tx"] = _tx_filtered_lww(STREAM_ABORT_TX_MOD)

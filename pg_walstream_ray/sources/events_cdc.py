@@ -74,6 +74,10 @@ HOT_TURN_MOD = 997
 DIRTY_SCORE_MOD = 10     # dirty mode: v2 rows with turn_idx % 10 == 0 carry
                          # an unparseable score (lenient dead-letter fixture)
 
+MESSAGE_TX_MOD = 5       # messages mode: every 5th tx opens with a
+                         # transactional pg_logical_emit_message ('M',
+                         # prefix "audit", content "tx=<xid>")
+
 
 def derive_changes(events: pa.Table, mode: str) -> pa.Table:
     """events rows -> logical change table (walgen.LOGICAL_SCHEMA order
@@ -191,7 +195,9 @@ def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
     logical = derive_changes(events, mode)
     user = events["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     spec = WalSpec(n_shards=n_shards,
-                   dirty_score_mod=DIRTY_SCORE_MOD if mode == "dirty" else 0)
+                   dirty_score_mod=DIRTY_SCORE_MOD if mode == "dirty" else 0,
+                   message_every_tx=MESSAGE_TX_MOD if mode == "messages"
+                   else 0)
     os.makedirs(out_dir, exist_ok=True)
     for s in range(n_shards):
         part = logical.filter(pa.array(user % n_shards == s))

@@ -97,6 +97,11 @@ class WalSpec:
                                    # see the decoder's canonical hex text
                                    # form, so the logical ground truth
                                    # records that form too
+    message_every_tx: int = 0      # >0: every Nth tx opens with a
+                                   # transactional pg_logical_emit_message
+                                   # ('M', prefix "audit", content
+                                   # "tx=<xid32>") — protocol `messages`
+                                   # option parity (protocol.rs:985-1053)
     keepalive_every: int = 256     # interleave a keepalive frame every N frames
     segment_rows: Optional[int] = None  # logical rows per WAL segment file
                                    # (tx-aligned; Relation re-sent per segment)
@@ -436,7 +441,9 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
 
     i = 0
     n = len(rows)
+    tx_counter = -1
     while i < n:
+        tx_counter += 1
         if segment_rows and rows_in_segment >= segment_rows:
             seg_breaks.append(len(frames))
             sent_versions.clear()     # Relation re-send in the new segment
@@ -475,6 +482,14 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
             # gets its Commit (crash mid-transaction).
             emit(begin_lsn, codec.encode_message(
                 codec.Begin(commit_lsn, commit_ts, xid & 0xFFFFFFFF)))
+
+        if spec.message_every_tx and tx_counter % spec.message_every_tx == 0:
+            # transactional logical message (pg_logical_emit_message
+            # analogue): rides inside the tx, released with its Commit
+            emit(begin_lsn, codec.encode_message(
+                codec.LogicalMessage(1, begin_lsn, "audit",
+                                     f"tx={xid32}".encode()),
+                in_stream_xid=stream_xid))
 
         for row in tx:
             ver = int(row["rel_version"])

@@ -128,3 +128,35 @@ def test_throttle_noop_without_caps(ray_session):
 
     ds = rd.from_items([{"x": i} for i in range(10)])
     assert throttle(ds) is ds
+
+
+def test_logical_messages_transported(ray_session, tmp_path):
+    """'M' (pg_logical_emit_message) records ride the full decode stack —
+    transactional release with their tx's commit, prefix/content intact —
+    including through the vectorized fast path's control scan
+    (protocol.rs:985-1053 parity)."""
+    import json
+
+    from pg_walstream_ray.pipelines import events
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    spec = WalSpec(n_convs=6, turns_per_conv=8, n_shards=1, tx_rows=10,
+                   message_every_tx=3, uncommitted_tail=True)
+    write_wal_lake(spec, str(tmp_path))
+    ds = events.filter_ops(events.envelope_dataset(str(tmp_path)),
+                           ["message"])
+    rows = ds.to_pandas()
+    assert len(rows) > 0
+    metas = [json.loads(m) for m in rows["meta"]]
+    for xid, m in zip(rows["xid"], metas):
+        assert m["prefix"] == "audit"
+        assert bytes.fromhex(m["content_hex"]).decode() == f"tx={xid}"
+    # transactional: an uncommitted tail tx's message must NOT release
+    n_txs_with_msg = len(rows)
+    spec2 = WalSpec(n_convs=6, turns_per_conv=8, n_shards=1, tx_rows=10,
+                    message_every_tx=3, uncommitted_tail=False)
+    d2 = tmp_path / "committed"
+    write_wal_lake(spec2, str(d2))
+    rows2 = events.filter_ops(events.envelope_dataset(str(d2)),
+                              ["message"]).to_pandas()
+    assert len(rows2) >= n_txs_with_msg
