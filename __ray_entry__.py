@@ -35,7 +35,8 @@ _CDC_TMP_ROOT = "/tmp/pgwr_cdc"
 
 def _cdc_run(sf_dir: str, mode: str, n_shards: int = 2,
              stop_at_lsn: Optional[int] = None,
-             extra_cols: tuple = (), auto_hot: bool = False) -> Any:
+             extra_cols: tuple = (), auto_hot: bool = False,
+             origin_filter: str = "any") -> Any:
     from pg_walstream_ray.sources.events_cdc import build_wal_from_events
     from pg_walstream_ray.pipelines.cdc import run_cdc
     from pg_walstream_ray.lake import snapshot_table
@@ -47,7 +48,7 @@ def _cdc_run(sf_dir: str, mode: str, n_shards: int = 2,
     lake_dir = tempfile.mkdtemp(prefix=f"pgwr_lake_{mode}_")
     try:
         run_cdc(wal_dir, lake_dir, num_partitions=8, stop_at_lsn=stop_at_lsn,
-                auto_detect_hot_keys=auto_hot)
+                auto_detect_hot_keys=auto_hot, origin_filter=origin_filter)
         snap = snapshot_table(lake_dir)
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
                 *extra_cols]
@@ -336,6 +337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pg_logical_emit_message ('M') transport: transactional messages
     # released with their tx's commit, surfaced via the tap
     q["cdc_logical_messages"] = _cdc_logical_messages
+    # replication-origin filtering (origin='none' slot option): every 6th
+    # tx carries an Origin marker and must vanish from the final table
+    q["cdc_origin_filter"] = lambda sf: _cdc_run(
+        sf, "origins", n_shards=1, origin_filter="none")
 
     # -- analytics / windowed aggregates -----------------------------------
     q["q1_pricing_summary"] = analytics.q1_pricing_summary
@@ -364,6 +369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding_window"] = temporal.events_sliding_window
     q["user_active_days"] = temporal.user_active_days
     q["events_window_functions"] = temporal.events_window_functions
+    # frame-bounded (ROWS BETWEEN) + NTILE tiling window surface
+    q["events_window_frame"] = temporal.events_window_frame
+    # ordered string_agg / collect surface (per-user event journey)
+    q["user_event_journey"] = temporal.user_event_journey
 
     # HLL sketch — approximate by design, no SQL oracle (rows-only check;
     # accuracy pinned in tests/test_sketches.py against exact counts)
@@ -451,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
                                                      HOT_CONV_MOD,
                                                      HOT_TURN_MOD,
                                                      MESSAGE_TX_MOD,
+                                                     ORIGIN_TX_MOD,
                                                      TRUNCATE_AFTER, TURN_MOD,
                                                      TX_ROWS)
 
@@ -550,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["cdc_streamed_tx"] = _tx_filtered_lww(STREAM_ABORT_TX_MOD)
     sql["cdc_two_phase"] = _tx_filtered_lww(PREPARED_ROLLBACK_TX_MOD)
+    sql["cdc_origin_filter"] = _tx_filtered_lww(ORIGIN_TX_MOD)
 
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
@@ -886,6 +897,23 @@ def oracle_sql() -> dict[str, str]:
                        LAG(ts) OVER w, ts) AS gap_us
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["events_window_frame"] = """
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS mov_cents,
+             CAST(NTILE(4) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS tile
+      FROM events
+    """
+
+    sql["user_event_journey"] = """
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
     """
 
     sql["events_asof_join"] = """

@@ -252,7 +252,8 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
             oid: int = TRANSCRIPTS_OID,
             decode_concurrency: Optional[int] = None,
             project_concurrency: Optional[int] = None,
-            auto_detect_hot_keys: bool = False) -> dict:
+            auto_detect_hot_keys: bool = False,
+            origin_filter: str = "any") -> dict:
     """Replay the WAL lake into the transcript lake. Returns run metrics.
 
     Safe to re-run (exactly-once); safe to kill at any point and re-run.
@@ -344,7 +345,8 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                                              (3 * ncpu) // 4))
     fused_kw = dict(registry_ref=registry_ref, oid=oid,
                     num_partitions=num_partitions, hot_keys=hot, salt=salt,
-                    stop_at_lsn=stop_at_lsn, prune_below=prune)
+                    stop_at_lsn=stop_at_lsn, prune_below=prune,
+                    origin_filter=origin_filter)
     if small:
         # tasks with per-worker instance caching: the stage (registry
         # ray.get, Partitioner/hot-key build) is constructed once per warm

@@ -300,3 +300,95 @@ def events_window_functions(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
                                           num_cpus=1))
+
+
+def events_window_frame(sf_dir: str, frame: int = 3, tiles: int = 4):
+    """The frame-bounded / tiling window surface: per user over (ts,
+    event_id) order,
+      mov_cents  SUM(cents) OVER (... ROWS BETWEEN 3 PRECEDING AND
+                 CURRENT ROW) — sliding-frame aggregate, integer cents
+      tile       NTILE(4) OVER (PARTITION BY user_id ORDER BY ...) —
+                 rank-based tiling (first n%k tiles get the extra row)
+
+    Same single-shuffle shape as events_window_functions: bucket by
+    ``user_id % NPART``, one vectorized pandas/numpy pass per bucket
+    (rolling sum via cumsum difference; NTILE via the exact rank formula,
+    never qcut).  Output: (event_id, user_id, mov_cents, tile).
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id", "value"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "c": cents}, index=np.arange(len(g)))
+        gr = df.groupby("u", sort=False)
+        # frame sum = cumsum - cumsum lagged by frame+1 within the key
+        # (groupby.rolling would reorder rows group-major; cumsum/shift
+        # stay aligned to the original row order)
+        cum = gr["c"].cumsum()
+        lagged = cum.groupby(df["u"], sort=False).shift(frame + 1)
+        mov = (cum - lagged.fillna(0)).to_numpy(np.float64).astype(np.int64)
+        # NTILE(k): rows 0..n-1 by rank; first (n % k) tiles take
+        # ceil(n/k) rows, the rest floor(n/k) (SQL standard)
+        rn0 = gr.cumcount().to_numpy(np.int64)
+        n = gr["c"].transform("size").to_numpy(np.int64)
+        big = n % tiles                       # tiles with ceil(n/k) rows
+        ceil_sz = (n + tiles - 1) // tiles
+        floor_sz = np.maximum(n // tiles, 1)
+        split = big * ceil_sz                 # rank where small tiles start
+        in_big = rn0 < split
+        tile = np.where(in_big, rn0 // np.maximum(ceil_sz, 1),
+                        big + (rn0 - split) // floor_sz) + 1
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["u"].to_numpy()),
+            "mov_cents": pa.array(mov),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))
+
+
+def user_event_journey(sf_dir: str, sep: str = ","):
+    """Ordered collect / string_agg surface: each user's event-type
+    sequence joined in (ts, event_id) order — the "session journey"
+    string a funnel analysis consumes.
+
+    Output: (user_id, n_events, journey).
+
+    One shuffle (user bucket), then a vectorized per-bucket pass: sort
+    once, ''.join per group via pandas str agg — no per-row Python in the
+    outer stream, and journeys stay bounded by the per-user event count
+    (document the per-key cardinality assumption: a single key's events
+    must fit one worker, the same contract every ordered window op has).
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                  "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"] \
+            .agg(n_events="size", journey=sep.join)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "journey": agg["journey"].to_numpy(object),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))

@@ -78,6 +78,10 @@ MESSAGE_TX_MOD = 5       # messages mode: every 5th tx opens with a
                          # transactional pg_logical_emit_message ('M',
                          # prefix "audit", content "tx=<xid>")
 
+ORIGIN_TX_MOD = 6        # origins mode: every 6th tx carries an Origin
+                         # ('O') marker — foreign-originated; with
+                         # origin_filter='none' it must vanish entirely
+
 
 def derive_changes(events: pa.Table, mode: str) -> pa.Table:
     """events rows -> logical change table (walgen.LOGICAL_SCHEMA order
@@ -197,6 +201,8 @@ def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
     spec = WalSpec(n_shards=n_shards,
                    dirty_score_mod=DIRTY_SCORE_MOD if mode == "dirty" else 0,
                    message_every_tx=MESSAGE_TX_MOD if mode == "messages"
+                   else 0,
+                   origin_every_tx=ORIGIN_TX_MOD if mode == "origins"
                    else 0)
     os.makedirs(out_dir, exist_ok=True)
     for s in range(n_shards):

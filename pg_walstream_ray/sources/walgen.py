@@ -97,6 +97,11 @@ class WalSpec:
                                    # see the decoder's canonical hex text
                                    # form, so the logical ground truth
                                    # records that form too
+    origin_every_tx: int = 0       # >0: every Nth tx opens with an Origin
+                                   # ('O') message — the tx "was replicated
+                                   # from another node" marker; with
+                                   # origin_filter='none' the decoder must
+                                   # drop the whole tx (loop avoidance)
     message_every_tx: int = 0      # >0: every Nth tx opens with a
                                    # transactional pg_logical_emit_message
                                    # ('M', prefix "audit", content
@@ -482,6 +487,12 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
             # gets its Commit (crash mid-transaction).
             emit(begin_lsn, codec.encode_message(
                 codec.Begin(commit_lsn, commit_ts, xid & 0xFFFFFFFF)))
+
+        if spec.origin_every_tx and tx_counter % spec.origin_every_tx == 0:
+            # replication-origin marker: this tx originated elsewhere
+            emit(begin_lsn, codec.encode_message(
+                codec.Origin(begin_lsn, "upstream"),
+                in_stream_xid=stream_xid))
 
         if spec.message_every_tx and tx_counter % spec.message_every_tx == 0:
             # transactional logical message (pg_logical_emit_message

@@ -172,7 +172,16 @@ class PgOutputDecoder:
                  emit_control_rows: bool = True,
                  collect_dml: bool = True,
                  source: int = 0,
-                 version_map: Optional[Dict[tuple, int]] = None):
+                 version_map: Optional[Dict[tuple, int]] = None,
+                 origin_filter: str = "any"):
+        # origin_filter: pgoutput `origin` slot option parity
+        # (sql_builder.rs:380-407 option list): "any" keeps every tx;
+        # "none" discards transactions that carry an Origin ('O') message
+        # — i.e. changes replicated FROM another node — the loop-avoidance
+        # filter of bidirectional replication.
+        self.origin_filter = origin_filter
+        self._tx_foreign = False
+        self._foreign_streams: set = set()
         # version_map: relation fingerprint -> GLOBAL version id (from
         # SchemaRegistry.version_map()).  Keeps rel_version numbering
         # consistent across decoders that each see only a slice of the
@@ -359,9 +368,15 @@ class PgOutputDecoder:
         if t is codec.Begin:
             self.tx_xid = msg.xid
             self.tx_buf = []
+            self._tx_foreign = False
             return
         if t is codec.Commit:
             rows, self.tx_buf, self.tx_xid = self.tx_buf, [], None
+            if self._tx_foreign:
+                # origin='none': the whole foreign-originated tx vanishes;
+                # the commit still advances the watermark (our LSN space)
+                rows = []
+                self._tx_foreign = False
             self._release_tx(rows, msg.commit_lsn,
                              pg_ts_to_unix_us(msg.commit_ts))
             if self.stop_at_lsn is not None and msg.end_lsn >= self.stop_at_lsn:
@@ -376,6 +391,9 @@ class PgOutputDecoder:
             return
         if t is codec.StreamCommit:
             rows = self.stream_bufs.pop(msg.xid, [])
+            if msg.xid in self._foreign_streams:
+                self._foreign_streams.discard(msg.xid)
+                rows = []
             self._release_tx(rows, msg.commit_lsn,
                              pg_ts_to_unix_us(msg.commit_ts))
             if self.stop_at_lsn is not None and msg.end_lsn >= self.stop_at_lsn:
@@ -384,6 +402,7 @@ class PgOutputDecoder:
         if t is codec.StreamAbort:
             # aborted streamed tx: discard entirely (protocol.rs:1105-1133)
             self.stream_bufs.pop(msg.xid, None)
+            self._foreign_streams.discard(msg.xid)
             return
         if t is codec.BeginPrepare:
             # opens a to-be-prepared transaction; DML buffers under its xid
@@ -394,11 +413,18 @@ class PgOutputDecoder:
             # stage: buffered rows move to the gid ledger, NOT released —
             # exactly-once requires publish only at CommitPrepared
             rows, self.tx_buf, self.tx_xid = self.tx_buf, [], None
+            if self._tx_foreign:
+                rows = []
+                self._tx_foreign = False
             self.prepared[msg.gid] = rows
             return
         if t is codec.StreamPrepare:
             # streamed variant: the assembled stream buffer becomes staged
-            self.prepared[msg.gid] = self.stream_bufs.pop(msg.xid, [])
+            rows = self.stream_bufs.pop(msg.xid, [])
+            if msg.xid in self._foreign_streams:
+                self._foreign_streams.discard(msg.xid)
+                rows = []
+            self.prepared[msg.gid] = rows
             return
         if t is codec.CommitPrepared:
             # publish the staged transaction at its commit LSN; a gid
@@ -440,6 +466,18 @@ class PgOutputDecoder:
                     self._commit_runs.append((1, lsn, 0))
             return
         if t in (codec.PgType, codec.Origin, codec.LogicalMessage):
+            if t is codec.Origin and self.origin_filter == "none":
+                # Origin marks this tx as replicated from another node:
+                # with origin='none' its entire change set is discarded at
+                # the closing boundary (Commit/Prepare/StreamCommit).
+                # Inside a stream segment 'O' carries no xid prefix — the
+                # segment's open xid identifies the tx.
+                sx = stream_xid if stream_xid is not None \
+                    else self.in_stream_xid
+                if sx is not None:
+                    self._foreign_streams.add(sx)
+                else:
+                    self._tx_foreign = True
             if self.emit_control_rows:
                 if t is codec.LogicalMessage:
                     meta = json.dumps({"prefix": msg.prefix, "flags": msg.flags,
@@ -453,8 +491,13 @@ class PgOutputDecoder:
                     meta = json.dumps({"oid": msg.oid, "namespace": msg.namespace,
                                        "name": msg.name})
                     op = "type"
-                self._buffer(stream_xid, self._mk_row(
-                    lsn, stream_xid or self.tx_xid or 0, op, meta=meta))
+                # 'O'/'Y' carry no xid prefix even inside stream segments —
+                # the segment's open xid owns them (else they'd leak into
+                # the plain tx buffer and outlive the stream)
+                sx = stream_xid if stream_xid is not None \
+                    else self.in_stream_xid
+                self._buffer(sx, self._mk_row(
+                    lsn, sx or self.tx_xid or 0, op, meta=meta))
             return
 
         # DML + truncate
@@ -583,7 +626,9 @@ class DecodeShard:
                  out_batch_rows: int = 16384,
                  prune_below: Optional[Dict[int, int]] = None,
                  relation_metas: Optional[List[str]] = None,
-                 version_map: Optional[Dict[tuple, int]] = None):
+                 version_map: Optional[Dict[tuple, int]] = None,
+                 origin_filter: str = "any"):
+        self.origin_filter = origin_filter
         self.stop_at_lsn = stop_at_lsn
         self.out_batch_rows = out_batch_rows
         self.version_map = version_map
@@ -626,7 +671,8 @@ class DecodeShard:
             source = self.source_of(segments[0])
             dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
                                   source=source,
-                                  version_map=self.version_map)
+                                  version_map=self.version_map,
+                                  origin_filter=self.origin_filter)
             if self.relation_metas:
                 dec.seed_relations(self.relation_metas)
             wm = self.prune_below.get(source, -1)

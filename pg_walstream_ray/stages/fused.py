@@ -49,7 +49,8 @@ class DecodeProjectRoute:
                  prune_below: Optional[Dict[int, int]] = None,
                  out_batch_rows: int = 32768,
                  precompact: Optional[bool] = None,
-                 version_map: Optional[Dict[tuple, int]] = None):
+                 version_map: Optional[Dict[tuple, int]] = None,
+                 origin_filter: str = "any"):
         import ray
 
         self.registry = registry_ref if isinstance(
@@ -74,6 +75,7 @@ class DecodeProjectRoute:
             else self.registry.version_map()
         self.typed_direct = not os.environ.get("PGWR_NO_TYPED_DECODE")
         self.vdecode_env = not os.environ.get("PGWR_NO_VDECODE")
+        self.origin_filter = origin_filter
 
     def _decode_typed_segments(self, batch: pa.Table) -> Iterator[pa.Table]:
         """Per WAL entry: stream TYPED tables, one per segment (whole-
@@ -89,7 +91,8 @@ class DecodeProjectRoute:
             source = DecodeShard.source_of(segments[0])
             dec = PgOutputDecoder(stop_at_lsn=self.stop_at_lsn,
                                   source=source,
-                                  version_map=self.version_map)
+                                  version_map=self.version_map,
+                                  origin_filter=self.origin_filter)
             wm = self.prune_below.get(source, -1)
             for path in segments:
                 if dec.stopped:

@@ -77,7 +77,8 @@ def _be(data: np.ndarray, idx: np.ndarray, nbytes: int) -> np.ndarray:
 def _clone_decoder(dec: PgOutputDecoder) -> PgOutputDecoder:
     c = PgOutputDecoder(emit_control_rows=dec.emit_control_rows,
                         collect_dml=dec.collect_dml, source=dec.source,
-                        version_map=dec.version_map)
+                        version_map=dec.version_map,
+                        origin_filter=dec.origin_filter)
     c.relations = dict(dec.relations)
     c.rel_versions = dict(dec.rel_versions)
     c._relmeta = dict(dec._relmeta)
@@ -382,8 +383,14 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
             begins.append(i)
             begin_xids.append(msg.xid)
         elif t == 67:                               # Commit
-            commits.append([i, msg.commit_lsn,
-                            pg_ts_to_unix_us(msg.commit_ts), i])
+            if c._tx_foreign:
+                # origin='none', foreign tx: dropped marker — its DML rows
+                # keep commit_lsn -1 and are never released (the clone
+                # discards the shadowed control rows at its own Commit)
+                commits.append([i, -1, -1, i])
+            else:
+                commits.append([i, msg.commit_lsn,
+                                pg_ts_to_unix_us(msg.commit_ts), i])
         elif t == 98:                               # BeginPrepare: opens a tx
             begins.append(i)
             begin_xids.append(msg.xid)
@@ -391,9 +398,18 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
             # DML span; release context stays pending on the gid (dropped
             # -1 markers unless CommitPrepared resolves it in this segment)
             commits.append([i, -1, -1, i])
-            prep_pending[msg.gid] = len(commits) - 1
+            if c._tx_foreign:
+                pass            # foreign prepared tx: stays dropped forever
+            else:
+                prep_pending[msg.gid] = len(commits) - 1
         elif t == 112:                              # StreamPrepare
-            stream_prep[msg.gid] = msg.xid
+            if msg.xid in c._foreign_streams:
+                # foreign streamed prepared tx: leave the gid unregistered
+                # — its xid never resolves here, which routes the segment
+                # to the scalar path (correct, rare)
+                pass
+            else:
+                stream_prep[msg.gid] = msg.xid
         elif t == 75:                               # CommitPrepared
             ts_us = pg_ts_to_unix_us(msg.commit_ts)
             if msg.gid in prep_pending:
@@ -414,12 +430,21 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
         elif t == 69:                               # StreamStop
             s_stops.append(i)
         elif t == 99:                               # StreamCommit
-            stream_done[msg.xid] = (msg.commit_lsn,
-                                    pg_ts_to_unix_us(msg.commit_ts), i)
+            if msg.xid in c._foreign_streams:       # origin='none': discard
+                stream_done[msg.xid] = (0, 0, -1)
+            else:
+                stream_done[msg.xid] = (msg.commit_lsn,
+                                        pg_ts_to_unix_us(msg.commit_ts), i)
         elif t == 65:                               # StreamAbort
             stream_done[msg.xid] = (0, 0, -1)       # discarded
         pre_tx = len(c.tx_buf)
         pre_sb = {x: len(b) for x, b in c.stream_bufs.items()}
+        # capture foreign state BEFORE dispatch (the clone's own boundary
+        # handling resets it) so the shadow bookkeeping mirrors exactly
+        # what the clone released vs discarded
+        pre_foreign = c._tx_foreign
+        pre_foreign_stream = t in (99, 112) and \
+            msg.xid in c._foreign_streams
         c._dispatch(body, li)
         # mirror frame indices of any rows the dispatch buffered/released
         if t == 82:                                 # Relation (immediate)
@@ -427,20 +452,23 @@ def _scan_segment(dec: PgOutputDecoder, frames_col) -> Optional[_SegCtx]:
                 ctrl_fidx.append(i)
                 ctrl_seq.append(i)
         elif t == 67:                               # Commit released tx_buf
-            ctrl_fidx.extend(shadow_tx)
-            ctrl_seq.extend([i] * len(shadow_tx))
+            if not pre_foreign:
+                ctrl_fidx.extend(shadow_tx)
+                ctrl_seq.extend([i] * len(shadow_tx))
             shadow_tx = []
         elif t == 99:                               # StreamCommit released
             rows = shadow_stream.pop(msg.xid, [])
-            ctrl_fidx.extend(rows)
-            ctrl_seq.extend([i] * len(rows))
+            if not pre_foreign_stream:
+                ctrl_fidx.extend(rows)
+                ctrl_seq.extend([i] * len(rows))
         elif t == 65:                               # StreamAbort discarded
             shadow_stream.pop(msg.xid, None)
         elif t == 80:                               # Prepare staged tx_buf
-            shadow_prepared[msg.gid] = shadow_tx
+            shadow_prepared[msg.gid] = [] if pre_foreign else shadow_tx
             shadow_tx = []
         elif t == 112:                              # StreamPrepare staged
-            shadow_prepared[msg.gid] = shadow_stream.pop(msg.xid, [])
+            rows = shadow_stream.pop(msg.xid, [])
+            shadow_prepared[msg.gid] = [] if pre_foreign_stream else rows
         elif t == 75:                               # CommitPrepared released
             rows = shadow_prepared.pop(msg.gid, [])
             ctrl_fidx.extend(rows)

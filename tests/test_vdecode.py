@@ -33,12 +33,13 @@ def _frames_of(wal_dir: str):
         yield [pq.read_table(p, columns=["frame"])["frame"] for p in segs]
 
 
-def _assert_equivalent(spec: walgen.WalSpec, expect_fallback: bool = False):
+def _assert_equivalent(spec: walgen.WalSpec, expect_fallback: bool = False,
+                       origin_filter: str = "any"):
     wal = make_wal(spec)
     saw_vectorized = False
     for seg_cols in _frames_of(wal):
-        ds = PgOutputDecoder(source=0)
-        dv = PgOutputDecoder(source=0)
+        ds = PgOutputDecoder(source=0, origin_filter=origin_filter)
+        dv = PgOutputDecoder(source=0, origin_filter=origin_filter)
         for col in seg_cols:
             ds.feed_frames(col.to_pylist())
             b = ds.take_batch()
@@ -76,7 +77,8 @@ def _registry_of(wal_dir: str) -> SchemaRegistry:
 
 
 def _assert_typed_equivalent(spec: walgen.WalSpec,
-                             expect_fallback: bool = False):
+                             expect_fallback: bool = False,
+                             origin_filter: str = "any"):
     """typed-direct decode == project_envelope(scalar decode), up to row
     order (typed emits grouped by op/version; downstream orders by lsn)."""
     wal = make_wal(spec)
@@ -85,8 +87,10 @@ def _assert_typed_equivalent(spec: walgen.WalSpec,
     oid = walgen.TRANSCRIPTS_OID
     saw_typed = False
     for seg_cols in _frames_of(wal):
-        ds = PgOutputDecoder(source=0, version_map=vmap)
-        dt = PgOutputDecoder(source=0, version_map=vmap)
+        ds = PgOutputDecoder(source=0, version_map=vmap,
+                             origin_filter=origin_filter)
+        dt = PgOutputDecoder(source=0, version_map=vmap,
+                             origin_filter=origin_filter)
         for col in seg_cols:
             ds.feed_frames(col.to_pylist())
             b = ds.take_batch()
@@ -215,12 +219,17 @@ def test_uncommitted_tail_falls_back():
     keepalive_every=st.integers(16, 512),
     segment_rows=st.one_of(st.none(), st.integers(50, 200)),
     binary_text=st.booleans(),
+    origin_every_tx=st.sampled_from([0, 0, 2, 3, 5]),
+    message_every_tx=st.sampled_from([0, 0, 2, 4]),
 ))
 def test_property_random_specs(spec):
     wal = make_wal(spec)
+    # origin markers present -> exercise the filtering path (the
+    # interesting one); no markers -> default keep-all
+    origin_filter = "none" if spec.origin_every_tx else "any"
     for seg_cols in _frames_of(wal):
-        ds = PgOutputDecoder(source=0)
-        dv = PgOutputDecoder(source=0)
+        ds = PgOutputDecoder(source=0, origin_filter=origin_filter)
+        dv = PgOutputDecoder(source=0, origin_filter=origin_filter)
         for col in seg_cols:
             ds.feed_frames(col.to_pylist())
             b = ds.take_batch()
@@ -237,3 +246,25 @@ def test_property_random_specs(spec):
                                             schema=ENVELOPE_SCHEMA)
             assert scalar.equals(vec), spec.to_json()
         assert ds._next_version == dv._next_version
+
+
+def test_origin_filter_equivalent():
+    """origin='none' drops foreign-marked txs identically on the scalar
+    and vectorized paths — plain, prepared, and streamed txs (the streamed
+    'O' arrives unprefixed; the segment's open xid identifies the tx)."""
+    spec = walgen.WalSpec(n_convs=20, turns_per_conv=6, n_shards=1,
+                          tx_rows=10, origin_every_tx=3)
+    _assert_equivalent(spec, origin_filter="none")
+    _assert_typed_equivalent(spec, origin_filter="none")
+    streamed = walgen.WalSpec(n_convs=20, turns_per_conv=6, n_shards=1,
+                              tx_rows=10, origin_every_tx=2,
+                              streamed_frac=0.5, stream_abort_frac=0.2)
+    _assert_equivalent(streamed, origin_filter="none")
+    two_phase = walgen.WalSpec(n_convs=20, turns_per_conv=6, n_shards=1,
+                               tx_rows=10, origin_every_tx=2,
+                               two_phase_frac=0.5,
+                               two_phase_rollback_frac=0.25)
+    _assert_equivalent(two_phase, origin_filter="none")
+    # origin markers present but filter 'any': nothing is dropped and the
+    # fast path stays engaged
+    _assert_equivalent(spec, origin_filter="any")
