@@ -360,6 +360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["docs_cube"] = analytics.docs_cube
     q["group_quantiles_cont"] = analytics.group_quantiles_cont
     q["user_segments"] = analytics.user_segments
+    # global ORDER BY/LIMIT via per-block top-k combiner (k rows/block move)
+    q["events_global_topn"] = analytics.events_global_topn
+    # FULL OUTER co-partitioned join (nullable both sides)
+    q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -897,6 +901,37 @@ def oracle_sql() -> dict[str, str]:
                        LAG(ts) OVER w, ts) AS gap_us
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["events_global_topn"] = """
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)
+                  AS BIGINT) AS rnk,
+             event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      ORDER BY value DESC, event_id
+      LIMIT 100
+    """
+
+    sql["user_day_click_purchase"] = """
+      WITH c AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS click_cents
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      ), p AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS purchase_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      )
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+             COALESCE(c.day, p.day) AS day,
+             c.n_clicks, c.click_cents, p.n_purchases, p.purchase_cents
+      FROM c FULL OUTER JOIN p
+        ON c.user_id = p.user_id AND c.day = p.day
     """
 
     sql["events_window_frame"] = """

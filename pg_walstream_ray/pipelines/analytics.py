@@ -1040,3 +1040,96 @@ def props_json_stats(sf_dir: str):
                          "max_k": pc.cast(t["max_k"], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_global_topn(sf_dir: str, k: int = 100):
+    """Global ORDER BY value DESC, event_id LIMIT k with rank — the
+    global-sort/limit surface done the scale way: a per-block partial
+    top-k combiner (only k rows leave each block, never the stream), then
+    ONE k*nblocks-row merge block assigns the final rank.  A full
+    ``Dataset.sort`` would be an all-to-all over every row for a k-row
+    answer.  Output: (rnk, event_id, cents)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        order = np.lexsort((eid, -v))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        order = np.lexsort((eid, -v))[:k]
+        cents = np.rint(v[order] * 100.0).astype(np.int64)
+        return pa.table({
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "event_id": pa.array(eid[order]),
+            "cents": pa.array(cents),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_size=None, batch_format="pyarrow")
+
+
+def user_day_click_purchase(sf_dir: str):
+    """FULL OUTER co-partitioned join: per (user_id, day) click activity
+    vs purchase activity — either side may be absent (NULL columns), the
+    join surface the engine previously lacked (inner/semi/anti/asof/left
+    all exist).
+
+    One pass over events (both types in one read, one filter), one
+    shuffle by ``user_id % NPART`` (both sides co-partition; day rides
+    along), then a vectorized per-bucket groupby + unstack — emitted as
+    an Arrow table with explicit nullable int64 columns so NULL semantics
+    hash identically to the SQL FULL OUTER.
+
+    Output: (user_id, day, n_clicks, click_cents, n_purchases,
+    purchase_cents)."""
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+    npart = coarse_npart()
+
+    def route(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return pa.table({"user_id": t["user_id"], "day": day,
+                         "etype": t["event_type"], "value": t["value"],
+                         "bucket": b})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "d": g["day"].to_numpy(object),
+                           "t": g["etype"].to_numpy(object),
+                           "c": cents})
+        agg = df.groupby(["u", "d", "t"])["c"].agg(["size", "sum"]) \
+            .unstack("t")          # columns: (size|sum) x (click|purchase)
+        idx = agg.index
+        def col(stat, typ):
+            if (stat, typ) in agg.columns:
+                return pa.array(agg[(stat, typ)].astype("Int64"),
+                                pa.int64())
+            return pa.nulls(len(agg), pa.int64())
+        return pa.table({
+            "user_id": pa.array(idx.get_level_values("u").to_numpy(np.int64)),
+            "day": pa.array(idx.get_level_values("d").to_numpy(object),
+                            pa.string()),
+            "n_clicks": col("size", "click"),
+            "click_cents": col("sum", "click"),
+            "n_purchases": col("size", "purchase"),
+            "purchase_cents": col("sum", "purchase"),
+        })
+
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                      num_cpus=1)

@@ -160,3 +160,47 @@ def test_logical_messages_transported(ray_session, tmp_path):
     rows2 = events.filter_ops(events.envelope_dataset(str(d2)),
                               ["message"]).to_pandas()
     assert len(rows2) >= n_txs_with_msg
+
+
+def test_window_frame_ntile_small_groups(ray_session, tmp_path):
+    """NTILE/moving-frame edge cases the testdata never hits (users with
+    fewer events than tiles): exact SQL NTILE semantics vs DuckDB on a
+    planted tiny events table (group sizes 1, 2, 3, 5, 9)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pg_walstream_ray.pipelines.temporal import events_window_frame
+
+    rows = []
+    eid = 0
+    for u, n in [(1, 1), (2, 2), (3, 3), (4, 5), (5, 9)]:
+        for i in range(n):
+            rows.append((eid, np.datetime64("2024-01-01", "us")
+                         + np.timedelta64(eid, "m"), u, "click",
+                         float(eid % 7) + 0.25, "{}"))
+            eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_window_frame(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS mov_cents,
+             CAST(NTILE(4) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS tile
+      FROM read_parquet('{tmp_path}/events.parquet')
+      ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "mov_cents", "tile"]],
+        want, check_dtype=False)
