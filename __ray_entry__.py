@@ -426,6 +426,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # k-means clustering: iterative (non-SQL-expressible) -> rows-only
     # driver check; self-consistency + determinism pinned in tests
     q["embedding_kmeans"] = similarity.embedding_kmeans
+    # SemDeDup-shaped semantic dedup (kmeans buckets -> within-cluster
+    # cosine prune): iterative clustering -> rows-only driver check;
+    # keeper invariants + determinism pinned in tests
+    q["semantic_dedup"] = lambda sf: similarity.semantic_dedup(sf) \
+        .select_columns(["vec_id", "cluster_id", "keep", "dup_of"])
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters

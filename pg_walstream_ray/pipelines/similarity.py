@@ -403,8 +403,7 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
-                     iters: int = KMEANS_ITERS):
+def _train_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
     """Distributed Lloyd's k-means over the embedding column (cosine
     geometry: unit vectors, spherical centroid update) — the semantic
     bucketing primitive behind cluster-balanced sampling and
@@ -420,6 +419,8 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
     O(k x d x num_batches) floats leave the workers and the corpus is
     never shuffled or materialized.  The final labeling pass streams
     straight out.  Deterministic: seeded init, bounded iterations.
+    Returns the trained centroid matrix (shared by embedding_kmeans and
+    semantic_dedup).
     """
     import ray
 
@@ -462,7 +463,16 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
             else:                                  # re-seed empty cluster
                 cent[c_i] = sm[rng.integers(0, len(sm))]
 
-    cent_ref = ray.put(cent)
+    return cent
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    """Final k-means assignments (see _train_kmeans for the training
+    scale shape).  Output: (vec_id, cluster_id)."""
+    import ray
+
+    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
 
     def label(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -474,3 +484,74 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
 
     return _emb(sf_dir).map_batches(label, batch_format="pyarrow",
                                     batch_size=8192)
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.35,
+                   k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """SemDeDup-shaped semantic dedup (public recipe: k-means buckets the
+    corpus, pairwise cosine is confined WITHIN each cluster, duplicates
+    keep one representative): the scale answer to all-pairs near-dup —
+    pairwise flops drop from O(n^2) to O(sum n_c^2), and each cluster
+    prunes independently.
+
+    Keeper rule (deterministic): ids ascending within a cluster; a vector
+    is dropped iff cosine >= threshold against an already-KEPT lower-id
+    vector, recording that keeper as ``dup_of``.
+
+    Output: (vec_id, cluster_id, keep:int32, dup_of: nullable int64).
+
+    Scale shape: ONE shuffle routes (vec_id, embedding) by the final
+    cluster assignment (computed in the same map — no join with a labels
+    table); the per-cluster pass is vectorized (one matmul row per
+    candidate against the kept prefix).  k must scale with corpus size
+    (target cluster cardinality, not cluster count, is the knob: at
+    n=10^9 and ~10^4 vectors/cluster, k=10^5).  Known SemDeDup caveat,
+    inherited deliberately: near-dups straddling a cluster boundary are
+    not compared (recall trades against the O(n^2) wall).
+    """
+    import ray
+
+    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
+
+    def route(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _batch_matrix(t)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        assign = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": t["embedding"],
+                         "cluster_id": pa.array(assign)})
+
+    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
+        order = np.argsort(g["vec_id"].to_numpy(np.int64), kind="stable")
+        ids = g["vec_id"].to_numpy(np.int64)[order]
+        m = np.asarray([np.asarray(v, np.float32)
+                        for v in g["embedding"].to_numpy(object)[order]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(ids)
+        keep = np.ones(n, bool)
+        dup_of = np.full(n, -1, np.int64)
+        kept_rows: list = [0] if n else []
+        for i in range(1, n):
+            km = m[kept_rows]                   # kept prefix matrix
+            sims = km @ m[i]
+            j = np.nonzero(sims >= threshold)[0]
+            if len(j):
+                keep[i] = False
+                dup_of[i] = ids[kept_rows[int(j[0])]]
+            else:
+                kept_rows.append(i)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster_id": pa.array(
+                g["cluster_id"].to_numpy(np.int64)[order]),
+            "keep": pa.array(keep.astype(np.int32)),
+            "dup_of": pa.array(
+                np.ma.masked_array(dup_of, mask=dup_of < 0)),
+        })
+
+    return _emb(sf_dir).map_batches(route, batch_format="pyarrow",
+                                    batch_size=8192) \
+        .groupby("cluster_id").map_groups(dedup_cluster,
+                                          batch_format="pandas",
+                                          num_cpus=1)

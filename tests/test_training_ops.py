@@ -544,3 +544,41 @@ def test_dedup_clusters_matches_local_cc(ray_session):
         got[["vec_id", "cluster_id", "cluster_size", "keep"]],
         want.sort_values("vec_id").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_semantic_dedup_invariants(ray_session):
+    """SemDeDup keeper invariants at sf0.001: every dropped vector is
+    >= threshold-similar to its recorded keeper (which is kept, lower-id,
+    same cluster); every kept pair within a cluster is < threshold;
+    deterministic across runs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pg_walstream_ray.pipelines.similarity import semantic_dedup
+
+    got = semantic_dedup(SF).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .set_index("vec_id")["embedding"]
+    m = np.asarray([np.asarray(v, np.float32) for v in emb])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    pos = {v: i for i, v in enumerate(emb.index)}
+
+    assert len(got) == len(emb)
+    by_id = got.set_index("vec_id")
+    for _, r in got[got["keep"] == 0].iterrows():
+        d = int(r["dup_of"])
+        assert d < r.name or d < int(r["vec_id"])
+        assert by_id.loc[d, "keep"] == 1
+        assert by_id.loc[d, "cluster_id"] == r["cluster_id"]
+        sim = float(m[pos[int(r["vec_id"])]] @ m[pos[d]])
+        assert sim >= 0.35 - 1e-6
+    for cl, grp in got[got["keep"] == 1].groupby("cluster_id"):
+        ids = grp["vec_id"].to_numpy()
+        km = m[[pos[int(v)] for v in ids]]
+        sims = km @ km.T
+        np.fill_diagonal(sims, 0)
+        assert sims.max(initial=0) < 0.35 + 1e-6
+    got2 = semantic_dedup(SF).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
