@@ -447,6 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pack_sequences"] = textops.pack_sequences
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
+    # dictionary redaction (PII-scrub plumbing, synthetic term list)
+    q["redact_terms"] = textops.redact_terms
+    # deterministic source-weighted mixing (data-mixing primitive)
+    q["source_mix_sample"] = lambda sf: textops.source_mix_sample(
+        sf, hash_mode="md5")
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -692,6 +697,24 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) AS n_events,
              ROUND(SUM(value), 2) AS sum_value
       FROM events GROUP BY 1
+    """
+
+    sql["redact_terms"] = r"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(customer|key|spark)\b'))
+                  AS BIGINT) AS n_hits,
+             CAST(length(regexp_replace(text, '\b(customer|key|spark)\b',
+                                        '[REDACTED]', 'g')) AS BIGINT)
+               AS text_out_len
+      FROM documents
+    """
+
+    sql["source_mix_sample"] = """
+      SELECT doc_id, source
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000
+            < (CAST(substr(source, 4) AS BIGINT) * 53) % 1000
     """
 
     sql["doc_sample"] = """

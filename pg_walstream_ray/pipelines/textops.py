@@ -530,3 +530,69 @@ def decontaminate(sf_dir: str, bench_mod: int = DECON_BENCH_MOD):
 
     return _docs(sf_dir).map_batches(scan, batch_format="pyarrow",
                                      batch_size=4096)
+
+
+REDACT_TERMS = ("customer", "spark", "key")
+
+
+def redact_terms(sf_dir: str, terms=REDACT_TERMS, token: str = "[REDACTED]"):
+    """Dictionary-based redaction — the PII/blocklist-scrub plumbing (term
+    list broadcast once, vectorized regex alternation per batch; swap the
+    synthetic term list for an email/phone/SSN pattern set in production).
+
+    Output: (doc_id, n_hits, text_out_len) — redacted length + hit count
+    per document (the redacted text itself stays inside the pipeline; a
+    production run would write_parquet it).
+
+    Scale shape: pure map — Arrow RE2 kernels run once per BATCH over the
+    whole column (no per-row Python), zero shuffle, prunes to the two
+    columns it reads.
+    """
+    pat = "\\b(" + "|".join(sorted(terms)) + ")\\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(t["text"], pattern=pat)
+        out = pc.replace_substring_regex(t["text"], pattern=pat,
+                                         replacement=token)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hits": pc.cast(hits, pa.int64()),
+            "text_out_len": pc.cast(pc.utf8_length(out), pa.int64()),
+        })
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def source_mix_sample(sf_dir: str, hash_mode: str = "fast"):
+    """Deterministic source-weighted mixing — the data-mixing primitive of
+    corpus construction: each source s keeps a per-source fraction
+    (permille = (src_num * 53) % 1000, src_num parsed from the name) of
+    its documents, selected by content-stable id hash (never a seeded
+    RNG: resampling any shard reproduces the same mixture).
+
+    Output: (doc_id, source) — the surviving mixture.
+
+    Scale shape: pure map over (doc_id, source); weights are a formula
+    here, a broadcast dict in production — zero shuffle either way.
+    """
+    from ..functions.hashing import fast_hash64
+
+    def fn(t: pa.Table) -> pa.Table:
+        src_num = pc.cast(pc.utf8_slice_codeunits(t["source"], 3),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        permille = (src_num * 53) % 1000
+        if hash_mode == "md5":
+            ids = t["doc_id"].to_pylist()
+            h = np.fromiter(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+                 for i in ids), dtype=np.int64, count=len(ids))
+        else:
+            h = (fast_hash64(pc.cast(t["doc_id"], pa.string()))
+                 % np.uint64(1000)).astype(np.int64)
+        keep = pa.array(h < permille)
+        return pa.table({"doc_id": t["doc_id"].filter(keep),
+                         "source": t["source"].filter(keep)})
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        fn, batch_format="pyarrow")
