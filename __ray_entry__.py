@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_window_functions"] = temporal.events_window_functions
     # frame-bounded (ROWS BETWEEN) + NTILE tiling window surface
     q["events_window_frame"] = temporal.events_window_frame
+    # RANK / DENSE_RANK / LEAD (ranking + forward-looking windows)
+    q["events_rank_lead"] = temporal.events_rank_lead
     # ordered string_agg / collect surface (per-user event journey)
     q["user_event_journey"] = temporal.user_event_journey
 
@@ -440,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
     q["text_normalize"] = textops.text_normalize
+    # Gopher-style repetition filter (dup-token + top n-gram fractions)
+    q["repetition_filter"] = textops.repetition_filter
     q["tfidf_top_terms"] = textops.tfidf_top_terms
     q["decontaminate"] = textops.decontaminate
     # sequence packing: bin assignment is algorithmic (FFD), not
@@ -788,6 +792,37 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     """
 
+    sql["repetition_filter"] = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents),
+      toks AS (SELECT doc_id, len(l) AS n_tokens,
+                      len(list_distinct(l)) AS n_distinct FROM t),
+      big AS (SELECT doc_id, unnest(list_zip(l, l[2:])) AS pr FROM t),
+      bigc AS (SELECT doc_id, MAX(c) AS top2 FROM (
+                 SELECT doc_id, pr, COUNT(*) AS c FROM big
+                 WHERE pr[2] IS NOT NULL GROUP BY doc_id, pr)
+               GROUP BY doc_id),
+      tri AS (SELECT doc_id, unnest(list_zip(l, l[2:], l[3:])) AS pr FROM t),
+      tric AS (SELECT doc_id, MAX(c) AS top3 FROM (
+                 SELECT doc_id, pr, COUNT(*) AS c FROM tri
+                 WHERE pr[3] IS NOT NULL GROUP BY doc_id, pr)
+               GROUP BY doc_id)
+      SELECT toks.doc_id, n_tokens,
+             CAST(FLOOR((n_tokens - n_distinct) * 10000.0 / n_tokens)
+                  AS BIGINT) AS dup_tok_q,
+             CAST(FLOOR(COALESCE(top2, 0) * 2 * 10000.0 / n_tokens)
+                  AS BIGINT) AS top2_q,
+             CAST(FLOOR(COALESCE(top3, 0) * 3 * 10000.0 / n_tokens)
+                  AS BIGINT) AS top3_q,
+             (CAST(FLOOR((n_tokens - n_distinct) * 10000.0 / n_tokens)
+                   AS BIGINT) > 6000
+              OR CAST(FLOOR(COALESCE(top2, 0) * 2 * 10000.0 / n_tokens)
+                      AS BIGINT) > 2000
+              OR CAST(FLOOR(COALESCE(top3, 0) * 3 * 10000.0 / n_tokens)
+                      AS BIGINT) > 1800) AS is_repetitive
+      FROM toks LEFT JOIN bigc USING (doc_id) LEFT JOIN tric USING (doc_id)
+    """
+
     sql["top_orders_per_customer"] = """
       SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -929,6 +964,21 @@ def oracle_sql() -> dict[str, str]:
                        LAG(ts) OVER w, ts) AS gap_us
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["events_rank_lead"] = """
+      WITH e AS (SELECT event_id, user_id,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT event_id, user_id, cents,
+             CAST(RANK() OVER (PARTITION BY user_id ORDER BY cents DESC)
+                  AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                                     ORDER BY cents DESC)
+                  AS BIGINT) AS drnk,
+             LEAD(cents) OVER (PARTITION BY user_id
+                               ORDER BY cents DESC, event_id) AS lead_cents
+      FROM e
     """
 
     sql["events_global_topn"] = """

@@ -358,6 +358,57 @@ def events_window_frame(sf_dir: str, frame: int = 3, tiles: int = 4):
                                           num_cpus=1))
 
 
+def events_rank_lead(sf_dir: str):
+    """The ranking / forward-looking window surface, completing the
+    window-function family (ROW_NUMBER/LAG/SUM: events_window_functions;
+    frames/NTILE: events_window_frame):
+      rnk        RANK() OVER (PARTITION BY user_id ORDER BY cents DESC)
+                 — ties share the rank, gaps follow
+      drnk       DENSE_RANK() — ties share, no gaps
+      lead_cents LEAD(cents) OVER (PARTITION BY user_id
+                 ORDER BY cents DESC, event_id) — NULL at partition end
+
+    Output: (event_id, user_id, cents, rnk, drnk, lead_cents).
+
+    Same single-shuffle shape as the sibling operators: bucket by
+    ``user_id % NPART``, one vectorized pandas pass per bucket (C rank
+    kernels + shift; no per-row Python).
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id", "value"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "c": cents,
+                           "e": g["event_id"].to_numpy(np.int64)})
+        df = df.sort_values(["u", "c", "e"], ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        gr = df.groupby("u", sort=False)
+        rnk = gr["c"].rank(ascending=False, method="min") \
+            .to_numpy(np.int64)
+        drnk = gr["c"].rank(ascending=False, method="dense") \
+            .to_numpy(np.int64)
+        lead = gr["c"].shift(-1)                 # float64 with NaN at ends
+        return pa.table({
+            "event_id": pa.array(df["e"].to_numpy()),
+            "user_id": pa.array(df["u"].to_numpy()),
+            "cents": pa.array(df["c"].to_numpy()),
+            "rnk": pa.array(rnk),
+            "drnk": pa.array(drnk),
+            "lead_cents": pa.array(lead.astype("Int64"), pa.int64()),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))
+
+
 def user_event_journey(sf_dir: str, sep: str = ","):
     """Ordered collect / string_agg surface: each user's event-type
     sequence joined in (ts, event_id) order — the "session journey"

@@ -564,6 +564,98 @@ def redact_terms(sf_dir: str, terms=REDACT_TERMS, token: str = "[REDACTED]"):
         fn, batch_format="pyarrow")
 
 
+def _per_doc_max_count(doc_of_pos: np.ndarray, gram_id: np.ndarray,
+                       n_docs: int, n_grams: int) -> np.ndarray:
+    """Max occurrence count of any single gram per doc.
+
+    One combined sort key (doc * n_grams + gram), one np.unique
+    run-length, one reduceat — no per-doc Python."""
+    out = np.zeros(n_docs, np.int64)
+    if len(gram_id) == 0:
+        return out
+    key = doc_of_pos * np.int64(n_grams) + gram_id
+    uk, cnt = np.unique(key, return_counts=True)
+    ud = uk // n_grams
+    starts = np.flatnonzero(np.concatenate([[True], ud[1:] != ud[:-1]]))
+    out[ud[starts]] = np.maximum.reduceat(cnt, starts)
+    return out
+
+
+def repetition_filter(sf_dir: str):
+    """Gopher-style intra-document repetition statistics (the repetition
+    quality filters of Rae et al. 2021 §A1.1.2 — duplicate-token fraction
+    plus the fraction of tokens covered by the most frequent 2-gram and
+    3-gram) and the resulting keep/drop flag.
+
+    Output: (doc_id, n_tokens, dup_tok_q, top2_q, top3_q, is_repetitive)
+    with the fractions as floor(x*10000) basis-point ints (float-free
+    value hashing, same convention as TextStatsStage).
+
+    Scale shape: zero shuffle — one map pass.  Tokens are batch-locally
+    integer-coded with Arrow's dictionary_encode (C++ hash table, no
+    Python per token); n-gram identities come from an id cascade
+    (bigram id = unique(token_id * V + next_token_id), trigram id =
+    unique(bigram_id * V + third_token_id)), so all ids stay well inside
+    int64 at any batch size; per-doc top counts are one sort-free
+    np.unique run-length + reduceat.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        denc = pc.dictionary_encode(split.flatten())
+        g1 = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(denc.dictionary)) or np.int64(1)
+        n = t.num_rows
+        n_tokens = np.diff(offsets)
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_tokens)
+        # distinct tokens per doc (duplicate-unigram fraction)
+        uniq_dt = np.unique(doc * V + g1)
+        n_distinct = np.bincount(uniq_dt // V, minlength=n).astype(np.int64)
+
+        flat = len(g1)
+        top2 = np.zeros(n, np.int64)
+        top3 = np.zeros(n, np.int64)
+        if flat >= 2:
+            # bigram ids aligned to every position i in [0, flat-1)
+            k2 = g1[:-1] * V + g1[1:]
+            u2, g2 = np.unique(k2, return_inverse=True)
+            ok2 = doc[:-1] == doc[1:]
+            top2 = _per_doc_max_count(doc[:-1][ok2], g2[ok2], n, len(u2))
+            if flat >= 3:
+                k3 = g2[:-1] * V + g1[2:]
+                u3, g3 = np.unique(k3, return_inverse=True)
+                # doc is sorted, so doc[i] == doc[i+2] implies i+1 too
+                ok3 = doc[:-2] == doc[2:]
+                top3 = _per_doc_max_count(doc[:-2][ok3], g3[ok3], n,
+                                          len(u3))
+
+        # identical float expression order to the SQL oracle (single
+        # IEEE754 division -> same double -> same floor in both engines)
+        nt = n_tokens.astype(np.float64)
+        dup_q = np.floor((n_tokens - n_distinct) * 10000.0 / nt).astype(
+            np.int64)
+        top2_q = np.floor(top2 * 2 * 10000.0 / nt).astype(np.int64)
+        top3_q = np.floor(top3 * 3 * 10000.0 / nt).astype(np.int64)
+        rep = (dup_q > 6000) | (top2_q > 2000) | (top3_q > 1800)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "dup_tok_q": pa.array(dup_q),
+            "top2_q": pa.array(top2_q),
+            "top3_q": pa.array(top3_q),
+            "is_repetitive": pa.array(rep),
+        })
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                     batch_size=4096)
+
+
 def source_mix_sample(sf_dir: str, hash_mode: str = "fast"):
     """Deterministic source-weighted mixing — the data-mixing primitive of
     corpus construction: each source s keeps a per-source fraction
