@@ -121,6 +121,62 @@ def parse_pg_timestamp(arr: pa.Array, lenient: bool = False
     return out, bad
 
 
+def parse_pg_date(arr: pa.Array, lenient: bool = False
+                  ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """Date text 'YYYY-MM-DD' -> date32 (pg DATE, OID 1082)."""
+    s = pc.utf8_trim_whitespace(arr)
+    ts = pc.strptime(s, "%Y-%m-%d", "s", error_is_null=True)
+    out = pc.cast(ts, pa.date32())
+    bad = pc.and_(pc.is_null(out), pc.is_valid(arr))
+    if not lenient and pc.any(bad).as_py():
+        idx = pc.index(bad, True).as_py()
+        raise ValueError(f"invalid pg date text {arr[idx].as_py()!r}")
+    return out, (bad if lenient else None)
+
+
+def parse_pg_numeric(arr: pa.Array, typ: pa.DataType, lenient: bool = False
+                     ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """NUMERIC text -> decimal128 (opt-in typed form of pg numeric).
+
+    The registry's default mapping keeps OID 1700 as lossless text
+    (schema_registry.PG_OID_TO_ARROW) since pg numeric is unbounded;
+    embedding applications that know their precision can override the
+    OID map with a decimal128(p, s) and this parser takes over.  'NaN'
+    (a legal pg numeric) has no decimal representation: error in strict
+    mode, null + error-mask in lenient mode.
+    """
+    s = pc.utf8_trim_whitespace(arr)
+    s = pc.if_else(pc.starts_with(s, "+"), pc.utf8_slice_codeunits(s, 1), s)
+    if not lenient:
+        return pc.cast(s, typ), None
+    ok = pc.fill_null(pc.match_substring_regex(
+        s, r"^-?[0-9]+(\.[0-9]+)?$"), False)
+    safe = pc.if_else(ok, s, pa.scalar(None, pa.string()))
+    try:
+        out = pc.cast(safe, typ)
+        bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+    except pa.ArrowInvalid:
+        # regex-clean values that still don't fit (precision/scale
+        # overflow): per-value cold path — null them and flag
+        import decimal
+        vals, badl = [], []
+        for v, orig_valid in zip(safe.to_pylist(),
+                                 pc.is_valid(arr).to_pylist()):
+            if v is None:
+                vals.append(None)
+                badl.append(orig_valid)       # regex-rejected original
+                continue
+            try:
+                vals.append(pa.array([decimal.Decimal(v)], typ)[0].as_py())
+                badl.append(False)
+            except (pa.ArrowInvalid, decimal.InvalidOperation):
+                vals.append(None)
+                badl.append(True)
+        out = pa.array(vals, typ)
+        bad = pa.array(badl, pa.bool_())
+    return out, bad
+
+
 def parse_pg_bytea(arr: pa.Array, lenient: bool = False
                    ) -> Tuple[pa.Array, Optional[pa.Array]]:
     """Hex bytea text '\\x0a0b' -> binary (column_value.rs:17-56)."""
@@ -164,6 +220,10 @@ def cast_pg_text(arr: pa.Array, typ: pa.DataType, lenient: bool = False
         return parse_pg_float(arr, typ, lenient)
     if pa.types.is_timestamp(typ):
         return parse_pg_timestamp(arr, lenient)
+    if pa.types.is_date(typ):
+        return parse_pg_date(arr, lenient)
+    if pa.types.is_decimal(typ):
+        return parse_pg_numeric(arr, typ, lenient)
     if pa.types.is_binary(typ):
         return parse_pg_bytea(arr, lenient)
     return pc.cast(arr, typ), None

@@ -40,7 +40,12 @@ PG_OID_TO_ARROW = {
     17: pa.binary(),       # bytea
     114: pa.string(),      # json (kept as text, §1.2: nested types stay text)
     3802: pa.string(),     # jsonb
-    1700: pa.string(),     # numeric: keep lossless text
+    1700: pa.string(),     # numeric: keep lossless text by default (pg
+                           # numeric is unbounded); apps that know their
+                           # precision can override this entry with a
+                           # pa.decimal128(p, s) — functions/pgtext
+                           # parse_pg_numeric handles the typed cast
+    1082: pa.date32(),     # date ('YYYY-MM-DD' text form)
 }
 
 

@@ -74,6 +74,75 @@ def test_bytea_hex_roundtrip():
     assert out.to_pylist() == [None] and bad.to_pylist() == [True]
 
 
+def test_date_parsing():
+    out, _ = pgtext.parse_pg_date(pa.array(["2024-05-01", None]))
+    assert out.type == pa.date32()
+    vals = out.to_pylist()
+    assert vals[0].year == 2024 and vals[0].month == 5 and vals[0].day == 1
+    assert vals[1] is None
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_date(pa.array(["not-a-date"]))
+    out, bad = pgtext.parse_pg_date(pa.array(["2024-05-01", "nope"]),
+                                    lenient=True)
+    assert out.to_pylist()[1] is None
+    assert bad.to_pylist() == [False, True]
+
+
+def test_numeric_decimal_parsing():
+    import decimal
+
+    typ = pa.decimal128(18, 4)
+    out, _ = pgtext.parse_pg_numeric(
+        pa.array(["12.3456", "-7", "+0.5", None]), typ)
+    assert out.type == typ
+    assert out.to_pylist() == [decimal.Decimal("12.3456"),
+                               decimal.Decimal("-7"),
+                               decimal.Decimal("0.5"), None]
+    # strict: junk raises
+    with pytest.raises(Exception):
+        pgtext.parse_pg_numeric(pa.array(["NaN"]), typ)
+    # lenient: junk and out-of-precision -> null + flag
+    out, bad = pgtext.parse_pg_numeric(
+        pa.array(["1.25", "NaN", "9" * 30, None]), typ, lenient=True)
+    assert out.to_pylist()[0] == decimal.Decimal("1.25")
+    assert out.to_pylist()[1] is None and out.to_pylist()[2] is None
+    assert bad.to_pylist() == [False, True, True, False]
+
+
+def test_date_typed_projection_end_to_end():
+    """DATE (OID 1082) columns flow decode -> registry -> typed projection
+    as date32 by default."""
+    from pg_walstream_ray.stages.decode import decode_frames
+    from pg_walstream_ray.stages.typed import project_envelope
+    from pg_walstream_ray.state.schema_registry import SchemaRegistry
+    from pg_walstream_ray.wire import codec
+    from pg_walstream_ray.wire.frames import encode_xlogdata
+
+    OID = 30002
+    rel = codec.Relation(OID, "public", "dts", "d", [
+        codec.ColumnInfo(1, "k", 23, -1),
+        codec.ColumnInfo(0, "day", 1082, -1),
+    ])
+
+    def f(lsn, msg):
+        return encode_xlogdata(lsn, lsn, 0, codec.encode_message(msg))
+
+    frames = [
+        f(1, codec.Begin(9, 0, 1)), f(2, rel),
+        f(3, codec.Insert(OID, [(b"t", b"1"), (b"t", b"2024-05-01")])),
+        f(4, codec.Insert(OID, [(b"t", b"2"), (b"n", b"")])),
+        f(9, codec.Commit(0, 9, 10, 0)),
+    ]
+    env = decode_frames(frames)
+    reg = SchemaRegistry()
+    reg.ingest_envelope(env)
+    typed = project_envelope(env, reg, OID)
+    assert typed.schema.field("day").type == pa.date32()
+    rows = {r["k"]: r for r in typed.to_pylist()}
+    assert rows[1]["day"].isoformat() == "2024-05-01"
+    assert rows[2]["day"] is None
+
+
 def test_cast_dispatch():
     out, _ = pgtext.cast_pg_text(pa.array(["5"]), pa.int16())
     assert out.type == pa.int16()
