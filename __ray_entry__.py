@@ -406,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_incremental"] = lambda sf: dedup.incremental_dedup(
         sf, hash_mode="md5")
     q["dedup_minhash_lsh"] = dedup.minhash_dedup
+    # exact-substring dedup signal (Lee et al. 2021): duplicated k-token
+    # shingle positions per doc, corpus-wide
+    q["dup_span_stats"] = lambda sf: dedup.dup_span_stats(
+        sf, hash_mode="md5")
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
@@ -1099,6 +1103,24 @@ def oracle_sql() -> dict[str, str]:
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       FROM documents
       GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+    """
+
+    sql["dup_span_stats"] = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents),
+      pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t),
+      sgl AS (SELECT doc_id,
+                     ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')),
+                                     1, 15))::BIGINT AS h
+              FROM pos),
+      cnt AS (SELECT h, doc_id, COUNT(*) AS c FROM sgl GROUP BY h, doc_id),
+      tot AS (SELECT h, SUM(c) AS g FROM cnt GROUP BY h)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN g > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_shingles,
+             CAST(FLOOR(SUM(CASE WHEN g > 1 THEN c ELSE 0 END) * 10000.0
+                        / SUM(c)) AS BIGINT) AS dup_frac_q
+      FROM cnt JOIN tot USING (h) GROUP BY doc_id
     """
 
     from pg_walstream_ray.pipelines.dedup import INCREMENT_SOURCES

@@ -572,3 +572,102 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.35):
 
     return labels.map_batches(by_cluster, batch_format="pyarrow") \
         .groupby("part").map_groups(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
+    """Cross-document duplicated-span statistics — the exact-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), at token-shingle granularity: for every
+    document, how many of its k-token shingle positions carry a shingle
+    that occurs MORE THAN ONCE in the whole corpus (in any document,
+    intra-document repeats included).  A span-removal pass would join the
+    duplicated shingle set back against token positions; this operator
+    computes the per-document signal the removal (or filtering) decision
+    consumes.
+
+    Output: (doc_id, n_shingles, dup_shingles, dup_frac_q), with
+    dup_frac_q = floor(dup/total * 10000) basis points.  Documents with
+    fewer than k tokens have no shingles and emit no row (mirrored by the
+    SQL oracle).
+
+    Scale shape: the text never shuffles.  The map stage builds shingle
+    strings with k zero-copy Arrow slices + one binary_join kernel and
+    ships ONE (shingle_hash, doc_id, count) row per distinct pair; then
+    two coarse-partition reductions (by hash bucket: global counts +
+    per-doc partials; by doc bucket: final sums).  hash_mode='md5' is the
+    SQL-bridge mode pinned by the driver query; 'fast' (default) is the
+    vectorized xxhash production path.
+    """
+    npart = coarse_npart()
+
+    def shingle_counts(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+        empty = pa.table({"bpart": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if L < k:
+            return empty
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, L - k + 1) for j in range(k)], " ")
+        n_tokens = np.diff(offsets)
+        doc_pos = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_tokens)
+        ok = doc_pos[: L - k + 1] == doc_pos[k - 1:]
+        if not ok.any():
+            return empty
+        h = content_hash60(joined, hash_mode)[ok]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = ids[doc_pos[: L - k + 1][ok]]
+        order = np.lexsort((h, d))
+        sh, sd = h[order], d[order]
+        new = np.concatenate([[True], (sh[1:] != sh[:-1])
+                              | (sd[1:] != sd[:-1])])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(sh))).astype(np.int64)
+        return pa.table({"bpart": pa.array(sh[starts] % npart),
+                         "h": pa.array(sh[starts]),
+                         "doc_id": pa.array(sd[starts]),
+                         "cnt": pa.array(cnt)})
+
+    def per_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["cnt"].to_numpy(np.int64)
+        tot = g.groupby("h")["cnt"].transform("sum").to_numpy(np.int64)
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "ns": cnt,
+                             "dup": np.where(tot > 1, cnt, 0)})
+        agg = part.groupby("doc_id", as_index=False).sum()
+        agg["dpart"] = agg["doc_id"] % npart
+        return agg
+
+    def per_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("doc_id", as_index=False)[["ns", "dup"]].sum()
+        ns = a["ns"].to_numpy(np.int64)
+        dup = a["dup"].to_numpy(np.int64)
+        q = np.floor(dup * 10000.0 / ns.astype(np.float64)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(a["doc_id"].to_numpy(np.int64)),
+                         "n_shingles": pa.array(ns),
+                         "dup_shingles": pa.array(dup),
+                         "dup_frac_q": pa.array(q)})
+
+    return (_docs(sf_dir)
+            .map_batches(shingle_counts, batch_format="pyarrow",
+                         batch_size=4096)
+            .groupby("bpart").map_groups(per_hash_bucket,
+                                         batch_format="pandas")
+            .groupby("dpart").map_groups(per_doc_bucket,
+                                         batch_format="pandas"))
