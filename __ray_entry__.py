@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # shingle positions per doc, corpus-wide
     q["dup_span_stats"] = lambda sf: dedup.dup_span_stats(
         sf, hash_mode="md5")
+    q["dup_span_removal"] = lambda sf: dedup.dup_span_removal(
+        sf, hash_mode="md5")
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
@@ -1121,6 +1123,32 @@ def oracle_sql() -> dict[str, str]:
              CAST(FLOOR(SUM(CASE WHEN g > 1 THEN c ELSE 0 END) * 10000.0
                         / SUM(c)) AS BIGINT) AS dup_frac_q
       FROM cnt JOIN tot USING (h) GROUP BY doc_id
+    """
+
+    sql["dup_span_removal"] = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents),
+      pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t),
+      sgl AS (SELECT doc_id, i,
+                     ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')),
+                                     1, 15))::BIGINT AS h
+              FROM pos),
+      tot AS (SELECT h, COUNT(*) AS g FROM sgl GROUP BY h),
+      cov AS (SELECT DISTINCT doc_id, p FROM (
+                SELECT s.doc_id, unnest(range(s.i, s.i + 5)) AS p
+                FROM sgl s JOIN tot USING (h) WHERE g > 1)),
+      tokpos AS (SELECT doc_id, unnest(l) AS tok,
+                        generate_subscripts(l, 1) AS p FROM t),
+      kept AS (SELECT k.doc_id,
+                      string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
+                      COUNT(*) AS n_kept
+               FROM tokpos k LEFT JOIN cov c
+                 ON k.doc_id = c.doc_id AND k.p = c.p
+               WHERE c.p IS NULL GROUP BY k.doc_id)
+      SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(clean_text, '') AS clean_text
+      FROM t LEFT JOIN kept USING (doc_id)
     """
 
     from pg_walstream_ray.pipelines.dedup import INCREMENT_SOURCES

@@ -671,3 +671,125 @@ def dup_span_stats(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
                                          batch_format="pandas")
             .groupby("dpart").map_groups(per_doc_bucket,
                                          batch_format="pandas"))
+
+
+def dup_span_removal(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
+    """Exact-substring span REMOVAL (the transform dup_span_stats is the
+    signal for; Lee et al. 2021): every token covered by a k-token shingle
+    that occurs more than once corpus-wide is dropped, and the document is
+    re-emitted with the surviving tokens.
+
+    Output: (doc_id, n_tokens, n_kept, clean_text) — all documents appear,
+    fully-duplicated ones with n_kept = 0 and clean_text = ''.
+
+    Fully distributed and exact — nothing corpus-cardinality-sized lands
+    on the driver (same contract as the partitioned ANTI join in
+    analytics.py): one (hash, doc, position) posting per shingle position
+    shuffles by hash bucket (the positions-scale exchange every
+    exact-substring method pays — Lee et al.'s suffix array likewise
+    touches every position); buckets emit (doc, position) only for
+    duplicated shingles; the duplicated positions then co-partition with
+    the documents (union-tag pattern, text ships through exactly one
+    shuffle) and each doc bucket rebuilds the kept text with one Arrow
+    filter + list rebuild + binary_join.
+    """
+    npart = coarse_npart()
+
+    def shingle_positions(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+        empty = pa.table({"bpart": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if L < k:
+            return empty
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, L - k + 1) for j in range(k)], " ")
+        n_tokens = np.diff(offsets)
+        doc_pos = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_tokens)
+        ok = doc_pos[: L - k + 1] == doc_pos[k - 1:]
+        if not ok.any():
+            return empty
+        h = content_hash60(joined, hash_mode)[ok]
+        drow = doc_pos[: L - k + 1][ok]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.flatnonzero(ok) - offsets[:-1][drow]
+        return pa.table({"bpart": pa.array(h % npart), "h": pa.array(h),
+                         "doc_id": pa.array(ids[drow]),
+                         "pos": pa.array(pos.astype(np.int64))})
+
+    def per_hash_bucket(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("h")["h"].transform("size").to_numpy(np.int64)
+        dup = g[tot > 1]
+        d = dup["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "dpart": pa.array(d % npart),
+            "doc_id": pa.array(d),
+            "pos": pa.array(dup["pos"].to_numpy(np.int64)),
+            "text": pa.nulls(len(d), pa.string()),
+            "is_doc": pa.array(np.zeros(len(d), dtype=bool))})
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "dpart": pc.cast(pc.bit_wise_and(d, npart - 1), pa.int64()),
+            "doc_id": d,
+            "pos": pa.array(np.full(n, -1, np.int64)),
+            "text": t["text"],
+            "is_doc": pa.array(np.ones(n, dtype=bool))})
+
+    def per_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["is_doc"]]
+        marks = g[~g["is_doc"]]
+        doc_ids = docs["doc_id"].to_numpy(np.int64)
+        text_arr = pa.array(docs["text"].astype(object).to_numpy(),
+                            pa.string())
+        split = pc.split_pattern(text_arr, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tokens = np.diff(offsets)
+        covered = np.zeros(len(flat), dtype=bool)
+        if len(marks):
+            order = np.argsort(doc_ids, kind="mergesort")
+            ridx = order[np.searchsorted(doc_ids[order],
+                                         marks["doc_id"].to_numpy(np.int64))]
+            base = offsets[:-1][ridx] + marks["pos"].to_numpy(np.int64)
+            covered[(base[:, None]
+                     + np.arange(k, dtype=np.int64)).reshape(-1)] = True
+        kept = ~covered
+        kept_counts = np.add.reduceat(
+            kept.astype(np.int64), offsets[:-1]) if len(flat) \
+            else np.zeros(len(doc_ids), np.int64)
+        new_off = np.zeros(len(doc_ids) + 1, np.int64)
+        np.cumsum(kept_counts, out=new_off[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(kept)))
+        clean = pc.binary_join(lst, " ")
+        return pa.table({"doc_id": pa.array(doc_ids),
+                         "n_tokens": pa.array(n_tokens),
+                         "n_kept": pa.array(kept_counts),
+                         "clean_text": pc.fill_null(clean, "")})
+
+    dup_marks = (_docs(sf_dir)
+                 .map_batches(shingle_positions, batch_format="pyarrow",
+                              batch_size=4096)
+                 .groupby("bpart").map_groups(per_hash_bucket,
+                                              batch_format="pandas"))
+    docs = _docs(sf_dir).map_batches(doc_side, batch_format="pyarrow")
+    return docs.union(dup_marks) \
+        .groupby("dpart").map_groups(per_doc_bucket, batch_format="pandas")
