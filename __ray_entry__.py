@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_normalize"] = textops.text_normalize
     # Gopher-style repetition filter (dup-token + top n-gram fractions)
     q["repetition_filter"] = textops.repetition_filter
+    # global quantile-band pruning (bounded-histogram quantiles)
+    q["quality_prune"] = textops.quality_prune
     q["tfidf_top_terms"] = textops.tfidf_top_terms
     q["decontaminate"] = textops.decontaminate
     # sequence packing: bin assignment is algorithmic (FFD), not
@@ -1318,6 +1320,29 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens) / 8.0))
                    * 10000)::BIGINT AS quality_q
       FROM b
+    """
+
+    sql["quality_prune"] = f"""
+      WITH b AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), s AS (
+        SELECT doc_id,
+               FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens) / 8.0))
+                     * 10000)::BIGINT AS quality_q
+        FROM b
+      ), t AS (
+        SELECT quantile_disc(quality_q, 0.1) AS lo,
+               quantile_disc(quality_q, 0.9) AS hi
+        FROM s
+      )
+      SELECT doc_id, quality_q FROM s, t
+      WHERE quality_q BETWEEN lo AND hi
     """
 
     def _in_list(ws):

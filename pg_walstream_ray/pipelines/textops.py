@@ -564,6 +564,59 @@ def redact_terms(sf_dir: str, terms=REDACT_TERMS, token: str = "[REDACTED]"):
         fn, batch_format="pyarrow")
 
 
+def quality_prune(sf_dir: str, lo_p: float = 0.1, hi_p: float = 0.9):
+    """Global quantile-band corpus pruning: keep the documents whose
+    quality score sits between the corpus-wide P10 and P90 (drop the
+    garbage tail AND the suspiciously-perfect head — the standard
+    pretraining-mix pruning move).
+
+    Output: (doc_id, quality_q) for the surviving band.
+
+    Scale shape: the quality score has a BOUNDED integer domain (0..10000
+    basis points), so the global quantiles come from per-batch bincount
+    partials reduced into one fixed-size histogram — zero data shuffle,
+    and the driver holds <= 10001 (q, count) rows regardless of corpus
+    size (constant, not corpus-cardinality-sized).  Quantile semantics
+    match DuckDB quantile_disc: sorted 0-based index ceil(p*n) - 1.
+    """
+    from ray.data.aggregate import Sum
+
+    def stats():
+        return _docs(sf_dir).map_batches(as_tasks(TextStatsStage),
+                                         batch_format="pyarrow",
+                                         batch_size=4096)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        q = t["quality_q"].to_numpy(zero_copy_only=False)
+        h = np.bincount(q, minlength=10001)
+        nz = np.flatnonzero(h)
+        return pa.table({"q": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(h[nz].astype(np.int64))})
+
+    hrows = (stats().map_batches(hist_partial, batch_format="pyarrow")
+             .groupby("q").aggregate(Sum("cnt", alias_name="n"))
+             .take_all())                       # bounded: <= 10001 rows
+    qs = np.array([r["q"] for r in hrows], np.int64)
+    ns = np.array([r["n"] for r in hrows], np.int64)
+    order = np.argsort(qs)
+    qs, cum = qs[order], np.cumsum(ns[order])
+    total = int(cum[-1])
+
+    def disc(p: float) -> int:
+        k = max(int(np.ceil(p * total)) - 1, 0)
+        return int(qs[np.searchsorted(cum, k + 1)])
+
+    lo, hi = disc(lo_p), disc(hi_p)
+
+    def band(t: pa.Table) -> pa.Table:
+        q = t["quality_q"]
+        m = pc.and_(pc.greater_equal(q, lo), pc.less_equal(q, hi))
+        return pa.table({"doc_id": t["doc_id"].filter(m),
+                         "quality_q": q.filter(m)})
+
+    return stats().map_batches(band, batch_format="pyarrow")
+
+
 def _per_doc_max_count(doc_of_pos: np.ndarray, gram_id: np.ndarray,
                        n_docs: int, n_grams: int) -> np.ndarray:
     """Max occurrence count of any single gram per doc.
