@@ -582,3 +582,90 @@ def test_semantic_dedup_invariants(ray_session):
     got2 = semantic_dedup(SF).to_pandas().sort_values("vec_id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_dup_span_stats_planted(ray_session, planted_dir):
+    """docs 0 and 2 are identical (every 5-shingle duplicated); doc 5 is
+    doc 0 + ' tail' (all of doc 0's shingles duplicated via 0/2/5; its
+    last 4 shingles include 'tail' and still match nothing else).  Doc 3
+    ('alpha beta gamma delta') has < 5 tokens: no row."""
+    from pg_walstream_ray.pipelines.dedup import dup_span_stats
+
+    df = dup_span_stats(planted_dir).to_pandas().set_index("doc_id")
+    assert 3 not in df.index and 4 not in df.index  # <5 tokens: no shingles
+    # doc 0/2: 30 tokens -> 26 shingles, all duplicated
+    assert df.loc[0, "n_shingles"] == 26
+    assert df.loc[0, "dup_shingles"] == 26 and df.loc[0, "dup_frac_q"] == 10000
+    assert df.loc[2, "dup_shingles"] == 26
+    # doc 5: 31 tokens -> 27 shingles; the 26 not touching 'tail' duplicate
+    assert df.loc[5, "n_shingles"] == 27 and df.loc[5, "dup_shingles"] == 26
+    # doc 1 shares a 29-token prefix with doc 0 -> its first 25 shingles dup
+    assert df.loc[1, "dup_shingles"] == 25
+    # fast mode: same values (hash only keys the reduction)
+    dff = dup_span_stats(planted_dir, hash_mode="fast").to_pandas() \
+        .set_index("doc_id")
+    assert dff.sort_index().equals(df.sort_index())
+
+
+def test_dup_span_removal_planted(ray_session, planted_dir):
+    from pg_walstream_ray.pipelines.dedup import dup_span_removal
+
+    df = dup_span_removal(planted_dir).to_pandas().set_index("doc_id")
+    assert len(df) == 6                      # every doc appears
+    # identical docs fully removed
+    assert df.loc[0, "n_kept"] == 0 and df.loc[0, "clean_text"] == ""
+    assert df.loc[2, "n_kept"] == 0
+    # short docs untouched
+    assert df.loc[3, "n_kept"] == 4
+    assert df.loc[3, "clean_text"] == "alpha beta gamma delta"
+    assert df.loc[4, "n_kept"] == df.loc[4, "n_tokens"]
+    # doc 5 = doc 0 + ' tail': all 30 prefix tokens covered by duplicated
+    # shingles; 'tail' itself is covered by the shingle starting at pos 26?
+    # no — shingles containing 'tail' are unique to doc 5, but positions
+    # 27..30 are covered only by shingles starting at >= 23, which include
+    # 'tail'-containing ones (unique).  Covered = union over duplicated
+    # starts 0..25 -> positions 0..29; token 30 ('tail') survives.
+    assert df.loc[5, "n_kept"] == 1 and df.loc[5, "clean_text"] == "tail"
+    # kept counts always consistent
+    assert (df["n_kept"] <= df["n_tokens"]).all()
+
+
+def test_repetition_filter_planted(ray_session):
+    import tempfile
+
+    from pg_walstream_ray.pipelines.textops import repetition_filter
+
+    d = tempfile.mkdtemp(prefix="rep_")
+    texts = [
+        "a b a b a b a b a b",          # top bigram ('a b') dominates
+        " ".join(f"x{i}" for i in range(20)),   # 20 distinct tokens
+        "w w w w w w w w",              # one token repeated
+    ]
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    df = repetition_filter(d).to_pandas().set_index("doc_id")
+    # doc 0: 10 tokens; bigram 'a b' occurs 5x -> top2 = 5*2/10 = 100%
+    assert df.loc[0, "top2_q"] == 10000 and bool(df.loc[0, "is_repetitive"])
+    # doc 1: nothing repeats (20 tokens: top bigram covers 2/20 = 10%)
+    assert df.loc[1, "dup_tok_q"] == 0 and df.loc[1, "top2_q"] == 1000
+    assert not bool(df.loc[1, "is_repetitive"])
+    # doc 2: 8 tokens 1 distinct -> dup frac 7/8
+    assert df.loc[2, "dup_tok_q"] == 8750 and bool(df.loc[2, "is_repetitive"])
+
+
+def test_quality_prune_band(ray_session):
+    from pg_walstream_ray.pipelines.textops import quality_prune, text_quality
+
+    sf = "/root/testdata/sf0.001"
+    band = quality_prune(sf).to_pandas()
+    allq = text_quality(sf).to_pandas()
+    assert 0 < len(band) < len(allq)
+    lo, hi = band["quality_q"].min(), band["quality_q"].max()
+    # nothing outside the band was kept, and the band is the exact subset
+    sub = allq[(allq["quality_q"] >= lo) & (allq["quality_q"] <= hi)]
+    assert set(band["doc_id"]) == set(sub["doc_id"])
+    # P10/P90: at most ~10% below lo, ~10% above hi
+    n = len(allq)
+    assert (allq["quality_q"] < lo).sum() <= n * 0.1 + 1
+    assert (allq["quality_q"] > hi).sum() <= n * 0.1 + 1
