@@ -34,3 +34,37 @@ def coarse_npart(per_cpu: int = 4, floor: int = 64, cap: int = 8192) -> int:
     while p < target:
         p <<= 1
     return p
+
+
+def sized_read_parquet(path, columns=None, target_block_bytes: int = 4 << 20,
+                       min_blocks: int = 16):
+    """``read_parquet`` with a block count derived from the FILE SIZE.
+
+    Ray's default splits any input into ~2x-cpus blocks regardless of
+    size; at small scale that makes every downstream all-to-all pay an
+    n_blocks x n_partitions chunk matrix of pure scheduling latency
+    (measured on a 2 MB/100k-row input: identity bucket-groupby 1.2-3.5 s
+    at 64 blocks -> 0.4 s at 16).  Target ~``target_block_bytes`` per
+    block with a ``min_blocks`` floor for map parallelism; once the
+    computed count reaches Ray's own default the override is dropped
+    entirely — a 100 TB input is block-rich either way, so this only
+    removes the small-file pathology and never caps real scale.
+    """
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    try:
+        size = _os.path.getsize(path) if _os.path.isfile(path) else sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(path) for f in fs)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        nb = max(min_blocks, -(-size // target_block_bytes))
+        if nb >= 2 * ncpu:
+            return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(path, columns=columns,
+                               override_num_blocks=int(nb))
+    except OSError:
+        return rd.read_parquet(path, columns=columns)

@@ -24,9 +24,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..functions.scale import sized_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+    return sized_read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                            columns=columns)
 
 
@@ -854,7 +854,6 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
       - the final groupby moves NPART x |nations| tiny partials.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.scale import coarse_npart
 
@@ -873,15 +872,21 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
              for p in parts])
         return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
 
-    reg = _collect(
-        _read(sf_dir, "region").filter(expr=f"r_name == '{region}'"),
-        ["r_regionkey"])["r_regionkey"]
-    nat = _collect(_read(sf_dir, "nation"),
-                   ["n_nationkey", "n_regionkey"])
-    # nation names need string handling — fetch via a small table read
-    nat_full = pa.concat_tables(list(
-        _read(sf_dir, "nation").iter_batches(batch_format="pyarrow",
-                                             batch_size=1 << 20)))
+    # region (5 rows) and nation (25 rows) are CONSTANT-sized by TPC-H
+    # construction — direct driver reads (each Ray Dataset execution costs
+    # ~1-1.5 s of fixed scheduling latency, which dominated this query's
+    # wall time; supplier, the largest dimension, stays a distributed read)
+    import pyarrow.parquet as pq
+
+    reg_t = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                          columns=["r_regionkey", "r_name"])
+    reg = reg_t.filter(pc.equal(reg_t["r_name"], region))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False)
+    nat_full = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                             columns=["n_nationkey", "n_regionkey",
+                                      "n_name"])
+    nat = {c: nat_full[c].to_numpy(zero_copy_only=False)
+           for c in ("n_nationkey", "n_regionkey")}
     in_region = np.isin(nat["n_regionkey"], reg)
     region_nations = np.sort(nat["n_nationkey"][in_region])
     name_by_key = dict(zip(nat_full["n_nationkey"].to_pylist(),
@@ -988,17 +993,28 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
             "nationkey": agg["c_nationkey"].to_numpy(np.int64),
             "rev": agg["rev_c"].to_numpy(np.float64)})
 
-    agg = ord_nat.union(li).groupby("bucket").map_groups(
-        join_li, batch_format="pandas", num_cpus=1) \
-        .groupby("nationkey").aggregate(Sum("rev", alias_name="revenue"))
+    partials = ord_nat.union(li).groupby("bucket").map_groups(
+        join_li, batch_format="pandas", num_cpus=1)
 
-    def finalize(t: pa.Table) -> pa.Table:
-        keys = t["nationkey"].to_pylist()
-        names = [name_by_key[k] for k in keys]
-        return pa.table({"n_name": pa.array(names, pa.string()),
-                         "revenue": _round(t["revenue"], 2)})
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    # final reduce: the partials are BOUNDED (<= npart x |nations| rows —
+    # both constants, not data-sized), so a driver-side numpy reduce
+    # replaces a third all-to-all exchange whose fixed sort latency would
+    # dominate this query's wall time.  Deterministic summation order
+    # (sort by nationkey then bucket-arrival is normalized by np.argsort)
+    # and the cents rounding at the edge keep the value hash stable.
+    rows = pa.concat_tables(list(partials.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    nk = rows["nationkey"].to_numpy(zero_copy_only=False)
+    rv = rows["rev"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nk, kind="mergesort")
+    nk, rv = nk[order], rv[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], nk[1:] != nk[:-1]])) if len(nk) else np.array([], np.int64)
+    keys = nk[starts]
+    sums = np.add.reduceat(rv, starts) if len(nk) else np.array([])
+    names = [name_by_key[int(k)] for k in keys]
+    return pa.table({"n_name": pa.array(names, pa.string()),
+                     "revenue": _round(pa.array(sums), 2)})
 
 
 def props_json_stats(sf_dir: str):

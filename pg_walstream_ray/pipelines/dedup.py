@@ -49,10 +49,10 @@ from ..stages.taskmode import as_tasks
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..functions.scale import sized_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=list(columns))
 
 
 # ---------------------------------------------------------------------------

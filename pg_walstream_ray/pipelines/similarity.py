@@ -38,10 +38,10 @@ LSH_SEED = 20_240_817
 
 
 def _emb(sf_dir: str, columns=("vec_id", "embedding")):
-    import ray.data as rd
+    from ..functions.scale import sized_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=list(columns))
+    return sized_read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=list(columns))
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:

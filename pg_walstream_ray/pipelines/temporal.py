@@ -25,10 +25,10 @@ import pyarrow.compute as pc
 
 def _events(sf_dir: str, columns=("event_id", "ts", "user_id",
                                   "event_type")):
-    import ray.data as rd
+    from ..functions.scale import sized_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                           columns=list(columns))
+    return sized_read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=list(columns))
 
 
 from ..functions.scale import coarse_npart

@@ -40,10 +40,10 @@ SUBTOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"   # BPE-ish pre-tokenizer (RE2 in
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from ..functions.scale import sized_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    return sized_read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=list(columns))
 
 
 class TextStatsStage:
