@@ -26,11 +26,28 @@ import tempfile
 from collections.abc import Callable
 from typing import Any, Optional
 
+import pyarrow as pa
+
 # ---------------------------------------------------------------------------
 # CDC query harness
 # ---------------------------------------------------------------------------
 
 _CDC_TMP_ROOT = "/tmp/pgwr_cdc"
+
+# transcripts-lake output schema (for typed-empty results when the source
+# table — and therefore the WAL and the lake — is empty: an empty WAL
+# carries no Relation message, so the lake snapshot has no schema to
+# select from)
+_TRANSCRIPT_COLS = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                    ("role", pa.string()), ("text", pa.string()),
+                    ("tool", pa.string()), ("ts", pa.timestamp("us"))]
+
+
+def _select_or_empty(t: pa.Table, cols_types) -> pa.Table:
+    names = [c for c, _ in cols_types]
+    if set(names) <= set(t.column_names):
+        return t.select(names)
+    return pa.table({c: pa.array([], ty) for c, ty in cols_types})
 
 
 def _cdc_run(sf_dir: str, mode: str, n_shards: int = 2,
@@ -110,7 +127,8 @@ def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
 
     max_ev = duckdb.sql(
         f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
-    lsn0 = (int(max_ev) // 2) * 4 + 4      # snapshot point (commit-safe)
+    # empty events table: snapshot point 0 (bootstrap of nothing)
+    lsn0 = (int(max_ev) // 2) * 4 + 4 if max_ev is not None else 0
 
     lake1 = tempfile.mkdtemp(prefix="pgwr_snap_src_")
     lake2 = tempfile.mkdtemp(prefix="pgwr_snap_dst_")
@@ -121,9 +139,7 @@ def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
                                 {s: lsn0 for s in range(n_shards)},
                                 num_partitions=8)
         run_cdc(wal_dir, lake2, num_partitions=8)
-        out = snapshot_table(lake2)
-        return out.select(["conv_id", "turn_idx", "role", "text", "tool",
-                           "ts"])
+        return _select_or_empty(snapshot_table(lake2), _TRANSCRIPT_COLS)
     finally:
         shutil.rmtree(lake1, ignore_errors=True)
         shutil.rmtree(lake2, ignore_errors=True)
@@ -144,9 +160,7 @@ def _cdc_upsert_compacted(sf_dir: str) -> Any:
     try:
         run_cdc(wal_dir, lake_dir, num_partitions=8)
         compact_lake(lake_dir)
-        snap = snapshot_table(lake_dir)
-        return snap.select(["conv_id", "turn_idx", "role", "text",
-                            "tool", "ts"])
+        return _select_or_empty(snapshot_table(lake_dir), _TRANSCRIPT_COLS)
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
@@ -185,10 +199,14 @@ def _cdc_router_two_tables(sf_dir: str) -> Any:
     try:
         run_cdc_router(wal_dir, [TableRoute(NAT_OID, lake_n, 4),
                                  TableRoute(REG_OID, lake_r, 4)])
-        nat = snapshot_table(lake_n, key_cols=("n_nationkey",)).select(
-            ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-        reg = snapshot_table(lake_r, key_cols=("r_regionkey",)).select(
-            ["r_regionkey", "r_name"]).to_pandas()
+        nat = _select_or_empty(
+            snapshot_table(lake_n, key_cols=("n_nationkey",)),
+            [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+             ("n_regionkey", pa.int32())]).to_pandas()
+        reg = _select_or_empty(
+            snapshot_table(lake_r, key_cols=("r_regionkey",)),
+            [("r_regionkey", pa.int32()),
+             ("r_name", pa.string())]).to_pandas()
         return nat.merge(reg, left_on="n_regionkey",
                          right_on="r_regionkey")[
             ["n_nationkey", "n_name", "n_regionkey", "r_name"]]

@@ -1002,8 +1002,14 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
     # dominate this query's wall time.  Deterministic summation order
     # (sort by nationkey then bucket-arrival is normalized by np.argsort)
     # and the cents rounding at the edge keep the value hash stable.
-    rows = pa.concat_tables(list(partials.iter_batches(
-        batch_format="pyarrow", batch_size=1 << 20)))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    if not parts:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
     nk = rows["nationkey"].to_numpy(zero_copy_only=False)
     rv = rows["rev"].to_numpy(zero_copy_only=False)
     order = np.argsort(nk, kind="mergesort")

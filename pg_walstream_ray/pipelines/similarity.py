@@ -51,6 +51,12 @@ def _batch_matrix(t: pa.Table) -> np.ndarray:
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:
+        # an empty batch has no inferable width; use the list type's if
+        # fixed, else 0 columns (callers skip empty matrices)
+        d = col.type.list_size if pa.types.is_fixed_size_list(col.type) \
+            else 0
+        return np.zeros((0, d), np.float64)
     return flat.reshape(n, -1).astype(np.float64)
 
 
@@ -312,6 +318,8 @@ def _train_centroids(m: np.ndarray, k: int, iters: int = 12,
     """Seeded Lloyd's k-means on unit vectors (cosine == dot on the
     sphere). Deterministic; empty clusters re-seeded from the data."""
     rng = np.random.default_rng(seed)
+    if len(m) == 0:                 # empty corpus: no centroids
+        return np.zeros((0, m.shape[1] if m.ndim == 2 else 0), np.float64)
     cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(m @ cent.T, axis=1)
@@ -335,6 +343,10 @@ class IvfBucketStage:
         self.cent = ray.get(centroids_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or len(self.cent) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": t["vec_id"].slice(0, 0),
+                             "embedding": t["embedding"].slice(0, 0)})
         m = _batch_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
@@ -425,6 +437,8 @@ def _train_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
     import ray
 
     sm = _sample_matrix(sf_dir)
+    if len(sm) == 0:                # empty corpus: no centroids to train
+        return np.zeros((0, 0), np.float64)
     rng = np.random.default_rng(IVF_SEED)
     cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)] \
         .copy()
@@ -476,6 +490,9 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
 
     def label(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        if t.num_rows == 0 or len(c) == 0:
+            return pa.table({"vec_id": t["vec_id"].slice(0, 0),
+                             "cluster_id": pa.array([], pa.int64())})
         m = _batch_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ c.T, axis=1).astype(np.int64)
@@ -515,6 +532,10 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
 
     def route(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
+        if t.num_rows == 0 or len(c) == 0:
+            return pa.table({"vec_id": t["vec_id"].slice(0, 0),
+                             "embedding": t["embedding"].slice(0, 0),
+                             "cluster_id": pa.array([], pa.int64())})
         m = _batch_matrix(t)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         assign = np.argmax(m @ c.T, axis=1).astype(np.int64)

@@ -596,6 +596,12 @@ def quality_prune(sf_dir: str, lo_p: float = 0.1, hi_p: float = 0.9):
     hrows = (stats().map_batches(hist_partial, batch_format="pyarrow")
              .groupby("q").aggregate(Sum("cnt", alias_name="n"))
              .take_all())                       # bounded: <= 10001 rows
+    if not hrows:                               # empty corpus: empty band
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "quality_q": pa.array([],
+                                                             pa.int64())}))
     qs = np.array([r["q"] for r in hrows], np.int64)
     ns = np.array([r["n"] for r in hrows], np.int64)
     order = np.argsort(qs)

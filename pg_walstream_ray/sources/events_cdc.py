@@ -88,6 +88,8 @@ def derive_changes(events: pa.Table, mode: str) -> pa.Table:
     preserved; one op per event). Fully vectorized."""
     ev_id = events["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(ev_id)
+    if n == 0:          # empty source table -> empty change stream
+        return LOGICAL_SCHEMA.empty_table()
     lsn = ev_id * 4 + 4
     et = events["event_type"].to_numpy(zero_copy_only=False)
 
