@@ -395,6 +395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_window_frame"] = temporal.events_window_frame
     # RANK / DENSE_RANK / LEAD (ranking + forward-looking windows)
     q["events_rank_lead"] = temporal.events_rank_lead
+    # ordered funnel progression + retention-cohort matrix
+    q["events_funnel"] = temporal.events_funnel
+    q["retention_cohorts"] = temporal.retention_cohorts
     # ordered string_agg / collect surface (per-user event journey)
     q["user_event_journey"] = temporal.user_event_journey
 
@@ -1005,6 +1008,41 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    sql["events_funnel"] = """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             GROUP BY e.user_id)
+      SELECT u.user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS reached
+      FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id)
+    """
+
+    sql["retention_cohorts"] = """
+      WITH c AS (SELECT user_id,
+                        strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d')
+                          AS cohort_week
+                 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+            FROM events)
+      SELECT cohort_week, week, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM a JOIN c USING (user_id)
+      WHERE week >= cohort_week
+      GROUP BY cohort_week, week
     """
 
     sql["events_global_topn"] = """

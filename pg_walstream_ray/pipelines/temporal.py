@@ -443,3 +443,121 @@ def user_event_journey(sf_dir: str, sep: str = ","):
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
                                           num_cpus=1))
+
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase")):
+    """Ordered-funnel analysis: how far each user progresses through the
+    step sequence, each step strictly AFTER the previous one in time (the
+    classic product-analytics funnel; not mere set membership).
+
+    Output: (user_id, reached) — reached in 0..len(steps).
+
+    Scale shape: one user-bucket shuffle; inside each bucket the step
+    cascade is vectorized pandas (per-step groupby-min + merge + filter),
+    never a per-user Python loop.  Users are bucket-local so per-bucket
+    results are the global result.
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                  "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        reached = pd.Series(np.zeros(len(users), np.int64),
+                            index=users["user_id"])
+        prev = pd.DataFrame({
+            "user_id": users["user_id"],
+            "t_prev": np.full(len(users), np.datetime64("1677-09-22"),
+                              dtype="datetime64[us]")})
+        for depth, step in enumerate(steps, start=1):
+            ev = g[g["event_type"] == step][["user_id", "ts"]]
+            m = ev.merge(prev, on="user_id", how="inner")
+            m = m[m["ts"] > m["t_prev"]]
+            if not len(m):
+                break
+            t_step = m.groupby("user_id", as_index=False)["ts"].min()
+            reached.loc[t_step["user_id"].to_numpy()] = depth
+            prev = t_step.rename(columns={"ts": "t_prev"})
+        return pa.table({
+            "user_id": pa.array(users["user_id"].to_numpy(np.int64)),
+            "reached": pa.array(reached.to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))
+
+
+def _week_start_str(ts_us: np.ndarray) -> np.ndarray:
+    """datetime64[us] -> Monday-start week as 'YYYY-MM-DD' strings
+    (DuckDB date_trunc('week', ts) semantics)."""
+    d = ts_us.astype("datetime64[D]")
+    dow = (d.astype(np.int64) + 3) % 7          # 1970-01-01 was a Thursday
+    return (d - dow.astype("timedelta64[D]")).astype(str)
+
+
+def retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix: users grouped by their signup week
+    (cohort), counted in every week they produce any event at or after
+    the cohort week.
+
+    Output: (cohort_week, week, n_users) — weeks as Monday-start
+    'YYYY-MM-DD' strings; users with no signup event are excluded.
+
+    Scale shape: one user-bucket shuffle computes each user's cohort and
+    distinct activity weeks (users are bucket-local, so the per-bucket
+    (cohort, week) partial counts are additive); the final reduce is over
+    the BOUNDED (weeks x weeks x buckets) partial rows — constant-sized
+    at any user count, collected driver-side like the other bounded
+    reduces.
+    """
+    ds = _events(sf_dir, columns=("ts", "user_id", "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        su = g[g["event_type"] == "signup"]
+        cohort_ts = su.groupby("user_id", as_index=False)["ts"].min()
+        cohort_ts["cohort_week"] = _week_start_str(
+            cohort_ts["ts"].to_numpy("datetime64[us]"))
+        acts = g[["user_id", "ts"]].copy()
+        acts["week"] = _week_start_str(acts["ts"].to_numpy("datetime64[us]"))
+        acts = acts[["user_id", "week"]].drop_duplicates()
+        m = acts.merge(cohort_ts[["user_id", "cohort_week"]], on="user_id",
+                       how="inner")
+        m = m[m["week"] >= m["cohort_week"]]
+        agg = m.groupby(["cohort_week", "week"], as_index=False).size()
+        return pa.table({
+            "cohort_week": pa.array(agg["cohort_week"].to_numpy(object),
+                                    pa.string()),
+            "week": pa.array(agg["week"].to_numpy(object), pa.string()),
+            "n": pa.array(agg["size"].to_numpy(np.int64)),
+        })
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas",
+                                              num_cpus=1))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    if not parts:
+        return pa.table({"cohort_week": pa.array([], pa.string()),
+                         "week": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts]).to_pandas()
+    agg = rows.groupby(["cohort_week", "week"], as_index=False)["n"].sum()
+    return pa.table({
+        "cohort_week": pa.array(agg["cohort_week"].to_numpy(object),
+                                pa.string()),
+        "week": pa.array(agg["week"].to_numpy(object), pa.string()),
+        "n_users": pa.array(agg["n"].to_numpy(np.int64)),
+    })

@@ -76,7 +76,8 @@ def test_every_oracle_key_has_query(contract):
     "q5_local_supplier", "props_json_stats", "tfidf_top_terms",
     "dedup_incremental", "decontaminate",
     "repetition_filter", "events_rank_lead", "dup_span_stats",
-    "dup_span_removal", "quality_prune",
+    "dup_span_removal", "quality_prune", "events_funnel",
+    "retention_cohorts",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
