@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_filter"] = textops.repetition_filter
     # global quantile-band pruning (bounded-histogram quantiles)
     q["quality_prune"] = textops.quality_prune
+    # vocabulary-coverage / OOV-rate (composes the heavy-hitter vocab)
+    q["vocab_coverage"] = textops.vocab_coverage
     q["tfidf_top_terms"] = textops.tfidf_top_terms
     q["decontaminate"] = textops.decontaminate
     # sequence packing: bin assignment is algorithmic (FFD), not
@@ -1376,6 +1378,24 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens) / 8.0))
                    * 10000)::BIGINT AS quality_q
       FROM b
+    """
+
+    from pg_walstream_ray.pipelines.textops import VOCAB_K
+
+    sql["vocab_coverage"] = f"""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      tf AS (SELECT tok, COUNT(*) AS n FROM w WHERE tok <> ''
+             GROUP BY tok),
+      v AS (SELECT tok FROM tf ORDER BY n DESC, tok ASC LIMIT {VOCAB_K}),
+      d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0
+                            ELSE 1 END) AS n_oov
+            FROM w GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_oov AS BIGINT) AS n_oov,
+             CAST(FLOOR(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_q
+      FROM d
     """
 
     sql["quality_prune"] = f"""

@@ -279,3 +279,43 @@ def compact_partition(lake_dir: str, pid: int) -> None:
                 os.remove(os.path.join(d, name))
             except OSError:
                 pass
+
+
+def lookup_key(lake_dir: str, key_value: str,
+               key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+               ) -> pa.Table:
+    """Point lookup with PARTITION PRUNING: the current state of one
+    conversation, reading only the partition chain that owns the key
+    (or the ``salt`` salted chains for a registered hot key) instead of
+    snapshotting the whole lake — the serving-side read a CDC lake
+    exists for.  Routing mirrors stages/partition.Partitioner exactly
+    (crc32 partition id; hot-key turn-salt fan-out), using the
+    persisted lake config so lookups agree with how the run routed.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    cfg = read_lake_config(lake_dir)
+    if cfg is None:                       # no config: full-scan fallback
+        t = snapshot_table(lake_dir, sort=True, key_cols=key_cols)
+        return t.filter(pc.equal(t[key_cols[0]], key_value)) \
+            if t.num_rows else t
+    P = int(cfg["num_partitions"])
+    h = zlib.crc32(key_value.encode())
+    if key_value in set(cfg.get("hot_keys", [])):
+        salt = max(1, int(cfg.get("salt", 8)))
+        pids = sorted({(h + 1 + j) % P for j in range(salt)})
+    else:
+        pids = [h % P]
+    frags = dict(live_fragments(lake_dir))
+    tables = [_partition_state(frags[pid], key_cols)
+              for pid in pids if pid in frags]
+    t = _unify([x for x in tables if x.num_rows])
+    if t.num_rows:
+        t = t.filter(pc.equal(t[key_cols[0]], key_value))
+        if "_lsn" in t.column_names:
+            t = t.drop(["_lsn"])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in key_cols]))
+    return t

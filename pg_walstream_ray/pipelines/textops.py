@@ -747,3 +747,61 @@ def source_mix_sample(sf_dir: str, hash_mode: str = "fast"):
 
     return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
         fn, batch_format="pyarrow")
+
+
+VOCAB_K = 20            # top-k corpus vocabulary (synthetic corpus
+                        # has ~31 distinct tokens, so k=20 leaves a
+                        # real OOV tail at every scale factor)
+
+
+def vocab_coverage(sf_dir: str, vocab_k: int = VOCAB_K):
+    """Vocabulary-coverage / OOV-rate filter: build the corpus vocabulary
+    (the ``vocab_k`` most frequent tokens, ties by token text — the same
+    deterministic top-k as token_heavy_hitters) and score every document
+    by how many of its token positions fall outside it (the classic
+    tokenizer-fit / gibberish screen).
+
+    Output: (doc_id, n_tokens, n_oov, oov_q) with oov_q =
+    floor(n_oov * 10000 / n_tokens) basis points.
+
+    Scale shape: pass 1 is the heavy-hitters reduction (per-batch
+    value_counts combiner, one token-keyed groupby, per-block top-k
+    prefilter) whose result is BOUNDED (k rows) and broadcast via
+    ray.put; pass 2 is a zero-shuffle map using one np.isin per batch
+    against the sorted vocab hashes.
+    """
+    import ray
+
+    vocab_rows = token_heavy_hitters(sf_dir, k=vocab_k).take_all()
+    vocab = np.sort(np.array([r["token"] for r in vocab_rows],
+                             dtype=object)).astype(str)
+    vocab_ref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        n_tokens = np.diff(offsets)
+        denc = pc.dictionary_encode(split.flatten())
+        in_vocab_dict = np.isin(
+            np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            .astype(str), v)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        oov_flat = ~in_vocab_dict[idx]
+        doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_tokens)
+        n_oov = np.bincount(doc[oov_flat], minlength=t.num_rows) \
+            .astype(np.int64)
+        oov_q = np.floor(n_oov * 10000.0 / n_tokens.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tokens),
+                         "n_oov": pa.array(n_oov),
+                         "oov_q": pa.array(oov_q)})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                     batch_size=4096)

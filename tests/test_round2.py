@@ -204,3 +204,31 @@ def test_window_frame_ntile_small_groups(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "mov_cents", "tile"]],
         want, check_dtype=False)
+
+
+def test_lake_lookup_key_prunes_partitions(ray_session, tmp_path):
+    """Point lookup reads only the owning partition chain and equals the
+    full-snapshot filter, for both normal and hot (salted) keys."""
+    from pg_walstream_ray.lake import lookup_key, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    spec = WalSpec(n_convs=30, turns_per_conv=6, n_shards=2, tx_rows=20,
+                   hot_conv_frac=0.4)
+    write_wal_lake(spec, wal, parallel=False)
+    run_cdc(wal, lake, num_partitions=8, auto_detect_hot_keys=True)
+
+    snap = snapshot_table(lake).to_pandas()
+    assert len(snap)
+    import json, os
+    cfg = json.load(open(os.path.join(lake, "config.json")))
+    # one hot key (conv 0 under hot_conv_frac skew) and one normal key
+    targets = ["conv00000", snap["conv_id"].iloc[-1]]
+    if cfg["hot_keys"]:
+        targets[0] = cfg["hot_keys"][0]
+    for key in targets:
+        got = lookup_key(lake, key).to_pandas()
+        want = snap[snap["conv_id"] == key].reset_index(drop=True)
+        got = got[want.columns].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
