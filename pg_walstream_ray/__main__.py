@@ -5,6 +5,7 @@
                                        --partitions 32 [--stop-at-lsn L]
     python -m pg_walstream_ray snapshot --lake /tmp/lake [--out snap.parquet]
     python -m pg_walstream_ray watermark --lake /tmp/lake
+    python -m pg_walstream_ray lookup --lake /tmp/lake --key conv00042
 
 Owns the Ray session (the library never calls ray.init; driver contract).
 """
@@ -51,6 +52,11 @@ def main(argv=None) -> int:
     fo.add_argument("--poll-interval", type=float, default=2.0)
     fo.add_argument("--max-idle-polls", type=int, default=3)
 
+    lk = sub.add_parser("lookup", help="point-lookup one conversation's "
+                                       "state (partition-pruned read)")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", required=True)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -96,6 +102,12 @@ def main(argv=None) -> int:
             from .lake import compact_lake
 
             print(json.dumps(compact_lake(args.lake)))
+        elif args.cmd == "lookup":
+            from .lake import lookup_key
+
+            t = lookup_key(args.lake, args.key)
+            print(json.dumps({"rows": t.num_rows,
+                              "records": t.to_pylist()}, default=str))
         elif args.cmd == "follow":
             from .pipelines.cdc import run_cdc_follow
 

@@ -128,8 +128,11 @@ def test_cli_gen_replay_snapshot(tmp_path):
         main(["gen", "--events", "2000", "--shards", "2", "--out", wal])
         main(["replay", "--wal", wal, "--lake", lake, "--partitions", "4"])
         main(["snapshot", "--lake", lake])
+        main(["lookup", "--lake", lake, "--key", "conv0"])
     finally:
         sys.stdout = old
     lines = [json.loads(l) for l in out.getvalue().strip().splitlines()]
     assert lines[1]["rows_applied"] == lines[0]["dml_rows"]
     assert lines[2]["rows"] > 0
+    assert lines[3]["rows"] > 0
+    assert all(r["conv_id"] == "conv0" for r in lines[3]["records"])

@@ -224,7 +224,7 @@ def test_lake_lookup_key_prunes_partitions(ray_session, tmp_path):
     import json, os
     cfg = json.load(open(os.path.join(lake, "config.json")))
     # one hot key (conv 0 under hot_conv_frac skew) and one normal key
-    targets = ["conv00000", snap["conv_id"].iloc[-1]]
+    targets = ["conv0", snap["conv_id"].iloc[-1]]
     if cfg["hot_keys"]:
         targets[0] = cfg["hot_keys"][0]
     for key in targets:
