@@ -145,6 +145,40 @@ def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
         shutil.rmtree(lake2, ignore_errors=True)
 
 
+def _cdc_incremental_mv(sf_dir: str) -> Any:
+    """Incremental materialized-view maintenance: replay half the WAL,
+    refresh the per-conversation MV, replay the rest, refresh again —
+    the second refresh recomputes ONLY partitions whose manifest epoch
+    advanced (lake.refresh_mv).  The final MV must equal the group-by
+    over the final LWW state (oracle)."""
+    import duckdb
+
+    from pg_walstream_ray.lake import read_mv, refresh_mv
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    max_ev = duckdb.sql(
+        f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    lsn0 = (int(max_ev) // 2) * 4 + 4 if max_ev is not None else 0
+
+    lake = tempfile.mkdtemp(prefix="pgwr_mv_lake_")
+    mv = tempfile.mkdtemp(prefix="pgwr_mv_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, stop_at_lsn=lsn0)
+        refresh_mv(lake, mv)
+        run_cdc(wal_dir, lake, num_partitions=8)
+        refresh_mv(lake, mv)
+        return read_mv(mv)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(mv, ignore_errors=True)
+
+
 def _cdc_upsert_compacted(sf_dir: str) -> Any:
     """Upsert replay + explicit lake compaction; final state must equal the
     uncompacted LWW result (compaction is a pure physical rewrite)."""
@@ -335,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "evolve", extra_cols=("score",))
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
+    q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_router_two_tables"] = _cdc_router_two_tables
     # hot-key skew: every event lands on one of 3 conversations (~33% each),
     # the auto-probe flags them, and the salted-partition path (SURVEY hard
@@ -614,6 +649,13 @@ def oracle_sql() -> dict[str, str]:
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
     sql["cdc_upsert_compacted"] = sql["cdc_upsert_lww"]
+    sql["cdc_incremental_mv"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}),
+      ranked AS ({_LWW})
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(MAX(lsn) AS BIGINT) AS last_lsn
+      FROM ranked WHERE rn = 1 GROUP BY conv_id
+    """
     sql["cdc_router_two_tables"] = """
       SELECT n_nationkey, n_name, n_regionkey, r_name
       FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -319,3 +319,73 @@ def lookup_key(lake_dir: str, key_value: str,
         t = t.take(pc.sort_indices(
             t, sort_keys=[(c, "ascending") for c in key_cols]))
     return t
+
+
+def refresh_mv(lake_dir: str, mv_dir: str,
+               key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")) -> dict:
+    """Incrementally refresh a derived table (materialized view) of
+    per-conversation stats — (conv_id, n_turns, last_lsn) — from the lake.
+
+    Refresh granularity is the PARTITION: a partition whose manifest
+    epoch is unchanged since the previous refresh is skipped entirely and
+    its MV part file reused, so a refresh after a small change window
+    costs O(changed partitions), not O(lake).  This is the lake-side
+    analogue of the reference's downstream consumers maintaining
+    aggregates from the change feed (safe-transaction-consumer pattern),
+    with exactly-once inherited from the manifest epochs.  Part files are
+    written atomically (tmp + rename) and the MV manifest last, so a
+    crashed refresh is re-runnable.
+    """
+    os.makedirs(mv_dir, exist_ok=True)
+    state_p = os.path.join(mv_dir, "mv_manifest.json")
+    prev: dict = {}
+    if os.path.exists(state_p):
+        with open(state_p) as f:
+            prev = json.load(f)
+    refreshed, total = 0, 0
+    for pid, m in sorted(all_manifests(lake_dir).items()):
+        if not m.fragments:
+            continue
+        total += 1
+        part_file = os.path.join(mv_dir, f"mv-part-{pid:05d}.parquet")
+        if prev.get(str(pid)) == m.epoch and os.path.exists(part_file):
+            continue
+        d = partition_dir(lake_dir, pid)
+        t = _partition_state([os.path.join(d, f) for f in m.fragments],
+                             key_cols)
+        if t.num_rows:
+            agg = t.group_by(key_cols[0]).aggregate(
+                [(key_cols[1], "count"), ("_lsn", "max")])
+            out = pa.table({
+                key_cols[0]: agg[key_cols[0]],
+                "n_turns": pc.cast(agg[f"{key_cols[1]}_count"], pa.int64()),
+                "last_lsn": pc.cast(agg["_lsn_max"], pa.int64()),
+            })
+        else:
+            out = pa.table({key_cols[0]: pa.array([], pa.string()),
+                            "n_turns": pa.array([], pa.int64()),
+                            "last_lsn": pa.array([], pa.int64())})
+        tmp = part_file + ".tmp"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, part_file)
+        prev[str(pid)] = m.epoch
+        refreshed += 1
+    tmp = state_p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prev, f)
+    os.replace(tmp, state_p)
+    return {"partitions": total, "refreshed": refreshed}
+
+
+def read_mv(mv_dir: str) -> pa.Table:
+    """Concatenate the MV part files (partitions are key-disjoint)."""
+    parts = sorted(f for f in os.listdir(mv_dir)
+                   if f.startswith("mv-part-") and f.endswith(".parquet"))
+    tables = [pq.read_table(os.path.join(mv_dir, f)) for f in parts]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_turns": pa.array([], pa.int64()),
+                         "last_lsn": pa.array([], pa.int64())})
+    t = pa.concat_tables(tables)
+    return t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending")]))

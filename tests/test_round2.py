@@ -232,3 +232,48 @@ def test_lake_lookup_key_prunes_partitions(ray_session, tmp_path):
         want = snap[snap["conv_id"] == key].reset_index(drop=True)
         got = got[want.columns].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_mv_refresh_is_partition_incremental(ray_session, tmp_path):
+    """After a second change window, refresh_mv recomputes ONLY the
+    partitions whose manifest epoch advanced; the MV equals a group-by
+    over the lake snapshot either way."""
+    from pg_walstream_ray.lake import read_mv, refresh_mv, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    import numpy as np
+
+    from pg_walstream_ray.sources.walgen import shard_logical_changes
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    # insert-only, conv-major event order: the tail of the LSN space
+    # touches only the LAST conversations -> few partitions advance
+    spec = WalSpec(n_convs=40, turns_per_conv=5, n_shards=2, tx_rows=5,
+                   update_frac=0.0, delete_frac=0.0)
+    write_wal_lake(spec, wal, parallel=False)
+    lsns = np.concatenate([
+        shard_logical_changes(spec, s)["lsn"].to_numpy(
+            zero_copy_only=False) for s in range(2)])
+    mid = int(np.quantile(lsns, 0.85))
+    # ~85% replay -> full MV build
+    run_cdc(wal, lake, num_partitions=32, stop_at_lsn=mid)
+    r1 = refresh_mv(lake, mv)
+    assert r1["refreshed"] == r1["partitions"] > 0
+    # no new data: refresh is a complete no-op
+    r2 = refresh_mv(lake, mv)
+    assert r2["refreshed"] == 0
+    # the remaining tail of the stream touches only the last conversations
+    applied = run_cdc(wal, lake, num_partitions=32)["rows_applied"]
+    assert applied > 0
+    r3 = refresh_mv(lake, mv)
+    assert 0 < r3["refreshed"] < r3["partitions"]
+    # MV == group-by over the live snapshot
+    snap = snapshot_table(lake).to_pandas()
+    want = snap.groupby("conv_id", as_index=False).agg(
+        n_turns=("turn_idx", "size")).sort_values("conv_id") \
+        .reset_index(drop=True)
+    got = read_mv(mv).to_pandas()[["conv_id", "n_turns"]] \
+        .sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
