@@ -77,28 +77,34 @@ def _unify(tables: List[pa.Table]) -> pa.Table:
 
 
 def _partition_state(paths: List[str],
-                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
-                     ) -> pa.Table:
+                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                     columns: Optional[List[str]] = None) -> pa.Table:
     """Merge one partition's fragment chain (LWW by _lsn, tombstones
-    resolved) -> current state (payload + _lsn)."""
+    resolved) -> current state (payload + _lsn).  ``columns`` pushes
+    column pruning into the fragment reads (merge internals are always
+    read; see stages/apply.merged_partition_state)."""
     import os as _os
 
     from .stages.apply import merged_partition_state
 
     d = _os.path.dirname(paths[0])
     names = [_os.path.basename(p) for p in paths]
-    return merged_partition_state(d, names, key_cols=key_cols)
+    payload = None if columns is None else \
+        list(dict.fromkeys([*key_cols, *columns]))
+    return merged_partition_state(d, names, payload, key_cols=key_cols)
 
 
 def snapshot_table(lake_dir: str, sort: bool = True,
                    drop_internal: bool = True,
-                   key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
-                   ) -> pa.Table:
+                   key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                   columns: Optional[List[str]] = None) -> pa.Table:
     """Materialized snapshot (driver-side; use for tests / small results).
 
     Stable turn ordering: global sort by the table's key columns.
+    ``columns`` prunes the fragment reads to the requested payload (the
+    key columns and merge internals are always read).
     """
-    tables = [_partition_state(paths, key_cols)
+    tables = [_partition_state(paths, key_cols, columns=columns)
               for _, paths in live_fragments(lake_dir)]
     tables = [t for t in tables if t.num_rows]
     t = _unify(tables)
@@ -111,7 +117,8 @@ def snapshot_table(lake_dir: str, sort: bool = True,
 
 
 def snapshot_dataset(lake_dir: str, drop_internal: bool = True,
-                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                     columns: Optional[List[str]] = None):
     """Streaming snapshot as a ray.data.Dataset (the scale path): one task
     per partition merges that partition's fragment chain — partitions are
     key-disjoint, so no cross-partition merge exists.
@@ -128,7 +135,7 @@ def snapshot_dataset(lake_dir: str, drop_internal: bool = True,
 
     def merge_part(batch: pa.Table):
         for row in batch.to_pylist():
-            t = _partition_state(row["paths"], key_cols)
+            t = _partition_state(row["paths"], key_cols, columns=columns)
             if drop_internal and "_lsn" in t.column_names:
                 t = t.drop(["_lsn"])
             if t.num_rows:

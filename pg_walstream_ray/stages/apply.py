@@ -262,10 +262,25 @@ def merged_partition_state(pdir: str, fragments: Sequence[str],
                            payload: Optional[List[str]] = None,
                            key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
     """Merge-on-read of a partition's fragment chain -> current state
-    (payload + ``_lsn``, tombstones resolved and dropped)."""
+    (payload + ``_lsn``, tombstones resolved and dropped).
+
+    When ``payload`` is given it is also a COLUMN-PRUNING pushdown: each
+    fragment read touches only the requested payload plus the merge
+    internals (key columns, ``_lsn``, ``_tombstone``) — a 2-column
+    projection of a wide lake reads 2 columns' worth of pages, not the
+    row, which is the read-amplification contract the serving path needs.
+    """
+    want = None
+    if payload is not None:
+        want = set(payload) | set(key_cols) | {"_lsn", "_tombstone"}
     tables = []
     for name in fragments:
-        t = pq.read_table(os.path.join(pdir, name))
+        path = os.path.join(pdir, name)
+        if want is None:
+            t = pq.read_table(path)
+        else:
+            have = set(pq.ParquetFile(path).schema_arrow.names)
+            t = pq.read_table(path, columns=[c for c in want if c in have])
         tables.append(t)
     if not tables:
         return pa.table({})

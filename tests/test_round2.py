@@ -277,3 +277,28 @@ def test_mv_refresh_is_partition_incremental(ray_session, tmp_path):
     got = read_mv(mv).to_pandas()[["conv_id", "n_turns"]] \
         .sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_snapshot_column_pushdown(ray_session, tmp_path):
+    """snapshot_table/snapshot_dataset with columns= prune the fragment
+    reads but return the same values as a post-hoc projection."""
+    from pg_walstream_ray.lake import snapshot_dataset, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    spec = WalSpec(n_convs=12, turns_per_conv=4, n_shards=1, tx_rows=10,
+                   delete_frac=0.1)
+    write_wal_lake(spec, wal, parallel=False)
+    run_cdc(wal, lake, num_partitions=4)
+
+    full = snapshot_table(lake).to_pandas()
+    pruned = snapshot_table(lake, columns=["role"]).to_pandas()
+    assert set(pruned.columns) == {"conv_id", "turn_idx", "role"}
+    pd.testing.assert_frame_equal(
+        pruned.reset_index(drop=True),
+        full[["conv_id", "turn_idx", "role"]].reset_index(drop=True))
+
+    ds = snapshot_dataset(lake, columns=["role"]).to_pandas()
+    assert set(ds.columns) == {"conv_id", "turn_idx", "role"}
+    assert len(ds) == len(full)
