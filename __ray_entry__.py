@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ordered funnel progression + retention-cohort matrix
     q["events_funnel"] = temporal.events_funnel
     q["retention_cohorts"] = temporal.retention_cohorts
+    # daily-volume anomaly flags (exact-integer two-sigma test)
+    q["events_anomaly_days"] = temporal.events_anomaly_days
     # ordered string_agg / collect surface (per-user event journey)
     q["user_event_journey"] = temporal.user_event_journey
 
@@ -1052,6 +1054,23 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    sql["events_anomaly_days"] = """
+      WITH daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+                 AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+      )
+      SELECT daily.event_type, day, n,
+             ((n * d - s) * (n * d - s) > 4 * (q * d - s * s))
+               AS is_anomaly
+      FROM daily JOIN stats USING (event_type)
     """
 
     sql["events_funnel"] = """

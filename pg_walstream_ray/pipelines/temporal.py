@@ -561,3 +561,67 @@ def retention_cohorts(sf_dir: str):
         "week": pa.array(agg["week"].to_numpy(object), pa.string()),
         "n_users": pa.array(agg["n"].to_numpy(np.int64)),
     })
+
+
+def events_anomaly_days(sf_dir: str):
+    """Daily-volume anomaly detection per event type: flag days whose
+    event count deviates from the type's mean by more than two population
+    standard deviations — the monitoring primitive over an event stream.
+
+    Output: (event_type, day, n, is_anomaly) — day as 'YYYY-MM-DD', n the
+    day's count, flag exact.
+
+    The |z| > 2 test is evaluated in EXACT integer arithmetic
+    ((n*d - S)^2 > 4*(Q*d - S^2), with d = #days, S = sum n, Q = sum n^2
+    per type — both sides integers), so the flag can never disagree with
+    the SQL oracle over float rounding.  At extreme daily volumes the
+    squares outgrow int64 and production would flip to floats; the
+    integer form is the oracle-bridge contract (same convention as the
+    basis-point quality scores).
+
+    Scale shape: per-batch (type, day) count partials (the combiner —
+    each batch ships one row per distinct pair), one small groupby over
+    the BOUNDED (types x days) key space, and a driver-side flag pass
+    over that bounded table.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=("ts", "event_type"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        pairs = pa.table({"event_type": t["event_type"], "day": day})
+        agg = pairs.group_by(["event_type", "day"]).aggregate(
+            [("day", "count")])
+        return pa.table({"event_type": agg["event_type"],
+                         "day": agg["day"],
+                         "cnt": pc.cast(agg["day_count"], pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby(["event_type", "day"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .take_all())                 # bounded: |types| x |days|
+    if not rows:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "is_anomaly": pa.array([], pa.bool_())})
+    df = pd.DataFrame(rows)
+    g = df.groupby("event_type")["n"]
+    d = g.transform("size").to_numpy(np.int64)
+    S = g.transform("sum").to_numpy(np.int64)
+    Q = g.transform(lambda s: (s.astype(np.int64) ** 2).sum()) \
+        .to_numpy(np.int64)
+    n = df["n"].to_numpy(np.int64)
+    flag = (n * d - S) ** 2 > 4 * (Q * d - S * S)
+    order = np.lexsort((df["day"].to_numpy(object),
+                        df["event_type"].to_numpy(object)))
+    return pa.table({
+        "event_type": pa.array(df["event_type"].to_numpy(object)[order],
+                               pa.string()),
+        "day": pa.array(df["day"].to_numpy(object)[order], pa.string()),
+        "n": pa.array(n[order]),
+        "is_anomaly": pa.array(flag[order]),
+    })
