@@ -497,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # keeper invariants + determinism pinned in tests
     q["semantic_dedup"] = lambda sf: similarity.semantic_dedup(sf) \
         .select_columns(["vec_id", "cluster_id", "keep", "dup_of"])
+    # cluster-balanced sampling (kmeans quota): iterative clustering ->
+    # rows-only driver check; quota/determinism invariants in tests
+    q["cluster_balanced_sample"] = similarity.cluster_balanced_sample
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters

@@ -576,3 +576,62 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
         .groupby("cluster_id").map_groups(dedup_cluster,
                                           batch_format="pandas",
                                           num_cpus=1)
+
+
+def cluster_balanced_sample(sf_dir: str, per_cluster: int = 40,
+                            k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Cluster-balanced corpus sampling: up to ``per_cluster`` vectors per
+    k-means cluster, chosen deterministically (lowest vec_id first) — the
+    diversity-preserving subsampling move (uniform sampling over a skewed
+    corpus keeps the head; per-cluster quotas keep the tail modes).
+
+    Output: (vec_id, cluster_id, rk) with rk = 1..per_cluster inside the
+    cluster.
+
+    Scale shape: centroids train once (_train_kmeans: streaming partial
+    sums, corpus never shuffled); assignment is a zero-shuffle map; the
+    quota is enforced with a per-batch top-N combiner + one small
+    cluster-keyed reduction (ships <= per_cluster rows per cluster per
+    block, same pattern as stratified_sample).
+    """
+    import ray
+
+    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        if t.num_rows == 0 or len(c) == 0:
+            return pa.table({"vec_id": t["vec_id"].slice(0, 0),
+                             "cluster_id": pa.array([], pa.int64())})
+        m = _batch_matrix(t)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster_id": pa.array(
+                np.argmax(m @ c.T, axis=1).astype(np.int64))})
+
+    def block_quota(t: pa.Table) -> pa.Table:
+        # per-batch combiner: at most per_cluster lowest ids per cluster
+        df = pd.DataFrame({"vec_id": t["vec_id"].to_numpy(
+            zero_copy_only=False),
+            "cluster_id": t["cluster_id"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["cluster_id", "vec_id"], kind="mergesort")
+        df = df.groupby("cluster_id", sort=False).head(per_cluster)
+        return pa.table({"vec_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+                         "cluster_id": pa.array(
+                             df["cluster_id"].to_numpy(np.int64))})
+
+    def final_quota(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cluster_id", "vec_id"], kind="mergesort")
+        g = g.groupby("cluster_id", sort=False).head(per_cluster)
+        rk = g.groupby("cluster_id", sort=False).cumcount() + 1
+        return pa.table({"vec_id": pa.array(g["vec_id"].to_numpy(np.int64)),
+                         "cluster_id": pa.array(
+                             g["cluster_id"].to_numpy(np.int64)),
+                         "rk": pa.array(rk.to_numpy(np.int64))})
+
+    return (_emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                     batch_size=8192)
+            .map_batches(block_quota, batch_format="pyarrow")
+            .groupby("cluster_id").map_groups(final_quota,
+                                              batch_format="pandas"))

@@ -669,3 +669,26 @@ def test_quality_prune_band(ray_session):
     n = len(allq)
     assert (allq["quality_q"] < lo).sum() <= n * 0.1 + 1
     assert (allq["quality_q"] > hi).sum() <= n * 0.1 + 1
+
+
+def test_cluster_balanced_sample_invariants(ray_session):
+    import pandas as pd
+
+    from pg_walstream_ray.pipelines.similarity import (
+        cluster_balanced_sample)
+
+    sf = "/root/testdata/sf0.001"
+    df = cluster_balanced_sample(sf, per_cluster=15).to_pandas()
+    # quota respected, ranks contiguous from 1, deterministic keepers
+    sizes = df.groupby("cluster_id").size()
+    assert (sizes <= 15).all() and len(sizes) > 1
+    for _, g in df.groupby("cluster_id"):
+        rks = np.sort(g["rk"].to_numpy())
+        assert (rks == np.arange(1, len(g) + 1)).all()
+        # lowest vec_ids win the quota deterministically
+        assert (np.sort(g["vec_id"].to_numpy())
+                == g.sort_values("rk")["vec_id"].to_numpy()).all()
+    df2 = cluster_balanced_sample(sf, per_cluster=15).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values(["cluster_id", "rk"]).reset_index(drop=True),
+        df2.sort_values(["cluster_id", "rk"]).reset_index(drop=True))
