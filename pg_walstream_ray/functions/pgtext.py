@@ -177,6 +177,113 @@ def parse_pg_numeric(arr: pa.Array, typ: pa.DataType, lenient: bool = False
     return out, bad
 
 
+def _split_pg_array(s: str) -> list:
+    """Tokenize one pg array literal '{..}' -> element text list (None for
+    NULL).  Handles quoted elements with backslash escapes and the empty
+    array; nested arrays come back as raw '{..}' element strings (cast
+    recursively by parse_pg_array for list<list<..>> targets)."""
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f"invalid pg array text {s!r}")
+    body = s[1:-1]
+    if body == "":
+        return []
+    out, i, n = [], 0, len(body)
+    while i < n:
+        if body[i] == '"':                      # quoted element
+            j, buf = i + 1, []
+            while j < n:
+                c = body[j]
+                if c == "\\":
+                    buf.append(body[j + 1])
+                    j += 2
+                elif c == '"':
+                    break
+                else:
+                    buf.append(c)
+                    j += 1
+            out.append("".join(buf))
+            i = j + 1
+            if i < n and body[i] == ",":
+                i += 1
+        elif body[i] == "{":                    # nested array element
+            depth, j = 0, i
+            while j < n:
+                if body[j] == "{":
+                    depth += 1
+                elif body[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            out.append(body[i:j + 1])
+            i = j + 1
+            if i < n and body[i] == ",":
+                i += 1
+        else:                                   # bare element
+            j = body.find(",", i)
+            if j < 0:
+                j = n
+            tok = body[i:j]
+            out.append(None if tok.upper() == "NULL" else tok)
+            i = j + 1
+    return out
+
+
+def parse_pg_array(arr: pa.Array, typ: pa.DataType, lenient: bool = False
+                   ) -> Tuple[pa.Array, Optional[pa.Array]]:
+    """pg array text form '{a,b,NULL}' -> Arrow list<child> (opt-in typed
+    form; the default OID mapping keeps array columns as lossless TEXT —
+    exactly what pgoutput ships and what the reference hands consumers,
+    integration-tests/complex_types.rs).  Element text is cast with the
+    same scalar parsers as top-level columns (recursing for nested
+    list targets), so int/bool/float/date/decimal element semantics are
+    identical.  Cold path by design (per-row Python tokenizer): array
+    columns that need the typed form should be narrow."""
+    vals: list = []
+    bad: list = []
+    for v in arr.to_pylist():
+        if v is None:
+            vals.append(None)
+            bad.append(False)
+            continue
+        try:
+            vals.append(_split_pg_array(v))
+            bad.append(False)
+        except ValueError:
+            if not lenient:
+                raise
+            vals.append(None)
+            bad.append(True)
+    # cast the flattened element texts with the scalar machinery
+    flat = pa.array([e for row in vals if row is not None for e in row],
+                    pa.string())
+    typed_flat, flat_bad = cast_pg_text(flat, typ.value_type, lenient)
+    off_arr = []
+    cur = 0
+    for r in vals:
+        off_arr.append(None if r is None else cur)
+        if r is not None:
+            cur += len(r)
+    off_arr.append(cur)
+    offsets = pa.array(off_arr, pa.int32())
+    out = pa.ListArray.from_arrays(offsets, typed_flat)
+    if not lenient:
+        return out, None
+    # lenient: a row is bad if its literal failed OR any element failed
+    if flat_bad is not None and pc.any(pc.fill_null(flat_bad,
+                                                    False)).as_py():
+        import numpy as np
+
+        fb = np.asarray(pc.fill_null(flat_bad, False))
+        cur = 0
+        for i, r in enumerate(vals):
+            if r is not None and fb[cur:cur + len(r)].any():
+                bad[i] = True
+            if r is not None:
+                cur += len(r)
+    return out, pa.array(bad, pa.bool_())
+
+
 def parse_pg_bytea(arr: pa.Array, lenient: bool = False
                    ) -> Tuple[pa.Array, Optional[pa.Array]]:
     """Hex bytea text '\\x0a0b' -> binary (column_value.rs:17-56)."""
@@ -226,4 +333,6 @@ def cast_pg_text(arr: pa.Array, typ: pa.DataType, lenient: bool = False
         return parse_pg_numeric(arr, typ, lenient)
     if pa.types.is_binary(typ):
         return parse_pg_bytea(arr, lenient)
+    if pa.types.is_list(typ):
+        return parse_pg_array(arr, typ, lenient)
     return pc.cast(arr, typ), None

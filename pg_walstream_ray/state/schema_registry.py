@@ -46,6 +46,13 @@ PG_OID_TO_ARROW = {
                            # pa.decimal128(p, s) — functions/pgtext
                            # parse_pg_numeric handles the typed cast
     1082: pa.date32(),     # date ('YYYY-MM-DD' text form)
+    2950: pa.string(),     # uuid (canonical hex text form)
+    # array OIDs (1000 bool[], 1007 int4[], 1009 text[], 1022 float8[], ...)
+    # intentionally absent: they default to lossless TEXT — exactly the
+    # pgoutput representation the reference hands consumers
+    # (integration-tests/complex_types.rs).  Apps wanting typed lists
+    # override the OID with pa.list_(child) — functions/pgtext
+    # parse_pg_array handles the cast, nested arrays included.
 }
 
 

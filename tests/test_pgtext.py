@@ -190,3 +190,39 @@ def test_lenient_projection_dead_letter_column():
 
     with pytest.raises(Exception):
         project_envelope(env, reg, OID, lenient=False)
+
+
+def test_array_parsing_basic_and_quoted():
+    out, _ = pgtext.parse_pg_array(
+        pa.array(["{1,2,3}", "{}", None, "{4,NULL,6}"]),
+        pa.list_(pa.int32()))
+    assert out.to_pylist() == [[1, 2, 3], [], None, [4, None, 6]]
+    out, _ = pgtext.parse_pg_array(
+        pa.array(['{"a b","say \\"hi\\"",NULL,plain}']),
+        pa.list_(pa.string()))
+    assert out.to_pylist() == [['a b', 'say "hi"', None, 'plain']]
+    out, _ = pgtext.parse_pg_array(
+        pa.array(["{t,f,true}"]), pa.list_(pa.bool_()))
+    assert out.to_pylist() == [[True, False, True]]
+
+
+def test_array_parsing_nested_and_lenient():
+    out, _ = pgtext.parse_pg_array(
+        pa.array(["{{1,2},{3,4}}"]), pa.list_(pa.list_(pa.int32())))
+    assert out.to_pylist() == [[[1, 2], [3, 4]]]
+    with pytest.raises(Exception):
+        pgtext.parse_pg_array(pa.array(["notanarray"]),
+                              pa.list_(pa.int32()))
+    out, bad = pgtext.parse_pg_array(
+        pa.array(["{1,2}", "nope", "{3,junk}"]), pa.list_(pa.int32()),
+        lenient=True)
+    assert out.to_pylist()[0] == [1, 2]
+    assert out.to_pylist()[1] is None
+    assert out.to_pylist()[2] == [3, None]
+    assert bad.to_pylist() == [False, True, True]
+
+
+def test_array_cast_dispatch():
+    out, _ = pgtext.cast_pg_text(pa.array(["{1.5,2.5}"]),
+                                 pa.list_(pa.float64()))
+    assert out.to_pylist() == [[1.5, 2.5]]
