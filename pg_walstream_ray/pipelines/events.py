@@ -148,3 +148,23 @@ def until_lsn(ds, lsn: int):
         return t.filter(pc.less_equal(t["commit_lsn"], lsn))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def poll_envelopes(wal_dir: str, batch_size: int = 8192,
+                   ops: "list[str] | None" = None):
+    """Pull-based consumption: a plain Python generator of envelope
+    batches — the lower-level polling API for callers that want to own
+    the loop instead of composing Dataset stages (reference parity:
+    examples/polling — 'useful when you want more control over the
+    polling loop or when integrating with systems that don't work well
+    with async streams').  Backpressure is inherent: the streaming
+    executor only materializes blocks as the caller consumes them.
+
+        for batch in poll_envelopes(wal, ops=["insert", "update"]):
+            handle(batch)          # pa.Table
+    """
+    ds = envelope_dataset(wal_dir)
+    if ops is not None:
+        ds = filter_ops(ds, ops)
+    yield from ds.iter_batches(batch_format="pyarrow",
+                               batch_size=batch_size)

@@ -302,3 +302,49 @@ def test_snapshot_column_pushdown(ray_session, tmp_path):
     ds = snapshot_dataset(lake, columns=["role"]).to_pandas()
     assert set(ds.columns) == {"conv_id", "turn_idx", "role"}
     assert len(ds) == len(full)
+
+
+def test_poll_envelopes_generator(ray_session, tmp_path):
+    """Pull-based consumption (examples/polling parity): the generator
+    yields every DML envelope row exactly once, caller-paced."""
+    from pg_walstream_ray.pipelines.events import poll_envelopes
+    from pg_walstream_ray.sources.walgen import (WalSpec,
+                                                 shard_logical_changes,
+                                                 write_wal_lake)
+
+    wal = str(tmp_path / "wal")
+    spec = WalSpec(n_convs=10, turns_per_conv=5, n_shards=2)
+    write_wal_lake(spec, wal, parallel=False)
+    total = 0
+    for batch in poll_envelopes(wal, batch_size=64,
+                                ops=["insert", "update", "delete"]):
+        assert batch.num_rows <= 64
+        total += batch.num_rows
+    oracle = sum(shard_logical_changes(spec, s).num_rows for s in range(2))
+    assert total == oracle
+
+
+def test_mv_refresh_crash_rerunnable(ray_session, tmp_path):
+    """A refresh interrupted after part writes but BEFORE the MV manifest
+    publish re-runs cleanly and converges to the same MV (atomic
+    tmp+rename parts, manifest-last)."""
+    import json
+    import os
+
+    from pg_walstream_ray.lake import read_mv, refresh_mv
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    spec = WalSpec(n_convs=10, turns_per_conv=4, n_shards=1, tx_rows=10)
+    write_wal_lake(spec, wal, parallel=False)
+    run_cdc(wal, lake, num_partitions=4)
+    refresh_mv(lake, mv)
+    want = read_mv(mv).to_pandas()
+    # simulate the crash window: manifest lost, part files remain
+    os.remove(os.path.join(mv, "mv_manifest.json"))
+    r = refresh_mv(lake, mv)
+    assert r["refreshed"] == r["partitions"]     # re-did the lost work
+    got = read_mv(mv).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
