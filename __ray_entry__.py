@@ -179,6 +179,101 @@ def _cdc_incremental_mv(sf_dir: str) -> Any:
         shutil.rmtree(mv, ignore_errors=True)
 
 
+def _cdc_enriched_convs(sf_dir: str) -> Any:
+    """Cross-source enrichment: the CDC-produced lake joined back against
+    the raw ``events`` table — per conversation, the lake's live turn
+    count next to the user's total purchase cents.  Demonstrates the lake
+    as a first-class Dataset source composing with analytics pipelines.
+
+    Scale shape: the lake streams via snapshot_dataset with COLUMN
+    PUSHDOWN (only the key columns leave the fragments); both sides
+    bucket by a stable conv hash and join inside the bucket (union-tag
+    co-partition, same machinery as the large-large analytics joins) —
+    no broadcast of either side."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pg_walstream_ray.functions.scale import (coarse_npart,
+                                                  sized_read_parquet)
+    from pg_walstream_ray.lake import snapshot_dataset
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.stages.partition import stable_hash_strings
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_enrich_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        npart = coarse_npart()
+
+        def lake_side(t: pa.Table) -> pa.Table:
+            agg = t.group_by("conv_id").aggregate([("turn_idx", "count")])
+            conv = agg["conv_id"]
+            h = stable_hash_strings(conv if isinstance(
+                conv, pa.ChunkedArray) else pa.chunked_array([conv]))
+            return pa.table({
+                "bucket": pa.array((h % npart).astype(np.int64)),
+                "conv_id": conv,
+                "n_turns": pc.cast(agg["turn_idx_count"], pa.int64()),
+                "cents": pa.array(np.zeros(agg.num_rows, np.int64)),
+                "is_lake": pa.array(np.ones(agg.num_rows, bool))})
+
+        def events_side(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], "purchase"))
+            conv = pc.binary_join_element_wise(
+                "c", pc.cast(f["user_id"], pa.string()), "")
+            cents = np.rint(f["value"].to_numpy(zero_copy_only=False)
+                            * 100.0).astype(np.int64)
+            part = pa.table({"conv_id": conv, "cents": pa.array(cents)})
+            agg = part.group_by("conv_id").aggregate([("cents", "sum")])
+            conv2 = agg["conv_id"]
+            h = stable_hash_strings(conv2 if isinstance(
+                conv2, pa.ChunkedArray) else pa.chunked_array([conv2]))
+            return pa.table({
+                "bucket": pa.array((h % npart).astype(np.int64)),
+                "conv_id": conv2,
+                "n_turns": pa.array(np.zeros(agg.num_rows, np.int64)),
+                "cents": pc.cast(agg["cents_sum"], pa.int64()),
+                "is_lake": pa.array(np.zeros(agg.num_rows, bool))})
+
+        import pandas as pd
+
+        def join_bucket(g: "pd.DataFrame") -> pa.Table:
+            # both sides arrive as per-batch partials: re-aggregate in
+            # the bucket (conversations are bucket-local)
+            lk = g[g["is_lake"]].groupby("conv_id", as_index=False)[
+                "n_turns"].sum()
+            ev = g[~g["is_lake"]].groupby("conv_id", as_index=False)[
+                "cents"].sum()
+            m = lk.merge(ev, on="conv_id", how="left")
+            return pa.table({
+                "conv_id": pa.array(m["conv_id"].to_numpy(object),
+                                    pa.string()),
+                "n_turns": pa.array(m["n_turns"].to_numpy(np.int64)),
+                "purchase_cents": pa.array(
+                    m["cents"].fillna(0).to_numpy(np.int64))})
+
+        lake_ds = snapshot_dataset(lake, columns=[]) \
+            .map_batches(lake_side, batch_format="pyarrow")
+        ev_ds = sized_read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "value"]) \
+            .map_batches(events_side, batch_format="pyarrow")
+        out = lake_ds.union(ev_ds).groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas", num_cpus=1)
+        return pa.concat_tables(list(
+            out.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+            or [pa.table({"conv_id": pa.array([], pa.string()),
+                          "n_turns": pa.array([], pa.int64()),
+                          "purchase_cents": pa.array([], pa.int64())})])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_upsert_compacted(sf_dir: str) -> Any:
     """Upsert replay + explicit lake compaction; final state must equal the
     uncompacted LWW result (compaction is a pure physical rewrite)."""
@@ -370,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
     q["cdc_incremental_mv"] = _cdc_incremental_mv
+    q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_router_two_tables"] = _cdc_router_two_tables
     # hot-key skew: every event lands on one of 3 conversations (~33% each),
     # the auto-probe flags them, and the salted-partition path (SURVEY hard
@@ -654,6 +750,20 @@ def oracle_sql() -> dict[str, str]:
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
     sql["cdc_upsert_compacted"] = sql["cdc_upsert_lww"]
+    sql["cdc_enriched_convs"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}),
+      ranked AS ({_LWW}),
+      lakeagg AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+                  FROM ranked WHERE rn = 1 GROUP BY conv_id),
+      purch AS (SELECT {_CONV_SQL} AS conv_id,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT l.conv_id, n_turns,
+             CAST(COALESCE(p.cents, 0) AS BIGINT) AS purchase_cents
+      FROM lakeagg l LEFT JOIN purch p USING (conv_id)
+    """
+
     sql["cdc_incremental_mv"] = f"""
       WITH changes AS ({_UPSERT_CHANGES}),
       ranked AS ({_LWW})
