@@ -255,3 +255,42 @@ def test_commit_prepared_unknown_gid_noop():
     t = decode_frames(frames)
     d = t.filter(pc.equal(t["op"], "insert"))
     assert d.num_rows == 1 and d["xid"].to_pylist() == [14]
+
+
+def test_malformed_frames_fail_loud_never_silent():
+    """Corrupt input raises (distinct errors per corruption) — never a
+    silently wrong decode; the vectorized path falls back cleanly
+    (returns None, decoder state untouched) and the scalar path then
+    surfaces the error."""
+    import pytest
+
+    from pg_walstream_ray.stages.decode import (PgOutputDecoder,
+                                                decode_frames)
+    from pg_walstream_ray.stages.vdecode import try_decode_segment
+    from pg_walstream_ray.wire import codec
+    from pg_walstream_ray.wire.frames import encode_xlogdata
+
+    with pytest.raises(ValueError):
+        decode_frames([encode_xlogdata(1, 1, 0, b"\x99garbage")])
+
+    rel = codec.Relation(1, "p", "t", "d",
+                         [codec.ColumnInfo(1, "k", 23, -1)])
+    good = [encode_xlogdata(1, 1, 0,
+                            codec.encode_message(codec.Begin(9, 0, 1))),
+            encode_xlogdata(2, 2, 0, codec.encode_message(rel))]
+    ins = codec.encode_message(codec.Insert(1, [(b"t", b"12")]))
+    with pytest.raises(Exception):
+        decode_frames(good + [encode_xlogdata(3, 3, 0, ins[:-3])])
+    with pytest.raises(Exception):
+        decode_frames([b"w" + b"\x00" * 10])
+
+    # vectorized fast path: corrupt segment -> clean fallback, state
+    # untouched (the caller then re-runs the scalar path, which raises)
+    import pyarrow as pa
+
+    dec = PgOutputDecoder()
+    frames_col = pa.array(good + [encode_xlogdata(3, 3, 0, ins[:-3])],
+                          pa.binary())
+    before = dict(dec.relations)
+    assert try_decode_segment(dec, frames_col) is None
+    assert dec.relations == before and dec.last_received_lsn == 0
