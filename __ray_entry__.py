@@ -179,6 +179,31 @@ def _cdc_incremental_mv(sf_dir: str) -> Any:
         shutil.rmtree(mv, ignore_errors=True)
 
 
+STREAM_WINDOW_US = 4096      # tumbling width over commit time (the
+                             # synthetic commit clock advances 1 us per
+                             # WAL byte-position unit, so windows are
+                             # LSN-range-sized; see walgen BASE_TS_US)
+
+
+def _cdc_stream_windows(sf_dir: str) -> Any:
+    """Streaming windowed aggregation over the CDC tap (the stateful
+    stream-processing primitive): tumbling commit-time windows finalized
+    by per-source watermarks (min across sources; commit time is monotone
+    per source, so with lateness 0 nothing is ever late on an in-order
+    tap).  Full-stream result must equal the batch SQL window group-by."""
+    from pg_walstream_ray.pipelines.streaming import stream_windows
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_windows(wal_dir, STREAM_WINDOW_US, n_sources=n_shards)
+    assert agg.late_dropped == 0      # in-order tap: watermark exactness
+    return agg.result_table()
+
+
 def _cdc_enriched_convs(sf_dir: str) -> Any:
     """Cross-source enrichment: the CDC-produced lake joined back against
     the raw ``events`` table — per conversation, the lake's live turn
@@ -466,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
+    q["cdc_stream_windows"] = _cdc_stream_windows
     q["cdc_router_two_tables"] = _cdc_router_two_tables
     # hot-key skew: every event lands on one of 3 conversations (~33% each),
     # the auto-probe flags them, and the salted-partition path (SURVEY hard
@@ -750,6 +776,33 @@ def oracle_sql() -> dict[str, str]:
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
     sql["cdc_upsert_compacted"] = sql["cdc_upsert_lww"]
+    from pg_walstream_ray.sources.events_cdc import TX_ROWS
+    from pg_walstream_ray.sources.walgen import BASE_TS_US
+
+    sql["cdc_stream_windows"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.user_id, {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      )
+      SELECT CAST(cts - cts % {STREAM_WINDOW_US} AS BIGINT)
+               AS window_start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
+      FROM e GROUP BY 1
+    """
+
     sql["cdc_enriched_convs"] = f"""
       WITH changes AS ({_UPSERT_CHANGES}),
       ranked AS ({_LWW}),

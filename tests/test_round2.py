@@ -348,3 +348,59 @@ def test_mv_refresh_crash_rerunnable(ray_session, tmp_path):
     assert r["refreshed"] == r["partitions"]     # re-did the lost work
     got = read_mv(mv).to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def _env_batch(rows):
+    """rows: (source, commit_ts_us, conv) -> minimal envelope table."""
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.int32()),
+        "commit_ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "op": pa.array(["insert"] * len(rows), pa.string()),
+        "after_values": pa.array([[r[2]] for r in rows],
+                                 pa.list_(pa.string())),
+        "before_values": pa.array([None] * len(rows),
+                                  pa.list_(pa.string())),
+    })
+
+
+def test_stream_windows_progressive_and_late():
+    """Watermark semantics: windows finalize as soon as every source's
+    watermark passes (NOT at stream end); rows behind a finalized window
+    are dropped and counted."""
+    from pg_walstream_ray.pipelines.streaming import (
+        TumblingWindowAggregator)
+
+    agg = TumblingWindowAggregator(width_us=100, sources=[0, 1])
+    # both sources fill window [0,100); source watermarks reach 150
+    out1 = agg.ingest(_env_batch([(0, 10, "a"), (1, 20, "b"),
+                                  (0, 150, "c"), (1, 160, "a")]))
+    # window 0 closed mid-stream (progressive emission)
+    assert [w["window_start_us"] for w in out1] == [0]
+    assert out1[0]["n_events"] == 2 and out1[0]["n_convs"] == 2
+    # a row for the already-finalized window 0 is late -> dropped
+    out2 = agg.ingest(_env_batch([(0, 30, "z")]))
+    assert out2 == [] and agg.late_dropped == 1
+    # flush closes the open [100,200) window; the late row never counted
+    rest = agg.flush()
+    assert [w["window_start_us"] for w in rest] == [100]
+    assert rest[0]["n_events"] == 2
+    tbl = agg.result_table()
+    assert tbl["n_events"].to_pylist() == [2, 2]
+
+
+def test_stream_windows_lateness_grace():
+    """allowed_lateness keeps windows open past the watermark: the same
+    out-of-order row is ACCEPTED under a sufficient grace period."""
+    from pg_walstream_ray.pipelines.streaming import (
+        TumblingWindowAggregator)
+
+    agg = TumblingWindowAggregator(width_us=100, sources=[0, 1],
+                                   lateness_us=100)
+    agg.ingest(_env_batch([(0, 10, "a"), (1, 20, "b"),
+                           (0, 150, "c"), (1, 160, "a")]))
+    assert agg.emitted == []                 # grace holds window 0 open
+    out = agg.ingest(_env_batch([(0, 30, "z")]))   # accepted, not late
+    assert agg.late_dropped == 0 and out == []
+    agg.ingest(_env_batch([(0, 260, "x"), (1, 270, "y")]))
+    done = {w["window_start_us"]: w for w in agg.emitted}
+    assert done[0]["n_events"] == 3 and done[0]["n_convs"] == 3
