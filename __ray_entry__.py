@@ -204,6 +204,26 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+STREAM_SESSION_GAP_US = 500   # commit-time gap that splits a session
+                              # (~2-3 skipped transactions at sf0.01)
+
+
+def _cdc_stream_sessions(sf_dir: str) -> Any:
+    """Streaming SESSION windows over the CDC tap (gap-close, per-source
+    watermark — conversations are shard-local, so one slow slot never
+    delays another's sessions).  Full-stream result must equal the batch
+    SQL lag/island sessionization over the same commit clock."""
+    from pg_walstream_ray.pipelines.streaming import stream_sessions
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    return stream_sessions(wal_dir, STREAM_SESSION_GAP_US).result_table()
+
+
 def _cdc_enriched_convs(sf_dir: str) -> Any:
     """Cross-source enrichment: the CDC-produced lake joined back against
     the raw ``events`` table — per conversation, the lake's live turn
@@ -492,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
+    q["cdc_stream_sessions"] = _cdc_stream_sessions
     q["cdc_router_two_tables"] = _cdc_router_two_tables
     # hot-key skew: every event lands on one of 3 conversations (~33% each),
     # the auto-probe flags them, and the salted-partition path (SURVEY hard
@@ -801,6 +822,42 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
       FROM e GROUP BY 1
+    """
+
+    sql["cdc_stream_sessions"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.user_id, {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      ), s AS (
+        SELECT user_id, cts,
+               CASE WHEN cts - LAG(cts) OVER (PARTITION BY user_id
+                                              ORDER BY cts)
+                         > {STREAM_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+      ), g AS (
+        SELECT user_id, cts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY cts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+      )
+      SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(MIN(cts) AS BIGINT) AS session_start_us,
+             CAST(MAX(cts) AS BIGINT) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid
     """
 
     sql["cdc_enriched_convs"] = f"""

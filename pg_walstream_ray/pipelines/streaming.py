@@ -139,3 +139,90 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
         agg.ingest(batch)
     agg.flush()
     return agg
+
+
+class StreamSessionizer:
+    """Streaming SESSION windows (gap-close) over the CDC tap: a
+    conversation's session ends when no event arrives for ``gap_us`` of
+    commit time.
+
+    Watermark rule: a conversation lives entirely in ONE source (the
+    engine's shard-disjointness invariant), so its sessions close against
+    THAT source's watermark alone — no cross-source min, which means one
+    slow slot never delays another slot's session output (a strictly
+    better bound than the tumbling aggregator's global min, available
+    precisely because the key->source affinity holds).
+    """
+
+    def __init__(self, gap_us: int):
+        self.gap = int(gap_us)
+        self.wm: Dict[int, int] = {}
+        # conv -> [source, start, last, n]
+        self.open: Dict[str, list] = {}
+        self.emitted: List[dict] = []
+
+    def ingest(self, batch: pa.Table) -> List[dict]:
+        dml = batch.filter(pc.is_in(batch["op"], value_set=DML_OPS))
+        if dml.num_rows:
+            cts = dml["commit_ts_us"].to_numpy(zero_copy_only=False)
+            src = dml["source"].to_numpy(zero_copy_only=False)
+            after = dml["after_values"]
+            if isinstance(after, pa.ChunkedArray):
+                after = after.combine_chunks()
+            conv = pc.list_element(after, 0).to_pylist()
+            for s, t, c in zip(src.tolist(), cts.tolist(), conv):
+                st = self.open.get(c)
+                if st is None:
+                    self.open[c] = [s, t, t, 1]
+                elif t - st[2] > self.gap:      # gap exceeded: new session
+                    self._emit(c, st)
+                    self.open[c] = [s, t, t, 1]
+                else:
+                    st[2] = max(st[2], t)
+                    st[3] += 1
+            for s in np.unique(src):
+                m = int(cts[src == s].max())
+                if m > self.wm.get(int(s), -1):
+                    self.wm[int(s)] = m
+        return self._advance()
+
+    def _emit(self, conv: str, st: list) -> None:
+        self.emitted.append({"conv_id": conv, "session_start_us": st[1],
+                             "session_end_us": st[2], "n_events": st[3]})
+
+    def _advance(self) -> List[dict]:
+        before = len(self.emitted)
+        for c in [c for c, st in self.open.items()
+                  if self.wm.get(st[0], -1) > st[2] + self.gap]:
+            self._emit(c, self.open.pop(c))
+        return self.emitted[before:]
+
+    def flush(self) -> List[dict]:
+        before = len(self.emitted)
+        for c in sorted(self.open):
+            self._emit(c, self.open.pop(c))
+        return self.emitted[before:]
+
+    def result_table(self) -> pa.Table:
+        rows = sorted(self.emitted,
+                      key=lambda r: (r["conv_id"], r["session_start_us"]))
+        return pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "session_start_us": pa.array(
+                [r["session_start_us"] for r in rows], pa.int64()),
+            "session_end_us": pa.array(
+                [r["session_end_us"] for r in rows], pa.int64()),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        })
+
+
+def stream_sessions(wal_dir: str, gap_us: int,
+                    batch_size: int = 8192) -> StreamSessionizer:
+    """Consume a WAL dir through the polling tap into session windows."""
+    from .events import poll_envelopes
+
+    agg = StreamSessionizer(gap_us)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg

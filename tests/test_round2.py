@@ -404,3 +404,23 @@ def test_stream_windows_lateness_grace():
     agg.ingest(_env_batch([(0, 260, "x"), (1, 270, "y")]))
     done = {w["window_start_us"]: w for w in agg.emitted}
     assert done[0]["n_events"] == 3 and done[0]["n_convs"] == 3
+
+
+def test_stream_sessions_per_source_independence():
+    """A conversation's session closes against ITS source's watermark —
+    a lagging other source does not delay it (key->source affinity)."""
+    from pg_walstream_ray.pipelines.streaming import StreamSessionizer
+
+    agg = StreamSessionizer(gap_us=50)
+    # conv a (source 0): events at 10, 20; source 0 watermark runs to 200
+    # conv b (source 1): event at 15; source 1 stuck at 15
+    agg.ingest(_env_batch([(0, 10, "a"), (1, 15, "b"), (0, 20, "a")]))
+    out = agg.ingest(_env_batch([(0, 200, "c")]))
+    done = {w["conv_id"] for w in out}
+    assert "a" in done                     # closed by source-0 watermark
+    assert "b" not in done                 # source 1 hasn't advanced
+    a = [w for w in out if w["conv_id"] == "a"][0]
+    assert a["session_start_us"] == 10 and a["session_end_us"] == 20
+    assert a["n_events"] == 2
+    rest = agg.flush()
+    assert {w["conv_id"] for w in rest} == {"b", "c"}
