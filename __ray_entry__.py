@@ -558,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_segments"] = analytics.user_segments
     # global ORDER BY/LIMIT via per-block top-k combiner (k rows/block move)
     q["events_global_topn"] = analytics.events_global_topn
+    # TPC-H Q14 shape (promo revenue share; broadcast part dimension)
+    q["q14_promo_revenue"] = analytics.q14_promo_revenue
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
@@ -1262,6 +1264,26 @@ def oracle_sql() -> dict[str, str]:
                        LAG(ts) OVER w, ts) AS gap_us
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["q14_promo_revenue"] = """
+      WITH y AS (
+        SELECT l.l_partkey, p.p_type,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+      ), s AS (
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM y
+      )
+      SELECT promo_cents, total_cents,
+             CAST(FLOOR(promo_cents * 10000.0 / total_cents) AS BIGINT)
+               AS promo_bp
+      FROM s
     """
 
     sql["events_rank_lead"] = """

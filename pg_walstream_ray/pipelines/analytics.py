@@ -1155,3 +1155,74 @@ def user_day_click_purchase(sf_dir: str):
     return ds.map_batches(route, batch_format="pyarrow") \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
                                       num_cpus=1)
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996):
+    """TPC-H Q14-shaped promo-revenue share: of one year's lineitem
+    revenue, the fraction earned by PROMO-type parts.
+
+    Output: one row (promo_cents, total_cents, promo_bp) — integer cents
+    and basis points (floor), float-free for the value hash.
+
+    Scale shape: part is the broadcast dimension (only (p_partkey,
+    is_promo) ships — a sorted key array + bitmask via ray.put, searched
+    with one np.searchsorted per batch); lineitem streams through a
+    zero-shuffle map emitting two-cell partials, reduced driver-side
+    (bounded: 2 ints per block).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(keys)
+    dim_ref = ray.put((keys[order], promo[order]))
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, is_promo = ray.get(dim_ref)
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        if f.num_rows == 0:
+            return pa.table({"promo_cents": pa.array([0], pa.int64()),
+                             "total_cents": pa.array([0], pa.int64())})
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        # DuckDB ROUND is half-AWAY (std::round); revenue products DO
+        # land on exact .5 boundaries (unlike the two-decimal events
+        # values where rint suffices).  floor + (frac >= .5) computes
+        # half-away exactly, avoiding the floor(x+0.5) ULP pitfall.
+        y = rev * 100.0
+        base = np.floor(y)
+        cents = (base + (y - base >= 0.5)).astype(np.int64)
+        pk = f["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, pk)
+        posc = np.clip(pos, 0, max(len(k) - 1, 0))
+        hit = (len(k) > 0) & (pos < len(k)) & (k[posc] == pk)
+        pm = np.where(hit, is_promo[posc], False)
+        # inner-join semantics (matches the oracle): unmatched partkeys
+        # contribute to neither sum (l_partkey is an FK, so none in
+        # practice)
+        return pa.table({
+            "promo_cents": pa.array([int(cents[pm].sum())], pa.int64()),
+            "total_cents": pa.array([int(cents[hit].sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+    rows = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in parts.iter_batches(batch_format="pyarrow",
+                                     batch_size=1 << 20)])
+    p = int(pc.sum(rows["promo_cents"]).as_py() or 0)
+    tot = int(pc.sum(rows["total_cents"]).as_py() or 0)
+    bp = int(np.floor(p * 10000.0 / tot)) if tot else 0
+    return pa.table({"promo_cents": pa.array([p], pa.int64()),
+                     "total_cents": pa.array([tot], pa.int64()),
+                     "promo_bp": pa.array([bp], pa.int64())})
