@@ -840,18 +840,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
         FROM r GROUP BY shard, tx
       ), e AS (
-        SELECT r.user_id, {BASE_TS_US} + c.commit_lsn AS cts
+        SELECT r.user_id, r.event_id, {BASE_TS_US} + c.commit_lsn AS cts
         FROM r JOIN c USING (shard, tx)
       ), s AS (
-        SELECT user_id, cts,
+        -- event_id tiebreak: events sharing a commit ts (same tx) must
+        -- order deterministically and identically to the tap's arrival
+        -- order, else DuckDB's tie choice flips which of two equal-ts
+        -- rows starts the next session
+        SELECT user_id, event_id, cts,
                CASE WHEN cts - LAG(cts) OVER (PARTITION BY user_id
-                                              ORDER BY cts)
+                                              ORDER BY cts, event_id)
                          > {STREAM_SESSION_GAP_US}
                     THEN 1 ELSE 0 END AS brk
         FROM e
       ), g AS (
         SELECT user_id, cts,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY cts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY cts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
         FROM s
       )
