@@ -684,7 +684,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_features"] = lambda sf: multimodal.media_features(sf) \
         .select_columns(["doc_id", "argmax_bin"])
 
-    return q
+    # The driver emits CORRECTNESS rows for roughly the FIRST 50 entries in
+    # dict order.  Rounds 1-2 spent that window on the (already-green)
+    # CDC+analytics block, leaving the dedup/text/media block without a
+    # driver row.  Lead with the queries that have never had one (31
+    # oracled + 10 rows-only), then a CDC/analytics smoke set, then the
+    # rest — every callable is unchanged, only the dict order moves.
+    ordered = {k: q[k] for k in _DRIVER_WINDOW_ORDER if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
+
+
+# First-50 window for the driver's correctness run (see queries()).
+_DRIVER_WINDOW_ORDER = [
+    # 31 oracled queries the driver has never checked (VERDICT r2 item #1)
+    "events_anomaly_days", "user_event_journey", "corpus_clean",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dup_span_stats", "dup_span_removal", "simhash_signatures",
+    "dedup_simhash", "ngram_jaccard_pairs", "dedup_clusters",
+    "ann_brute_topk", "embedding_near_dup", "token_heavy_hitters",
+    "text_quality", "text_normalize", "lang_id", "repetition_filter",
+    "quality_prune", "vocab_coverage", "tfidf_top_terms", "decontaminate",
+    "doc_fingerprint", "redact_terms", "source_mix_sample",
+    "stratified_sample", "doc_sample", "media_metadata",
+    "media_frame_sample", "media_resize",
+    # 10 approximate/rows-only queries, also never driver-checked
+    "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
+    "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
+    "cluster_balanced_sample", "pack_sequences", "media_features",
+    # CDC/analytics smoke set (all green in r01+r02) to round out the window
+    "cdc_upsert_lww", "cdc_insert_only", "cdc_streamed_tx", "cdc_two_phase",
+    "cdc_stream_windows", "cdc_stream_sessions", "q1_pricing_summary",
+    "q5_local_supplier", "events_asof_join",
+]
 
 
 def oracle_sql() -> dict[str, str]:

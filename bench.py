@@ -437,6 +437,53 @@ def run_scaling_fair(sf_dir: str, low: int, high: int,
     }
 
 
+# queries kept in the final stdout line (the driver's tail capture is the
+# LAST 2000 chars of stdout: round 2's full per-query line outgrew it and
+# parsed as null — the full maps now live in BENCH_full.json + stderr)
+_HEADLINE_QUERIES = (
+    "cdc_replay", "cdc_replay_synthetic4m", "q1_pricing_summary",
+    "q5_local_supplier", "q3_top_unshipped", "corpus_clean", "dedup_exact",
+    "dedup_minhash_lsh", "dup_span_removal", "dedup_clusters",
+    "semantic_dedup", "tfidf_top_terms", "ann_brute_topk", "pack_sequences",
+    "events_window_functions", "compact_refresh_lookup",
+)
+_FINAL_LINE_BUDGET = 1600
+
+
+def _emit(out: dict) -> None:
+    """Print the result with the driver's tail-capture contract: the final
+    stdout line is ONE compact JSON object guaranteed to fit in the last
+    2000 captured chars.  The untrimmed result (all per-query timings +
+    row counts) is written to BENCH_full.json next to this script and
+    echoed to stderr."""
+    full = json.dumps(out)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_full.json")
+        with open(path, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    print(full, file=sys.stderr)
+
+    slim = dict(out)
+    slim.pop("rows_out", None)
+    q = slim.get("queries")
+    if isinstance(q, dict):
+        slim["suite_sec_total"] = round(sum(q.values()), 3)
+        slim["n_queries_timed"] = len(q)
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > _FINAL_LINE_BUDGET and isinstance(q, dict):
+        slim["queries"] = {k: v for k, v in q.items()
+                           if k in _HEADLINE_QUERIES}
+        line = json.dumps(slim, separators=(",", ":"))
+    while len(line) > _FINAL_LINE_BUDGET and slim.get("queries"):
+        slim["queries"].popitem()
+        line = json.dumps(slim, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -485,7 +532,7 @@ def main() -> None:
             out["unit"] = "sec"
         finally:
             ray.shutdown()
-        print(json.dumps(out))
+        _emit(out)
         return
 
     if args.scaling:
@@ -496,7 +543,7 @@ def main() -> None:
     else:
         out = run_suite(args.sf_dir, args.headline_only,
                         synthetic_events=args.synthetic_events)
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

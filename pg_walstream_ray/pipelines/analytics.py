@@ -2,7 +2,7 @@
 data-processing surface (grouped aggregation with partial combine, broadcast
 join, sessionization / windowed aggregates), expressed Ray-Data-first.
 
-Patterns demonstrated (ray_guide.md):
+Patterns demonstrated:
   - pre-aggregate inside map_batches, then groupby over the partials
     (avoids shuffling every row);
   - broadcast the small join side via ray.put + lookup inside map_batches

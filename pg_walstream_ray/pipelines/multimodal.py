@@ -61,7 +61,7 @@ def synthesize_media(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
-    # large binary payloads -> small batches (memory-aware; ray_guide.md)
+    # large binary payloads -> small batches (memory-aware)
     return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 

@@ -136,8 +136,7 @@ class ProjectStage:
     """Actor-pool stage: envelope batches -> typed change batches.
 
     The registry is fetched from the object store ONCE per actor
-    (``__init__``), not per batch — broadcast-small-side pattern
-    (ray_guide: joins and lookups)."""
+    (``__init__``), not per batch — broadcast-small-side pattern."""
 
     def __init__(self, registry_ref, oid: int, lenient: bool = False):
         import ray
