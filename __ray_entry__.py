@@ -199,7 +199,11 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
                        .encode()).hexdigest()[:12]
     wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
     build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
-    agg = stream_windows(wal_dir, STREAM_WINDOW_US, n_sources=n_shards)
+    # n_actors=4: the sharded deployment (4 window-aggregator actors over
+    # the conv-routed key stream) is the production path and the one the
+    # driver oracles; n_actors=0 falls back to the single consumer
+    agg = stream_windows(wal_dir, STREAM_WINDOW_US, n_sources=n_shards,
+                         n_actors=4)
     assert agg.late_dropped == 0      # in-order tap: watermark exactness
     return agg.result_table()
 
@@ -221,7 +225,8 @@ def _cdc_stream_sessions(sf_dir: str) -> Any:
                        .encode()).hexdigest()[:12]
     wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
     build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
-    return stream_sessions(wal_dir, STREAM_SESSION_GAP_US).result_table()
+    return stream_sessions(wal_dir, STREAM_SESSION_GAP_US,
+                           n_actors=4).result_table()
 
 
 def _cdc_enriched_convs(sf_dir: str) -> Any:

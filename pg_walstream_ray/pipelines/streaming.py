@@ -17,27 +17,79 @@ Semantics (standard event-stream windowing):
     dropped (``late_dropped``), exactly the Beam/Flink allowed-lateness
     contract.
 
-The aggregator is a plain driver/actor-side object fed from
-``events.poll_envelopes`` (or any envelope batch source).  Per-window
-state here is (count, distinct-conv set); at 100 TB the set swaps for
-the mergeable HLL sketch in ``pipelines/sketches.py`` and one aggregator
-runs per key-range (the envelope stream is already hash-partitionable by
-conv) — the windowing logic is unchanged.
+Deployment shapes:
+
+  * single consumer (``n_actors=0``): the aggregator object fed from
+    ``events.poll_envelopes`` — the reference's safe-transaction-consumer
+    tier verbatim (examples/safe-transaction-consumer/main.rs:84-206 is a
+    single commit-ordered consumer loop);
+  * sharded (``n_actors=N``): one router task per WAL source decodes its
+    shard sequentially (ordering is per-source, the semantic requirement)
+    and routes slim ``(conv, commit_ts, source)`` key batches to N
+    aggregator actors by ``hash(conv) % N``.  Every actor receives every
+    batch's per-source watermark (an empty key batch is still a watermark
+    heartbeat), so eviction progresses on all actors.  Conversations are
+    actor-disjoint, so per-actor results merge exactly: sessions
+    concatenate; tumbling partials add (n_events sums; distinct-conv
+    counts add because each conv is counted on exactly one actor).
+    Per-source arrival order survives the route because a source's router
+    is a single submitter and Ray preserves per-caller actor task order.
+
+Ingest is batch-vectorized in both shapes: numpy window bucketing +
+per-window set updates for tumbling; a factorize/stable-sort segment scan
+for sessions (Python work is per SESSION SEGMENT, not per row).
+
+At 100 TB the distinct-conv set swaps for the mergeable HLL sketch in
+``pipelines/sketches.py``; the windowing logic is unchanged.
 
 Reference parity note: the reference hands consumers a commit-ordered
 event stream and leaves windowing to them (safe-transaction-consumer
-pattern); this module is that consumer, expressed once, reusable.
+pattern); this module is that consumer, expressed once, reusable, and —
+unlike the single-process reference tier — key-parallel.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 DML_OPS = pa.array(["insert", "update", "delete"], pa.string())
+
+
+def _extract_keys(dml: pa.Table) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+    """(conv, commit_ts_us, source) arrays from a DML envelope batch.
+
+    The conversation key is tuple column 0 (the relation's first column);
+    DELETE envelopes carry only the before(key) tuple, so the key falls
+    back to ``before_values[0]`` on delete rows (matching the apply
+    stage's key extraction) — a delete must never produce a None key.
+    """
+    cts = dml["commit_ts_us"].to_numpy(zero_copy_only=False)
+    src = dml["source"].to_numpy(zero_copy_only=False)
+    after = dml["after_values"]
+    if isinstance(after, pa.ChunkedArray):
+        after = after.combine_chunks()
+    key = pc.list_element(after, 0)
+    is_del = pc.equal(dml["op"], "delete")
+    if pc.any(is_del).as_py():
+        before = dml["before_values"]
+        if isinstance(before, pa.ChunkedArray):
+            before = before.combine_chunks()
+        key = pc.if_else(is_del, pc.list_element(before, 0), key)
+    conv = key.to_numpy(zero_copy_only=False)
+    return conv, cts, src
+
+
+def _batch_watermarks(cts: np.ndarray, src: np.ndarray) -> Dict[int, int]:
+    """Per-source max commit_ts in this batch."""
+    out: Dict[int, int] = {}
+    for s in np.unique(src).tolist():
+        out[int(s)] = int(cts[src == s].max())
+    return out
 
 
 class TumblingWindowAggregator:
@@ -54,46 +106,44 @@ class TumblingWindowAggregator:
         self.emitted: List[dict] = []
 
     def _global_watermark(self) -> int:
-        return min(self.wm.values())
+        return min(self.wm.values()) if self.wm else -1
 
     def ingest(self, batch: pa.Table) -> List[dict]:
         """Feed one envelope batch; returns windows finalized by it."""
         dml = batch.filter(pc.is_in(batch["op"], value_set=DML_OPS))
         if dml.num_rows:
-            cts = dml["commit_ts_us"].to_numpy(zero_copy_only=False)
-            src = dml["source"].to_numpy(zero_copy_only=False)
-            # conversation key = tuple column 0 (the relation's first
-            # column); deletes carry only the before(key) tuple
-            after = pc.list_element(dml["after_values"].combine_chunks()
-                                    if isinstance(dml["after_values"],
-                                                  pa.ChunkedArray)
-                                    else dml["after_values"], 0)
-            is_del = pc.equal(dml["op"], "delete")
-            if pc.any(is_del).as_py():
-                before = pc.list_element(
-                    dml["before_values"].combine_chunks()
-                    if isinstance(dml["before_values"], pa.ChunkedArray)
-                    else dml["before_values"], 0)
-                after = pc.if_else(is_del, before, after)
-            conv = after.to_pylist()
-            starts = cts - cts % self.width
-            for s, w, c in zip(src.tolist(), starts.tolist(), conv):
-                # a row whose window already finalized is, by
-                # construction, beyond the allowed lateness
-                if w + self.width - 1 <= self.closed_before:
-                    self.late_dropped += 1
-                    continue
-                st = self.open.get(w)
-                if st is None:
-                    st = [0, set()]
-                    self.open[w] = st
-                st[0] += 1
-                st[1].add(c)
-            for s in np.unique(src):
-                m = int(cts[src == s].max())
-                if m > self.wm.get(int(s), -1):
-                    self.wm[int(s)] = m
+            conv, cts, src = _extract_keys(dml)
+            self.ingest_keyed(conv, cts, src)
+            self.observe_watermarks(_batch_watermarks(cts, src))
         return self._advance()
+
+    def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray) -> None:
+        """Vectorized state update from pre-extracted key arrays (no
+        watermark movement — callers pair this with observe_watermarks +
+        _advance; ``ingest`` and the sharded actor both do)."""
+        starts = cts - cts % self.width
+        order = np.argsort(starts, kind="stable")
+        ss = starts[order]
+        conv_s = conv[order]
+        uq, i0, cnt = np.unique(ss, return_index=True, return_counts=True)
+        for w, i, n in zip(uq.tolist(), i0.tolist(), cnt.tolist()):
+            # a row whose window already finalized is, by construction,
+            # beyond the allowed lateness
+            if w + self.width - 1 <= self.closed_before:
+                self.late_dropped += n
+                continue
+            st = self.open.get(w)
+            if st is None:
+                st = [0, set()]
+                self.open[w] = st
+            st[0] += n
+            st[1].update(conv_s[i:i + n].tolist())
+
+    def observe_watermarks(self, wm: Dict[int, int]) -> None:
+        for s, m in wm.items():
+            if m > self.wm.get(int(s), -1):
+                self.wm[int(s)] = int(m)
 
     def _advance(self) -> List[dict]:
         gw = self._global_watermark()
@@ -127,20 +177,6 @@ class TumblingWindowAggregator:
         })
 
 
-def stream_windows(wal_dir: str, width_us: int, n_sources: int,
-                   lateness_us: int = 0,
-                   batch_size: int = 8192) -> TumblingWindowAggregator:
-    """Consume a WAL dir through the polling tap into a windowed
-    aggregate; returns the aggregator (emitted windows + late count)."""
-    from .events import poll_envelopes
-
-    agg = TumblingWindowAggregator(width_us, range(n_sources), lateness_us)
-    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
-        agg.ingest(batch)
-    agg.flush()
-    return agg
-
-
 class StreamSessionizer:
     """Streaming SESSION windows (gap-close) over the CDC tap: a
     conversation's session ends when no event arrives for ``gap_us`` of
@@ -164,27 +200,57 @@ class StreamSessionizer:
     def ingest(self, batch: pa.Table) -> List[dict]:
         dml = batch.filter(pc.is_in(batch["op"], value_set=DML_OPS))
         if dml.num_rows:
-            cts = dml["commit_ts_us"].to_numpy(zero_copy_only=False)
-            src = dml["source"].to_numpy(zero_copy_only=False)
-            after = dml["after_values"]
-            if isinstance(after, pa.ChunkedArray):
-                after = after.combine_chunks()
-            conv = pc.list_element(after, 0).to_pylist()
-            for s, t, c in zip(src.tolist(), cts.tolist(), conv):
-                st = self.open.get(c)
-                if st is None:
-                    self.open[c] = [s, t, t, 1]
-                elif t - st[2] > self.gap:      # gap exceeded: new session
-                    self._emit(c, st)
-                    self.open[c] = [s, t, t, 1]
-                else:
-                    st[2] = max(st[2], t)
-                    st[3] += 1
-            for s in np.unique(src):
-                m = int(cts[src == s].max())
-                if m > self.wm.get(int(s), -1):
-                    self.wm[int(s)] = m
+            conv, cts, src = _extract_keys(dml)
+            self.ingest_keyed(conv, cts, src)
+            self.observe_watermarks(_batch_watermarks(cts, src))
         return self._advance()
+
+    def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray) -> None:
+        """Vectorized segment scan: factorize convs (C speed, no string
+        sorts), stable-sort by code (per-conv arrival order survives —
+        commit ts is monotone per conv because a conv is source-local),
+        then split on conv change / gap excess.  Python work is per
+        emitted SEGMENT, not per row."""
+        import pandas as pd
+
+        n = len(cts)
+        if n == 0:
+            return
+        codes, uniques = pd.factorize(conv)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        t = cts[order]
+        s = src[order]
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        np.not_equal(c[1:], c[:-1], out=new_conv[1:])
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        np.greater(t[1:] - t[:-1], self.gap, out=brk[1:])
+        brk |= new_conv
+        seg_a = np.flatnonzero(brk)
+        seg_b = np.append(seg_a[1:], n)         # exclusive ends
+        for a, b, first in zip(seg_a.tolist(), seg_b.tolist(),
+                               new_conv[seg_a].tolist()):
+            cv = uniques[c[a]]
+            t0, t1, cnt = int(t[a]), int(t[b - 1]), b - a
+            if first:                  # may stitch onto the open session
+                st = self.open.pop(cv, None)
+                if st is not None:
+                    if t0 - st[2] <= self.gap:
+                        t0, cnt = st[1], cnt + st[3]
+                    else:
+                        self._emit(cv, st)
+            if b == n or new_conv[b]:  # conv's last segment stays open
+                self.open[cv] = [int(s[a]), t0, t1, cnt]
+            else:                      # an in-batch gap follows: final
+                self._emit(cv, [int(s[a]), t0, t1, cnt])
+
+    def observe_watermarks(self, wm: Dict[int, int]) -> None:
+        for s, m in wm.items():
+            if m > self.wm.get(int(s), -1):
+                self.wm[int(s)] = int(m)
 
     def _emit(self, conv: str, st: list) -> None:
         self.emitted.append({"conv_id": conv, "session_start_us": st[1],
@@ -216,9 +282,178 @@ class StreamSessionizer:
         })
 
 
-def stream_sessions(wal_dir: str, gap_us: int,
-                    batch_size: int = 8192) -> StreamSessionizer:
-    """Consume a WAL dir through the polling tap into session windows."""
+# ---------------------------------------------------------------------------
+# sharded deployment: N aggregator actors over a conv-routed key stream
+# ---------------------------------------------------------------------------
+
+class ShardedAggResult:
+    """Merged result of a sharded streaming run (same read surface as the
+    in-process aggregators: ``late_dropped`` + ``result_table()``)."""
+
+    def __init__(self, table: pa.Table, late_dropped: int):
+        self._table = table
+        self.late_dropped = late_dropped
+
+    def result_table(self) -> pa.Table:
+        return self._table
+
+
+def _make_agg(kind: str, kw: dict):
+    if kind == "windows":
+        return TumblingWindowAggregator(**kw)
+    return StreamSessionizer(**kw)
+
+
+class _AggActor:
+    """One aggregator shard: owns the convs with hash(conv) % N == i.
+
+    Receives slim (conv, cts, src) key batches — the text payload never
+    enters the actor mailbox — plus the batch's per-source watermarks.
+    An EMPTY key batch is still a watermark heartbeat: it lets this
+    actor's eviction progress even when a batch routed no convs here
+    (the analogue of the wire protocol's keepalive messages).
+    """
+
+    def __init__(self, kind: str, kw: dict):
+        self.agg = _make_agg(kind, kw)
+
+    def ingest(self, slim: pa.Table, wm: Dict[int, int]) -> None:
+        if slim.num_rows:
+            self.agg.ingest_keyed(
+                slim["conv"].to_numpy(zero_copy_only=False),
+                slim["cts"].to_numpy(zero_copy_only=False),
+                slim["src"].to_numpy(zero_copy_only=False))
+        self.agg.observe_watermarks(wm)
+        self.agg._advance()
+
+    def finish(self) -> Tuple[pa.Table, int]:
+        self.agg.flush()
+        # sessions never drop rows (no lateness contract): default 0
+        return self.agg.result_table(), getattr(self.agg, "late_dropped", 0)
+
+
+def _route_shard(segs: List[str], actors: list, n_actors: int,
+                 max_inflight: int = 64) -> int:
+    """Decode ONE WAL source sequentially and route its key stream.
+
+    Runs as a Ray task; per-source ordering is preserved end-to-end
+    because this task is the only submitter for its source and Ray
+    delivers one caller's actor tasks in submission order.  Backpressure:
+    at most ``max_inflight`` unacked ingests per router."""
+    import ray
+
+    from ..stages.decode import DecodeShard
+    from ..stages.partition import stable_hash_strings
+
+    batch = pa.table({"wal_paths": [segs]})
+    pending: list = []
+    routed = 0
+    for env in DecodeShard()(batch):
+        dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
+        if dml.num_rows == 0:
+            continue
+        conv, cts, src = _extract_keys(dml)
+        routed += dml.num_rows
+        key_arr = pa.chunked_array([pa.array(conv, pa.string())])
+        h = stable_hash_strings(key_arr) % n_actors
+        wm = _batch_watermarks(cts, src)
+        slim = pa.table({"conv": key_arr,
+                         "cts": pa.array(cts, pa.int64()),
+                         "src": pa.array(src, pa.int32())})
+        for i in range(n_actors):
+            sub = slim.filter(pa.array(h == i))
+            pending.append(actors[i].ingest.remote(sub, wm))
+        if len(pending) > max_inflight:
+            done, pending = ray.wait(pending,
+                                     num_returns=len(pending) // 2)
+            ray.get(list(done))
+    ray.get(pending)
+    return routed
+
+
+def _merge_windows(tables: List[pa.Table]) -> pa.Table:
+    """Add per-actor tumbling partials: n_events sums; n_convs sums
+    because conversations are actor-disjoint under the conv-hash route."""
+    cat = pa.concat_tables(tables)
+    if cat.num_rows == 0:
+        return cat
+    agg = cat.group_by("window_start_us").aggregate(
+        [("n_events", "sum"), ("n_convs", "sum")])
+    agg = agg.sort_by("window_start_us")
+    return pa.table({
+        "window_start_us": agg["window_start_us"],
+        "n_events": pc.cast(agg["n_events_sum"], pa.int64()),
+        "n_convs": pc.cast(agg["n_convs_sum"], pa.int64()),
+    })
+
+
+def _merge_sessions(tables: List[pa.Table]) -> pa.Table:
+    """Sessions are conv-complete per actor: concatenate + canonical sort."""
+    cat = pa.concat_tables(tables)
+    return cat.sort_by([("conv_id", "ascending"),
+                        ("session_start_us", "ascending")])
+
+
+def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
+                 merge) -> ShardedAggResult:
+    import ray
+
+    from .cdc import discover_shards
+
+    shard_paths = discover_shards(wal_dir)
+    # Aggregator actors hold state but burn little CPU (the routers do
+    # the decode work); fractional reservations let actors + routers
+    # co-schedule on small clusters — n_actors=4 under a 4-CPU test
+    # session must not starve the routers into a placement deadlock.
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_actors = max(1, min(n_actors, cpus))
+    actor_cls = ray.remote(num_cpus=0.5)(_AggActor)
+    route_fn = ray.remote(num_cpus=0.5)(_route_shard)
+    actors = [actor_cls.remote(kind, kw) for _ in range(n_actors)]
+    try:
+        # all routers finish -> all their ingests are acked -> finish()
+        # observes every batch (actor task order is per-caller FIFO)
+        ray.get([route_fn.remote(segs, actors, n_actors)
+                 for segs in shard_paths])
+        parts = ray.get([a.finish.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return ShardedAggResult(merge([t for t, _ in parts]),
+                            sum(l for _, l in parts))
+
+
+def stream_windows(wal_dir: str, width_us: int, n_sources: int,
+                   lateness_us: int = 0, batch_size: int = 8192,
+                   n_actors: int = 0):
+    """Consume a WAL dir into tumbling commit-time windows.
+
+    ``n_actors=0``: single consumer fed from the polling tap (reference
+    consumer-tier parity).  ``n_actors=N``: N aggregator actors over the
+    conv-routed key stream (the key-parallel generalization; results are
+    exact because convs are actor-disjoint and every actor heartbeats
+    every source watermark)."""
+    kw = dict(width_us=width_us, sources=range(n_sources),
+              lateness_us=lateness_us)
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "windows", kw, n_actors,
+                            _merge_windows)
+    from .events import poll_envelopes
+
+    agg = TumblingWindowAggregator(**kw)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg
+
+
+def stream_sessions(wal_dir: str, gap_us: int, batch_size: int = 8192,
+                    n_actors: int = 0):
+    """Consume a WAL dir into gap-close session windows (single consumer
+    or, with ``n_actors=N``, N conv-hash-routed sessionizer actors)."""
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "sessions", dict(gap_us=gap_us),
+                            n_actors, _merge_sessions)
     from .events import poll_envelopes
 
     agg = StreamSessionizer(gap_us)

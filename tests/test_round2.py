@@ -424,3 +424,91 @@ def test_stream_sessions_per_source_independence():
     assert a["n_events"] == 2
     rest = agg.flush()
     assert {w["conv_id"] for w in rest} == {"b", "c"}
+
+
+def _env_batch_ops(rows):
+    """rows: (source, commit_ts_us, conv, op) — deletes carry the key in
+    before_values ONLY (real pgoutput delete shape)."""
+    ops = [r[3] for r in rows]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.int32()),
+        "commit_ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "op": pa.array(ops, pa.string()),
+        "after_values": pa.array(
+            [None if o == "delete" else [r[2]]
+             for r, o in zip(rows, ops)], pa.list_(pa.string())),
+        "before_values": pa.array(
+            [[r[2]] if o == "delete" else None
+             for r, o in zip(rows, ops)], pa.list_(pa.string())),
+    })
+
+
+def test_stream_sessions_delete_key_fallback():
+    """DELETE envelopes carry only before_values: the sessionizer must key
+    them on the before tuple, not group them under a None conv (which
+    broke flush()'s sorted() with a TypeError)."""
+    from pg_walstream_ray.pipelines.streaming import StreamSessionizer
+
+    agg = StreamSessionizer(gap_us=50)
+    agg.ingest(_env_batch_ops([(0, 10, "a", "insert"),
+                               (0, 20, "a", "delete"),
+                               (0, 30, "b", "delete")]))
+    rest = agg.flush()
+    got = {(w["conv_id"], w["n_events"]) for w in rest}
+    assert got == {("a", 2), ("b", 1)}
+
+
+def test_stream_windows_delete_key_fallback():
+    from pg_walstream_ray.pipelines.streaming import TumblingWindowAggregator
+
+    agg = TumblingWindowAggregator(width_us=100, sources=[0])
+    agg.ingest(_env_batch_ops([(0, 10, "a", "insert"),
+                               (0, 20, "b", "delete")]))
+    out = agg.flush()
+    assert out[0]["n_events"] == 2 and out[0]["n_convs"] == 2
+
+
+def test_sessionizer_vectorized_multi_segment_batch():
+    """One batch carrying several gap-separated segments of the same conv:
+    the segment scan must emit the middle segments and keep only the last
+    open — and stitch the first onto a compatible open session."""
+    from pg_walstream_ray.pipelines.streaming import StreamSessionizer
+
+    agg = StreamSessionizer(gap_us=10)
+    agg.ingest(_env_batch([(0, 100, "a")]))            # opens a@100
+    agg.ingest(_env_batch([(0, 105, "a"), (0, 108, "b"),
+                           (0, 200, "a"), (0, 205, "a"),
+                           (0, 300, "a")]))
+    # a@100-105 stitched then closed by the in-batch gap; a@200-205 closed
+    emitted = {(w["conv_id"], w["session_start_us"], w["session_end_us"],
+                w["n_events"]) for w in agg.emitted}
+    assert ("a", 100, 105, 2) in emitted
+    assert ("a", 200, 205, 2) in emitted
+    # b@108 was evicted mid-stream by the source watermark (300 > 108+gap)
+    assert ("b", 108, 108, 1) in emitted
+    rest = agg.flush()
+    got = {(w["conv_id"], w["session_start_us"], w["n_events"])
+           for w in rest}
+    assert got == {("a", 300, 1)}
+
+
+def test_sharded_streaming_matches_single(ray_session, tmp_path):
+    """The N-actor conv-routed deployment must produce exactly the single
+    consumer's windows and sessions (upsert_delete WAL: exercises the
+    delete-key fallback through the routed path too)."""
+    from pg_walstream_ray.pipelines.streaming import (stream_sessions,
+                                                      stream_windows)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    wal = str(tmp_path / "wal")
+    build_wal_from_events("/root/testdata/sf0.001", "upsert_delete", wal,
+                          n_shards=2)
+
+    single_w = stream_windows(wal, 4096, n_sources=2).result_table()
+    shard_w = stream_windows(wal, 4096, n_sources=2,
+                             n_actors=3).result_table()
+    assert shard_w.equals(single_w.sort_by("window_start_us"))
+
+    single_s = stream_sessions(wal, 500).result_table()
+    shard_s = stream_sessions(wal, 500, n_actors=3).result_table()
+    assert shard_s.equals(single_s)
