@@ -542,8 +542,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.35):
     that appears in at least one near-dup pair; keep = 1 iff the node is
     its cluster's canonical (minimum) member.
 
-    Scale shape: pairs come from the pairwise scorer (at corpus scale,
-    swap in the LSH/banded pair generator — same columns); CC shuffles
+    Scale shape: pairs come from the exact block-pair scorer (two
+    object-store blocks per task, no full-corpus read or broadcast in the
+    lineage; at corpus scale swap in the LSH/banded pair generator — same
+    columns); CC shuffles
     only integer triples (see connected_components); the final sizing
     pass is ONE co-partitioned groupby by ``cluster_id % NPART`` (a
     cluster's rows all land in one bucket, so the count is exact with no

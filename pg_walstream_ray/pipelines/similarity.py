@@ -4,9 +4,9 @@ Operators:
   - ``ann_brute_topk``: exact cosine top-k per query — broadcast query
     matrix (``ray.put`` once, read per actor), numpy matmul per batch,
     per-batch partial top-k, tiny final reduce per query.  The baseline.
-  - ``embedding_near_dup``: all pairs with cosine >= threshold — batch x
-    broadcast-corpus matmul (the corpus side must fit a worker at this
-    variant; the scale path is ``ann_lsh_topk``-style bucketing).
+  - ``embedding_near_dup``: all pairs with cosine >= threshold — exact
+    block-pair tasks over object-store corpus blocks (two blocks per
+    task; no full-corpus materialization or broadcast anywhere).
   - ``ann_lsh_topk``: the scale path — seeded random-hyperplane LSH over
     multiple tables; only bucket-mates are scored.  Approximate (recall
     measured in tests vs the brute-force baseline), so no SQL oracle.
@@ -149,48 +149,81 @@ def ann_brute_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
 # ---------------------------------------------------------------------------
 
 
-class NearDupScore:
-    """Batch x broadcast-corpus cosine; emits pairs (a < b) >= threshold.
+NEAR_DUP_BLOCK_ROWS = 32_768   # two [B, d] float64 block matrices plus a
+                               # chunked sims panel stay well under 1 GB/task
 
-    The corpus matrix is shipped once per actor via ray.put.  This variant
-    is exact and O(n^2) in flops — fine while the corpus matrix fits a
-    worker (n ~ 10^6 x 64d = 0.5 GB); beyond that use LSH bucketing."""
+_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                          ("cos_sim", pa.float64())])
 
-    def __init__(self, corpus_ref, threshold: float):
-        import ray
 
-        self.ids, self.m = ray.get(corpus_ref)    # [N], [N, d] unit
-        self.threshold = threshold
+def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
+                      same: bool) -> pa.Table:
+    """Exact cosine pairs >= threshold between two corpus blocks.
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        b = _batch_matrix(t)
-        b /= np.linalg.norm(b, axis=1, keepdims=True)
-        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        sims = b @ self.m.T                       # [n, N]
-        rows, cols = np.nonzero(sims >= self.threshold)
-        a = vec_ids[rows]
-        bid = self.ids[cols]
-        keep = a < bid                             # each pair once, no self
-        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
-                         "vec_b": pa.array(bid[keep], pa.int64()),
-                         "cos_sim": pa.array(sims[rows, cols][keep])})
+    Runs as a Ray task over two object-store block refs (zero-copy Arrow
+    reads); the sims panel is computed in row chunks so the per-task peak
+    is bounded regardless of block size.  ``same=True`` scores a block
+    against itself (strict upper triangle via the id mask)."""
+    ma = _batch_matrix(ta)
+    if not ma.shape[0]:
+        return _PAIR_SCHEMA.empty_table()
+    ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+    ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
+    if same:
+        mb, ids_b = ma, ids_a
+    else:
+        mb = _batch_matrix(tb)
+        if not mb.shape[0]:
+            return _PAIR_SCHEMA.empty_table()
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
+    step = max(1, (1 << 22) // max(1, len(ids_b)))   # <=32 MB sims chunk
+    out_a, out_b, out_s = [], [], []
+    for lo in range(0, len(ids_a), step):
+        sims = ma[lo:lo + step] @ mb.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a, b, s = ids_a[lo + rows], ids_b[cols], sims[rows, cols]
+        keep = a < b if same else a != b
+        a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        out_a.append(a)
+        out_b.append(b)
+        out_s.append(s[keep])
+    return pa.table({"vec_a": np.concatenate(out_a).astype(np.int64),
+                     "vec_b": np.concatenate(out_b).astype(np.int64),
+                     "cos_sim": np.concatenate(out_s)},
+                    schema=_PAIR_SCHEMA)
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35,
-                       concurrency: int = 4):
-    """All embedding pairs with cosine >= threshold.
-    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b."""
-    import ray
-    import pyarrow.parquet as pq
+                       block_rows: int = NEAR_DUP_BLOCK_ROWS):
+    """All embedding pairs with cosine >= threshold (EXACT all-pairs).
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b.
 
-    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    m = _batch_matrix(tab)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    corpus_ref = ray.put((tab["vec_id"].to_numpy(zero_copy_only=False), m))
-    return _emb(sf_dir).map_batches(
-        as_tasks(NearDupScore, corpus_ref=corpus_ref, threshold=threshold),
-        batch_format="pyarrow", batch_size=4096)
+    Scale shape: the corpus is split into B object-store blocks of
+    ``block_rows`` rows; every unordered block pair (i <= j) is scored by
+    one Ray task fetching exactly two blocks — no driver materialization
+    and no full-corpus broadcast anywhere (what a 100 TB cluster cannot
+    afford).  Work is inherently O(N^2/2) flops because the operator is
+    exact; beyond ~10^7 rows prefer the LSH/IVF bucketed candidates
+    (``ann_lsh_topk`` machinery) or MinHash/SimHash band pairs as the
+    near-dup pair source — the cross-block orientation here is the same.
+    One pair appears exactly once: intra-block tasks take the strict
+    upper triangle, inter-block tasks orient by (min, max) id, and blocks
+    are disjoint so no pair spans two tasks twice."""
+    import ray
+    import ray.data as rd
+
+    emb = _emb(sf_dir)
+    n = emb.count()
+    if not n:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    nblocks = max(2, -(-n // block_rows))   # >=2: the pair path is always
+    refs = emb.repartition(nblocks).to_arrow_refs()     # exercised
+    score = ray.remote(_score_block_pair)
+    out = [score.remote(refs[i], refs[j] if j > i else None,
+                        threshold, j == i)
+           for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_arrow_refs(out)
 
 
 # ---------------------------------------------------------------------------

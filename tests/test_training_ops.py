@@ -182,6 +182,19 @@ def test_near_dup_pairs_symmetric_free(ray_session):
     assert not df.duplicated(["vec_a", "vec_b"]).any()
 
 
+def test_near_dup_block_count_invariant(ray_session):
+    """The exact block-pair scorer must emit the identical pair set at any
+    blocking (tiny blocks force many intra- AND inter-block tasks)."""
+    from pg_walstream_ray.pipelines.similarity import embedding_near_dup
+
+    base = embedding_near_dup(SF, threshold=0.35).to_pandas() \
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    tiny = embedding_near_dup(SF, threshold=0.35, block_rows=37) \
+        .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert base[["vec_a", "vec_b"]].equals(tiny[["vec_a", "vec_b"]])
+    assert np.allclose(base["cos_sim"], tiny["cos_sim"])
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
