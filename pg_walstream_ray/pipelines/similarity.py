@@ -261,6 +261,35 @@ class LshBucketStage:
         return pa.concat_tables(parts)
 
 
+def _make_score_bucket(qbuckets: dict, qn_by_id: dict):
+    """Shared LSH/IVF in-bucket scorer (Arrow group in, Arrow out).
+
+    One matmul scores the whole bucket against ALL of the bucket's
+    queries (the query matrix is tiny); the embedding column is read via
+    the zero-copy list flatten — no per-row object conversion."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        queries = qbuckets.get(int(g["bucket"][0].as_py()))
+        if not queries:
+            return empty
+        m = _batch_matrix(g)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        qm = np.stack([qn_by_id[qid] for qid in queries])
+        sims = m @ qm.T                             # [n, q]
+        qcol = np.repeat(np.asarray(queries, np.int64), len(ids))
+        ncol = np.tile(ids, len(queries))
+        keep = ncol != qcol                         # exclude self
+        return pa.table({"query_id": qcol[keep],
+                         "neighbor_id": ncol[keep],
+                         "sim": sims.T.ravel()[keep]})
+
+    return score_bucket
+
+
 def ann_lsh_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
                  bits: int = LSH_BITS, tables: int = LSH_TABLES,
                  concurrency: int = 4):
@@ -287,28 +316,8 @@ def ann_lsh_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
         as_tasks(LshBucketStage, d=d, bits=bits, tables=tables),
         batch_format="pyarrow", batch_size=4096)
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
-        queries = qbuckets.get(bucket)
-        empty = pd.DataFrame({"query_id": np.array([], np.int64),
-                              "neighbor_id": np.array([], np.int64),
-                              "sim": np.array([], np.float64)})
-        if not queries:
-            return empty
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        ids = g["vec_id"].to_numpy()
-        frames = []
-        for qid in queries:
-            s = m @ qn_by_id[qid]
-            mask = ids != qid
-            frames.append(pd.DataFrame({
-                "query_id": np.full(mask.sum(), qid, dtype=np.int64),
-                "neighbor_id": ids[mask], "sim": s[mask]}))
-        return pd.concat(frames) if frames else empty
-
-    cand = bucketed.groupby("bucket").map_groups(score_bucket,
-                                                 batch_format="pandas")
+    cand = bucketed.groupby("bucket").map_groups(
+        _make_score_bucket(qbuckets, qn_by_id), batch_format="pyarrow")
 
     # a neighbor can reach a query via several tables -> dedupe before rank
     def dedupe(g: pd.DataFrame) -> pd.DataFrame:
@@ -415,28 +424,8 @@ def ann_ivf_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
         as_tasks(IvfBucketStage, centroids_ref=cent_ref),
         batch_format="pyarrow", batch_size=4096)
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
-        queries = qbuckets.get(bucket)
-        empty = pd.DataFrame({"query_id": np.array([], np.int64),
-                              "neighbor_id": np.array([], np.int64),
-                              "sim": np.array([], np.float64)})
-        if not queries:
-            return empty
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        ids = g["vec_id"].to_numpy()
-        frames = []
-        for qid in queries:
-            s = m @ qn_by_id[qid]
-            mask = ids != qid
-            frames.append(pd.DataFrame({
-                "query_id": np.full(mask.sum(), qid, dtype=np.int64),
-                "neighbor_id": ids[mask], "sim": s[mask]}))
-        return pd.concat(frames) if frames else empty
-
-    cand = bucketed.groupby("bucket").map_groups(score_bucket,
-                                                 batch_format="pandas")
+    cand = bucketed.groupby("bucket").map_groups(
+        _make_score_bucket(qbuckets, qn_by_id), batch_format="pyarrow")
     return _final_topk(cand, k)
 
 
@@ -576,29 +565,44 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
                          "embedding": t["embedding"],
                          "cluster_id": pa.array(assign)})
 
-    def dedup_cluster(g: pd.DataFrame) -> pa.Table:
-        order = np.argsort(g["vec_id"].to_numpy(np.int64), kind="stable")
-        ids = g["vec_id"].to_numpy(np.int64)[order]
-        m = np.asarray([np.asarray(v, np.float32)
-                        for v in g["embedding"].to_numpy(object)[order]])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g["vec_id"]))
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g)            # zero-copy flatten, no row objects
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
         n = len(ids)
         keep = np.ones(n, bool)
         dup_of = np.full(n, -1, np.int64)
         kept_rows: list = [0] if n else []
-        for i in range(1, n):
-            km = m[kept_rows]                   # kept prefix matrix
-            sims = km @ m[i]
-            j = np.nonzero(sims >= threshold)[0]
-            if len(j):
-                keep[i] = False
-                dup_of[i] = ids[kept_rows[int(j[0])]]
-            else:
-                kept_rows.append(i)
+        # Chunked greedy: the rule is sequential by definition, but the
+        # expensive part — each candidate vs the whole kept prefix — is
+        # one [chunk, kept] matmul per chunk.  Only the chunk-internal
+        # resolution (who keeps whom WITHIN the chunk) walks rows, and
+        # each step is a vectorized mask over the chunk's own gram row.
+        chunk = 512
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            blk = m[lo:hi]
+            pref = blk @ m[kept_rows].T >= threshold   # [b, |kept|]
+            pref_hit = pref.any(axis=1)
+            pref_first = np.argmax(pref, axis=1)
+            gram = blk @ blk.T >= threshold            # [b, b]
+            local_mask = np.zeros(hi - lo, bool)
+            for r in range(hi - lo):
+                if pref_hit[r]:
+                    keep[lo + r] = False
+                    dup_of[lo + r] = ids[kept_rows[int(pref_first[r])]]
+                    continue
+                cand = np.flatnonzero(gram[r, :r] & local_mask[:r])
+                if len(cand):
+                    keep[lo + r] = False
+                    dup_of[lo + r] = ids[lo + int(cand[0])]
+                else:
+                    local_mask[r] = True
+            kept_rows.extend((lo + np.flatnonzero(local_mask)).tolist())
         return pa.table({
             "vec_id": pa.array(ids),
-            "cluster_id": pa.array(
-                g["cluster_id"].to_numpy(np.int64)[order]),
+            "cluster_id": g["cluster_id"],
             "keep": pa.array(keep.astype(np.int32)),
             "dup_of": pa.array(
                 np.ma.masked_array(dup_of, mask=dup_of < 0)),
@@ -607,7 +611,7 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
     return _emb(sf_dir).map_batches(route, batch_format="pyarrow",
                                     batch_size=8192) \
         .groupby("cluster_id").map_groups(dedup_cluster,
-                                          batch_format="pandas",
+                                          batch_format="pyarrow",
                                           num_cpus=1)
 
 
