@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -121,13 +122,63 @@ def parse_pg_timestamp(arr: pa.Array, lenient: bool = False
     return out, bad
 
 
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian (y, m, d) -> days since 1970-01-01 (Howard
+    Hinnant's civil-days algorithm; handles y <= 0, i.e. BC years)."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _pg_date_special(tok: str) -> Optional[int]:
+    """Scalar fallback for legal pg DATE text the vectorized strptime
+    rejects: 'infinity'/'-infinity' (mapped to date32 int32 extremes, the
+    usual driver convention) and BC dates 'YYYY-MM-DD BC' (pg year 1 BC =
+    proleptic year 0).  Returns days-since-epoch or None if malformed."""
+    t = tok.strip()
+    if t == "infinity":
+        return 2 ** 31 - 1
+    if t == "-infinity":
+        return -(2 ** 31)
+    if t.endswith(" BC"):
+        try:
+            y, m, d = (int(p) for p in t[:-3].split("-"))
+            if y >= 1 and 1 <= m <= 12 and 1 <= d <= 31:
+                return _days_from_civil(1 - y, m, d)
+        except ValueError:
+            return None
+    return None
+
+
 def parse_pg_date(arr: pa.Array, lenient: bool = False
                   ) -> Tuple[pa.Array, Optional[pa.Array]]:
-    """Date text 'YYYY-MM-DD' -> date32 (pg DATE, OID 1082)."""
+    """Date text 'YYYY-MM-DD' -> date32 (pg DATE, OID 1082).  Special pg
+    forms ('infinity', '-infinity', 'YYYY-MM-DD BC') take a scalar
+    fallback on only the rows the vectorized parse rejects."""
     s = pc.utf8_trim_whitespace(arr)
     ts = pc.strptime(s, "%Y-%m-%d", "s", error_is_null=True)
     out = pc.cast(ts, pa.date32())
     bad = pc.and_(pc.is_null(out), pc.is_valid(arr))
+    if pc.any(bad).as_py():
+        days_i = pc.cast(out, pa.int32())
+        valid = pc.is_valid(days_i).to_numpy(zero_copy_only=False).copy()
+        days = pc.fill_null(days_i, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        badm = bad.to_numpy(zero_copy_only=False)
+        still_bad = badm.copy()
+        for i in np.flatnonzero(badm):
+            sp = _pg_date_special(arr[i].as_py())
+            if sp is not None:
+                days[i] = sp
+                valid[i] = True
+                still_bad[i] = False
+        out = pc.if_else(pa.array(valid),
+                         pa.array(days.astype(np.int32), pa.date32()),
+                         pa.scalar(None, pa.date32()))
+        bad = pa.array(still_bad)
     if not lenient and pc.any(bad).as_py():
         idx = pc.index(bad, True).as_py()
         raise ValueError(f"invalid pg date text {arr[idx].as_py()!r}")
@@ -194,6 +245,8 @@ def _split_pg_array(s: str) -> list:
             while j < n:
                 c = body[j]
                 if c == "\\":
+                    if j + 1 >= n:              # dangling escape: malformed
+                        raise ValueError(f"invalid pg array text {s!r}")
                     buf.append(body[j + 1])
                     j += 2
                 elif c == '"':
@@ -201,6 +254,8 @@ def _split_pg_array(s: str) -> list:
                 else:
                     buf.append(c)
                     j += 1
+            else:                               # unterminated quote
+                raise ValueError(f"invalid pg array text {s!r}")
             out.append("".join(buf))
             i = j + 1
             if i < n and body[i] == ",":
@@ -270,11 +325,12 @@ def parse_pg_array(arr: pa.Array, typ: pa.DataType, lenient: bool = False
     if not lenient:
         return out, None
     # lenient: a row is bad if its literal failed OR any element failed
-    if flat_bad is not None and pc.any(pc.fill_null(flat_bad,
-                                                    False)).as_py():
+    # (cast: an all-failed flat array yields a null-typed mask)
+    if flat_bad is not None and len(flat_bad) and pc.any(
+            pc.fill_null(pc.cast(flat_bad, pa.bool_()), False)).as_py():
         import numpy as np
 
-        fb = np.asarray(pc.fill_null(flat_bad, False))
+        fb = np.asarray(pc.fill_null(pc.cast(flat_bad, pa.bool_()), False))
         cur = 0
         for i, r in enumerate(vals):
             if r is not None and fb[cur:cur + len(r)].any():

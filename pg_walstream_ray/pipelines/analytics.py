@@ -988,10 +988,19 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
             columns={"c_nationkey": "cust_nat"}), on="orderkey",
             how="inner")
         m = m[m["c_nationkey"] == m["cust_nat"]]    # local supplier only
-        agg = m.groupby("c_nationkey", as_index=False)["rev_c"].sum()
+        # canonical row order before the float sum: block-arrival order
+        # inside a shuffle bucket is not stable across runs, and float
+        # addition is not associative — sort by (nation, orderkey, rev)
+        # so each bucket partial is bit-identical run to run
+        m = m.sort_values(["c_nationkey", "orderkey", "rev_c"],
+                          kind="mergesort")
+        agg = m.groupby("c_nationkey", as_index=False, sort=True)[
+            "rev_c"].sum()
         return pd.DataFrame({
             "nationkey": agg["c_nationkey"].to_numpy(np.int64),
-            "rev": agg["rev_c"].to_numpy(np.float64)})
+            "rev": agg["rev_c"].to_numpy(np.float64),
+            "pbucket": np.full(len(agg), int(g["bucket"].iloc[0])
+                               if len(g) else 0, np.int64)})
 
     partials = ord_nat.union(li).groupby("bucket").map_groups(
         join_li, batch_format="pandas", num_cpus=1)
@@ -999,9 +1008,10 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
     # final reduce: the partials are BOUNDED (<= npart x |nations| rows —
     # both constants, not data-sized), so a driver-side numpy reduce
     # replaces a third all-to-all exchange whose fixed sort latency would
-    # dominate this query's wall time.  Deterministic summation order
-    # (sort by nationkey then bucket-arrival is normalized by np.argsort)
-    # and the cents rounding at the edge keep the value hash stable.
+    # dominate this query's wall time.  Summation order is fully
+    # deterministic: each bucket partial is sorted before its float sum
+    # (join_li), and the cross-bucket order is lexsorted by
+    # (nationkey, pbucket) — bucket-arrival order never reaches the sum.
     parts = list(partials.iter_batches(batch_format="pyarrow",
                                        batch_size=1 << 20))
     if not parts:
@@ -1012,7 +1022,8 @@ def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
          for p in parts])
     nk = rows["nationkey"].to_numpy(zero_copy_only=False)
     rv = rows["rev"].to_numpy(zero_copy_only=False)
-    order = np.argsort(nk, kind="mergesort")
+    pb = rows["pbucket"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pb, nk))
     nk, rv = nk[order], rv[order]
     starts = np.flatnonzero(np.concatenate(
         [[True], nk[1:] != nk[:-1]])) if len(nk) else np.array([], np.int64)

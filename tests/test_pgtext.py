@@ -2,6 +2,7 @@
 semantics; FIXTURES.md §5 value-parsing fixtures)."""
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from pg_walstream_ray.functions import pgtext
@@ -86,6 +87,43 @@ def test_date_parsing():
                                     lenient=True)
     assert out.to_pylist()[1] is None
     assert bad.to_pylist() == [False, True]
+
+
+def test_date_special_forms():
+    # pg DATE legally emits infinity / -infinity / BC dates (text form);
+    # strict mode must accept them, not raise
+    out, _ = pgtext.parse_pg_date(pa.array(
+        ["infinity", "-infinity", "0001-01-01 BC", "2024-05-01"]))
+    days = pc.cast(out, pa.int32()).to_pylist()
+    assert days[0] == 2 ** 31 - 1 and days[1] == -(2 ** 31)
+    # 1 BC = proleptic year 0; 0001-01-01 BC is 366 days (year 0 is a
+    # leap year) before 0001-01-01 AD
+    ad1, _ = pgtext.parse_pg_date(pa.array(["0001-01-01"]))
+    assert days[2] == pc.cast(ad1, pa.int32())[0].as_py() - 366
+    # (element 3 checked as day-count: to_pylist() on the infinity
+    # sentinels overflows datetime.date by design)
+    assert days[3] == (pgtext._days_from_civil(2024, 5, 1))
+    # malformed forms still raise strict / flag lenient
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_date(pa.array(["2024-13-01 BC"]))
+    out, bad = pgtext.parse_pg_date(pa.array(["infinit"]), lenient=True)
+    assert out.to_pylist() == [None] and bad.to_pylist() == [True]
+
+
+def test_array_malformed_dangling_escape():
+    typ = pa.list_(pa.string())
+    # dangling backslash inside quotes: strict raises ValueError (not
+    # IndexError); lenient nulls + flags
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_array(pa.array(['{"a\\}']), typ)
+    out, bad = pgtext.parse_pg_array(pa.array(['{"a\\}']), typ,
+                                     lenient=True)
+    assert out.to_pylist() == [None] and bad.to_pylist() == [True]
+    # unterminated quote and missing brace likewise
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_array(pa.array(['{"abc}']), typ)
+    with pytest.raises(ValueError):
+        pgtext.parse_pg_array(pa.array(['{"a\\']), typ)
 
 
 def test_numeric_decimal_parsing():
