@@ -194,6 +194,55 @@ def bench_cdc_headline(sf_dir: str) -> dict:
     return best
 
 
+def bench_lake_maintenance(n_events: int = 16_000_000) -> dict:
+    """Incremental-sink surface: compaction, MV refresh (stale + no-op
+    epoch-skip), and point lookups against a freshly replayed lake.
+
+    The replay lands in two bounded windows (stop at the mid-shard LSN,
+    then resume to the end) so every partition carries a 2-fragment
+    chain — the post-change-window shape compact_lake exists for."""
+    from pg_walstream_ray.lake import (compact_lake, lookup_key, read_mv,
+                                       refresh_mv)
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import shard_lsn_base
+
+    wal = _synthetic_wal(n_events, n_shards=64)
+    lake = tempfile.mkdtemp(prefix="pgwr_bench_maint_")
+    mv = tempfile.mkdtemp(prefix="pgwr_bench_mv_")
+    try:
+        run_cdc(wal, lake, num_partitions=64,
+                stop_at_lsn=shard_lsn_base(32))     # window 1: shards 0-31
+        m = run_cdc(wal, lake, num_partitions=64)   # window 2: the rest
+        t0 = time.time()
+        c = compact_lake(lake)
+        t_compact = time.time() - t0
+        t0 = time.time()
+        r1 = refresh_mv(lake, mv)
+        t_mv = time.time() - t0
+        t0 = time.time()
+        r2 = refresh_mv(lake, mv)                   # all epochs unchanged
+        t_noop = time.time() - t0
+        keys = read_mv(mv)["conv_id"].to_pylist()[:4096:256]  # 16 spread
+        t0 = time.time()
+        found = sum(lookup_key(lake, k).num_rows for k in keys)
+        t_lookup = time.time() - t0
+        assert found >= len(keys), "lookup_key missed replayed convs"
+        assert r2["refreshed"] == 0, "no-op refresh recomputed partitions"
+        return {
+            "sec": round(t_compact + t_mv + t_noop + t_lookup, 3),
+            "compact_sec": round(t_compact, 3),
+            "partitions_compacted": c["partitions_compacted"],
+            "mv_refresh_sec": round(t_mv, 3),
+            "mv_partitions": r1["partitions"],
+            "mv_noop_sec": round(t_noop, 3),
+            "lookup_ms": round(1000 * t_lookup / max(len(keys), 1), 1),
+            "lake_rows": m["lake_rows"],
+        }
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(mv, ignore_errors=True)
+
+
 def _consume(res) -> int:
     """Materialize a query result minimally; return row count."""
     import pandas as pd
@@ -275,6 +324,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             # DML-event synthetic replay (WAL generation cached, untimed)
             syn = bench_cdc_synthetic(4_000_000)
             queries["cdc_replay_synthetic4m"] = round(syn["sec"], 3)
+            maint = bench_lake_maintenance(16_000_000)
+            queries["compact_refresh_lookup"] = maint["sec"]
         return {
             "metric": "cdc_replay_wall_sec (events applied/sec in events_per_s)",
             "value": round(head["sec"], 3),
@@ -288,6 +339,7 @@ def run_suite(sf_dir: str, headline_only: bool,
             **({"synthetic_events_per_s": round(syn["events_per_s"], 1),
                 "synthetic_rows_applied": syn["rows_applied"]}
                if syn else {}),
+            **({"lake_maintenance": maint} if not headline_only else {}),
             "rows_out": extra,
         }
     finally:
@@ -476,6 +528,9 @@ def _emit(out: dict) -> None:
     if len(line) > _FINAL_LINE_BUDGET and isinstance(q, dict):
         slim["queries"] = {k: v for k, v in q.items()
                            if k in _HEADLINE_QUERIES}
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > _FINAL_LINE_BUDGET and "lake_maintenance" in slim:
+        slim.pop("lake_maintenance")    # survives in BENCH_full.json
         line = json.dumps(slim, separators=(",", ":"))
     while len(line) > _FINAL_LINE_BUDGET and slim.get("queries"):
         slim["queries"].popitem()

@@ -228,45 +228,67 @@ def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
             "rows": int(summary["rows"].sum()) if len(summary) else 0}
 
 
-def compact_lake(lake_dir: str,
-                 key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")) -> dict:
-    """Force a full merge of every partition's fragment chain to a single
-    base fragment (plus tmp/orphan GC).  Normally compaction happens
-    inline at COMPACT_AT; this is the explicit maintenance entry."""
+def _compact_one_partition(lake_dir: str, pid: int,
+                           key_cols: Tuple[str, ...]) -> int:
+    """Merge one partition's fragment chain to a single base fragment
+    (plus tmp/orphan GC).  Returns 1 if a multi-fragment merge happened.
+    Safe to run concurrently across partitions: each partition owns its
+    manifest and fragment files, and the write is tmp+rename atomic."""
     import uuid as _uuid
 
     from .stages.apply import merged_partition_state
     from .state.manifest import read_manifest, write_manifest_atomic
 
-    merged_parts = 0
-    for pid, paths in live_fragments(lake_dir):
-        m = read_manifest(lake_dir, pid)
-        if len(m.fragments) <= 1:
-            compact_partition(lake_dir, pid)
-            continue
-        d = partition_dir(lake_dir, pid)
-        state = merged_partition_state(d, m.fragments, key_cols=key_cols)
-        state = state.take(pc.sort_indices(
-            state, sort_keys=[(c, "ascending") for c in key_cols]))
-        frag = f"fragment-{m.epoch + 1:06d}-compact.parquet"
-        tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
-        pq.write_table(state, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(d, frag))
-        old = list(m.fragments)
-        m.fragments = [frag]
-        m.row_count = state.num_rows
-        m.epoch += 1
-        m.lineage.append({"epoch": m.epoch, "compacted": True,
-                          "rows_applied": 0})
-        write_manifest_atomic(lake_dir, m)
-        for dead in old:
-            try:
-                os.remove(os.path.join(d, dead))
-            except OSError:
-                pass
-        merged_parts += 1
+    m = read_manifest(lake_dir, pid)
+    if len(m.fragments) <= 1:
         compact_partition(lake_dir, pid)
-    return {"partitions_compacted": merged_parts}
+        return 0
+    d = partition_dir(lake_dir, pid)
+    state = merged_partition_state(d, m.fragments, key_cols=key_cols)
+    state = state.take(pc.sort_indices(
+        state, sort_keys=[(c, "ascending") for c in key_cols]))
+    frag = f"fragment-{m.epoch + 1:06d}-compact.parquet"
+    tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(state, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, frag))
+    old = list(m.fragments)
+    m.fragments = [frag]
+    m.row_count = state.num_rows
+    m.epoch += 1
+    m.lineage.append({"epoch": m.epoch, "compacted": True,
+                      "rows_applied": 0})
+    write_manifest_atomic(lake_dir, m)
+    for dead in old:
+        try:
+            os.remove(os.path.join(d, dead))
+        except OSError:
+            pass
+    compact_partition(lake_dir, pid)
+    return 1
+
+
+def compact_lake(lake_dir: str,
+                 key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")) -> dict:
+    """Force a full merge of every partition's fragment chain to a single
+    base fragment (plus tmp/orphan GC).  Normally compaction happens
+    inline at COMPACT_AT; this is the explicit maintenance entry.
+
+    Scale shape: partitions are independent (private manifest + fragment
+    files), so the merges fan out as one Ray task per partition when a
+    session is live — the driver schedules, never touches row data; a
+    1000-partition lake compacts in one task wave.  Sequential fallback
+    keeps the entry usable from plain scripts."""
+    import ray
+
+    pids = [pid for pid, _ in live_fragments(lake_dir)]
+    if ray.is_initialized() and len(pids) > 1:
+        fn = ray.remote(num_cpus=1)(_compact_one_partition)
+        merged_parts = sum(ray.get(
+            [fn.remote(lake_dir, pid, key_cols) for pid in pids]))
+    else:
+        merged_parts = sum(_compact_one_partition(lake_dir, pid, key_cols)
+                           for pid in pids)
+    return {"partitions_compacted": int(merged_parts)}
 
 
 def compact_partition(lake_dir: str, pid: int) -> None:
@@ -343,13 +365,16 @@ def refresh_mv(lake_dir: str, mv_dir: str,
     written atomically (tmp + rename) and the MV manifest last, so a
     crashed refresh is re-runnable.
     """
+    import ray
+
     os.makedirs(mv_dir, exist_ok=True)
     state_p = os.path.join(mv_dir, "mv_manifest.json")
     prev: dict = {}
     if os.path.exists(state_p):
         with open(state_p) as f:
             prev = json.load(f)
-    refreshed, total = 0, 0
+    total = 0
+    work: List[Tuple[int, int, List[str]]] = []   # (pid, epoch, fragments)
     for pid, m in sorted(all_manifests(lake_dir).items()):
         if not m.fragments:
             continue
@@ -357,31 +382,48 @@ def refresh_mv(lake_dir: str, mv_dir: str,
         part_file = os.path.join(mv_dir, f"mv-part-{pid:05d}.parquet")
         if prev.get(str(pid)) == m.epoch and os.path.exists(part_file):
             continue
-        d = partition_dir(lake_dir, pid)
-        t = _partition_state([os.path.join(d, f) for f in m.fragments],
-                             key_cols)
-        if t.num_rows:
-            agg = t.group_by(key_cols[0]).aggregate(
-                [(key_cols[1], "count"), ("_lsn", "max")])
-            out = pa.table({
-                key_cols[0]: agg[key_cols[0]],
-                "n_turns": pc.cast(agg[f"{key_cols[1]}_count"], pa.int64()),
-                "last_lsn": pc.cast(agg["_lsn_max"], pa.int64()),
-            })
-        else:
-            out = pa.table({key_cols[0]: pa.array([], pa.string()),
-                            "n_turns": pa.array([], pa.int64()),
-                            "last_lsn": pa.array([], pa.int64())})
-        tmp = part_file + ".tmp"
-        pq.write_table(out, tmp, compression="zstd")
-        os.replace(tmp, part_file)
-        prev[str(pid)] = m.epoch
-        refreshed += 1
+        work.append((pid, m.epoch, list(m.fragments)))
+    # stale partitions refresh as one Ray task each (independent part
+    # files, tmp+rename atomic); the MV manifest is written LAST on the
+    # driver so a crashed refresh re-runs the same stale set
+    if ray.is_initialized() and len(work) > 1:
+        fn = ray.remote(num_cpus=1)(_mv_refresh_one_partition)
+        ray.get([fn.remote(lake_dir, mv_dir, pid, frs, key_cols)
+                 for pid, _, frs in work])
+    else:
+        for pid, _, frs in work:
+            _mv_refresh_one_partition(lake_dir, mv_dir, pid, frs, key_cols)
+    for pid, epoch, _ in work:
+        prev[str(pid)] = epoch
     tmp = state_p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(prev, f)
     os.replace(tmp, state_p)
-    return {"partitions": total, "refreshed": refreshed}
+    return {"partitions": total, "refreshed": len(work)}
+
+
+def _mv_refresh_one_partition(lake_dir: str, mv_dir: str, pid: int,
+                              fragments: List[str],
+                              key_cols: Tuple[str, ...]) -> None:
+    """Recompute one partition's MV part file (atomic tmp+rename)."""
+    d = partition_dir(lake_dir, pid)
+    t = _partition_state([os.path.join(d, f) for f in fragments], key_cols)
+    if t.num_rows:
+        agg = t.group_by(key_cols[0]).aggregate(
+            [(key_cols[1], "count"), ("_lsn", "max")])
+        out = pa.table({
+            key_cols[0]: agg[key_cols[0]],
+            "n_turns": pc.cast(agg[f"{key_cols[1]}_count"], pa.int64()),
+            "last_lsn": pc.cast(agg["_lsn_max"], pa.int64()),
+        })
+    else:
+        out = pa.table({key_cols[0]: pa.array([], pa.string()),
+                        "n_turns": pa.array([], pa.int64()),
+                        "last_lsn": pa.array([], pa.int64())})
+    part_file = os.path.join(mv_dir, f"mv-part-{pid:05d}.parquet")
+    tmp = part_file + ".tmp"
+    pq.write_table(out, tmp, compression="zstd")
+    os.replace(tmp, part_file)
 
 
 def read_mv(mv_dir: str) -> pa.Table:
