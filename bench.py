@@ -243,6 +243,32 @@ def bench_lake_maintenance(n_events: int = 16_000_000) -> dict:
         shutil.rmtree(mv, ignore_errors=True)
 
 
+def bench_streaming_sessions(n_events: int = 4_000_000) -> dict:
+    """Sharded streaming sessionizer: same WAL at 2 vs 8 aggregator
+    actors (verdict r2 item #2 done-criterion: session throughput must
+    scale with actor count).  Best-of-2 per config."""
+    from pg_walstream_ray.pipelines.streaming import stream_sessions
+
+    wal = _synthetic_wal(n_events)
+    out: dict = {}
+    for n in (2, 8):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = stream_sessions(wal, gap_us=1_000_000, n_actors=n)
+            dt = time.time() - t0
+            rows = res.result_table().num_rows
+            if best is None or dt < best[0]:
+                best = (dt, rows)
+        out[f"sec_actors{n}"] = round(best[0], 3)
+        out[f"events_per_s_actors{n}"] = round(n_events / best[0], 1)
+        out["sessions"] = best[1]
+    out["speedup_2_to_8"] = round(
+        out["sec_actors2"] / out["sec_actors8"], 2)
+    out["sec"] = out["sec_actors8"]
+    return out
+
+
 def _consume(res) -> int:
     """Materialize a query result minimally; return row count."""
     import pandas as pd
@@ -326,6 +352,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             queries["cdc_replay_synthetic4m"] = round(syn["sec"], 3)
             maint = bench_lake_maintenance(16_000_000)
             queries["compact_refresh_lookup"] = maint["sec"]
+            strm = bench_streaming_sessions(4_000_000)
+            queries["stream_sessions_sharded"] = strm["sec"]
         return {
             "metric": "cdc_replay_wall_sec (events applied/sec in events_per_s)",
             "value": round(head["sec"], 3),
@@ -339,7 +367,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             **({"synthetic_events_per_s": round(syn["events_per_s"], 1),
                 "synthetic_rows_applied": syn["rows_applied"]}
                if syn else {}),
-            **({"lake_maintenance": maint} if not headline_only else {}),
+            **({"lake_maintenance": maint,
+                "streaming_sessions": strm} if not headline_only else {}),
             "rows_out": extra,
         }
     finally:
@@ -498,6 +527,7 @@ _HEADLINE_QUERIES = (
     "dedup_minhash_lsh", "dup_span_removal", "dedup_clusters",
     "semantic_dedup", "tfidf_top_terms", "ann_brute_topk", "pack_sequences",
     "events_window_functions", "compact_refresh_lookup",
+    "stream_sessions_sharded",
 )
 _FINAL_LINE_BUDGET = 1600
 
@@ -529,9 +559,10 @@ def _emit(out: dict) -> None:
         slim["queries"] = {k: v for k, v in q.items()
                            if k in _HEADLINE_QUERIES}
         line = json.dumps(slim, separators=(",", ":"))
-    if len(line) > _FINAL_LINE_BUDGET and "lake_maintenance" in slim:
-        slim.pop("lake_maintenance")    # survives in BENCH_full.json
-        line = json.dumps(slim, separators=(",", ":"))
+    for k in ("lake_maintenance", "streaming_sessions"):
+        if len(line) > _FINAL_LINE_BUDGET and k in slim:
+            slim.pop(k)                 # survives in BENCH_full.json
+            line = json.dumps(slim, separators=(",", ":"))
     while len(line) > _FINAL_LINE_BUDGET and slim.get("queries"):
         slim["queries"].popitem()
         line = json.dumps(slim, separators=(",", ":"))
