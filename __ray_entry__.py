@@ -565,6 +565,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_global_topn"] = analytics.events_global_topn
     # TPC-H Q14 shape (promo revenue share; broadcast part dimension)
     q["q14_promo_revenue"] = analytics.q14_promo_revenue
+    # TPC-H Q7 shape (two-nation volume shipping; supplier broadcast +
+    # custkey and orderkey co-partitions, bounded final reduce)
+    q["q7_volume_shipping"] = analytics.q7_volume_shipping
+    # TPC-H Q10 shape (returned-item revenue; per-bucket top-k combiner,
+    # keyed parquet fetch of the k winners' attributes — customer never
+    # shuffles)
+    q["q10_returned_items"] = analytics.q10_returned_items
+    # TPC-H Q13 shape (order-count distribution incl. zero-order
+    # customers: LEFT JOIN as a union-tag co-partition with reindex-0)
+    q["q13_customer_distribution"] = analytics.q13_customer_distribution
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
@@ -1325,6 +1335,56 @@ def oracle_sql() -> dict[str, str]:
              CAST(FLOOR(promo_cents * 10000.0 / total_cents) AS BIGINT)
                AS promo_bp
       FROM s
+    """
+
+    sql["q7_volume_shipping"] = """
+      WITH y AS (
+        SELECT s.s_nationkey AS sk, c.c_nationkey AS ck,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM supplier s, lineitem l, orders o, customer c
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND ((s.s_nationkey = 1 AND c.c_nationkey = 2)
+            OR (s.s_nationkey = 2 AND c.c_nationkey = 1))
+          AND l.l_shipdate >= DATE '1995-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+      )
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(l_year AS BIGINT) AS l_year,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM y JOIN nation n1 ON y.sk = n1.n_nationkey
+             JOIN nation n2 ON y.ck = n2.n_nationkey
+      GROUP BY 1, 2, 3
+    """
+
+    sql["q10_returned_items"] = """
+      WITH rev AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM customer c, orders o, lineitem l, nation n
+        WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1996-04-01'
+          AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+      )
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM rev GROUP BY 1, 2, 3, 4
+      ORDER BY revenue_cents DESC, c_custkey
+      LIMIT 20
+    """
+
+    sql["q13_customer_distribution"] = """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+      GROUP BY c_count
     """
 
     sql["events_rank_lead"] = """

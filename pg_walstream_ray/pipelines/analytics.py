@@ -1237,3 +1237,358 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996):
     return pa.table({"promo_cents": pa.array([p], pa.int64()),
                      "total_cents": pa.array([tot], pa.int64()),
                      "promo_bp": pa.array([bp], pa.int64())})
+
+
+def _cents_half_away(rev: np.ndarray) -> np.ndarray:
+    """DuckDB-identical ROUND(x*100) as int64: half-AWAY-from-zero via
+    floor + (frac >= .5) — revenue products DO land on exact .5
+    boundaries, and floor(x+0.5) has a ULP pitfall (see q14)."""
+    y = np.asarray(rev, np.float64) * 100.0
+    base = np.floor(y)
+    return (base + (y - base >= 0.5)).astype(np.int64)
+
+
+def _broadcast_sorted(table: pa.Table, key: str, cols) -> tuple:
+    """(sorted key array, payload arrays) for np.searchsorted probes."""
+    k = table[key].to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="mergesort")
+    return k[order], tuple(
+        table[c].to_numpy(zero_copy_only=False)[order] for c in cols)
+
+
+def _probe(keys_sorted: np.ndarray, probe: np.ndarray) -> tuple:
+    """np.searchsorted membership probe: (hit mask, clipped positions)."""
+    pos = np.searchsorted(keys_sorted, probe)
+    posc = np.clip(pos, 0, max(len(keys_sorted) - 1, 0))
+    hit = (len(keys_sorted) > 0) & (pos < len(keys_sorted)) & \
+        (keys_sorted[posc] == probe)
+    return hit, posc
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2):
+    """TPC-H Q7-shaped volume shipping: revenue between two nations by
+    (supp_nation, cust_nation, year) over a two-year shipdate window.
+
+    Scale shape (mirrors q5): supplier is the broadcast dimension
+    (sorted (s_suppkey -> s_nationkey) restricted to the two nations);
+    customer x orders co-partition by custkey (customers pre-filtered to
+    the two nations, so the shuffled side is 2/|nations| of the table);
+    then ONE orderkey co-partition joins the lineitem side.  The final
+    reduce is bounded (2 nation-pairs x 2 years).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    pair = (nation_a, nation_b)
+    nat_t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nat_t["n_nationkey"].to_pylist(),
+                           nat_t["n_name"].to_pylist()))
+    sup_t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup_t = sup_t.filter(pc.is_in(sup_t["s_nationkey"],
+                                  pa.array(pair, pa.int64())))
+    s_keys, (s_nat,) = _broadcast_sorted(sup_t, "s_suppkey",
+                                         ["s_nationkey"])
+    sup_ref = ray.put((s_keys, s_nat))
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(np.isin(nk, pair)))
+        ck = pc.cast(f["c_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pc.cast(f["c_nationkey"], pa.int64()),
+            "is_cust": pa.array(np.ones(f.num_rows, bool)),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pc.cast(t["o_orderkey"], pa.int64()),
+            "is_cust": pa.array(np.zeros(t.num_rows, bool)),
+        })
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    def join_cust(g: pd.DataFrame) -> pa.Table:
+        cu = g[g["is_cust"]]
+        od = g[~g["is_cust"]]
+        m = od.merge(cu[["custkey", "payload"]].rename(
+            columns={"payload": "cust_nat"}), on="custkey", how="inner")
+        ok = m["payload"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "nat": pa.array(m["cust_nat"].to_numpy(np.int64)),
+            "year": pa.array(np.zeros(len(m), np.int64)),
+            "cents": pa.array(np.zeros(len(m), np.int64)),
+            "is_ord": pa.array(np.ones(len(m), bool)),
+        })
+
+    ord_nat = cust.union(orders).groupby("bucket").map_groups(
+        join_cust, batch_format="pandas", num_cpus=1)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        hit, posc = _probe(keys, sk)
+        f = f.filter(pa.array(hit))
+        snat = nats[posc[hit]] if f.num_rows else np.array([], np.int64)
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        years = f["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        ok = pc.cast(f["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "nat": pa.array(snat.astype(np.int64)),
+            "year": pa.array(years),
+            "cents": pa.array(_cents_half_away(rev)),
+            "is_ord": pa.array(np.zeros(len(ok), bool)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "nat"]].rename(
+            columns={"nat": "cust_nat"}), on="orderkey", how="inner")
+        m = m[m["nat"] != m["cust_nat"]]     # cross-nation only
+        agg = m.groupby(["nat", "cust_nat", "year"], as_index=False,
+                        sort=True)["cents"].sum()
+        return pd.DataFrame({
+            "supp_nat": agg["nat"].to_numpy(np.int64),
+            "cust_nat": agg["cust_nat"].to_numpy(np.int64),
+            "l_year": agg["year"].to_numpy(np.int64),
+            "cents": agg["cents"].to_numpy(np.int64)})
+
+    partials = ord_nat.union(li).groupby("bucket").map_groups(
+        join_li, batch_format="pandas", num_cpus=1)
+
+    # bounded final reduce: <= 2 pairs x 2 years x npart partial rows
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    if rows.num_rows == 0:
+        return empty
+    df = rows.to_pandas().groupby(
+        ["supp_nat", "cust_nat", "l_year"], as_index=False)["cents"].sum()
+    return pa.table({
+        "supp_nation": pa.array([name_by_key[k] for k in df["supp_nat"]]),
+        "cust_nation": pa.array([name_by_key[k] for k in df["cust_nat"]]),
+        "l_year": pa.array(df["l_year"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(df["cents"].to_numpy(np.int64))})
+
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10-shaped returned-item report: top-k customers by revenue
+    from RETURNED lineitems against one quarter's orders.
+
+    Scale shape: orders (quarter-filtered) union-tagged with the
+    returnflag='R' lineitem rows, ONE orderkey co-partition joins them
+    and re-keys partial (custkey, cents) sums by custkey bucket; a
+    second co-partitioned groupby finishes per-customer sums and emits
+    only its bucket's TOP-K (k rows per bucket move); the driver merges
+    <= k x npart rows and fetches the k winners' attributes with a
+    keyed parquet read (row-group pruned) — customer never shuffles.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def order_side(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        ok = pc.cast(f["o_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "custkey": pc.cast(f["o_custkey"], pa.int64()),
+            "cents": pa.array(np.zeros(f.num_rows, np.int64)),
+            "is_ord": pa.array(np.ones(f.num_rows, bool)),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        ok = pc.cast(f["l_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "custkey": pa.array(np.zeros(f.num_rows, np.int64)),
+            "cents": pa.array(_cents_half_away(rev)),
+            "is_ord": pa.array(np.zeros(f.num_rows, bool)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def join_ok(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "custkey"]].rename(
+            columns={"custkey": "ck"}), on="orderkey", how="inner")
+        agg = m.groupby("ck", as_index=False, sort=True)["cents"].sum()
+        ck = agg["ck"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cbucket": ck % npart, "custkey": ck,
+            "cents": agg["cents"].to_numpy(np.int64)})
+
+    per_cust = orders.union(li).groupby("bucket").map_groups(
+        join_ok, batch_format="pandas", num_cpus=1)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("custkey", as_index=False, sort=True)["cents"].sum()
+        order = np.lexsort((agg["custkey"].to_numpy(np.int64),
+                            -agg["cents"].to_numpy(np.int64)))[:k]
+        return agg.iloc[order][["custkey", "cents"]]
+
+    partials = per_cust.groupby("cbucket").map_groups(
+        topk_bucket, batch_format="pandas", num_cpus=1)
+
+    # driver merge: <= k x npart rows
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "c_acctbal": pa.array([], pa.float64()),
+                      "n_name": pa.array([], pa.string()),
+                      "revenue_cents": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    if rows.num_rows == 0:
+        return empty
+    ck = rows["custkey"].to_numpy(zero_copy_only=False)
+    cents = rows["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -cents))[:k]
+    ck, cents = ck[order], cents[order]
+
+    import pyarrow.dataset as pads
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")) \
+        .to_table(columns=["c_custkey", "c_name", "c_acctbal",
+                           "c_nationkey"],
+                  filter=pads.field("c_custkey").isin(ck.tolist()))
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+    attr = {r["c_custkey"]: r for r in cust.to_pylist()}
+    return pa.table({
+        "c_custkey": pa.array(ck),
+        "c_name": pa.array([attr[c]["c_name"] for c in ck]),
+        "c_acctbal": pa.array([attr[c]["c_acctbal"] for c in ck],
+                              pa.float64()),
+        "n_name": pa.array([name_by_key[attr[c]["c_nationkey"]]
+                            for c in ck]),
+        "revenue_cents": pa.array(cents)})
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution, INCLUDING
+    zero-order customers (the LEFT JOIN shape).
+
+    Scale shape: orders pre-aggregate to per-batch (custkey, n) partials
+    inside map_batches, so the single custkey co-partition ships one row
+    per distinct (batch, custkey), not one per order; customers
+    union-tag into the same shuffle; each bucket left-joins its
+    customers against its counts (absent custkey = 0 orders) and emits a
+    BOUNDED (c_count, n_cust) distribution partial; the driver reduce is
+    O(distinct order counts).
+    """
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        g = pa.table({"custkey": ck}).group_by("custkey") \
+            .aggregate([("custkey", "count")])
+        ckk = g["custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ckk, npart - 1), pa.int64()),
+            "custkey": ckk,
+            "n": pc.cast(g["custkey_count"], pa.int64()),
+            "is_cust": pa.array(np.zeros(g.num_rows, bool)),
+        })
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "n": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_cust": pa.array(np.ones(t.num_rows, bool)),
+        })
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(order_side, batch_format="pyarrow",
+                     batch_size=1 << 20)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+
+    def dist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g.loc[g["is_cust"], "custkey"].to_numpy(np.int64)
+        od = g[~g["is_cust"]]
+        counts = od.groupby("custkey")["n"].sum()
+        per_cust = counts.reindex(cu, fill_value=0).to_numpy(np.int64)
+        vals, freq = np.unique(per_cust, return_counts=True)
+        return pd.DataFrame({"c_count": vals,
+                             "n_cust": freq.astype(np.int64)})
+
+    partials = orders.union(cust).groupby("bucket").map_groups(
+        dist_bucket, batch_format="pandas", num_cpus=1)
+
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    if not parts:
+        return pa.table({"c_count": pa.array([], pa.int64()),
+                         "custdist": pa.array([], pa.int64())})
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    df = rows.to_pandas().groupby("c_count", as_index=False)["n_cust"] \
+        .sum().sort_values("c_count")
+    return pa.table({"c_count": pa.array(df["c_count"].to_numpy(np.int64)),
+                     "custdist": pa.array(df["n_cust"].to_numpy(np.int64))})
