@@ -575,6 +575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # TPC-H Q13 shape (order-count distribution incl. zero-order
     # customers: LEFT JOIN as a union-tag co-partition with reindex-0)
     q["q13_customer_distribution"] = analytics.q13_customer_distribution
+    # TPC-H Q17 shape (correlated avg-quantity subquery: part-subset
+    # broadcast + ONE partkey co-partition, exact-integer compare)
+    q["q17_small_quantity"] = analytics.q17_small_quantity
+    # TPC-H Q18 shape (HAVING over a grouped sum + top-k: per-batch
+    # partial sums, ONE orderkey co-partition, per-bucket top-k)
+    q["q18_large_orders"] = analytics.q18_large_orders
+    # TPC-H Q19 shape (OR-of-predicate-groups over a broadcast part dim;
+    # zero shuffle, O(blocks) driver reduce)
+    q["q19_discounted_revenue"] = analytics.q19_discounted_revenue
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
@@ -723,6 +732,10 @@ _DRIVER_WINDOW_ORDER = [
     "doc_fingerprint", "redact_terms", "source_mix_sample",
     "stratified_sample", "doc_sample", "media_metadata",
     "media_frame_sample", "media_resize",
+    # round-3 additions (no driver row yet)
+    "q7_volume_shipping", "q10_returned_items",
+    "q13_customer_distribution", "q17_small_quantity",
+    "q18_large_orders", "q19_discounted_revenue",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1385,6 +1398,50 @@ def oracle_sql() -> dict[str, str]:
               ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey)
       GROUP BY c_count
+    """
+
+    sql["q17_small_quantity"] = """
+      WITH li AS (
+        SELECT l.l_partkey, l.l_quantity,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#11' AND p.p_size < 10
+      ), a AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM li GROUP BY 1
+      )
+      SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM li JOIN a USING (l_partkey)
+      WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+    """
+
+    sql["q18_large_orders"] = """
+      WITH big AS (
+        SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+      )
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+               AS totalprice_cents,
+             b.sum_qty
+      FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+      ORDER BY totalprice_cents DESC, o.o_orderdate, o.o_orderkey
+      LIMIT 100
+    """
+
+    sql["q19_discounted_revenue"] = """
+      SELECT CAST(COALESCE(SUM(CAST(ROUND(
+               l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 0)
+               AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+             AND l.l_quantity BETWEEN 20 AND 30)
     """
 
     sql["events_rank_lead"] = """

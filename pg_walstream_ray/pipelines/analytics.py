@@ -1227,10 +1227,14 @@ def q14_promo_revenue(sf_dir: str, year: int = 1996):
                   columns=["l_partkey", "l_shipdate", "l_extendedprice",
                            "l_discount"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
-    rows = pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in parts.iter_batches(batch_format="pyarrow",
-                                     batch_size=1 << 20)])
+    blocks = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in parts.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 20)]
+    if not blocks:                       # fully-empty input
+        return pa.table({"promo_cents": pa.array([0], pa.int64()),
+                         "total_cents": pa.array([0], pa.int64()),
+                         "promo_bp": pa.array([0], pa.int64())})
+    rows = pa.concat_tables(blocks)
     p = int(pc.sum(rows["promo_cents"]).as_py() or 0)
     tot = int(pc.sum(rows["total_cents"]).as_py() or 0)
     bp = int(np.floor(p * 10000.0 / tot)) if tot else 0
@@ -1258,10 +1262,11 @@ def _broadcast_sorted(table: pa.Table, key: str, cols) -> tuple:
 
 def _probe(keys_sorted: np.ndarray, probe: np.ndarray) -> tuple:
     """np.searchsorted membership probe: (hit mask, clipped positions)."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(probe), bool), np.zeros(len(probe), np.int64)
     pos = np.searchsorted(keys_sorted, probe)
-    posc = np.clip(pos, 0, max(len(keys_sorted) - 1, 0))
-    hit = (len(keys_sorted) > 0) & (pos < len(keys_sorted)) & \
-        (keys_sorted[posc] == probe)
+    posc = np.clip(pos, 0, len(keys_sorted) - 1)
+    hit = (pos < len(keys_sorted)) & (keys_sorted[posc] == probe)
     return hit, posc
 
 
@@ -1592,3 +1597,246 @@ def q13_customer_distribution(sf_dir: str):
         .sum().sort_values("c_count")
     return pa.table({"c_count": pa.array(df["c_count"].to_numpy(np.int64)),
                      "custdist": pa.array(df["n_cust"].to_numpy(np.int64))})
+
+
+def q17_small_quantity(sf_dir: str, brand: str = "Brand#11",
+                       max_size: int = 10):
+    """TPC-H Q17-shaped small-quantity revenue: lineitems of one brand's
+    small parts whose quantity is below 20% of that part's average
+    quantity (the correlated-subquery shape).
+
+    Scale shape: the part subset is the broadcast dimension (sorted
+    partkey array); surviving lineitems co-partition ONCE by partkey, so
+    each bucket computes its parts' exact averages and the qty<0.2*avg
+    filter locally, emitting a bounded (sum_cents, n_rows) partial.
+    Exact-integer compare: quantities are integer-valued, so per-part
+    sums and the 0.2*avg product are IEEE-exact and match the oracle
+    bit-for-bit.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pc.and_(pc.equal(part["p_brand"], brand),
+                               pc.less(part["p_size"], max_size)))
+    keys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(keys)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hit, _ = _probe(k, pk)
+        f = t.filter(pa.array(hit))
+        pkf = f["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(pkf % npart),
+            "partkey": pa.array(pkf),
+            "qty": f["l_quantity"],
+            "cents": pa.array(_cents_half_away(
+                f["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        qty = g["qty"].to_numpy(np.float64)
+        avg = g.groupby("partkey")["qty"].transform("mean") \
+            .to_numpy(np.float64)
+        keep = qty < 0.2 * avg
+        return pd.DataFrame({
+            "sum_cents": [int(g.loc[keep, "cents"].sum())],
+            "n_rows": [int(keep.sum())]})
+
+    partials = li.groupby("bucket").map_groups(
+        per_part, batch_format="pandas", num_cpus=1)
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    if not parts:
+        return pa.table({"sum_cents": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([0], pa.int64())})
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    return pa.table({
+        "sum_cents": pa.array([int(pc.sum(rows["sum_cents"]).as_py()
+                                   or 0)], pa.int64()),
+        "n_rows": pa.array([int(pc.sum(rows["n_rows"]).as_py() or 0)],
+                           pa.int64())})
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 300, k: int = 100):
+    """TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds the threshold, top-k by order value.
+
+    Scale shape: lineitem pre-aggregates (orderkey, qty) per batch, then
+    ONE orderkey co-partition merges the partials with the union-tagged
+    orders side; each bucket applies the HAVING filter and emits only
+    its TOP-K rows; the driver merges <= k x npart rows and fetches the
+    k winning customers' names with a keyed parquet read.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+
+    def li_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        g = pa.table({"orderkey": ok, "qty": t["l_quantity"]}) \
+            .group_by("orderkey").aggregate([("qty", "sum")])
+        okk = g["orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(okk, npart - 1), pa.int64()),
+            "orderkey": okk,
+            "qty": g["qty_sum"],
+            "custkey": pa.array(np.zeros(g.num_rows, np.int64)),
+            "odate": pa.array(np.zeros(g.num_rows, np.int64)),
+            "price_cents": pa.array(np.zeros(g.num_rows, np.int64)),
+            "is_ord": pa.array(np.zeros(g.num_rows, bool)),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "qty": pa.array(np.zeros(t.num_rows, np.float64)),
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "odate": pc.cast(t["o_orderdate"], pa.int64()),
+            "price_cents": pa.array(_cents_half_away(
+                t["o_totalprice"].to_numpy(zero_copy_only=False))),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lig = g[~g["is_ord"]]
+        qty = lig.groupby("orderkey")["qty"].sum()
+        big = qty[qty > qty_threshold]
+        od = g[g["is_ord"]]
+        m = od[od["orderkey"].isin(big.index)].copy()
+        m["sum_qty"] = big.reindex(m["orderkey"]).to_numpy(np.float64)
+        order = np.lexsort((m["orderkey"].to_numpy(np.int64),
+                            m["odate"].to_numpy(np.int64),
+                            -m["price_cents"].to_numpy(np.int64)))[:k]
+        return m.iloc[order][["custkey", "orderkey", "odate",
+                              "price_cents", "sum_qty"]]
+
+    partials = li.union(orders).groupby("bucket").map_groups(
+        topk_bucket, batch_format="pandas", num_cpus=1)
+
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    empty = pa.table({"c_name": pa.array([], pa.string()),
+                      "c_custkey": pa.array([], pa.int64()),
+                      "o_orderkey": pa.array([], pa.int64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us")),
+                      "totalprice_cents": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    if rows.num_rows == 0:
+        return empty
+    order = np.lexsort((rows["orderkey"].to_numpy(zero_copy_only=False),
+                        rows["odate"].to_numpy(zero_copy_only=False),
+                        -rows["price_cents"].to_numpy(
+                            zero_copy_only=False)))[:k]
+    rows = rows.take(pa.array(order))
+
+    import pyarrow.dataset as pads
+    ck = rows["custkey"].to_numpy(zero_copy_only=False)
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")) \
+        .to_table(columns=["c_custkey", "c_name"],
+                  filter=pads.field("c_custkey").isin(
+                      np.unique(ck).tolist()))
+    name = dict(zip(cust["c_custkey"].to_pylist(),
+                    cust["c_name"].to_pylist()))
+    return pa.table({
+        "c_name": pa.array([name[c] for c in ck]),
+        "c_custkey": pa.array(ck),
+        "o_orderkey": rows["orderkey"],
+        "o_orderdate": pc.cast(rows["odate"], pa.timestamp("us")),
+        "totalprice_cents": rows["price_cents"],
+        # quantities are integer-valued doubles; the sum is exact
+        "sum_qty": pa.array(rows["sum_qty"].to_numpy(
+            zero_copy_only=False).astype(np.int64)),
+    })
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19-shaped discounted revenue: OR of three (brand, size,
+    quantity-range) predicate groups across the lineitem x part join.
+
+    Scale shape: part ships as a broadcast triple (sorted partkey, brand
+    id, size); lineitem streams through one zero-shuffle map that
+    evaluates all three predicate groups vectorized and emits a single
+    cents partial per batch; the driver reduce is O(blocks).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    GROUPS = (("Brand#12", 1, 15, 1, 11),
+              ("Brand#23", 1, 25, 10, 20),
+              ("Brand#24", 1, 35, 20, 30))
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    brands = part["p_brand"].to_pylist()
+    bid = np.array([next((i for i, g in enumerate(GROUPS)
+                          if g[0] == b), -1) for b in brands],
+                   np.int64)[order]
+    size = part["p_size"].to_numpy(zero_copy_only=False)[order]
+    dim_ref = ray.put((keys[order], bid, size))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, b, sz = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hit, posc = _probe(k, pk)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(pk), bool)
+        for gi, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(GROUPS):
+            keep |= (hit & (b[posc] == gi) & (sz[posc] >= s_lo) &
+                     (sz[posc] <= s_hi) & (qty >= q_lo) & (qty <= q_hi))
+        f = t.filter(pa.array(keep))
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "cents": pa.array([int(_cents_half_away(rev).sum())],
+                              pa.int64()),
+            "n": pa.array([f.num_rows], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice",
+                           "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20)
+    blocks = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in parts.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 20)]
+    if not blocks:                       # fully-empty input
+        return pa.table({"revenue_cents": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([0], pa.int64())})
+    rows = pa.concat_tables(blocks)
+    return pa.table({
+        "revenue_cents": pa.array([int(pc.sum(rows["cents"]).as_py()
+                                       or 0)], pa.int64()),
+        "n_rows": pa.array([int(pc.sum(rows["n"]).as_py() or 0)],
+                           pa.int64())})

@@ -79,7 +79,9 @@ def test_every_oracle_key_has_query(contract):
     "dup_span_removal", "quality_prune", "events_funnel",
     "retention_cohorts", "vocab_coverage", "cdc_incremental_mv",
     "events_anomaly_days", "cdc_enriched_convs", "cdc_stream_windows",
-    "cdc_stream_sessions", "q14_promo_revenue",
+    "cdc_stream_sessions", "q14_promo_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q13_customer_distribution",
+    "q17_small_quantity", "q18_large_orders", "q19_discounted_revenue",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
