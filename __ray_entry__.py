@@ -584,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # TPC-H Q19 shape (OR-of-predicate-groups over a broadcast part dim;
     # zero shuffle, O(blocks) driver reduce)
     q["q19_discounted_revenue"] = analytics.q19_discounted_revenue
+    # TPC-H Q8 shape (region market share by year: part+supplier
+    # broadcasts, custkey/orderkey co-partitions, bounded 2x2 reduce)
+    q["q8_market_share"] = analytics.q8_market_share
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
@@ -735,7 +738,7 @@ _DRIVER_WINDOW_ORDER = [
     # round-3 additions (no driver row yet)
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
-    "q18_large_orders", "q19_discounted_revenue",
+    "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1442,6 +1445,32 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_quantity BETWEEN 10 AND 20)
          OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
              AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["q8_market_share"] = """
+      WITH y AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS cents,
+               (s.s_nationkey = 3) AS is_target
+        FROM part p, supplier s, lineitem l, orders o, customer c,
+             nation n1, region r
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+          AND o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND p.p_type = 'PROMO'
+      )
+      SELECT o_year,
+             CAST(SUM(CASE WHEN is_target THEN cents ELSE 0 END)
+                  AS BIGINT) AS target_cents,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(FLOOR(SUM(CASE WHEN is_target THEN cents ELSE 0 END)
+                        * 10000.0
+                        / GREATEST(SUM(cents), 1)) AS BIGINT) AS share_bp
+      FROM y GROUP BY o_year
     """
 
     sql["events_rank_lead"] = """

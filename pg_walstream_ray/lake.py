@@ -78,11 +78,13 @@ def _unify(tables: List[pa.Table]) -> pa.Table:
 
 def _partition_state(paths: List[str],
                      key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
-                     columns: Optional[List[str]] = None) -> pa.Table:
+                     columns: Optional[List[str]] = None,
+                     key_equals=None) -> pa.Table:
     """Merge one partition's fragment chain (LWW by _lsn, tombstones
     resolved) -> current state (payload + _lsn).  ``columns`` pushes
-    column pruning into the fragment reads (merge internals are always
-    read; see stages/apply.merged_partition_state)."""
+    column pruning and ``key_equals=(col, value)`` row-group pruning
+    into the fragment reads (merge internals are always read; see
+    stages/apply.merged_partition_state)."""
     import os as _os
 
     from .stages.apply import merged_partition_state
@@ -91,7 +93,8 @@ def _partition_state(paths: List[str],
     names = [_os.path.basename(p) for p in paths]
     payload = None if columns is None else \
         list(dict.fromkeys([*key_cols, *columns]))
-    return merged_partition_state(d, names, payload, key_cols=key_cols)
+    return merged_partition_state(d, names, payload, key_cols=key_cols,
+                                  key_equals=key_equals)
 
 
 def snapshot_table(lake_dir: str, sort: bool = True,
@@ -338,7 +341,8 @@ def lookup_key(lake_dir: str, key_value: str,
     else:
         pids = [h % P]
     frags = dict(live_fragments(lake_dir))
-    tables = [_partition_state(frags[pid], key_cols)
+    tables = [_partition_state(frags[pid], key_cols,
+                               key_equals=(key_cols[0], key_value))
               for pid in pids if pid in frags]
     t = _unify([x for x in tables if x.num_rows])
     if t.num_rows:

@@ -1840,3 +1840,166 @@ def q19_discounted_revenue(sf_dir: str):
                                        or 0)], pa.int64()),
         "n_rows": pa.array([int(pc.sum(rows["n"]).as_py() or 0)],
                            pa.int64())})
+
+
+def q8_market_share(sf_dir: str, region: str = "EUROPE",
+                    target_nation: int = 3, p_type: str = "PROMO"):
+    """TPC-H Q8-shaped market share: of one region's revenue for one
+    part type over 1995-1996, the fraction supplied by the target
+    nation, by order year.
+
+    Scale shape: part (type-filtered partkeys) and supplier
+    (suppkey -> is-target-nation) are broadcast sorted arrays; customer
+    (region-filtered) x orders (date-filtered) co-partition by custkey;
+    the filtered lineitem side joins on ONE orderkey co-partition; the
+    final reduce is bounded (2 years x 2 cells).  Output is float-free:
+    integer cents + basis points (floor).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    reg_t = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                          columns=["r_regionkey", "r_name"])
+    rkeys = reg_t.filter(pc.equal(reg_t["r_name"], region))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False)
+    nat_t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_regionkey"])
+    region_nations = np.sort(
+        nat_t.filter(pa.array(np.isin(
+            nat_t["n_regionkey"].to_numpy(zero_copy_only=False), rkeys)))
+        ["n_nationkey"].to_numpy(zero_copy_only=False))
+    part_t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+    pkeys = np.sort(part_t.filter(pc.equal(part_t["p_type"], p_type))
+                    ["p_partkey"].to_numpy(zero_copy_only=False))
+    sup_t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    s_keys, (s_nat,) = _broadcast_sorted(sup_t, "s_suppkey",
+                                         ["s_nationkey"])
+    dim_ref = ray.put((pkeys, s_keys, s_nat == target_nation))
+    rn_ref = ray.put(region_nations)
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        rn = ray.get(rn_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(np.isin(nk, rn)))
+        ck = pc.cast(f["c_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pa.array(np.zeros(f.num_rows, np.int64)),
+            "year": pa.array(np.zeros(f.num_rows, np.int64)),
+            "is_cust": pa.array(np.ones(f.num_rows, bool)),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        ck = pc.cast(f["o_custkey"], pa.int64())
+        years = f["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "payload": pc.cast(f["o_orderkey"], pa.int64()),
+            "year": pa.array(years),
+            "is_cust": pa.array(np.zeros(f.num_rows, bool)),
+        })
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    def join_cust(g: pd.DataFrame) -> pa.Table:
+        cu = g[g["is_cust"]]
+        od = g[~g["is_cust"]]
+        m = od[od["custkey"].isin(cu["custkey"])]
+        ok = m["payload"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "year": pa.array(m["year"].to_numpy(np.int64)),
+            "cents": pa.array(np.zeros(len(m), np.int64)),
+            "is_target": pa.array(np.zeros(len(m), bool)),
+            "is_ord": pa.array(np.ones(len(m), bool)),
+        })
+
+    ord_side = cust.union(orders).groupby("bucket").map_groups(
+        join_cust, batch_format="pandas", num_cpus=1)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        pk_set, sk_set, s_is_target = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hit_p, _ = _probe(pk_set, pk)
+        f = t.filter(pa.array(hit_p))
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        hit_s, posc = _probe(sk_set, sk)
+        f = f.filter(pa.array(hit_s))
+        tgt = s_is_target[posc[hit_s]] if f.num_rows else \
+            np.array([], bool)
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        ok = pc.cast(f["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "year": pa.array(np.zeros(len(ok), np.int64)),
+            "cents": pa.array(_cents_half_away(rev)),
+            "is_target": pa.array(tgt),
+            "is_ord": pa.array(np.zeros(len(ok), bool)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "year"]].rename(
+            columns={"year": "o_year"}), on="orderkey", how="inner")
+        agg = m.groupby(["o_year", "is_target"], as_index=False,
+                        sort=True)["cents"].sum()
+        return pd.DataFrame({
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "is_target": agg["is_target"].to_numpy(bool),
+            "cents": agg["cents"].to_numpy(np.int64)})
+
+    partials = ord_side.union(li).groupby("bucket").map_groups(
+        join_li, batch_format="pandas", num_cpus=1)
+
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "target_cents": pa.array([], pa.int64()),
+                      "total_cents": pa.array([], pa.int64()),
+                      "share_bp": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts])
+    if rows.num_rows == 0:
+        return empty
+    df = rows.to_pandas()
+    tot = df.groupby("o_year")["cents"].sum()
+    tgt = df[df["is_target"]].groupby("o_year")["cents"].sum() \
+        .reindex(tot.index, fill_value=0)
+    years = tot.index.to_numpy(np.int64)
+    share = np.floor(tgt.to_numpy(np.float64) * 10000.0 /
+                     np.maximum(tot.to_numpy(np.float64), 1)) \
+        .astype(np.int64)
+    return pa.table({"o_year": pa.array(years),
+                     "target_cents": pa.array(tgt.to_numpy(np.int64)),
+                     "total_cents": pa.array(tot.to_numpy(np.int64)),
+                     "share_bp": pa.array(share)})

@@ -260,7 +260,8 @@ def precompact_typed(t: pa.Table,
 
 def merged_partition_state(pdir: str, fragments: Sequence[str],
                            payload: Optional[List[str]] = None,
-                           key_cols: Sequence[str] = KEY_COLS) -> pa.Table:
+                           key_cols: Sequence[str] = KEY_COLS,
+                           key_equals=None) -> pa.Table:
     """Merge-on-read of a partition's fragment chain -> current state
     (payload + ``_lsn``, tombstones resolved and dropped).
 
@@ -269,18 +270,26 @@ def merged_partition_state(pdir: str, fragments: Sequence[str],
     internals (key columns, ``_lsn``, ``_tombstone``) — a 2-column
     projection of a wide lake reads 2 columns' worth of pages, not the
     row, which is the read-amplification contract the serving path needs.
+
+    ``key_equals=(col, value)`` is a ROW-GROUP-PRUNING pushdown for point
+    lookups: fragments are written sorted by the key columns, so a
+    parquet predicate on the leading key touches only the row groups
+    whose stats admit the value.  LWW stays exact because every fragment
+    is filtered by the same key — all versions of that key are read.
     """
     want = None
     if payload is not None:
         want = set(payload) | set(key_cols) | {"_lsn", "_tombstone"}
+    filters = [(key_equals[0], "==", key_equals[1])] if key_equals else None
     tables = []
     for name in fragments:
         path = os.path.join(pdir, name)
         if want is None:
-            t = pq.read_table(path)
+            t = pq.read_table(path, filters=filters)
         else:
             have = set(pq.ParquetFile(path).schema_arrow.names)
-            t = pq.read_table(path, columns=[c for c in want if c in have])
+            t = pq.read_table(path, columns=[c for c in want if c in have],
+                              filters=filters)
         tables.append(t)
     if not tables:
         return pa.table({})
