@@ -675,6 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters
+    # CCNet-style perplexity-proxy pruning (exact integer unigram LM:
+    # bounded vocab broadcast, zero-shuffle scoring, histogram quantile)
+    q["perplexity_prune"] = textops.perplexity_prune
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -739,6 +742,7 @@ _DRIVER_WINDOW_ORDER = [
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
+    "perplexity_prune",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1445,6 +1449,46 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_quantity BETWEEN 10 AND 20)
          OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
              AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["perplexity_prune"] = """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ), tok2 AS (
+        SELECT doc_id, token FROM tok WHERE token <> ''
+      ), cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS N FROM cnt
+      ), vocab AS (
+        SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 256
+      ), lp AS (
+        SELECT v.token,
+               CAST(FLOOR(LN(CAST(v.n AS DOUBLE) / t.N) * 10000)
+                    AS BIGINT) AS lp_int
+        FROM vocab v, tot t
+      ), oov AS (
+        SELECT CAST(FLOOR(LN(1.0 / N) * 10000) AS BIGINT) AS lp_int
+        FROM tot
+      ), scored AS (
+        SELECT t2.doc_id,
+               CAST(SUM(COALESCE(l.lp_int, o.lp_int)) AS BIGINT)
+                 AS sum_lp,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok2 t2 LEFT JOIN lp l USING (token), oov o
+        GROUP BY t2.doc_id
+      ), avgd AS (
+        SELECT doc_id, sum_lp, n_tok,
+               CAST(FLOOR(CAST(sum_lp AS DOUBLE) / n_tok) AS BIGINT)
+                 AS avg_lp
+        FROM scored
+      ), thr AS (
+        SELECT quantile_disc(avg_lp, 0.25) AS q FROM avgd
+      )
+      SELECT doc_id, sum_lp, n_tok, avg_lp,
+             CAST(avg_lp >= (SELECT q FROM thr) AS BIGINT) AS keep
+      FROM avgd
     """
 
     sql["q8_market_share"] = """

@@ -805,3 +805,139 @@ def vocab_coverage(sf_dir: str, vocab_k: int = VOCAB_K):
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
                                      batch_size=4096)
+
+
+def perplexity_prune(sf_dir: str, vocab_k: int = 256,
+                     keep_q: float = 0.25):
+    """CCNet-style perplexity-proxy pruning: score every document by its
+    mean unigram log-probability under the corpus's own top-k vocabulary
+    (OOV tokens get the ln(1/N) floor) and keep the documents at or
+    above the corpus-wide ``keep_q`` quantile — the classic LM-filter
+    shape with the LM replaced by an exact, integer-reproducible
+    unigram model.
+
+    Output: (doc_id, sum_lp, n_tok, avg_lp, keep) — all integers:
+    per-token log-probs are floor(ln(count/N) * 10000) milli-units, so
+    per-doc sums are EXACT and the oracle compare is order-free.
+
+    Scale shape: pass 1 is the bounded heavy-hitters vocab (per-batch
+    value_counts combiner + one token groupby) plus a zero-shuffle
+    total-count reduce (O(blocks) driver rows); the per-token log-prob
+    table is BOUNDED (k+1 entries) and broadcast; pass 2 scores docs
+    zero-shuffle (dictionary-encode once per batch, bincount-weighted
+    per-doc sums); the keep threshold comes from a bounded histogram
+    over the integer avg_lp domain (|ln(1/N)|*10^4 bins, O(1) driver
+    state) with quantile_disc semantics, exactly like quality_prune.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    # -- pass 1a: vocab with counts (bounded k rows on the driver) --------
+    vocab_rows = token_heavy_hitters(sf_dir, k=vocab_k).take_all()
+
+    # -- pass 1b: total token count (zero shuffle, O(blocks)) -------------
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"n": pa.array([len(toks)], pa.int64())})
+
+    nparts = _docs(sf_dir, columns=("text",)) \
+        .map_batches(count_partial, batch_format="pyarrow",
+                     batch_size=262144)
+    total = sum(int(b["n"][i].as_py())
+                for b in nparts.iter_batches(batch_format="pyarrow",
+                                             batch_size=1 << 20)
+                for i in range(b.num_rows))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sum_lp": pa.array([], pa.int64()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "avg_lp": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.int64())})
+    if total == 0 or not vocab_rows:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    vtok = np.array([r["token"] for r in vocab_rows], object).astype(str)
+    vn = np.array([r["n"] for r in vocab_rows], np.int64)
+    order = np.argsort(vtok, kind="mergesort")
+    vtok, vn = vtok[order], vn[order]
+    vlp = np.floor(np.log(vn.astype(np.float64) / total) * 10000.0) \
+        .astype(np.int64)
+    oov_lp = int(np.floor(np.log(1.0 / total) * 10000.0))
+    dim_ref = ray.put((vtok, vlp, oov_lp))
+
+    # -- pass 2: zero-shuffle per-doc scoring ------------------------------
+    def score(t: pa.Table) -> pa.Table:
+        vt, vl, olp = ray.get(dim_ref)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        denc = pc.dictionary_encode(flat)
+        dwords = np.asarray(denc.dictionary.to_pylist(), object) \
+            .astype(str)
+        pos = np.searchsorted(vt, dwords)
+        posc = np.clip(pos, 0, max(len(vt) - 1, 0))
+        dict_lp = np.where(
+            (len(vt) > 0) & (pos < len(vt)) & (vt[posc] == dwords),
+            vl[posc], olp)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        lp_flat = dict_lp[idx]
+        doc = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        np.diff(offsets))
+        n_tok = np.bincount(doc[nonempty], minlength=t.num_rows) \
+            .astype(np.int64)
+        sum_lp = np.bincount(doc[nonempty],
+                             weights=lp_flat[nonempty].astype(np.float64),
+                             minlength=t.num_rows).astype(np.int64)
+        has = n_tok > 0                      # docs w/o tokens: no row
+        avg = np.floor(sum_lp[has].astype(np.float64) /
+                       n_tok[has]).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                pa.array(has)),
+            "sum_lp": pa.array(sum_lp[has]),
+            "n_tok": pa.array(n_tok[has]),
+            "avg_lp": pa.array(avg)})
+
+    def scored():
+        return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                         batch_size=4096)
+
+    # -- threshold: bounded histogram over the integer avg_lp domain ------
+    shift = -oov_lp                          # avg_lp in [oov_lp, 0]
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t["avg_lp"].to_numpy(zero_copy_only=False) + shift
+        h = np.bincount(v, minlength=shift + 1)
+        nz = np.flatnonzero(h)
+        return pa.table({"q": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(h[nz].astype(np.int64))})
+
+    hrows = (scored().map_batches(hist_partial, batch_format="pyarrow")
+             .groupby("q").aggregate(Sum("cnt", alias_name="n"))
+             .take_all())                    # bounded: <= |ln(1/N)|*10^4
+    if not hrows:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    qs = np.array([r["q"] for r in hrows], np.int64)
+    ns = np.array([r["n"] for r in hrows], np.int64)
+    order = np.argsort(qs)
+    qs, cum = qs[order], np.cumsum(ns[order])
+    n_docs = int(cum[-1])
+    k = max(int(np.ceil(keep_q * n_docs)) - 1, 0)
+    thr = int(qs[np.searchsorted(cum, k + 1)]) - shift
+
+    def flag(t: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.greater_equal(t["avg_lp"], thr), pa.int64())
+        return t.append_column("keep", keep)
+
+    return scored().map_batches(flag, batch_format="pyarrow")

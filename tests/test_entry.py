@@ -82,7 +82,7 @@ def test_every_oracle_key_has_query(contract):
     "cdc_stream_sessions", "q14_promo_revenue", "q7_volume_shipping",
     "q10_returned_items", "q13_customer_distribution",
     "q17_small_quantity", "q18_large_orders", "q19_discounted_revenue",
-    "q8_market_share",
+    "q8_market_share", "perplexity_prune",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
