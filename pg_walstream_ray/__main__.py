@@ -6,6 +6,7 @@
     python -m pg_walstream_ray snapshot --lake /tmp/lake [--out snap.parquet]
     python -m pg_walstream_ray watermark --lake /tmp/lake
     python -m pg_walstream_ray lookup --lake /tmp/lake --key conv00042
+    python -m pg_walstream_ray refresh-mv --lake /tmp/lake --mv /tmp/mv
 
 Owns the Ray session (the library never calls ray.init; driver contract).
 """
@@ -57,6 +58,12 @@ def main(argv=None) -> int:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--key", required=True)
 
+    mv = sub.add_parser("refresh-mv", help="incrementally refresh the "
+                                           "per-conversation stats MV "
+                                           "(O(changed partitions))")
+    mv.add_argument("--lake", required=True)
+    mv.add_argument("--mv", required=True)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -102,6 +109,10 @@ def main(argv=None) -> int:
             from .lake import compact_lake
 
             print(json.dumps(compact_lake(args.lake)))
+        elif args.cmd == "refresh-mv":
+            from .lake import refresh_mv
+
+            print(json.dumps(refresh_mv(args.lake, args.mv)))
         elif args.cmd == "lookup":
             from .lake import lookup_key
 
