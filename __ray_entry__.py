@@ -587,6 +587,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # TPC-H Q8 shape (region market share by year: part+supplier
     # broadcasts, custkey/orderkey co-partitions, bounded 2x2 reduce)
     q["q8_market_share"] = analytics.q8_market_share
+    # TPC-H Q2 shape (correlated per-part MIN + argmin join-back)
+    q["q2_min_cost_supplier"] = analytics.q2_min_cost_supplier
+    # TPC-H Q9 shape (product-type profit by nation x year; exact
+    # difference of two nonneg cent roundings)
+    q["q9_product_profit"] = analytics.q9_product_profit
+    # TPC-H Q11 shape (grouped sum + global-threshold HAVING; only
+    # <= 1/fraction rows ever reach the driver)
+    q["q11_important_stock"] = analytics.q11_important_stock
+    # TPC-H Q12 shape (late-shipment join + conditional priority counts)
+    q["q12_shipmode_priority"] = analytics.q12_shipmode_priority
+    # TPC-H Q15 shape (revenue view + global-MAX correlated filter)
+    q["q15_top_supplier"] = analytics.q15_top_supplier
+    # TPC-H Q16 shape (COUNT DISTINCT suppliers per part class via two
+    # distinct-pair co-partitions; blacklist broadcast)
+    q["q16_supplier_cnt"] = analytics.q16_supplier_cnt
+    # TPC-H Q20 shape (half-of-total quantity threshold per pair)
+    q["q20_part_promotion"] = analytics.q20_part_promotion
+    # TPC-H Q21 shape (per-order EXISTS/NOT-EXISTS sole-late-supplier)
+    q["q21_waiting_suppliers"] = analytics.q21_waiting_suppliers
+    # TPC-H Q22 shape (exact-integer avg threshold + recent-order
+    # anti-join, per-nation rollup)
+    q["q22_global_sales"] = analytics.q22_global_sales
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
 
@@ -742,7 +764,10 @@ _DRIVER_WINDOW_ORDER = [
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
-    "perplexity_prune",
+    "perplexity_prune", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
+    "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_global_sales",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1515,6 +1540,188 @@ def oracle_sql() -> dict[str, str]:
                         * 10000.0
                         / GREATEST(SUM(cents), 1)) AS BIGINT) AS share_bp
       FROM y GROUP BY o_year
+    """
+
+    sql["q2_min_cost_supplier"] = """
+      WITH su AS (
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(s_acctbal*100) AS BIGINT) AS bal, n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+      ), px AS (
+        SELECT p_partkey FROM part
+        WHERE p_size < 25 AND p_type = 'STANDARD'
+      ), cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+                 AS cost_cents
+        FROM lineitem l JOIN px ON l.l_partkey = px.p_partkey
+                        JOIN su ON l.l_suppkey = su.s_suppkey
+        GROUP BY 1,2
+      ), best AS (
+        SELECT l_partkey, MIN(cost_cents) AS mc FROM cost GROUP BY 1
+      )
+      SELECT su.bal AS s_acctbal_cents, su.s_name, su.n_name,
+             c.l_partkey AS p_partkey, c.cost_cents
+      FROM cost c JOIN best b
+             ON c.l_partkey = b.l_partkey AND c.cost_cents = b.mc
+           JOIN su ON c.l_suppkey = su.s_suppkey
+      ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+      LIMIT 100
+    """
+
+    sql["q9_product_profit"] = """
+      WITH pr AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100)
+                    AS BIGINT)
+                 - CAST(ROUND(0.1*p.p_retailprice*l.l_quantity*100)
+                        AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN nation n ON n.n_nationkey = s.s_nationkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+      )
+      SELECT nation, o_year, CAST(SUM(cents) AS BIGINT) AS profit_cents
+      FROM pr GROUP BY 1,2 ORDER BY nation, o_year DESC
+    """
+
+    sql["q11_important_stock"] = """
+      WITH su AS (
+        SELECT s_suppkey
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+      ), val AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM lineitem l JOIN su ON l.l_suppkey = su.s_suppkey
+        GROUP BY 1
+      )
+      SELECT l_partkey AS p_partkey, value_cents FROM val
+      WHERE value_cents > (SELECT SUM(value_cents)*0.0001 FROM val)
+      ORDER BY value_cents DESC, p_partkey
+    """
+
+    sql["q12_shipmode_priority"] = """
+      SELECT l.l_returnflag AS ship_class,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN
+                             ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                             ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS low_line_count
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1 ORDER BY 1
+    """
+
+    sql["q15_top_supplier"] = """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-04-01'
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.s_name, r.total_cents
+      FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+      ORDER BY s.s_suppkey
+    """
+
+    sql["q16_supplier_cnt"] = """
+      WITH px AS (
+        SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+        FROM part
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          AND p_size IN (5,10,15,20,25,30,35,40)
+      ), sx AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000.0
+      ), pairs AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l JOIN px ON px.p_partkey = l.l_partkey
+                        JOIN sx ON sx.s_suppkey = l.l_suppkey
+      )
+      SELECT px.p_brand, px.p_type, px.p_size,
+             CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM pairs pr JOIN px ON px.p_partkey = pr.l_partkey
+      GROUP BY 1,2,3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    sql["q20_part_promotion"] = """
+      WITH px AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+      ), q AS (
+        SELECT l_suppkey, l_partkey,
+          SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                    AND l_shipdate < DATE '1997-01-01'
+                   THEN l_quantity ELSE 0 END) AS qy,
+          SUM(l_quantity) AS qa
+        FROM lineitem JOIN px ON px.p_partkey = l_partkey
+        GROUP BY 1,2
+      ), w AS (
+        SELECT DISTINCT l_suppkey FROM q WHERE 2.0*qy > qa
+      )
+      SELECT s.s_suppkey, s.s_name
+      FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+             JOIN nation n ON n.n_nationkey = s.s_nationkey
+             JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'AMERICA'
+      ORDER BY s.s_suppkey
+    """
+
+    sql["q21_waiting_suppliers"] = """
+      WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    AS INT) AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+      ), per AS (
+        SELECT l_orderkey, l_suppkey, MAX(late) AS late
+        FROM lo GROUP BY 1,2
+      ), agg AS (
+        SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate
+        FROM per GROUP BY 1
+      ), waiting AS (
+        SELECT p.l_suppkey
+        FROM per p JOIN agg a USING (l_orderkey)
+        WHERE p.late = 1 AND a.nsupp > 1 AND a.nlate = 1
+      )
+      SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+    """
+
+    sql["q22_global_sales"] = """
+      WITH cx AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents, c_acctbal
+        FROM customer WHERE c_nationkey IN (1,3,5,7,9)
+      ), pos AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cx WHERE c_acctbal > 0.0
+      ), recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1999-01-01'
+      )
+      SELECT nk AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+      FROM cx, pos
+      WHERE cx.cents * pos.n > pos.s
+        AND cx.c_custkey NOT IN (SELECT o_custkey FROM recent)
+      GROUP BY 1 ORDER BY 1
     """
 
     sql["events_rank_lead"] = """

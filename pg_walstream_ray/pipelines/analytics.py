@@ -2003,3 +2003,884 @@ def q8_market_share(sf_dir: str, region: str = "EUROPE",
                      "target_cents": pa.array(tgt.to_numpy(np.int64)),
                      "total_cents": pa.array(tot.to_numpy(np.int64)),
                      "share_bp": pa.array(share)})
+
+def _gather(ds) -> pa.Table | None:
+    """Collect a BOUNDED Dataset of partial rows into one Arrow table
+    (None when no rows).  Only for dimension-sized / top-k-combined
+    partials — never data-sized streams."""
+    parts = list(ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=1 << 20))
+    tabs = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+            for p in parts]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs)
+
+
+def q12_shipmode_priority(sf_dir: str, late_days: int = 60):
+    """TPC-H Q12-shaped shipping-priority audit: among LATE lineitems
+    (shipped more than ``late_days`` after the order date — the reduced
+    schema's analogue of receipt-past-commit), how many belong to
+    high-priority orders vs low, per return-flag class (the schema's
+    shipmode analogue).
+
+    Scale shape: ONE orderkey co-partition of the union-tagged orders
+    (orderkey -> odate, priority class) and lineitem (orderkey ->
+    shipdate, returnflag) sides; each bucket joins locally and emits a
+    bounded (class, high, low) partial; driver reduce is <= 3 rows x
+    npart.  Reference parity: TPC-H Q12 semantics (conditional counts
+    over a late-shipment join).
+    """
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    high = ("1-URGENT", "2-HIGH")
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "ts": pc.cast(pc.cast(t["o_orderdate"], pa.int64()),
+                          pa.int64()),
+            "rf": pa.array([""] * t.num_rows, pa.string()),
+            "is_high": pc.is_in(t["o_orderpriority"],
+                                pa.array(high, pa.string())),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "ts": pc.cast(pc.cast(t["l_shipdate"], pa.int64()),
+                          pa.int64()),
+            "rf": t["l_returnflag"],
+            "is_high": pa.array(np.zeros(t.num_rows, bool)),
+            "is_ord": pa.array(np.zeros(t.num_rows, bool)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_returnflag"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "ts", "is_high"]].rename(
+            columns={"ts": "ts_o", "is_high": "hi"}),
+            on="orderkey", how="inner")
+        late = m["ts"].to_numpy(np.int64) > \
+            m["ts_o"].to_numpy(np.int64) + late_us
+        m = m[late]
+        if not len(m):
+            return pd.DataFrame({"ship_class": pd.Series([], dtype=str),
+                                 "high": pd.Series([], dtype=np.int64),
+                                 "low": pd.Series([], dtype=np.int64)})
+        hi = m["hi"].to_numpy(bool)
+        agg = pd.DataFrame({"ship_class": m["rf"].to_numpy(object),
+                            "high": hi.astype(np.int64),
+                            "low": (~hi).astype(np.int64)}) \
+            .groupby("ship_class", as_index=False, sort=True).sum()
+        return agg
+
+    partials = orders.union(li).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas", num_cpus=1)
+    rows = _gather(partials)
+    empty = pa.table({"ship_class": pa.array([], pa.string()),
+                      "high_line_count": pa.array([], pa.int64()),
+                      "low_line_count": pa.array([], pa.int64())})
+    if rows is None:
+        return empty
+    df = rows.to_pandas().groupby("ship_class", as_index=False,
+                                  sort=True).sum()
+    return pa.table({
+        "ship_class": pa.array(df["ship_class"].astype(str)),
+        "high_line_count": pa.array(df["high"].to_numpy(np.int64)),
+        "low_line_count": pa.array(df["low"].to_numpy(np.int64))})
+
+
+def q15_top_supplier(sf_dir: str, start: str = "1996-01-01"):
+    """TPC-H Q15-shaped top supplier: the supplier(s) with maximum
+    revenue over a three-month shipdate window (the revenue-view +
+    global-MAX correlated filter shape).
+
+    Scale shape: per-batch partial (suppkey, cents) sums -> ONE suppkey
+    groupby -> materialized supplier-revenue dataset (|suppliers| rows,
+    stays in the object store); the global max is a per-block partial
+    max (O(blocks) driver reduce) and only argmax rows leave the
+    cluster.  Exact integers end-to-end.
+    """
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(start, "us")
+    hi = (np.datetime64(start, "M") + 3).astype("datetime64[us]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array((d >= lo) & (d < hi)))
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        g = pa.table({
+            "suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+            "cents": pa.array(_cents_half_away(rev)),
+        }).group_by("suppkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["suppkey", "cents"])
+
+    agg = _read(sf_dir, "lineitem",
+                columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=1 << 20) \
+        .groupby("suppkey").aggregate(Sum("cents",
+                                          alias_name="total_cents")) \
+        .materialize()
+
+    def block_max(t: pa.Table) -> pa.Table:
+        m = pc.max(t["total_cents"]).as_py() if t.num_rows else None
+        return pa.table({"m": pa.array([m] if m is not None else [],
+                                       pa.int64())})
+
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_cents": pa.array([], pa.int64())})
+    maxes = _gather(agg.map_batches(block_max, batch_format="pyarrow"))
+    if maxes is None:
+        return empty
+    mx = int(pc.max(maxes["m"]).as_py())
+
+    def winners(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_cents"], mx))
+
+    win = _gather(agg.map_batches(winners, batch_format="pyarrow"))
+    if win is None:
+        return empty
+    sk = np.sort(win["suppkey"].to_numpy(zero_copy_only=False))
+
+    import pyarrow.dataset as pads
+    sup = pads.dataset(os.path.join(sf_dir, "supplier.parquet")) \
+        .to_table(columns=["s_suppkey", "s_name"],
+                  filter=pads.field("s_suppkey").isin(sk.tolist()))
+    name = dict(zip(sup["s_suppkey"].to_pylist(),
+                    sup["s_name"].to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": pa.array([name[s] for s in sk]),
+        "total_cents": pa.array(np.full(len(sk), mx, np.int64))})
+
+
+def q22_global_sales(sf_dir: str, nations=(1, 3, 5, 7, 9),
+                     cutoff: str = "1999-01-01"):
+    """TPC-H Q22-shaped global sales opportunity: per nation (the
+    reduced schema's country-code analogue), count + total balance of
+    above-average-balance customers with NO recent orders (anti-join).
+
+    Scale shape: pass 1 computes the global positive-balance average as
+    exact integers via per-batch (sum_cents, n) partials (bounded
+    driver reduce); pass 2 union-tags the threshold-filtered customers
+    with the recent-order custkeys on ONE custkey co-partition and
+    anti-joins per bucket, emitting bounded (nation, count, cents)
+    partials.  The avg threshold compares cents*n > sum_cents in exact
+    int64 (no float boundary flake).
+    """
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    nat = np.asarray(nations, np.int64)
+    cut = np.datetime64(cutoff, "us")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        m = np.isin(nk, nat) & (bal > 0.0)
+        cents = _cents_half_away(bal[m])
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    tot = _gather(_read(sf_dir, "customer", columns=cust_cols)
+                  .map_batches(bal_partial, batch_format="pyarrow"))
+    empty = pa.table({"cntrycode": pa.array([], pa.int64()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_cents": pa.array([], pa.int64())})
+    if tot is None:
+        return empty
+    sum_cents = int(pc.sum(tot["s"]).as_py() or 0)
+    n_pos = int(pc.sum(tot["n"]).as_py() or 0)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False))
+        m = np.isin(nk, nat) & (cents * n_pos > sum_cents)
+        f = t.filter(pa.array(m))
+        ck = pc.cast(f["c_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "nk": pa.array(nk[m]),
+            "cents": pa.array(cents[m]),
+            "is_cust": pa.array(np.ones(int(m.sum()), bool)),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(d >= cut))
+        ck = pc.cast(f["o_custkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ck, npart - 1), pa.int64()),
+            "custkey": ck,
+            "nk": pa.array(np.zeros(f.num_rows, np.int64)),
+            "cents": pa.array(np.zeros(f.num_rows, np.int64)),
+            "is_cust": pa.array(np.zeros(f.num_rows, bool)),
+        })
+
+    cust = _read(sf_dir, "customer", columns=cust_cols) \
+        .map_batches(cust_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g[g["is_cust"]]
+        od = g[~g["is_cust"]]
+        keep = cu[~cu["custkey"].isin(od["custkey"])]
+        if not len(keep):
+            return pd.DataFrame({"nk": pd.Series([], dtype=np.int64),
+                                 "numcust": pd.Series([], dtype=np.int64),
+                                 "cents": pd.Series([], dtype=np.int64)})
+        a = keep.groupby("nk", as_index=False, sort=True) \
+            .agg(numcust=("custkey", "size"), cents=("cents", "sum"))
+        return a
+
+    rows = _gather(cust.union(orders).groupby("bucket").map_groups(
+        anti, batch_format="pandas", num_cpus=1))
+    if rows is None:
+        return empty
+    df = rows.to_pandas().groupby("nk", as_index=False, sort=True).sum()
+    return pa.table({
+        "cntrycode": pa.array(df["nk"].to_numpy(np.int64)),
+        "numcust": pa.array(df["numcust"].to_numpy(np.int64)),
+        "totacctbal_cents": pa.array(df["cents"].to_numpy(np.int64))})
+
+def _region_suppliers(sf_dir: str, region: str) -> pa.Table:
+    """Suppliers in one region (tiny dim join on the driver):
+    (s_suppkey, s_name, s_acctbal, s_nationkey, n_name)."""
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"] \
+        .to_numpy(zero_copy_only=False)
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nat = nat.filter(pa.array(np.isin(
+        nat["n_regionkey"].to_numpy(zero_copy_only=False), rk)))
+    nname = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    sup = sup.filter(pa.array(np.isin(
+        sup["s_nationkey"].to_numpy(zero_copy_only=False),
+        nat["n_nationkey"].to_numpy(zero_copy_only=False))))
+    return sup.append_column(
+        "n_name", pa.array([nname[k] for k in
+                            sup["s_nationkey"].to_pylist()], pa.string()))
+
+
+def q2_min_cost_supplier(sf_dir: str, max_size: int = 25,
+                         p_type: str = "STANDARD",
+                         region: str = "EUROPE", k: int = 100):
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    the region supplier(s) offering it at the minimum observed unit
+    price (min lineitem extendedprice — the reduced schema's
+    ps_supplycost analogue), with the correlated per-part MIN + join
+    back (argmin) shape.
+
+    Scale shape: part subset and region-supplier set are broadcast
+    sorted arrays; lineitem pre-reduces (partkey, suppkey) -> min cents
+    per batch, then ONE partkey co-partition finishes per-pair mins,
+    takes each part's min, and emits only argmin rows (<= a few per
+    part); the driver sorts the bounded result and cuts top-k.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size", "p_type"])
+    part = part.filter(pc.and_(pc.less(part["p_size"], max_size),
+                               pc.equal(part["p_type"], p_type)))
+    pkeys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    sup = _region_suppliers(sf_dir, region)
+    skeys = np.sort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    dim_ref = ray.put((pkeys, skeys))
+
+    def li_side(t: pa.Table) -> pa.Table:
+        pks, sks = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hp, _ = _probe(pks, pk)
+        f = t.filter(pa.array(hp))
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        hs, _ = _probe(sks, sk)
+        f = f.filter(pa.array(hs))
+        cents = _cents_half_away(
+            f["l_extendedprice"].to_numpy(zero_copy_only=False))
+        g = pa.table({
+            "partkey": pc.cast(f["l_partkey"], pa.int64()),
+            "suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+            "cents": pa.array(cents),
+        }).group_by(["partkey", "suppkey"]).aggregate([("cents", "min")])
+        pkk = g["partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(pkk % npart),
+            "partkey": g["partkey"],
+            "suppkey": g["suppkey"],
+            "cents": g["cents_min"],
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def argmin_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["partkey", "suppkey"], as_index=False,
+                        sort=False)["cents"].min()
+        best = per.groupby("partkey")["cents"].transform("min")
+        w = per[per["cents"].to_numpy(np.int64) ==
+                best.to_numpy(np.int64)]
+        return w[["partkey", "suppkey", "cents"]]
+
+    rows = _gather(li.groupby("bucket").map_groups(
+        argmin_bucket, batch_format="pandas", num_cpus=1))
+    empty = pa.table({"s_acctbal_cents": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string()),
+                      "p_partkey": pa.array([], pa.int64()),
+                      "cost_cents": pa.array([], pa.int64())})
+    if rows is None:
+        return empty
+    df = rows.to_pandas()
+    meta = {int(s): (int(np.rint(b * 100.0)), nm, nn)
+            for s, b, nm, nn in zip(sup["s_suppkey"].to_pylist(),
+                                    sup["s_acctbal"].to_pylist(),
+                                    sup["s_name"].to_pylist(),
+                                    sup["n_name"].to_pylist())}
+    trip = [meta[int(s)] for s in df["suppkey"]]
+    out = pd.DataFrame({
+        "s_acctbal_cents": np.array([t[0] for t in trip], np.int64),
+        "s_name": [t[1] for t in trip],
+        "n_name": [t[2] for t in trip],
+        "p_partkey": df["partkey"].to_numpy(np.int64),
+        "cost_cents": df["cents"].to_numpy(np.int64)})
+    out = out.sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(k)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q9_product_profit(sf_dir: str, word: str = "widget",
+                      cost_rate: float = 0.1):
+    """TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    year), net profit of lineitems whose part name contains ``word`` —
+    revenue minus a retail-price-proportional cost (the reduced
+    schema's ps_supplycost analogue).
+
+    Scale shape: part (name-matched partkey -> retailprice) and
+    supplier (suppkey -> nationkey) are broadcast sorted arrays; the
+    order year joins on ONE orderkey co-partition; the final reduce is
+    bounded (|nations| x |years|).  Profit is the exact difference of
+    two nonneg half-away cent roundings (matches DuckDB ROUND without
+    negative-half ambiguity).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], word))
+    p_keys, (p_rp,) = _broadcast_sorted(part, "p_partkey",
+                                        ["p_retailprice"])
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    s_keys, (s_nat,) = _broadcast_sorted(sup, "s_suppkey",
+                                         ["s_nationkey"])
+    nat_t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nat_t["n_nationkey"].to_pylist(),
+                     nat_t["n_name"].to_pylist()))
+    dim_ref = ray.put((p_keys, p_rp, s_keys, s_nat))
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        years = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "nat": pa.array(np.zeros(t.num_rows, np.int64)),
+            "year": pa.array(years),
+            "cents": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_ord": pa.array(np.ones(t.num_rows, bool)),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        pks, rps, sks, nats = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hp, pp = _probe(pks, pk)
+        f = t.filter(pa.array(hp))
+        rp = rps[pp[hp]] if f.num_rows else np.array([], np.float64)
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        hs, ps = _probe(sks, sk)
+        f = f.filter(pa.array(hs))
+        rp = rp[hs]
+        nat = nats[ps[hs]] if f.num_rows else np.array([], np.int64)
+        rev = f["l_extendedprice"].to_numpy(zero_copy_only=False) * \
+            (1.0 - f["l_discount"].to_numpy(zero_copy_only=False))
+        cost = (cost_rate * rp) * \
+            f["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = _cents_half_away(rev) - _cents_half_away(cost)
+        ok = pc.cast(f["l_orderkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(ok % npart),
+            "orderkey": pa.array(ok),
+            "nat": pa.array(nat.astype(np.int64)),
+            "year": pa.array(np.zeros(len(ok), np.int64)),
+            "cents": pa.array(cents),
+            "is_ord": pa.array(np.zeros(len(ok), bool)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "year"]].rename(
+            columns={"year": "o_year"}), on="orderkey", how="inner")
+        agg = m.groupby(["nat", "o_year"], as_index=False,
+                        sort=True)["cents"].sum()
+        return agg
+
+    rows = _gather(orders.union(li).groupby("bucket").map_groups(
+        join_li, batch_format="pandas", num_cpus=1))
+    empty = pa.table({"nation": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "profit_cents": pa.array([], pa.int64())})
+    if rows is None:
+        return empty
+    df = rows.to_pandas().groupby(["nat", "o_year"],
+                                  as_index=False).sum()
+    df = df.sort_values(["nat", "o_year"],
+                        ascending=[True, False])
+    return pa.table({
+        "nation": pa.array([nname[n] for n in df["nat"]], pa.string()),
+        "o_year": pa.array(df["o_year"].to_numpy(np.int64)),
+        "profit_cents": pa.array(df["cents"].to_numpy(np.int64))})
+
+
+def q11_important_stock(sf_dir: str, region: str = "ASIA",
+                        fraction: float = 0.0001):
+    """TPC-H Q11-shaped important stock: parts whose shipped value from
+    one region's suppliers exceeds ``fraction`` of the global total
+    (the grouped-sum + global-threshold HAVING shape).
+
+    Scale shape: region suppliers broadcast; per-batch (partkey, cents)
+    partial sums -> ONE partkey groupby, materialized in the object
+    store; the global total is an O(blocks) per-block partial-sum
+    reduce, and only above-threshold rows (mathematically <=
+    1/fraction of them) ever reach the driver.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    sup = _region_suppliers(sf_dir, region)
+    skeys = np.sort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    sk_ref = ray.put(skeys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sks = ray.get(sk_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        hs, _ = _probe(sks, sk)
+        f = t.filter(pa.array(hs))
+        cents = _cents_half_away(
+            f["l_extendedprice"].to_numpy(zero_copy_only=False))
+        g = pa.table({
+            "partkey": pc.cast(f["l_partkey"], pa.int64()),
+            "cents": pa.array(cents),
+        }).group_by("partkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["partkey", "cents"])
+
+    agg = _read(sf_dir, "lineitem",
+                columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=1 << 20) \
+        .groupby("partkey").aggregate(Sum("cents",
+                                          alias_name="value_cents")) \
+        .materialize()
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["value_cents"]).as_py() if t.num_rows else None
+        return pa.table({"s": pa.array([s] if s is not None else [],
+                                       pa.int64())})
+
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "value_cents": pa.array([], pa.int64())})
+    sums = _gather(agg.map_batches(block_sum, batch_format="pyarrow"))
+    if sums is None:
+        return empty
+    total = int(pc.sum(sums["s"]).as_py() or 0)
+    thresh = total * fraction            # float compare, both sides exact
+
+    def above(t: pa.Table) -> pa.Table:
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > thresh))
+
+    win = _gather(agg.map_batches(above, batch_format="pyarrow"))
+    if win is None:
+        return empty
+    order = np.lexsort((win["partkey"].to_numpy(zero_copy_only=False),
+                        -win["value_cents"].to_numpy(
+                            zero_copy_only=False)))
+    win = win.take(pa.array(order))
+    return pa.table({"p_partkey": win["partkey"],
+                     "value_cents": win["value_cents"]})
+
+def q16_supplier_cnt(sf_dir: str, excl_brand: str = "Brand#13",
+                     excl_type: str = "PROMO",
+                     sizes=(5, 10, 15, 20, 25, 30, 35, 40),
+                     min_bal: float = 1000.0):
+    """TPC-H Q16-shaped parts/supplier relationship: per (brand, type,
+    size), how many DISTINCT suppliers ship that part class — with
+    brand/type/size exclusions and a supplier blacklist (low account
+    balance standing in for the complaints predicate).
+
+    Scale shape: the part subset maps partkey -> a dense (brand, type,
+    size)-class id, broadcast with the supplier whitelist as sorted
+    arrays; lineitem emits per-batch DISTINCT (partkey, suppkey) pairs
+    (Arrow group_by, no row loop), deduped on ONE partkey-bucketed
+    co-partition, re-keyed as distinct (class, suppkey) on a SECOND
+    hash co-partition so every distinct pair counts exactly once; the
+    driver reduce is bounded (|classes| x npart).
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    sz = np.asarray(sizes, np.int64)
+    keep = pc.and_(pc.and_(
+        pc.not_equal(part["p_brand"], excl_brand),
+        pc.not_equal(part["p_type"], excl_type)),
+        pa.array(np.isin(part["p_size"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), sz)))
+    part = part.filter(keep)
+    pdf = part.to_pandas()
+    cls = pdf.groupby(["p_brand", "p_type", "p_size"]).ngroup() \
+        .to_numpy(np.int64)
+    classes = pdf.assign(cls=cls).drop_duplicates("cls") \
+        .set_index("cls").sort_index()
+    order = np.argsort(pdf["p_partkey"].to_numpy(np.int64),
+                       kind="mergesort")
+    p_keys = pdf["p_partkey"].to_numpy(np.int64)[order]
+    p_cls = cls[order]
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_acctbal"])
+    sup = sup.filter(pc.greater_equal(sup["s_acctbal"], min_bal))
+    skeys = np.sort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    dim_ref = ray.put((p_keys, p_cls, skeys))
+    MIX = np.int64(0x9E3779B9)
+
+    def li_pairs(t: pa.Table) -> pa.Table:
+        pks, pcls, sks = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hp, _ = _probe(pks, pk)
+        f = t.filter(pa.array(hp))
+        sk = f["l_suppkey"].to_numpy(zero_copy_only=False)
+        hs, _ = _probe(sks, sk)
+        f = f.filter(pa.array(hs))
+        g = pa.table({
+            "partkey": pc.cast(f["l_partkey"], pa.int64()),
+            "suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+        }).group_by(["partkey", "suppkey"]).aggregate([])
+        pkk = g["partkey"].to_numpy(zero_copy_only=False)
+        skk = g["suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((pkk * MIX + skk) % npart),
+            "partkey": g["partkey"],
+            "suppkey": g["suppkey"],
+        })
+
+    pairs = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(li_pairs, batch_format="pyarrow",
+                     batch_size=1 << 20)
+
+    def dedup_to_class(g: pd.DataFrame) -> pd.DataFrame:
+        pks, pcls, _ = ray.get(dim_ref)
+        d = g.drop_duplicates(["partkey", "suppkey"])
+        pk = d["partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pks, pk)
+        c = pcls[pos]
+        out = pd.DataFrame({"cls": c,
+                            "suppkey": d["suppkey"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        out["bucket2"] = (out["cls"].to_numpy(np.int64) * MIX +
+                          out["suppkey"].to_numpy(np.int64)) % npart
+        return out
+
+    cls_pairs = pairs.groupby("bucket").map_groups(
+        dedup_to_class, batch_format="pandas", num_cpus=1)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["cls", "suppkey"])
+        a = d.groupby("cls", as_index=False, sort=True) \
+            .agg(cnt=("suppkey", "size"))
+        return a
+
+    rows = _gather(cls_pairs.groupby("bucket2").map_groups(
+        count_bucket, batch_format="pandas", num_cpus=1))
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_type": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int64()),
+                      "supplier_cnt": pa.array([], pa.int64())})
+    if rows is None:
+        return empty
+    df = rows.to_pandas().groupby("cls", as_index=False).sum()
+    m = classes.loc[df["cls"].to_numpy(np.int64)]
+    out = pd.DataFrame({
+        "p_brand": m["p_brand"].to_numpy(object),
+        "p_type": m["p_type"].to_numpy(object),
+        "p_size": m["p_size"].to_numpy(np.int64),
+        "supplier_cnt": df["cnt"].to_numpy(np.int64)})
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q20_part_promotion(sf_dir: str, word: str = "bolt",
+                       year: int = 1996, region: str = "AMERICA"):
+    """TPC-H Q20-shaped part-promotion candidates: region suppliers
+    who, for some name-matched part, shipped more than half of their
+    all-time quantity of it inside one year (the nested
+    half-of-total-quantity threshold shape).
+
+    Scale shape: part subset broadcast; per-batch partial
+    (suppkey, partkey) -> (qty_in_year, qty_total) sums; ONE pair-hash
+    co-partition finishes the sums, applies the exact 2*qty_year >
+    qty_all compare (integer-valued doubles), and emits each bucket's
+    DISTINCT qualifying suppkeys; the region filter + name fetch touch
+    only the bounded winner set.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(pc.match_substring(part["p_name"], word))
+    pkeys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    pk_ref = ray.put(pkeys)
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    MIX = np.int64(0x9E3779B9)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        hp, _ = _probe(pks, pk)
+        f = t.filter(pa.array(hp))
+        d = f["l_shipdate"].to_numpy(zero_copy_only=False)
+        qty = f["l_quantity"].to_numpy(zero_copy_only=False)
+        in_year = ((d >= lo) & (d < hi)).astype(np.float64) * qty
+        g = pa.table({
+            "suppkey": pc.cast(f["l_suppkey"], pa.int64()),
+            "partkey": pc.cast(f["l_partkey"], pa.int64()),
+            "qy": pa.array(in_year),
+            "qa": pa.array(qty),
+        }).group_by(["suppkey", "partkey"]).aggregate(
+            [("qy", "sum"), ("qa", "sum")])
+        skk = g["suppkey"].to_numpy(zero_copy_only=False)
+        pkk = g["partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((skk * MIX + pkk) % npart),
+            "suppkey": g["suppkey"],
+            "partkey": g["partkey"],
+            "qy": g["qy_sum"],
+            "qa": g["qa_sum"],
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow",
+                     batch_size=1 << 20)
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["suppkey", "partkey"], as_index=False,
+                      sort=False)[["qy", "qa"]].sum()
+        w = a[2.0 * a["qy"].to_numpy(np.float64) >
+              a["qa"].to_numpy(np.float64)]
+        return pd.DataFrame({
+            "suppkey": np.unique(w["suppkey"].to_numpy(np.int64))})
+
+    rows = _gather(li.groupby("bucket").map_groups(
+        winners, batch_format="pandas", num_cpus=1))
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string())})
+    if rows is None:
+        return empty
+    sup = _region_suppliers(sf_dir, region)
+    name = dict(zip(sup["s_suppkey"].to_pylist(),
+                    sup["s_name"].to_pylist()))
+    sk = np.unique(rows["suppkey"].to_numpy(zero_copy_only=False))
+    sk = np.array([s for s in sk if s in name], np.int64)
+    return pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": pa.array([name[s] for s in sk], pa.string())})
+
+
+def q21_waiting_suppliers(sf_dir: str, region: str = "ASIA",
+                          late_days: int = 90, k: int = 100):
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    ('F') orders with MULTIPLE suppliers where EXACTLY ONE supplier
+    shipped late (> ``late_days`` past the order date), count per
+    supplier how often they were that sole late supplier; top-k among
+    one region's suppliers (the EXISTS / NOT-EXISTS pair shape).
+
+    Scale shape: ONE orderkey co-partition of the F-filtered orders and
+    lineitem sides evaluates the per-order exists/not-exists predicate
+    locally and pre-counts (suppkey, waits) per bucket; a second small
+    suppkey groupby finishes counts; per-block top-k emission bounds
+    the driver merge; names come from a keyed parquet fetch.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    sup = _region_suppliers(sf_dir, region)
+    name = dict(zip(sup["s_suppkey"].to_pylist(),
+                    sup["s_name"].to_pylist()))
+    skeys = np.sort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    sk_ref = ray.put(skeys)
+
+    def order_side(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        ok = pc.cast(f["o_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "suppkey": pa.array(np.zeros(f.num_rows, np.int64)),
+            "ts": pc.cast(pc.cast(f["o_orderdate"], pa.int64()),
+                          pa.int64()),
+            "is_ord": pa.array(np.ones(f.num_rows, bool)),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(ok, npart - 1), pa.int64()),
+            "orderkey": ok,
+            "suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "ts": pc.cast(pc.cast(t["l_shipdate"], pa.int64()),
+                          pa.int64()),
+            "is_ord": pa.array(np.zeros(t.num_rows, bool)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus",
+                            "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(li_side, batch_format="pyarrow", batch_size=1 << 20)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["is_ord"]]
+        lig = g[~g["is_ord"]]
+        m = lig.merge(od[["orderkey", "ts"]].rename(
+            columns={"ts": "ts_o"}), on="orderkey", how="inner")
+        if not len(m):
+            return pd.DataFrame({"suppkey": pd.Series([], dtype=np.int64),
+                                 "waits": pd.Series([], dtype=np.int64)})
+        late = (m["ts"].to_numpy(np.int64) >
+                m["ts_o"].to_numpy(np.int64) + late_us)
+        per = pd.DataFrame({"orderkey": m["orderkey"],
+                            "suppkey": m["suppkey"],
+                            "late": late}) \
+            .groupby(["orderkey", "suppkey"], as_index=False,
+                     sort=False)["late"].max()
+        agg = per.groupby("orderkey").agg(
+            nsupp=("suppkey", "size"), nlate=("late", "sum"))
+        ok = agg[(agg["nsupp"] > 1) & (agg["nlate"] == 1)].index
+        w = per[per["late"] & per["orderkey"].isin(ok)]
+        # region filter BEFORE the count/top-k so below-global-top-k
+        # region suppliers survive the per-block cut
+        sks = ray.get(sk_ref)
+        hit, _ = _probe(sks, w["suppkey"].to_numpy(np.int64))
+        w = w[hit]
+        out = w.groupby("suppkey", as_index=False, sort=True) \
+            .agg(waits=("orderkey", "size"))
+        return out
+
+    counts = orders.union(li).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas", num_cpus=1) \
+        .groupby("suppkey").aggregate(Sum("waits", alias_name="numwait"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        order = np.lexsort((t["suppkey"].to_numpy(zero_copy_only=False),
+                            -t["numwait"].to_numpy(
+                                zero_copy_only=False)))[:k]
+        t = t.take(pa.array(order))
+        return pa.table({"suppkey": pc.cast(t["suppkey"], pa.int64()),
+                         "numwait": pc.cast(t["numwait"], pa.int64())})
+
+    rows = _gather(counts.map_batches(block_topk,
+                                      batch_format="pyarrow"))
+    empty = pa.table({"s_name": pa.array([], pa.string()),
+                      "numwait": pa.array([], pa.int64())})
+    if rows is None:
+        return empty
+    df = rows.to_pandas()
+    order = np.lexsort((df["suppkey"].to_numpy(np.int64),
+                        -df["numwait"].to_numpy(np.int64)))[:k]
+    df = df.iloc[order]
+    return pa.table({
+        "s_name": pa.array([name[s] for s in df["suppkey"]], pa.string()),
+        "numwait": pa.array(df["numwait"].to_numpy(np.int64))})

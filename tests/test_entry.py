@@ -83,6 +83,9 @@ def test_every_oracle_key_has_query(contract):
     "q10_returned_items", "q13_customer_distribution",
     "q17_small_quantity", "q18_large_orders", "q19_discounted_revenue",
     "q8_market_share", "perplexity_prune",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q12_shipmode_priority", "q15_top_supplier", "q16_supplier_cnt",
+    "q20_part_promotion", "q21_waiting_suppliers", "q22_global_sales",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
