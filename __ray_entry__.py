@@ -679,6 +679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "neighbor_id", "rnk"])
     q["embedding_near_dup"] = lambda sf: similarity.embedding_near_dup(sf) \
         .select_columns(["vec_a", "vec_b"])
+    # hybrid (metadata-filtered) exact ANN: eligibility co-partition, no
+    # documents broadcast; rank-exact vs the oracle
+    q["ann_filtered_topk"] = lambda sf: similarity.ann_filtered_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
     q["ann_lsh_topk"] = lambda sf: similarity.ann_lsh_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
     q["ann_ivf_topk"] = lambda sf: similarity.ann_ivf_topk(sf) \
@@ -700,6 +704,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CCNet-style perplexity-proxy pruning (exact integer unigram LM:
     # bounded vocab broadcast, zero-shuffle scoring, histogram quantile)
     q["perplexity_prune"] = textops.perplexity_prune
+    # BM25 sparse retrieval (bounded df/length reduce, zero-shuffle
+    # scoring, per-batch top-k; integer micro-unit scores)
+    q["bm25_retrieval"] = textops.bm25_retrieval
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -767,7 +774,7 @@ _DRIVER_WINDOW_ORDER = [
     "perplexity_prune", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_global_sales",
+    "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1722,6 +1729,71 @@ def oracle_sql() -> dict[str, str]:
       WHERE cx.cents * pos.n > pos.s
         AND cx.c_custkey NOT IN (SELECT o_custkey FROM recent)
       GROUP BY 1 ORDER BY 1
+    """
+
+    sql["ann_filtered_topk"] = """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 8
+      ), el AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en'
+      ), s AS (
+        SELECT qid, el.vec_id AS nid,
+               list_cosine_similarity(qe::DOUBLE[],
+                                      el.embedding::DOUBLE[]) AS sim
+        FROM q, el WHERE el.vec_id <> qid
+      ), r AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM s
+      )
+      SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk
+      FROM r WHERE rn <= 10
+    """
+
+    sql["bm25_retrieval"] = """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(length(string_split(text,' ')) AS BIGINT) AS dl,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'spark')) AS BIGINT) AS tf0,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'merge')) AS BIGINT) AS tf1,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'window')) AS BIGINT) AS tf2,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'hash')) AS BIGINT) AS tf3
+        FROM documents
+      ), stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS sumdl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        FROM base
+      ), scored AS (
+        SELECT doc_id,
+          CAST(FLOOR(LN((nd - df0 + 0.5)/(df0 + 0.5) + 1) * (tf0*2.2)
+               / (tf0 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df1 + 0.5)/(df1 + 0.5) + 1) * (tf1*2.2)
+               / (tf1 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df2 + 0.5)/(df2 + 0.5) + 1) * (tf2*2.2)
+               / (tf2 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df3 + 0.5)/(df3 + 0.5) + 1) * (tf3*2.2)
+               / (tf3 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+          AS score_micro
+        FROM base, stats
+      )
+      SELECT doc_id, score_micro FROM scored WHERE score_micro > 0
+      ORDER BY score_micro DESC, doc_id LIMIT 50
     """
 
     sql["events_rank_lead"] = """

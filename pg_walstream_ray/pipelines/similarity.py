@@ -672,3 +672,103 @@ def cluster_balanced_sample(sf_dir: str, per_cluster: int = 40,
             .map_batches(block_quota, batch_format="pyarrow")
             .groupby("cluster_id").map_groups(final_quota,
                                               batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered exact ANN (hybrid search)
+# ---------------------------------------------------------------------------
+
+
+def ann_filtered_topk(sf_dir: str, lang: str = "en",
+                      nq: int = DEFAULT_NQ, k: int = DEFAULT_K):
+    """Hybrid (metadata-filtered) exact cosine top-k: neighbors are
+    restricted to vectors whose ``documents`` row matches a predicate
+    (``lang == lang``) — the filtered-vector-search shape every
+    retrieval stack needs (filter pushdown BEFORE scoring, not post-hoc
+    top-k re-filtering, which under-fills k).
+
+    Scale shape: the eligibility set is NOT broadcast (documents is
+    corpus-sized) — documents(doc_id) and embeddings co-partition ONCE
+    on id; each bucket filters locally and scores only eligible rows
+    against the broadcast query matrix, emitting per-bucket partial
+    top-k.  Output: (query_id, neighbor_id, rnk) — rank-exact vs the
+    SQL oracle.
+    """
+    import ray
+
+    from ..functions.scale import coarse_npart, sized_read_parquet
+
+    npart = coarse_npart()
+    queries_ref = ray.put(_load_queries(sf_dir, nq))
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["lang"], lang))
+        did = pc.cast(f["doc_id"], pa.int64())
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(did, npart - 1), pa.int64()),
+            "key": did,
+            "embedding": pa.array([[]] * f.num_rows,
+                                  pa.list_(pa.float32())),
+            "is_doc": pa.array(np.ones(f.num_rows, bool)),
+        })
+
+    def emb_side(t: pa.Table) -> pa.Table:
+        vid = pc.cast(t["vec_id"], pa.int64())
+        emb = t["embedding"]
+        if pa.types.is_fixed_size_list(emb.type):
+            emb = pc.cast(emb, pa.list_(pa.float32()))
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(vid, npart - 1), pa.int64()),
+            "key": vid,
+            "embedding": emb,
+            "is_doc": pa.array(np.zeros(t.num_rows, bool)),
+        })
+
+    docs = sized_read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "lang"]) \
+        .map_batches(doc_side, batch_format="pyarrow")
+    emb = _emb(sf_dir).map_batches(emb_side, batch_format="pyarrow")
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        qids, q = ray.get(queries_ref)
+        is_doc = g["is_doc"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        eligible = np.sort(keys[is_doc])
+        if not len(eligible):
+            return empty
+        e = g.filter(pa.array(~is_doc))
+        vec_ids = keys[~is_doc]
+        pos = np.searchsorted(eligible, vec_ids)
+        posc = np.clip(pos, 0, len(eligible) - 1)
+        hit = (pos < len(eligible)) & (eligible[posc] == vec_ids)
+        e = e.filter(pa.array(hit))
+        vec_ids = vec_ids[hit]
+        if not e.num_rows:
+            return empty
+        m = _batch_matrix(e)            # zero-copy flatten, no row objects
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q.T                  # [n, q]
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            s = sims[:, j]
+            idx = np.flatnonzero(vec_ids != qid)
+            if not len(idx):
+                continue
+            kk = min(k, len(idx))
+            top = idx[np.argpartition(-s[idx], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_n.append(vec_ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "sim": np.concatenate(out_s)})
+
+    cand = docs.union(emb).groupby("bucket").map_groups(
+        score_bucket, batch_format="pyarrow", num_cpus=1)
+    return _final_topk(cand, k)

@@ -941,3 +941,121 @@ def perplexity_prune(sf_dir: str, vocab_k: int = 256,
         return t.append_column("keep", keep)
 
     return scored().map_batches(flag, batch_format="pyarrow")
+
+
+BM25_TERMS = ("spark", "merge", "window", "hash")
+BM25_K = 50
+
+
+def bm25_retrieval(sf_dir: str, terms=BM25_TERMS, k: int = BM25_K):
+    """BM25 document retrieval for a fixed query-term set (k1=1.2,
+    b=0.75) — the classic sparse-retrieval scorer over the corpus's own
+    df/length statistics.
+
+    Output: (doc_id, score_micro) — the top-k docs by BM25 score, with
+    per-(doc, term) scores floored to integer micro-units so per-doc
+    sums are EXACT and the oracle compare is order-free (same precision
+    discipline as perplexity_prune).
+
+    Scale shape: pass 1 reduces (df per term, total doc length, doc
+    count) from per-batch partials — O(|terms| x blocks) driver rows,
+    zero shuffle; pass 2 scores zero-shuffle (one split per batch,
+    per-term bincount tf) and emits per-batch TOP-K partials, so the
+    driver merges <= k x blocks rows regardless of corpus size.
+    """
+    term_list = [str(t) for t in terms]
+    nterm = len(term_list)
+
+    def _tok(t: pa.Table):
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        dl = np.diff(offsets)                 # SQL length(string_split)
+        doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), dl)
+        return flat, doc, dl
+
+    # -- pass 1: df per term + (sum dl, n docs), bounded partials ---------
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, doc, dl = _tok(t)
+        dfs = np.empty(nterm, np.int64)
+        for i, term in enumerate(term_list):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc[m], minlength=t.num_rows)
+            dfs[i] = int((tf > 0).sum())
+        return pa.table({
+            "term_idx": pa.array(np.arange(-1, nterm, dtype=np.int64)),
+            "df": pa.array(np.concatenate([[0], dfs])),
+            "dl": pa.array([int(dl.sum())] + [0] * nterm, pa.int64()),
+            "nd": pa.array([t.num_rows] + [0] * nterm, pa.int64()),
+        })
+
+    stats = _docs(sf_dir, columns=("text",)) \
+        .map_batches(stats_partial, batch_format="pyarrow",
+                     batch_size=262144)
+    agg: dict = {}
+    sumdl = nd = 0
+    dfs = np.zeros(nterm, np.int64)
+    for b in stats.iter_batches(batch_format="pyarrow",
+                                batch_size=1 << 20):
+        ti = b["term_idx"].to_numpy(zero_copy_only=False)
+        df = b["df"].to_numpy(zero_copy_only=False)
+        sumdl += int(b["dl"].to_numpy(zero_copy_only=False).sum())
+        nd += int(b["nd"].to_numpy(zero_copy_only=False).sum())
+        for i in range(len(ti)):
+            if ti[i] >= 0:
+                dfs[ti[i]] += df[i]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_micro": pa.array([], pa.int64())})
+    if nd == 0 or sumdl == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    # idf exactly as the oracle writes it: LN((nd-df+0.5)/(df+0.5)+1)
+    idf = np.log((nd - dfs.astype(np.float64) + 0.5) /
+                 (dfs.astype(np.float64) + 0.5) + 1.0)
+
+    # -- pass 2: zero-shuffle scoring + per-batch top-k --------------------
+    def score(t: pa.Table) -> pa.Table:
+        flat, doc, dl = _tok(t)
+        dl_f = dl.astype(np.float64)
+        score_micro = np.zeros(t.num_rows, np.int64)
+        # denominator tail mirrors the SQL parse:
+        # tf + 1.2*(0.25 + (0.75*dl)*nd/sumdl)
+        tail = 1.2 * (0.25 + (0.75 * dl_f) * nd / sumdl)
+        for i, term in enumerate(term_list):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc[m], minlength=t.num_rows) \
+                .astype(np.float64)
+            # (idf*(tf*2.2))/(tf+tail)*1e6, floored per (doc, term)
+            s = (idf[i] * (tf * 2.2)) / (tf + tail) * 1000000.0
+            score_micro += np.floor(s).astype(np.int64)
+        keep = score_micro > 0
+        did = pc.cast(t["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        sc = score_micro[keep]
+        order = np.lexsort((did, -sc))[:k]
+        return pa.table({"doc_id": pa.array(did[order]),
+                         "score_micro": pa.array(sc[order])})
+
+    parts = _docs(sf_dir, columns=("doc_id", "text")) \
+        .map_batches(score, batch_format="pyarrow", batch_size=262144)
+    rows = []
+    for b in parts.iter_batches(batch_format="pyarrow",
+                                batch_size=1 << 20):
+        tb = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if tb.num_rows:
+            rows.append(tb)
+    if not rows:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    allr = pa.concat_tables(rows)
+    order = np.lexsort((allr["doc_id"].to_numpy(zero_copy_only=False),
+                        -allr["score_micro"].to_numpy(
+                            zero_copy_only=False)))[:k]
+    return allr.take(pa.array(order))
