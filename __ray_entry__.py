@@ -229,6 +229,30 @@ def _cdc_stream_sessions(sf_dir: str) -> Any:
                            n_actors=4).result_table()
 
 
+STREAM_TOPK = 5               # per-window heavy-hitter cut
+
+
+def _cdc_stream_topk(sf_dir: str) -> Any:
+    """Streaming per-window TOP-K conversations (windowed heavy hitters)
+    over the CDC tap — same tumbling watermark machinery as
+    cdc_stream_windows with per-(window, conv) counts as state and a
+    deterministic (count desc, conv asc) cut.  Full-stream result must
+    equal the batch SQL window ROW_NUMBER <= k."""
+    from pg_walstream_ray.pipelines.streaming import stream_window_topk
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_window_topk(wal_dir, STREAM_WINDOW_US,
+                             n_sources=n_shards, k=STREAM_TOPK,
+                             n_actors=4)
+    assert agg.late_dropped == 0
+    return agg.result_table()
+
+
 def _cdc_enriched_convs(sf_dir: str) -> Any:
     """Cross-source enrichment: the CDC-produced lake joined back against
     the raw ``events`` table — per conversation, the lake's live turn
@@ -518,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
     q["cdc_stream_sessions"] = _cdc_stream_sessions
+    # streaming per-window top-k convs (windowed heavy hitters, sharded)
+    q["cdc_stream_topk"] = _cdc_stream_topk
     q["cdc_router_two_tables"] = _cdc_router_two_tables
     # hot-key skew: every event lands on one of 3 conversations (~33% each),
     # the auto-probe flags them, and the salted-partition path (SURVEY hard
@@ -775,6 +801,7 @@ _DRIVER_WINDOW_ORDER = [
     "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
+    "cdc_stream_topk",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -923,6 +950,39 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
       FROM e GROUP BY 1
+    """
+
+    sql["cdc_stream_topk"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT 'c' || CAST(r.user_id AS VARCHAR) AS conv_id,
+               {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      ), w AS (
+        SELECT CAST(cts - cts % {STREAM_WINDOW_US} AS BIGINT)
+                 AS window_start_us,
+               conv_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1, 2
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+                                     ORDER BY n_events DESC, conv_id)
+                    AS rnk
+        FROM w
+      )
+      SELECT window_start_us, conv_id, n_events, CAST(rnk AS BIGINT)
+               AS rnk
+      FROM rk WHERE rnk <= {STREAM_TOPK}
     """
 
     sql["cdc_stream_sessions"] = f"""

@@ -177,6 +177,99 @@ class TumblingWindowAggregator:
         })
 
 
+class WindowTopKAggregator:
+    """Per-window TOP-K conversations by event count (windowed heavy
+    hitters) — the same tumbling watermark/lateness machinery as
+    ``TumblingWindowAggregator``, with per-(window, conv) counts as
+    state and a deterministic (count desc, conv asc) cut at emission.
+
+    At 100 TB the exact per-window counter swaps for the count-min
+    sketch + candidate list in ``pipelines/sketches.py`` (mergeable, so
+    the sharded merge below is unchanged); the windowing logic stays.
+    """
+
+    def __init__(self, width_us: int, sources: Iterable[int], k: int = 5,
+                 lateness_us: int = 0):
+        self.width = int(width_us)
+        self.k = int(k)
+        self.late = int(lateness_us)
+        self.wm: Dict[int, int] = {int(s): -1 for s in sources}
+        self.open: Dict[int, dict] = {}        # start -> {conv: n}
+        self.closed_before = -1
+        self.late_dropped = 0
+        self.emitted: List[dict] = []
+
+    def _global_watermark(self) -> int:
+        return min(self.wm.values()) if self.wm else -1
+
+    def ingest(self, batch: pa.Table) -> List[dict]:
+        dml = batch.filter(pc.is_in(batch["op"], value_set=DML_OPS))
+        if dml.num_rows:
+            conv, cts, src = _extract_keys(dml)
+            self.ingest_keyed(conv, cts, src)
+            self.observe_watermarks(_batch_watermarks(cts, src))
+        return self._advance()
+
+    def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray) -> None:
+        starts = cts - cts % self.width
+        order = np.argsort(starts, kind="stable")
+        ss = starts[order]
+        conv_s = conv[order]
+        uq, i0, cnt = np.unique(ss, return_index=True, return_counts=True)
+        for w, i, n in zip(uq.tolist(), i0.tolist(), cnt.tolist()):
+            if w + self.width - 1 <= self.closed_before:
+                self.late_dropped += n
+                continue
+            st = self.open.setdefault(w, {})
+            # per-window conv counting stays vectorized (np.unique over
+            # the window's slice); Python work is per DISTINCT conv
+            cv, cn = np.unique(conv_s[i:i + n], return_counts=True)
+            for c, m in zip(cv.tolist(), cn.tolist()):
+                st[c] = st.get(c, 0) + m
+
+    def observe_watermarks(self, wm: Dict[int, int]) -> None:
+        for s, m in wm.items():
+            if m > self.wm.get(int(s), -1):
+                self.wm[int(s)] = int(m)
+
+    def _emit_window(self, w: int, st: dict) -> None:
+        top = sorted(st.items(), key=lambda kv: (-kv[1], kv[0]))[:self.k]
+        for r, (c, n) in enumerate(top, 1):
+            self.emitted.append({"window_start_us": w, "conv_id": c,
+                                 "n_events": n, "rnk": r})
+
+    def _advance(self) -> List[dict]:
+        gw = self._global_watermark()
+        before = len(self.emitted)
+        for w in sorted(self.open):
+            if w + self.width + self.late <= gw:
+                self._emit_window(w, self.open.pop(w))
+                self.closed_before = max(self.closed_before,
+                                         w + self.width - 1)
+        return self.emitted[before:]
+
+    def flush(self) -> List[dict]:
+        before = len(self.emitted)
+        for w in sorted(self.open):
+            self._emit_window(w, self.open[w])
+        self.open.clear()
+        return self.emitted[before:]
+
+    def result_table(self) -> pa.Table:
+        rows = sorted(self.emitted,
+                      key=lambda r: (r["window_start_us"], r["rnk"]))
+        return pa.table({
+            "window_start_us": pa.array(
+                [r["window_start_us"] for r in rows], pa.int64()),
+            "conv_id": pa.array([r["conv_id"] for r in rows],
+                                pa.string()),
+            "n_events": pa.array([r["n_events"] for r in rows],
+                                 pa.int64()),
+            "rnk": pa.array([r["rnk"] for r in rows], pa.int64()),
+        })
+
+
 class StreamSessionizer:
     """Streaming SESSION windows (gap-close) over the CDC tap: a
     conversation's session ends when no event arrives for ``gap_us`` of
@@ -301,6 +394,8 @@ class ShardedAggResult:
 def _make_agg(kind: str, kw: dict):
     if kind == "windows":
         return TumblingWindowAggregator(**kw)
+    if kind == "topk":
+        return WindowTopKAggregator(**kw)
     return StreamSessionizer(**kw)
 
 
@@ -387,6 +482,29 @@ def _merge_windows(tables: List[pa.Table]) -> pa.Table:
     })
 
 
+def _merge_topk(tables: List[pa.Table], k: int) -> pa.Table:
+    """Merge per-actor window top-k rows: convs are actor-disjoint, so
+    each actor's local top-k contains every global-top-k conv it owns —
+    concat + re-cut + re-rank is exact."""
+    import pandas as pd
+
+    cat = pa.concat_tables(tables)
+    if cat.num_rows == 0:
+        return cat
+    df = cat.to_pandas().sort_values(
+        ["window_start_us", "n_events", "conv_id"],
+        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("window_start_us", sort=True).head(k)
+    rnk = df.groupby("window_start_us", sort=False).cumcount() + 1
+    return pa.table({
+        "window_start_us": pa.array(
+            df["window_start_us"].to_numpy(np.int64)),
+        "conv_id": pa.array(df["conv_id"].astype(str)),
+        "n_events": pa.array(df["n_events"].to_numpy(np.int64)),
+        "rnk": pa.array(rnk.to_numpy(np.int64)),
+    })
+
+
 def _merge_sessions(tables: List[pa.Table]) -> pa.Table:
     """Sessions are conv-complete per actor: concatenate + canonical sort."""
     cat = pa.concat_tables(tables)
@@ -441,6 +559,26 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
     from .events import poll_envelopes
 
     agg = TumblingWindowAggregator(**kw)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg
+
+
+def stream_window_topk(wal_dir: str, width_us: int, n_sources: int,
+                       k: int = 5, lateness_us: int = 0,
+                       batch_size: int = 8192, n_actors: int = 0):
+    """Consume a WAL dir into per-window TOP-K conversations by event
+    count (windowed heavy hitters) — single consumer or conv-hash-
+    sharded, same deployment contract as ``stream_windows``."""
+    kw = dict(width_us=width_us, sources=range(n_sources), k=k,
+              lateness_us=lateness_us)
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "topk", kw, n_actors,
+                            lambda ts: _merge_topk(ts, k))
+    from .events import poll_envelopes
+
+    agg = WindowTopKAggregator(**kw)
     for batch in poll_envelopes(wal_dir, batch_size=batch_size):
         agg.ingest(batch)
     agg.flush()

@@ -86,7 +86,7 @@ def test_every_oracle_key_has_query(contract):
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q12_shipmode_priority", "q15_top_supplier", "q16_supplier_cnt",
     "q20_part_promotion", "q21_waiting_suppliers", "q22_global_sales",
-    "ann_filtered_topk", "bm25_retrieval",
+    "ann_filtered_topk", "bm25_retrieval", "cdc_stream_topk",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract

@@ -512,3 +512,26 @@ def test_sharded_streaming_matches_single(ray_session, tmp_path):
     single_s = stream_sessions(wal, 500).result_table()
     shard_s = stream_sessions(wal, 500, n_actors=3).result_table()
     assert shard_s.equals(single_s)
+
+
+def test_sharded_topk_matches_single(ray_session, tmp_path):
+    """Windowed heavy hitters: the N-actor deployment must equal the
+    single consumer exactly (convs are actor-disjoint, so per-actor
+    top-k merge + re-cut is lossless), including the delete-key path."""
+    from pg_walstream_ray.pipelines.streaming import stream_window_topk
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    wal = str(tmp_path / "wal")
+    build_wal_from_events("/root/testdata/sf0.001", "upsert_delete", wal,
+                          n_shards=2)
+
+    single = stream_window_topk(wal, 4096, n_sources=2, k=3) \
+        .result_table()
+    sharded = stream_window_topk(wal, 4096, n_sources=2, k=3,
+                                 n_actors=3).result_table()
+    assert sharded.equals(single)
+    # the cut is a real cut: no window carries more than k rows
+    import collections
+    per_w = collections.Counter(
+        single["window_start_us"].to_pylist())
+    assert per_w and max(per_w.values()) <= 3
