@@ -733,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # BM25 sparse retrieval (bounded df/length reduce, zero-shuffle
     # scoring, per-batch top-k; integer micro-unit scores)
     q["bm25_retrieval"] = textops.bm25_retrieval
+    # bigram n-gram statistics (same combiner discipline as unigrams)
+    q["bigram_heavy_hitters"] = textops.bigram_heavy_hitters
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -801,7 +803,7 @@ _DRIVER_WINDOW_ORDER = [
     "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
-    "cdc_stream_topk",
+    "cdc_stream_topk", "bigram_heavy_hitters",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1789,6 +1791,20 @@ def oracle_sql() -> dict[str, str]:
       WHERE cx.cents * pos.n > pos.s
         AND cx.c_custkey NOT IN (SELECT o_custkey FROM recent)
       GROUP BY 1 ORDER BY 1
+    """
+
+    sql["bigram_heavy_hitters"] = """
+      WITH tok AS (
+        SELECT string_split(text,' ') AS toks FROM documents
+      ), bg AS (
+        SELECT unnest(list_transform(
+                 generate_series(1, length(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM tok
+      )
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg WHERE bigram IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
     """
 
     sql["ann_filtered_topk"] = """

@@ -1059,3 +1059,61 @@ def bm25_retrieval(sf_dir: str, terms=BM25_TERMS, k: int = BM25_K):
                         -allr["score_micro"].to_numpy(
                             zero_copy_only=False)))[:k]
     return allr.take(pa.array(order))
+
+
+def bigram_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact corpus-wide BIGRAM heavy hitters: the k most frequent
+    adjacent token pairs (within-document adjacency; the n-gram
+    statistics primitive under tokenizer training / collocation mining).
+
+    Output: (bigram, n) ordered (n DESC, bigram ASC), k rows.
+
+    Scale shape: identical to token_heavy_hitters — the bigram column is
+    built vectorized (one Arrow join of the flat token array against its
+    shift, document boundaries masked via the list offsets, no per-row
+    Python), each batch ships one row per DISTINCT bigram, one keyed
+    groupby sum, per-block top-k prefilter, k x n_blocks final sort.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("text",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        pairs = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                            flat.slice(1, n), " ")
+        # mask positions whose successor starts the next document
+        valid = np.ones(n - 1, bool)
+        ends = offsets[1:] - 1
+        valid[ends[(ends >= 0) & (ends < n - 1)]] = False
+        pairs = pairs.filter(pa.array(valid))
+        vc = pairs.value_counts()
+        return pa.table({
+            "bigram": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("bigram").aggregate(Sum("cnt", alias_name="n"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"bigram": t["bigram"],
+                      "n": pc.cast(t["n"], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("bigram", "ascending")])
+        return t.take(idx[:k])
+
+    return (agg.map_batches(block_topk, batch_format="pyarrow")
+            .sort(["n", "bigram"], descending=[True, False]).limit(k))
