@@ -735,6 +735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_retrieval"] = textops.bm25_retrieval
     # bigram n-gram statistics (same combiner discipline as unigrams)
     q["bigram_heavy_hitters"] = textops.bigram_heavy_hitters
+    # context-window chunking (overlapping char chunks, one-gather explode)
+    q["chunk_documents"] = lambda sf: textops.chunk_documents(
+        sf, hash_mode="md5")
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -803,7 +806,7 @@ _DRIVER_WINDOW_ORDER = [
     "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
-    "cdc_stream_topk", "bigram_heavy_hitters",
+    "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1805,6 +1808,22 @@ def oracle_sql() -> dict[str, str]:
       SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
       FROM bg WHERE bigram IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """
+
+    sql["chunk_documents"] = """
+      WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents
+      ), g AS (
+        SELECT doc_id, text, n,
+               unnest(generate_series(0, (n + 149) // 150 - 1)) AS i
+        FROM d WHERE n > 0
+      )
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(i * 150 AS BIGINT) AS chunk_start,
+             CAST(LEAST(200, n - i * 150) AS BIGINT) AS chunk_len,
+             md5(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS fp
+      FROM g
     """
 
     sql["ann_filtered_topk"] = """

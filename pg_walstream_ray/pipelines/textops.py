@@ -1117,3 +1117,91 @@ def bigram_heavy_hitters(sf_dir: str, k: int = 20):
 
     return (agg.map_batches(block_topk, batch_format="pyarrow")
             .sort(["n", "bigram"], descending=[True, False]).limit(k))
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150            # chunk - overlap (50-char overlap)
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_CHARS,
+                    stride: int = CHUNK_STRIDE,
+                    hash_mode: str = "fast"):
+    """Context-window chunking: split every document into overlapping
+    fixed-size character chunks (chunk ``chunk``, stride ``stride`` —
+    the standard long-document -> training-context explode; a tokenizer
+    boundary swaps in for the character boundary with the same shape).
+
+    Output: one row per chunk — (doc_id, chunk_idx, chunk_start,
+    chunk_len, fp) where fp hashes the chunk text (xxhash by default,
+    md5 under the oracle bridge).  Chunk ``i`` covers
+    ``[i*stride, i*stride + chunk)`` while ``i*stride < n_chars``.
+
+    Scale shape: pure flat_map expressed as one vectorized map_batches —
+    per-doc chunk counts from integer arithmetic, a np.repeat explode,
+    and the chunk bodies built by ONE numpy fancy-index gather over the
+    batch's flat UTF-8 buffer (no per-row Python, no Arrow take-copy of
+    whole documents); zero shuffle; prunes to (doc_id, text) at the
+    read.  Character == byte here (ASCII corpus; a byte-boundary-safe
+    variant would round starts to UTF-8 boundaries, same shape).
+    """
+    from ..functions.hashing import fast_hash64
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        off = np.frombuffer(text.buffers()[1], np.int32,
+                            count=len(text) + 1 + text.offset) \
+            [text.offset:].astype(np.int64)
+        flatbuf = np.frombuffer(text.buffers()[2], np.uint8)
+        doc_start = off[:-1]
+        n_chars = off[1:] - doc_start            # bytes == chars (ascii)
+        n_chunks = np.maximum((n_chars + stride - 1) // stride, 0)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            n_chunks)
+        if not len(doc_idx):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_start": pa.array([], pa.int64()),
+                             "chunk_len": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.string())})
+        # chunk index within its doc, vectorized: position - first
+        # position of the doc's chunk run
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        starts_in_doc = np.arange(len(doc_idx), dtype=np.int64) - \
+            first[doc_idx]
+        chunk_start = starts_in_doc * stride
+        chunk_len = np.minimum(chunk, n_chars[doc_idx] - chunk_start)
+        # ONE gather builds every chunk body: absolute byte index =
+        # doc_start + chunk_start + intra-chunk offset
+        out_off = np.concatenate([[0], np.cumsum(chunk_len)])
+        total = int(out_off[-1])
+        intra = np.arange(total, dtype=np.int64) - \
+            np.repeat(out_off[:-1], chunk_len)
+        base = np.repeat(doc_start[doc_idx] + chunk_start, chunk_len)
+        data = flatbuf[base + intra]
+        bodies = pa.StringArray.from_buffers(
+            len(chunk_len),
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(data.tobytes()))
+        if hash_mode == "md5":
+            fps = [hashlib.md5(b.encode()).hexdigest()
+                   for b in bodies.to_pylist()]
+            fp_arr = pa.array(fps, pa.string())
+        else:
+            h = fast_hash64(bodies)
+            fp_arr = pa.array(
+                np.char.mod("%016x", h.astype(np.uint64)).astype(object),
+                pa.string())
+        did = pc.cast(t["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table({
+            "doc_id": pa.array(did),
+            "chunk_idx": pa.array(starts_in_doc),
+            "chunk_start": pa.array(chunk_start),
+            "chunk_len": pa.array(chunk_len),
+            "fp": fp_arr,
+        })
+
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        explode, batch_format="pyarrow", batch_size=65536)
