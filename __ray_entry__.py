@@ -738,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # context-window chunking (overlapping char chunks, one-gather explode)
     q["chunk_documents"] = lambda sf: textops.chunk_documents(
         sf, hash_mode="md5")
+    # PMI collocation mining (two token-keyed co-partition joins)
+    q["pmi_collocations"] = textops.pmi_collocations
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -807,6 +809,7 @@ _DRIVER_WINDOW_ORDER = [
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
+    "pmi_collocations",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1824,6 +1827,42 @@ def oracle_sql() -> dict[str, str]:
              CAST(LEAST(200, n - i * 150) AS BIGINT) AS chunk_len,
              md5(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS fp
       FROM g
+    """
+
+    sql["pmi_collocations"] = """
+      WITH tok AS (
+        SELECT string_split(text,' ') AS toks FROM documents
+      ), uni AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(toks) AS t FROM tok) WHERE t <> ''
+        GROUP BY 1
+      ), ntok AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM uni),
+      bg AS (
+        SELECT unnest(list_transform(
+                 generate_series(1, length(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM tok
+      ), bgs AS (
+        SELECT bigram FROM bg
+        WHERE bigram IS NOT NULL
+          AND string_split(bigram,' ')[1] <> ''
+          AND string_split(bigram,' ')[2] <> ''
+      ), bcnt AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM bgs GROUP BY 1
+      ), nbi AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bi FROM bcnt),
+      sel AS (SELECT * FROM bcnt WHERE n_ab >= 5),
+      j AS (
+        SELECT s.bigram, s.n_ab, ua.n AS n_a, ub.n AS n_b
+        FROM sel s
+        JOIN uni ua ON ua.token = string_split(s.bigram,' ')[1]
+        JOIN uni ub ON ub.token = string_split(s.bigram,' ')[2]
+      )
+      SELECT bigram, n_ab,
+             CAST(FLOOR(LN(((n_ab*n_tok)*n_tok)/((n_bi*n_a)*n_b))
+                        * 1000000) AS BIGINT) AS pmi_micro
+      FROM j, ntok, nbi
+      ORDER BY pmi_micro DESC, bigram LIMIT 20
     """
 
     sql["ann_filtered_topk"] = """

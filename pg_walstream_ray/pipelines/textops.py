@@ -1205,3 +1205,248 @@ def chunk_documents(sf_dir: str, chunk: int = CHUNK_CHARS,
 
     return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
         explode, batch_format="pyarrow", batch_size=65536)
+
+
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(sf_dir: str, k: int = 20,
+                     min_count: int = PMI_MIN_COUNT):
+    """Collocation mining: top-k bigrams by pointwise mutual information
+    PMI(a,b) = ln(P(ab) / (P(a) P(b))) with P(ab) over the bigram total
+    and P(a), P(b) over the token total — the classic phrase-discovery
+    statistic (tokenizer merges, stopword-phrase lists).
+
+    Output: (bigram, n_ab, pmi_micro) ordered (pmi desc, bigram), k
+    rows; pmi is floored to integer micro-units with the SAME float
+    expression tree as the SQL oracle.
+
+    Scale shape: unigram and bigram counts use the distinct-value
+    combiner + ONE keyed groupby each; the (min_count-filtered) bigram
+    rows then join the unigram table twice on token-keyed
+    co-partitions (union-tag, no broadcast of the unbounded vocab);
+    per-block top-k bounds the driver merge.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.scale import coarse_npart
+
+    npart = coarse_npart()
+    ds = _docs(sf_dir, columns=("text",))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        a = flat.slice(0, n - 1)
+        b = flat.slice(1, n)
+        pairs = pc.binary_join_element_wise(a, b, " ")
+        valid = np.ones(n - 1, bool)
+        ends = offsets[1:] - 1
+        valid[ends[(ends >= 0) & (ends < n - 1)]] = False
+        valid &= pc.and_(pc.not_equal(a, ""), pc.not_equal(b, "")) \
+            .to_numpy(zero_copy_only=False)
+        pairs = pairs.filter(pa.array(valid))
+        vc = pairs.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby("token").aggregate(Sum("cnt", alias_name="n")) \
+        .materialize()
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow",
+                        batch_size=262144) \
+        .groupby("bigram").aggregate(Sum("cnt", alias_name="n_ab"))
+
+    # bounded totals: per-block partial sums (O(blocks) driver rows)
+    def tok_total(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["n"]).as_py() if t.num_rows else None
+        return pa.table({"s": pa.array([s] if s is not None else [],
+                                       pa.int64())})
+
+    from pg_walstream_ray.pipelines.analytics import _gather
+    tt = _gather(uni.map_batches(tok_total, batch_format="pyarrow"))
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64()),
+                      "pmi_micro": pa.array([], pa.int64())})
+    if tt is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    n_tok = int(pc.sum(tt["s"]).as_py() or 0)
+
+    def bi_filter(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["n_ab"], min_count))
+        s = int(pc.sum(t["n_ab"]).as_py() or 0)   # total over ALL bigrams
+        if keep.num_rows:
+            return pa.table({"bigram": keep["bigram"],
+                             "n_ab": pc.cast(keep["n_ab"], pa.int64()),
+                             "part_total": pa.array(
+                                 [s] + [0] * (keep.num_rows - 1),
+                                 pa.int64())})
+        # zero survivors: a zero-length "" row still carries the block's
+        # total (bi_side drops empty bigrams before the join)
+        return pa.table({"bigram": pa.array([""], pa.string()),
+                         "n_ab": pa.array([0], pa.int64()),
+                         "part_total": pa.array([s], pa.int64())})
+
+    bim = bi.map_batches(bi_filter, batch_format="pyarrow").materialize()
+
+    def total_only(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["part_total"]).as_py() if t.num_rows else None
+        return pa.table({"s": pa.array([s] if s is not None else [],
+                                       pa.int64())})
+
+    bt = _gather(bim.map_batches(total_only, batch_format="pyarrow"))
+    n_bi = int(pc.sum(bt["s"]).as_py() or 0) if bt is not None else 0
+    if n_tok == 0 or n_bi == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    # -- join bigrams to unigram counts: two token-keyed co-partitions --
+    def bi_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(pc.utf8_length(t["bigram"]), 0))
+        if not t.num_rows:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "n_tok_cnt": pa.array([], pa.int64()),
+                             "is_uni": pa.array([], pa.bool_())})
+        first = pc.list_element(pc.split_pattern(t["bigram"], " "), 0)
+        from ..stages.partition import stable_hash_strings
+        h = stable_hash_strings(pa.chunked_array([first])) % npart
+        return pa.table({"key": first,
+                         "bucket": pa.array(h.astype(np.int64)),
+                         "bigram": t["bigram"],
+                         "n_ab": t["n_ab"],
+                         "n_tok_cnt": pa.array(
+                             np.zeros(t.num_rows, np.int64)),
+                         "is_uni": pa.array(np.zeros(t.num_rows, bool))})
+
+    def uni_side(t: pa.Table) -> pa.Table:
+        from ..stages.partition import stable_hash_strings
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        h = stable_hash_strings(pa.chunked_array([tok])) % npart
+        return pa.table({"key": tok,
+                         "bucket": pa.array(h.astype(np.int64)),
+                         "bigram": pa.array([""] * t.num_rows,
+                                            pa.string()),
+                         "n_ab": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "n_tok_cnt": pc.cast(t["n"], pa.int64()),
+                         "is_uni": pa.array(np.ones(t.num_rows, bool))})
+
+    def join_first(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[g["is_uni"]]
+        bg = g[~g["is_uni"]]
+        m = bg.merge(u[["key", "n_tok_cnt"]].rename(
+            columns={"n_tok_cnt": "n_a"}), on="key", how="inner")
+        # re-key by the SECOND token for the next co-partition
+        out = pd.DataFrame({"bigram": m["bigram"],
+                            "n_ab": m["n_ab"].to_numpy(np.int64),
+                            "n_a": m["n_a"].to_numpy(np.int64)})
+        out["key"] = out["bigram"].str.split(" ").str[1]
+        return out
+
+    bsel = bim.map_batches(
+        lambda t: bi_side(pa.table({"bigram": t["bigram"],
+                                    "n_ab": t["n_ab"]})),
+        batch_format="pyarrow")
+    stage1 = bsel.union(uni.map_batches(uni_side,
+                                        batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join_first, batch_format="pandas",
+                                      num_cpus=1)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        from ..stages.partition import stable_hash_strings
+        key = t["key"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = stable_hash_strings(pa.chunked_array([key])) % npart
+        return pa.table({"key": key,
+                         "bucket": pa.array(h.astype(np.int64)),
+                         "bigram": t["bigram"],
+                         "n_ab": t["n_ab"],
+                         "n_a": t["n_a"],
+                         "n_tok_cnt": pa.array(
+                             np.zeros(t.num_rows, np.int64)),
+                         "is_uni": pa.array(np.zeros(t.num_rows, bool))})
+
+    def uni_side2(t: pa.Table) -> pa.Table:
+        from ..stages.partition import stable_hash_strings
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        h = stable_hash_strings(pa.chunked_array([tok])) % npart
+        return pa.table({"key": tok,
+                         "bucket": pa.array(h.astype(np.int64)),
+                         "bigram": pa.array([""] * t.num_rows,
+                                            pa.string()),
+                         "n_ab": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "n_a": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "n_tok_cnt": pc.cast(t["n"], pa.int64()),
+                         "is_uni": pa.array(np.ones(t.num_rows, bool))})
+
+    def join_second(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[g["is_uni"]]
+        bg = g[~g["is_uni"]]
+        m = bg.merge(u[["key", "n_tok_cnt"]].rename(
+            columns={"n_tok_cnt": "n_b"}), on="key", how="inner")
+        if not len(m):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "n_ab": pd.Series([], dtype=np.int64),
+                                 "pmi_micro": pd.Series([],
+                                                        dtype=np.int64)})
+        n_ab = m["n_ab"].to_numpy(np.float64)
+        n_a = m["n_a"].to_numpy(np.float64)
+        n_b = m["n_b"].to_numpy(np.float64)
+        # expression tree mirrored in the oracle:
+        # LN(n_ab*n_tok*n_tok/(n_bi*n_a*n_b)) — left-assoc products
+        arg = ((n_ab * n_tok) * n_tok) / ((n_bi * n_a) * n_b)
+        pmi = np.floor(np.log(arg) * 1000000.0).astype(np.int64)
+        out = pd.DataFrame({"bigram": m["bigram"],
+                            "n_ab": m["n_ab"].to_numpy(np.int64),
+                            "pmi_micro": pmi})
+        order = np.lexsort((out["bigram"].to_numpy(object),
+                            -out["pmi_micro"].to_numpy(np.int64)))[:k]
+        return out.iloc[order]
+
+    stage2 = stage1.map_batches(rekey, batch_format="pyarrow") \
+        .union(uni.map_batches(uni_side2, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join_second,
+                                      batch_format="pandas", num_cpus=1)
+    rows = _gather(stage2)
+    if rows is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    df = rows.to_pandas()
+    order = np.lexsort((df["bigram"].to_numpy(object),
+                        -df["pmi_micro"].to_numpy(np.int64)))[:k]
+    df = df.iloc[order]
+    return pa.table({"bigram": pa.array(df["bigram"].astype(str)),
+                     "n_ab": pa.array(df["n_ab"].to_numpy(np.int64)),
+                     "pmi_micro": pa.array(
+                         df["pmi_micro"].to_numpy(np.int64))})
