@@ -740,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, hash_mode="md5")
     # PMI collocation mining (two token-keyed co-partition joins)
     q["pmi_collocations"] = textops.pmi_collocations
+    # per-source PSI drift monitor (bounded (source, bin) combiner)
+    q["psi_source_drift"] = textops.psi_source_drift
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -809,7 +811,7 @@ _DRIVER_WINDOW_ORDER = [
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
-    "pmi_collocations",
+    "pmi_collocations", "psi_source_drift",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1863,6 +1865,55 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000) AS BIGINT) AS pmi_micro
       FROM j, ntok, nbi
       ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """
+
+    sql["psi_source_drift"] = """
+      WITH b AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), qv AS (
+        SELECT source,
+               FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.3 * LEAST(1.0,
+                                    (n_chars::DOUBLE / n_tokens) / 8.0))
+                     * 10000)::BIGINT AS quality_q
+        FROM b
+      ), binned AS (
+        SELECT source, LEAST(quality_q // 1000, 9) AS bin FROM qv
+      ), srcs AS (SELECT DISTINCT source FROM binned),
+      grid AS (
+        SELECT s.source, g.bin
+        FROM srcs s, (SELECT unnest(generate_series(0, 9)) AS bin) g
+      ), c AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY 1, 2
+      ), full_c AS (
+        SELECT g.source, g.bin, COALESCE(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN c ON c.source = g.source AND c.bin = g.bin
+      ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM full_c),
+      corpus AS (
+        SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cb FROM full_c GROUP BY 1
+      ), per_src AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS ns
+        FROM full_c GROUP BY 1
+      ), terms AS (
+        SELECT f.source,
+               CAST(FLOOR(
+                 ((f.cnt + 1.0)/(p.ns + 10) - (co.cb + 1.0)/(t.n + 10))
+                 * LN(((f.cnt + 1.0)/(p.ns + 10))
+                      / ((co.cb + 1.0)/(t.n + 10)))
+                 * 1000000) AS BIGINT) AS term_micro
+        FROM full_c f JOIN per_src p USING (source)
+             JOIN corpus co USING (bin), tot t
+      )
+      SELECT tm.source, p.ns AS n_docs,
+             CAST(SUM(tm.term_micro) AS BIGINT) AS psi_micro
+      FROM terms tm JOIN per_src p USING (source)
+      GROUP BY 1, 2 ORDER BY 1
     """
 
     sql["ann_filtered_topk"] = """

@@ -1450,3 +1450,79 @@ def pmi_collocations(sf_dir: str, k: int = 20,
                      "n_ab": pa.array(df["n_ab"].to_numpy(np.int64)),
                      "pmi_micro": pa.array(
                          df["pmi_micro"].to_numpy(np.int64))})
+
+
+PSI_BINS = 10
+
+
+class _PsiPartial(TextStatsStage):
+    """Per-batch (source, quality-bin) counts — the PSI combiner."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:       # type: ignore[override]
+        import pandas as pd
+
+        stats = TextStatsStage.__call__(self, t)
+        q = stats["quality_q"].to_numpy(zero_copy_only=False)
+        b = np.minimum(q // 1000, PSI_BINS - 1).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src, "bin": b}) \
+            .groupby(["source", "bin"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(df["source"].astype(str)),
+            "bin": pa.array(df["bin"].to_numpy(np.int64)),
+            "cnt": pa.array(df["size"].to_numpy(np.int64)),
+        })
+
+
+def psi_source_drift(sf_dir: str):
+    """Per-source distribution-drift monitor: Population Stability Index
+    of each source's quality-score distribution against the whole
+    corpus (10 equal-width basis-point bins, Laplace-smoothed so empty
+    bins are well-defined) — the standard training-mix drift alarm.
+
+    Output: (source, n_docs, psi_micro) ordered by source; each bin's
+    (p-q)*ln(p/q) term floors to integer micro-units before the sum, so
+    the result is summation-order-free and hash-exact vs the oracle.
+
+    Scale shape: the quality scan emits bounded (source, bin) count
+    partials (<= |sources| x 10 rows per batch, zero shuffle); the
+    driver reduce and the PSI arithmetic are O(|sources| x 10).
+    """
+    from pg_walstream_ray.pipelines.analytics import _gather
+
+    parts = _docs(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(as_tasks(_PsiPartial), batch_format="pyarrow",
+                     batch_size=4096)
+    rows = _gather(parts)
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "psi_micro": pa.array([], pa.int64())})
+    if rows is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    import pandas as pd
+
+    df = rows.to_pandas().groupby(["source", "bin"],
+                                  as_index=False)["cnt"].sum()
+    total = int(df["cnt"].sum())
+    corpus = df.groupby("bin")["cnt"].sum() \
+        .reindex(range(PSI_BINS), fill_value=0).to_numpy(np.int64)
+    out_src, out_n, out_psi = [], [], []
+    for src in sorted(df["source"].unique()):
+        sub = df[df["source"] == src]
+        cs = sub.set_index("bin")["cnt"] \
+            .reindex(range(PSI_BINS), fill_value=0).to_numpy(np.int64)
+        ns = int(cs.sum())
+        # Laplace smoothing, same rational form as the oracle:
+        # p = (c_sb + 1) / (n_s + 10), q = (c_b + 1) / (n + 10)
+        p = (cs + 1.0) / (ns + PSI_BINS)
+        qq = (corpus + 1.0) / (total + PSI_BINS)
+        term = (p - qq) * np.log(p / qq)
+        psi = int(np.floor(term * 1000000.0).astype(np.int64).sum())
+        out_src.append(src)
+        out_n.append(ns)
+        out_psi.append(psi)
+    return pa.table({"source": pa.array(out_src, pa.string()),
+                     "n_docs": pa.array(out_n, pa.int64()),
+                     "psi_micro": pa.array(out_psi, pa.int64())})
