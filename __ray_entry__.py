@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # transitive duplicate clusters: distributed connected components
     # (MapReduce-CC min-label propagation) over the near-dup pair graph
     q["dedup_clusters"] = dedup.dedup_clusters
+    # duplicate-hub scoring: PageRank over the same pair graph —
+    # iterative float sums, so rows-only driver check (invariants:
+    # stochasticity/positivity/hub-ordering pinned in tests); ranks are
+    # floats -> expose only the node column to keep the check stable
+    q["dedup_pagerank"] = lambda sf: dedup.dedup_pagerank(sf) \
+        .select_columns(["vec_id"])
 
     # -- similarity search -------------------------------------------------
     # oracled queries expose only exact-integer columns (rank, ids); the
@@ -811,7 +817,7 @@ _DRIVER_WINDOW_ORDER = [
     "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
-    "pmi_collocations", "psi_source_drift",
+    "pmi_collocations", "psi_source_drift", "dedup_pagerank",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",

@@ -795,3 +795,172 @@ def dup_span_removal(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
     docs = _docs(sf_dir).map_batches(doc_side, batch_format="pyarrow")
     return docs.union(dup_marks) \
         .groupby("dpart").map_groups(per_doc_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph (duplicate-hub scoring)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(pairs, damping: float = 0.85, iters: int = 10,
+             npart: Optional[int] = None):
+    """Distributed PageRank over an undirected pair Dataset
+    ``(vec_a, vec_b)`` -> rank Dataset ``(node, rank)``.  Ranks sum to 1;
+    high-rank nodes are the graph's duplicate hubs (documents near-dup
+    to many others — the "template page" signal a dedup policy
+    prioritizes for removal).
+
+    Per iteration (the classic two-shuffle loop):
+      1. ranks co-partition with the directed edge list by ``src %
+         NPART`` (union-tag, no broadcast) and each bucket emits one
+         ``(dst, rank(src)/deg(src))`` contribution per edge —
+         vectorized merge, never per-node Python;
+      2. contributions + the degree table co-partition by ``dst %
+         NPART`` and reduce to the new rank ``(1-d)/N + d * sum``.
+
+    Every shuffled row is an integer/float triple — node payloads never
+    move.  Ranks materialize per round (|nodes| rows in the object
+    store, the same bound as connected_components' label table).
+    Iterative and float-summed, so no SQL oracle: invariants
+    (stochasticity, positivity, hub ordering) are pinned in tests.
+    """
+    import ray.data as rd
+
+    npart = npart or coarse_npart()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({"bucket": pa.array(src % npart),
+                         "key": pa.array(src),
+                         "dst": pa.array(dst)})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+
+    deg = edges.groupby("key").aggregate(Count(alias_name="deg")) \
+        .materialize()
+    n_nodes = deg.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+    base = (1.0 - damping) / n_nodes
+
+    def deg_side(t: pa.Table) -> pa.Table:
+        node = pc.cast(t["key"], pa.int64())
+        nd = node.to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(nd % npart),
+                         "key": node,
+                         "deg": pc.cast(t["deg"], pa.int64()),
+                         "val": pa.array(np.zeros(len(nd), np.float64)),
+                         "is_deg": pa.array(np.ones(len(nd), bool))})
+
+    deg_tagged = deg.map_batches(deg_side,
+                                 batch_format="pyarrow").materialize()
+
+    # init: rank = 1/N, co-located with deg
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t["bucket"], "node": t["key"],
+                         "deg": t["deg"],
+                         "rank": pa.array(np.full(t.num_rows,
+                                                  1.0 / n_nodes))})
+
+    ranks = deg_tagged.map_batches(init_ranks,
+                                   batch_format="pyarrow").materialize()
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t["bucket"], "key": t["key"],
+                         "dst": t["dst"],
+                         "val": pa.array(np.zeros(t.num_rows,
+                                                  np.float64)),
+                         "is_rank": pa.array(np.zeros(t.num_rows, bool))})
+
+    edges_tagged = edges.map_batches(edge_side,
+                                     batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def rank_side(t: pa.Table) -> pa.Table:
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            d = t["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({"bucket": t["bucket"], "key": t["node"],
+                             "dst": pa.array(np.zeros(t.num_rows,
+                                                      np.int64)),
+                             "val": pa.array(r / d),
+                             "is_rank": pa.array(np.ones(t.num_rows,
+                                                         bool))})
+
+        def scatter(g: pd.DataFrame) -> pd.DataFrame:
+            rk = g[g["is_rank"]]
+            eg = g[~g["is_rank"]]
+            m = eg.merge(rk[["key", "val"]].rename(
+                columns={"val": "contrib"}), on="key", how="inner")
+            return pd.DataFrame({
+                "dst": m["dst"].to_numpy(np.int64),
+                "contrib": m["contrib"].to_numpy(np.float64)})
+
+        contribs = ranks.map_batches(rank_side, batch_format="pyarrow") \
+            .union(edges_tagged) \
+            .groupby("bucket").map_groups(scatter,
+                                          batch_format="pandas",
+                                          num_cpus=1)
+
+        def contrib_side(t: pa.Table) -> pa.Table:
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"bucket": pa.array(d % npart),
+                             "key": pa.array(d),
+                             "deg": pa.array(np.zeros(len(d), np.int64)),
+                             "val": t["contrib"],
+                             "is_deg": pa.array(np.zeros(len(d), bool))})
+
+        def gather(g: pd.DataFrame) -> pd.DataFrame:
+            dg = g[g["is_deg"]]
+            cb = g[~g["is_deg"]]
+            s = cb.groupby("key")["val"].sum()
+            node = dg["key"].to_numpy(np.int64)
+            rank = base + damping * s.reindex(node,
+                                              fill_value=0.0) \
+                .to_numpy(np.float64)
+            return pd.DataFrame({
+                "bucket": node % npart,
+                "node": node,
+                "deg": dg["deg"].to_numpy(np.int64),
+                "rank": rank})
+
+        # carry deg through the reduce so the next scatter needs no join
+        def deg_carry(t: pa.Table) -> pa.Table:
+            return pa.table({"bucket": t["bucket"], "key": t["key"],
+                             "deg": t["deg"], "val": t["val"],
+                             "is_deg": t["is_deg"]})
+
+        ranks = contribs.map_batches(contrib_side,
+                                     batch_format="pyarrow") \
+            .union(deg_tagged.map_batches(deg_carry,
+                                          batch_format="pyarrow")) \
+            .groupby("bucket").map_groups(gather,
+                                          batch_format="pandas",
+                                          num_cpus=1).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                            "rank": pc.cast(t["rank"], pa.float64())}),
+        batch_format="pyarrow")
+
+
+def dedup_pagerank(sf_dir: str, threshold: float = 0.35,
+                   iters: int = 10):
+    """Duplicate-hub scoring: PageRank over the embedding near-dup pair
+    graph (same pair source as dedup_clusters).  Output: (vec_id, rank)
+    for every node in at least one near-dup pair, rank summing to 1 —
+    iterative, so a rows-only driver check with invariants in tests.
+    """
+    from .similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold) \
+        .select_columns(["vec_a", "vec_b"])
+    return pagerank(pairs, iters=iters).map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "rank": t["rank"]}),
+        batch_format="pyarrow")

@@ -535,3 +535,29 @@ def test_sharded_topk_matches_single(ray_session, tmp_path):
     per_w = collections.Counter(
         single["window_start_us"].to_pylist())
     assert per_w and max(per_w.values()) <= 3
+
+
+def test_pagerank_invariants(ray_session):
+    """Stochasticity (sum 1), symmetry within identical-degree groups,
+    hub dominance on a star graph, and a nonempty corpus run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import (dedup_pagerank,
+                                                  pagerank)
+
+    pairs = rd.from_arrow(pa.table({
+        "vec_a": pa.array([0, 0, 0, 0, 0, 10], pa.int64()),
+        "vec_b": pa.array([1, 2, 3, 4, 5, 11], pa.int64())}))
+    r = pagerank(pairs, iters=20).to_pandas().set_index("node")["rank"]
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert (r > 0).all()
+    assert r[0] > 2 * r[1]                      # hub dominates spokes
+    spokes = r[[1, 2, 3, 4, 5]]
+    assert spokes.max() - spokes.min() < 1e-12  # symmetric group equal
+    assert abs(r[10] - r[11]) < 1e-12
+
+    out = dedup_pagerank("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
