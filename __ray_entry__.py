@@ -348,6 +348,65 @@ def _cdc_enriched_convs(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_scd2_history(sf_dir: str) -> Any:
+    """SCD type-2 history sink (stages/history.py): the same upsert_delete
+    change stream replayed with sink='history' retains EVERY version of
+    each (conv_id, turn_idx) key with (valid_from, valid_to, is_current)
+    validity intervals; deletes close the current version.  Oracle: LEAD
+    over the change derivation."""
+    from pg_walstream_ray.lake import history_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_hist_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        return _select_or_empty(
+            history_table(lake),
+            [*_TRANSCRIPT_COLS, ("valid_from", pa.int64()),
+             ("valid_to", pa.int64()), ("is_current", pa.bool_())])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_repartitioned(sf_dir: str) -> Any:
+    """Lake repartitioning mid-stream (lake.repartition_lake): replay HALF
+    the upsert WAL into a 4-partition lake, re-key it to 10 partitions
+    (rows keep their true _lsn; per-source watermarks carry over), then
+    resume the replay against the NEW lake — the final state must equal
+    the plain full replay (oracle: same SQL as cdc_upsert_lww)."""
+    import duckdb
+
+    from pg_walstream_ray.lake import repartition_lake, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    max_ev = duckdb.sql(
+        f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    lsn0 = (int(max_ev) // 2) * 4 + 4 if max_ev is not None else 0
+
+    lake1 = tempfile.mkdtemp(prefix="pgwr_repart_src_")
+    lake2 = tempfile.mkdtemp(prefix="pgwr_repart_dst_")
+    shutil.rmtree(lake2, ignore_errors=True)   # repartition wants it absent
+    try:
+        run_cdc(wal_dir, lake1, num_partitions=4, stop_at_lsn=lsn0)
+        repartition_lake(lake1, lake2, num_partitions=10)
+        run_cdc(wal_dir, lake2, num_partitions=10)
+        return _select_or_empty(snapshot_table(lake2), _TRANSCRIPT_COLS)
+    finally:
+        shutil.rmtree(lake1, ignore_errors=True)
+        shutil.rmtree(lake2, ignore_errors=True)
+
+
 def _cdc_upsert_compacted(sf_dir: str) -> Any:
     """Upsert replay + explicit lake compaction; final state must equal the
     uncompacted LWW result (compaction is a pure physical rewrite)."""
@@ -538,6 +597,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "evolve", extra_cols=("score",))
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
+    # SCD type-2 history sink: every key version retained with validity
+    # intervals (valid_from/valid_to/is_current); deletes close versions
+    q["cdc_scd2_history"] = _cdc_scd2_history
+    # lake repartitioning mid-stream: half replay at P=4 -> re-key to
+    # P=10 (true _lsn + watermarks carried) -> resume -> full-replay state
+    q["cdc_repartitioned"] = _cdc_repartitioned
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -818,6 +883,7 @@ _DRIVER_WINDOW_ORDER = [
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
     "pmi_collocations", "psi_source_drift", "dedup_pagerank",
+    "cdc_scd2_history", "cdc_repartitioned",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -941,6 +1007,9 @@ def oracle_sql() -> dict[str, str]:
     # snapshot-bootstrap + tail replay must reproduce the plain full replay
     sql["cdc_snapshot_bootstrap"] = sql["cdc_upsert_lww"]
     sql["cdc_upsert_compacted"] = sql["cdc_upsert_lww"]
+    # repartition mid-stream is a pure physical re-keying + resume: final
+    # state must equal the plain full replay
+    sql["cdc_repartitioned"] = sql["cdc_upsert_lww"]
     from pg_walstream_ray.sources.events_cdc import TX_ROWS
     from pg_walstream_ray.sources.walgen import BASE_TS_US
 
@@ -1079,6 +1148,29 @@ def oracle_sql() -> dict[str, str]:
       ), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """
+
+    # SCD2 history: every change is a version row; valid_to = the next
+    # change's lsn for the key (deletes close intervals, emit no row)
+    sql["cdc_scd2_history"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE role END AS role,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text,
+               CASE WHEN event_type = 'error' THEN NULL ELSE tool END AS tool,
+               ts
+        FROM ({_UPSERT_CHANGES})
+      ), v AS (
+        SELECT *, LEAD(lsn) OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY lsn) AS nxt
+        FROM changes
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             CAST(lsn AS BIGINT) AS valid_from,
+             CAST(nxt AS BIGINT) AS valid_to,
+             (nxt IS NULL) AS is_current
+      FROM v WHERE op <> 'delete'
     """
 
     # TOAST: click updates carry text as unchanged -> NULL in changes; the

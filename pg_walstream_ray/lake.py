@@ -30,13 +30,15 @@ from .state.manifest import all_manifests, partition_dir
 
 
 def write_lake_config(lake_dir: str, num_partitions: int,
-                      hot_keys: Tuple[str, ...] = (), salt: int = 8) -> None:
+                      hot_keys: Tuple[str, ...] = (), salt: int = 8,
+                      sink: str = "lww") -> None:
     os.makedirs(lake_dir, exist_ok=True)
     p = os.path.join(lake_dir, "config.json")
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"num_partitions": num_partitions,
-                   "hot_keys": sorted(hot_keys), "salt": salt}, f)
+                   "hot_keys": sorted(hot_keys), "salt": salt,
+                   "sink": sink}, f)
     os.replace(tmp, p)
 
 
@@ -151,6 +153,55 @@ def snapshot_dataset(lake_dir: str, drop_internal: bool = True,
     return ds.map_batches(merge_part, batch_size=1, batch_format="pyarrow")
 
 
+def history_table(lake_dir: str,
+                  key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                  sort: bool = True) -> pa.Table:
+    """Materialized SCD2 history view of a sink='history' lake (driver-side;
+    tests / small results): every version row with (valid_from, valid_to,
+    is_current) intervals.  See stages/history.version_intervals."""
+    from .stages.history import version_intervals
+
+    tables = []
+    for _, paths in live_fragments(lake_dir):
+        raw = _unify([pq.read_table(p) for p in paths])
+        if raw.num_rows:
+            t = version_intervals(raw, key_cols=key_cols)
+            if t.num_rows:
+                tables.append(t)
+    t = _unify(tables)
+    if t.num_rows and sort:
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            *[(c, "ascending") for c in key_cols],
+            ("valid_from", "ascending")]))
+    return t
+
+
+def history_dataset(lake_dir: str,
+                    key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Streaming SCD2 history view (the scale path): one task per partition
+    reconstructs that partition's intervals — keys are partition-local, so
+    no cross-partition state exists and nothing reaches the driver."""
+    import ray.data as rd
+
+    from .stages.history import version_intervals
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def intervals_part(batch: pa.Table):
+        for row in batch.to_pylist():
+            raw = _unify([pq.read_table(p) for p in row["paths"]])
+            t = version_intervals(raw, key_cols=key_cols)
+            if t.num_rows:
+                yield t
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(intervals_part, batch_size=1,
+                          batch_format="pyarrow")
+
+
 def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
                             lsn0_by_source: dict, num_partitions: int,
                             hot_keys: Tuple[str, ...] = (),
@@ -194,8 +245,17 @@ def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
             g.drop(columns=["partition_id"]), preserve_index=False)
         tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
             ("conv_id", "ascending"), ("turn_idx", "ascending")]))
-        tbl = tbl.append_column("_lsn", pa.array(
-            np.full(tbl.num_rows, seed_lsn, dtype=np.int64)))
+        if "_lsn" in tbl.column_names:
+            # rows sourced from an existing lake keep their TRUE last-writer
+            # lsn (repartition_lake): inflating it to seed_lsn would make
+            # seed rows win against legitimately newer replayed events in
+            # sources whose watermark trails the max
+            tbl = tbl.set_column(
+                tbl.column_names.index("_lsn"), "_lsn",
+                pc.cast(tbl["_lsn"], pa.int64()))
+        else:
+            tbl = tbl.append_column("_lsn", pa.array(
+                np.full(tbl.num_rows, seed_lsn, dtype=np.int64)))
         d = partition_dir(lake_dir, pid)
         os.makedirs(d, exist_ok=True)
         frag = f"fragment-000001-{seed_lsn}.parquet"
@@ -229,6 +289,55 @@ def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
                 lineage=[{"epoch": 1, "bootstrap": True, "rows_applied": 0}]))
     return {"partitions": num_partitions,
             "rows": int(summary["rows"].sum()) if len(summary) else 0}
+
+
+def repartition_lake(lake_dir: str, out_dir: str, num_partitions: int,
+                     hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
+    """Re-key a lake to a new partition count (the scale-out/scale-in
+    operation a growing deployment needs — partition counts are pinned at
+    lake creation and cannot change in place).
+
+    Streams the source lake's merged state (per-partition tasks, nothing
+    on the driver) through the bootstrap seeder into ``out_dir`` with
+    - each row's TRUE ``_lsn`` preserved (LWW order survives), and
+    - the source lake's per-source applied watermarks copied into every
+      new manifest,
+    so a subsequent ``run_cdc`` against the same (or extended) WAL resumes
+    exactly where the source lake stopped: already-applied commits are
+    filtered, in-flight ones re-apply idempotently under LWW.
+
+    The source lake is read-only throughout; ``out_dir`` must not exist or
+    be empty (atomicity: a crashed repartition leaves a partial out_dir
+    with no valid config until the final bootstrap completes — re-run it).
+    """
+    cfg = read_lake_config(lake_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake config at {lake_dir}")
+    if cfg.get("sink", "lww") != "lww":
+        raise NotImplementedError(
+            "repartition_lake supports sink='lww' lakes; history lakes "
+            "re-route raw version fragments instead")
+    from .state.manifest import global_watermark
+
+    wm = {int(k): int(v)
+          for k, v in global_watermark(lake_dir,
+                                       cfg["num_partitions"]).items()
+          if v >= 0}
+    if not live_fragments(lake_dir):
+        # empty source lake: manifests-only seed (watermarks still carry)
+        from .state.manifest import PartitionManifest, write_manifest_atomic
+
+        write_lake_config(out_dir, num_partitions, tuple(hot_keys), salt)
+        for pid in range(num_partitions):
+            write_manifest_atomic(out_dir, PartitionManifest(
+                partition_id=pid,
+                applied_lsns={str(s): l for s, l in wm.items()},
+                epoch=1,
+                lineage=[{"epoch": 1, "bootstrap": True, "rows_applied": 0}]))
+        return {"partitions": num_partitions, "rows": 0}
+    snap = snapshot_dataset(lake_dir, drop_internal=False)
+    return bootstrap_from_snapshot(snap, out_dir, wm, num_partitions,
+                                   hot_keys=tuple(hot_keys), salt=salt)
 
 
 def _compact_one_partition(lake_dir: str, pid: int,

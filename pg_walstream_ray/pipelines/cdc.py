@@ -253,16 +253,27 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
             decode_concurrency: Optional[int] = None,
             project_concurrency: Optional[int] = None,
             auto_detect_hot_keys: bool = False,
-            origin_filter: str = "any") -> dict:
+            origin_filter: str = "any",
+            sink: str = "lww") -> dict:
     """Replay the WAL lake into the transcript lake. Returns run metrics.
 
     Safe to re-run (exactly-once); safe to kill at any point and re-run.
     Partitioning parameters are pinned in the lake config on first run and
     must not change across resumes.
+
+    ``sink`` selects the consumer shape (pinned in the lake config):
+      - "lww"     — last-writer-wins upsert state (stages/apply.py), the
+                    safe-transaction-consumer contract.
+      - "history" — SCD type-2 append-only version lake (stages/history.py);
+                    read back with lake.history_table / history_dataset.
+                    Disables the map-side LWW pre-compaction combiner (it
+                    would collapse the versions this sink retains).
     """
     import ray
     import ray.data as rd
 
+    if sink not in ("lww", "history"):
+        raise ValueError(f"unknown sink {sink!r}")
     t0 = time.time()
     shard_paths = discover_shards(wal_dir)
     n_shards = len(shard_paths)
@@ -273,13 +284,17 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
         if not hot and auto_detect_hot_keys:
             hot = probe_hot_keys(shard_paths,
                                  build_registry(wal_dir, shard_paths), oid)
-        write_lake_config(lake_dir, num_partitions, hot, salt)
+        write_lake_config(lake_dir, num_partitions, hot, salt, sink=sink)
         cfg = read_lake_config(lake_dir)
     else:
         if cfg["num_partitions"] != num_partitions:
             raise ValueError(
                 f"lake at {lake_dir} was created with num_partitions="
                 f"{cfg['num_partitions']}; cannot resume with {num_partitions}")
+        if cfg.get("sink", "lww") != sink:
+            raise ValueError(
+                f"lake at {lake_dir} was created with sink="
+                f"{cfg.get('sink', 'lww')!r}; cannot resume with {sink!r}")
     hot = tuple(cfg["hot_keys"])
     salt = cfg["salt"]
 
@@ -347,6 +362,8 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                     num_partitions=num_partitions, hot_keys=hot, salt=salt,
                     stop_at_lsn=stop_at_lsn, prune_below=prune,
                     origin_filter=origin_filter)
+    if sink == "history":
+        fused_kw["precompact"] = False
     if small:
         # tasks with per-worker instance caching: the stage (registry
         # ray.get, Partitioner/hot-key build) is constructed once per warm
@@ -361,7 +378,12 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
             DecodeProjectRoute, fn_constructor_kwargs=fused_kw,
             batch_size=None, batch_format="pyarrow", concurrency=map_c,
             num_cpus=1, max_task_retries=-1)
-    apply_group = ApplyGroup(lake_dir)
+    if sink == "history":
+        from ..stages.history import HistoryApplyGroup
+
+        apply_group = HistoryApplyGroup(lake_dir)
+    else:
+        apply_group = ApplyGroup(lake_dir)
 
     def apply_fn(group: pa.Table) -> pa.Table:
         return apply_group(group)
