@@ -373,6 +373,31 @@ def _cdc_scd2_history(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_time_travel(sf_dir: str) -> Any:
+    """Time travel over the SCD2 history lake (lake.history_as_of): the
+    table state AS OF the WAL's midpoint LSN must equal a bounded LWW
+    replay to that point (oracle: LWW over changes with lsn <= L)."""
+    import duckdb
+
+    from pg_walstream_ray.lake import history_as_of
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    max_ev = duckdb.sql(
+        f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    lsn0 = (int(max_ev) // 2) * 4 + 4 if max_ev is not None else 0
+    lake = tempfile.mkdtemp(prefix="pgwr_tt_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        return _select_or_empty(history_as_of(lake, lsn0), _TRANSCRIPT_COLS)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_repartitioned(sf_dir: str) -> Any:
     """Lake repartitioning mid-stream (lake.repartition_lake): replay HALF
     the upsert WAL into a 4-partition lake, re-key it to 10 partitions
@@ -603,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # lake repartitioning mid-stream: half replay at P=4 -> re-key to
     # P=10 (true _lsn + watermarks carried) -> resume -> full-replay state
     q["cdc_repartitioned"] = _cdc_repartitioned
+    # time travel: history lake AS OF the WAL midpoint == bounded LWW replay
+    q["cdc_time_travel"] = _cdc_time_travel
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -795,6 +822,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cluster-balanced sampling (kmeans quota): iterative clustering ->
     # rows-only driver check; quota/determinism invariants in tests
     q["cluster_balanced_sample"] = similarity.cluster_balanced_sample
+    # distributed PCA (mergeable second-moment partials, driver eigh):
+    # spectral -> rows-only driver check; orthonormality/variance/
+    # single-node-agreement pinned in tests
+    q["embedding_pca"] = lambda sf: similarity.embedding_pca(sf) \
+        .select_columns(["vec_id"])
+    # hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine in
+    # exact integer micro-units (fully oracled)
+    q["rrf_fusion"] = similarity.rrf_fusion
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters
@@ -883,7 +918,8 @@ _DRIVER_WINDOW_ORDER = [
     "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
     "pmi_collocations", "psi_source_drift", "dedup_pagerank",
-    "cdc_scd2_history", "cdc_repartitioned",
+    "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
+    "rrf_fusion", "embedding_pca",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1171,6 +1207,29 @@ def oracle_sql() -> dict[str, str]:
              CAST(nxt AS BIGINT) AS valid_to,
              (nxt IS NULL) AS is_current
       FROM v WHERE op <> 'delete'
+    """
+
+    # time travel: AS OF the midpoint == LWW over the bounded change prefix
+    sql["cdc_time_travel"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE role END AS role,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text,
+               CASE WHEN event_type = 'error' THEN NULL ELSE tool END AS tool,
+               ts
+        FROM ({_UPSERT_CHANGES})
+      ), pt AS (
+        SELECT (MAX(event_id) // 2) * 4 + 4 AS L FROM events
+      ), bounded AS (
+        SELECT c.* FROM changes c, pt WHERE c.lsn <= pt.L
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS rn
+        FROM bounded
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'delete'
     """
 
     # TOAST: click updates carry text as unchanged -> NULL in changes; the
@@ -2035,6 +2094,75 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk
       FROM r WHERE rn <= 10
+    """
+
+    # hybrid RRF fusion: BM25 top-depth (same scored CTE as
+    # bm25_retrieval) fused with the dense cosine top-depth for query
+    # vec 0, in exact integer micro-units
+    sql["rrf_fusion"] = """
+      WITH base AS (
+        SELECT doc_id,
+               CAST(length(string_split(text,' ')) AS BIGINT) AS dl,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'spark')) AS BIGINT) AS tf0,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'merge')) AS BIGINT) AS tf1,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'window')) AS BIGINT) AS tf2,
+               CAST(length(list_filter(string_split(text,' '),
+                                       x -> x = 'hash')) AS BIGINT) AS tf3
+        FROM documents
+      ), stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS sumdl,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(SUM(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        FROM base
+      ), scored AS (
+        SELECT doc_id,
+          CAST(FLOOR(LN((nd - df0 + 0.5)/(df0 + 0.5) + 1) * (tf0*2.2)
+               / (tf0 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df1 + 0.5)/(df1 + 0.5) + 1) * (tf1*2.2)
+               / (tf1 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df2 + 0.5)/(df2 + 0.5) + 1) * (tf2*2.2)
+               / (tf2 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+        + CAST(FLOOR(LN((nd - df3 + 0.5)/(df3 + 0.5) + 1) * (tf3*2.2)
+               / (tf3 + 1.2*(0.25 + (0.75*dl)*nd/sumdl)) * 1000000)
+               AS BIGINT)
+          AS score_micro
+        FROM base, stats
+      )
+      , sp0 AS (
+        SELECT doc_id, score_micro FROM scored WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id LIMIT 50
+      ), sp AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                          doc_id) AS rs
+        FROM sp0
+      ), dn AS (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = 0)) DESC, e.vec_id) AS rd
+        FROM embeddings e WHERE e.vec_id <> 0
+        QUALIFY rd <= 50
+      ), fused AS (
+        SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+               COALESCE(1000000 // (60 + sp.rs), 0)
+             + COALESCE(1000000 // (60 + dn.rd), 0) AS rrf_micro
+        FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM fused QUALIFY rnk <= 20
     """
 
     sql["bm25_retrieval"] = """

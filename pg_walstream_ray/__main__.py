@@ -33,6 +33,22 @@ def main(argv=None) -> int:
     r.add_argument("--lake", required=True)
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--stop-at-lsn", type=int, default=None)
+    r.add_argument("--sink", choices=("lww", "history"), default="lww",
+                   help="lww = upsert state; history = SCD2 version lake")
+
+    rp = sub.add_parser("repartition", help="re-key a lake to a new "
+                                            "partition count (watermarks "
+                                            "and _lsn carried; resumable)")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+
+    hi = sub.add_parser("history", help="SCD2 interval view of a "
+                                        "sink=history lake (optionally "
+                                        "AS OF an lsn)")
+    hi.add_argument("--lake", required=True)
+    hi.add_argument("--as-of-lsn", type=int, default=None)
+    hi.add_argument("--out", default=None)
 
     s = sub.add_parser("snapshot", help="materialize the lake state")
     s.add_argument("--lake", required=True)
@@ -87,8 +103,25 @@ def main(argv=None) -> int:
             from .pipelines.cdc import run_cdc
 
             m = run_cdc(args.wal, args.lake, num_partitions=args.partitions,
-                        stop_at_lsn=args.stop_at_lsn)
+                        stop_at_lsn=args.stop_at_lsn, sink=args.sink)
             print(json.dumps(m))
+        elif args.cmd == "repartition":
+            from .lake import repartition_lake
+
+            print(json.dumps(repartition_lake(
+                args.lake, args.out, num_partitions=args.partitions)))
+        elif args.cmd == "history":
+            from .lake import history_as_of, history_table
+
+            t = history_as_of(args.lake, args.as_of_lsn) \
+                if args.as_of_lsn is not None else history_table(args.lake)
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(t, args.out)
+            print(json.dumps({"rows": t.num_rows,
+                              "columns": t.column_names,
+                              "out": args.out}))
         elif args.cmd == "snapshot":
             from .lake import snapshot_table
 

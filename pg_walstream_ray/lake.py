@@ -176,6 +176,28 @@ def history_table(lake_dir: str,
     return t
 
 
+def history_as_of(lake_dir: str, lsn: int,
+                  key_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                  sort: bool = True) -> pa.Table:
+    """Time-travel read over a sink='history' lake: the table state AS OF
+    ``lsn`` — every key's version whose validity interval contains the
+    point (``valid_from <= lsn < valid_to``, open intervals unbounded).
+    Deletes/truncates at-or-before the point exclude the key, exactly the
+    LWW state a bounded replay to ``lsn`` would have produced.
+
+    Driver-side form; the streaming path is
+    ``history_dataset(...).filter(...)`` with the same predicate.
+    """
+    t = history_table(lake_dir, key_cols=key_cols, sort=sort)
+    if t.num_rows == 0:
+        return t
+    vf = pc.less_equal(t["valid_from"], lsn)
+    vt = pc.or_kleene(pc.is_null(t["valid_to"]),
+                      pc.greater(t["valid_to"], lsn))
+    return t.filter(pc.and_(vf, pc.fill_null(vt, True))) \
+        .drop(["valid_from", "valid_to", "is_current"])
+
+
 def history_dataset(lake_dir: str,
                     key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
     """Streaming SCD2 history view (the scale path): one task per partition

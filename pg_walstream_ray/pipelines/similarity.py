@@ -772,3 +772,136 @@ def ann_filtered_topk(sf_dir: str, lang: str = "en",
     cand = docs.union(emb).groupby("bucket").map_groups(
         score_bucket, batch_format="pyarrow", num_cpus=1)
     return _final_topk(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 16
+
+
+def embedding_pca(sf_dir: str, n_components: int = PCA_COMPONENTS):
+    """Distributed PCA of the embedding column via mergeable second-moment
+    partials — the covariance never sees more than O(d^2) floats per block.
+
+    Pass 1 (zero shuffle): each batch emits ONE partial row
+    ``(block_key, n, sum[d], ss[d*d])`` — count, column sums, and the
+    X^T X Gram matrix.  Partials are O(d^2) floats per BLOCK regardless of
+    rows (d=64 -> 32 KB), so the driver reduce is bounded by block count.
+    The driver assembles cov = (SS - n * mean mean^T) / (n - 1), runs a
+    d x d eigendecomposition (microseconds), fixes eigenvector signs
+    deterministically (max-|.| element made positive), and broadcasts the
+    (mean, components) pair.
+    Pass 2 (zero shuffle): per-batch centered matmul projects every vector
+    onto the top components.
+
+    Partials are summed in block_key order (min vec_id per block) so the
+    float reduction is deterministic across runs regardless of task
+    completion order.
+
+    Output: (vec_id, component list<float64> of length n_components).
+    Iterative/spectral -> no SQL oracle; orthonormality, variance ordering
+    and agreement with a single-node PCA are pinned in tests.
+    """
+    import ray
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "block_key": pa.array([int(ids.min()) if len(ids) else -1],
+                                  pa.int64()),
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "sum": pa.array([m.sum(axis=0).tolist()],
+                            pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = _emb(sf_dir).map_batches(
+        moments, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if not len(parts) or int(parts["n"].sum()) < 2:
+        return _emb(sf_dir).map_batches(
+            lambda t: pa.table({
+                "vec_id": t["vec_id"],
+                "component": pa.array([[]] * t.num_rows,
+                                      pa.list_(pa.float64()))}),
+            batch_format="pyarrow")
+    parts = parts.sort_values("block_key")
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["sum"].to_numpy()), axis=0)
+    d = s.shape[0]
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(-evals)[:n_components]
+    comps = evecs[:, order]                     # [d, k]
+    # deterministic sign: the max-|.| coordinate of each component positive
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    proj_ref = ray.put((mean, comps))
+
+    def project(t: pa.Table, _ref=proj_ref) -> pa.Table:
+        mu, w = ray.get(_ref)
+        m = _batch_matrix(t)
+        y = (m - mu) @ w
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "component": pa.array(list(y), pa.list_(pa.float64())),
+        })
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow",
+                                    batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of sparse (BM25) + dense (cosine)
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60          # the standard RRF dampening constant
+RRF_DEPTH = 50       # per-list depth fed into the fusion
+RRF_TOPK = 20
+
+
+def rrf_fusion(sf_dir: str, k: int = RRF_TOPK, depth: int = RRF_DEPTH):
+    """Reciprocal-rank fusion of the BM25 sparse list and the dense cosine
+    list for the corpus's canonical query (query vec_id=0, the fixed BM25
+    term set) — the classic hybrid-retrieval combiner:
+
+        rrf(doc) = sum over lists of  1_000_000 // (60 + rank_in_list)
+
+    in exact integer micro-units, so the fused ordering is reproducible
+    bit-for-bit against the SQL oracle (same discipline as bm25/perplexity).
+
+    Scale shape: both input retrievals are already distributed and bounded
+    (per-batch partial top-k; <= depth rows each reach the driver), so the
+    fusion itself is an O(depth) driver merge — by construction, never a
+    data-scale operation.  Output: (doc_id, rrf_micro, rnk) top-k.
+    """
+    from .textops import bm25_retrieval
+
+    sparse = bm25_retrieval(sf_dir, k=depth).to_pandas()
+    dense = ann_brute_topk(sf_dir, nq=1, k=depth).to_pandas()
+
+    sparse = sparse.sort_values(["score_micro", "doc_id"],
+                                ascending=[False, True]).head(depth)
+    rs = {int(r.doc_id): i + 1 for i, r in enumerate(sparse.itertuples())}
+    dense = dense.sort_values("rnk").head(depth)
+    rd = {int(r.neighbor_id): int(r.rnk) for r in dense.itertuples()}
+
+    docs = sorted(set(rs) | set(rd))
+    fused = [(doc,
+              (1_000_000 // (RRF_K0 + rs[doc]) if doc in rs else 0)
+              + (1_000_000 // (RRF_K0 + rd[doc]) if doc in rd else 0))
+             for doc in docs]
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:k]
+    return pa.table({
+        "doc_id": pa.array([f[0] for f in fused], pa.int64()),
+        "rrf_micro": pa.array([f[1] for f in fused], pa.int64()),
+        "rnk": pa.array(list(range(1, len(fused) + 1)), pa.int64()),
+    })

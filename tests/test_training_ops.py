@@ -705,3 +705,75 @@ def test_cluster_balanced_sample_invariants(ray_session):
     pd.testing.assert_frame_equal(
         df.sort_values(["cluster_id", "rk"]).reset_index(drop=True),
         df2.sort_values(["cluster_id", "rk"]).reset_index(drop=True))
+
+
+def test_embedding_pca_matches_single_node(ray_session):
+    """Distributed PCA (moment partials + driver eigh) agrees with a
+    single-process PCA using the same estimator and sign convention;
+    projected covariance is diagonal with descending variance."""
+    from pg_walstream_ray.pipelines.similarity import embedding_pca
+
+    k = 8
+    out = embedding_pca(SF, n_components=k).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    tab = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    m = np.stack([np.asarray(e) for e in
+                  tab["embedding"].to_pylist()]).astype(np.float64)
+    ids = tab["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    m = m[order]
+    mean = m.mean(axis=0)
+    cov = (m - mean).T @ (m - mean) / (m.shape[0] - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    sel = np.argsort(-evals)[:k]
+    w = evecs[:, sel]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    expect = (m - mean) @ w
+    got = np.stack(out["component"].to_numpy())
+    assert got.shape == expect.shape
+    assert np.allclose(got, expect, atol=1e-8)
+    # diagonal projected covariance, descending variance
+    pc_cov = (got - got.mean(axis=0)).T @ (got - got.mean(axis=0)) \
+        / (got.shape[0] - 1)
+    off = pc_cov - np.diag(np.diag(pc_cov))
+    assert np.abs(off).max() < 1e-8
+    dv = np.diag(pc_cov)
+    assert (np.diff(dv) <= 1e-12).all()
+
+
+def test_embedding_pca_deterministic(ray_session):
+    """Block-key-ordered partial reduction: two runs produce identical
+    projections bit-for-bit."""
+    from pg_walstream_ray.pipelines.similarity import embedding_pca
+
+    a = embedding_pca(SF, n_components=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = embedding_pca(SF, n_components=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert np.array_equal(np.stack(a["component"].to_numpy()),
+                          np.stack(b["component"].to_numpy()))
+
+
+def test_rrf_fusion_local_reference(ray_session):
+    """RRF micro-units match an in-test fusion of the two component
+    retrievals (which are themselves oracled)."""
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       rrf_fusion)
+    from pg_walstream_ray.pipelines.textops import bm25_retrieval
+
+    out = rrf_fusion(SF).to_pandas()
+    sp = bm25_retrieval(SF, k=50).to_pandas() \
+        .sort_values(["score_micro", "doc_id"],
+                     ascending=[False, True]).head(50)
+    rs = {int(d): i + 1 for i, d in enumerate(sp["doc_id"])}
+    dn = ann_brute_topk(SF, nq=1, k=50).to_pandas().sort_values("rnk")
+    rd = {int(r.neighbor_id): int(r.rnk) for r in dn.itertuples()}
+    fused = sorted(((doc, (1_000_000 // (60 + rs[doc]) if doc in rs else 0)
+                     + (1_000_000 // (60 + rd[doc]) if doc in rd else 0))
+                    for doc in set(rs) | set(rd)),
+                   key=lambda x: (-x[1], x[0]))[:20]
+    assert out["doc_id"].tolist() == [f[0] for f in fused]
+    assert out["rrf_micro"].tolist() == [f[1] for f in fused]
+    assert out["rnk"].tolist() == list(range(1, len(fused) + 1))
