@@ -749,6 +749,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_anomaly_days"] = temporal.events_anomaly_days
     # ordered string_agg / collect surface (per-user event journey)
     q["user_event_journey"] = temporal.user_event_journey
+    # gaps-and-islands: maximal consecutive-active-day streaks per user
+    q["events_streaks"] = temporal.events_streaks
+    # PERCENT_RANK / CUME_DIST relative-rank windows (integer micro-units)
+    q["events_percent_rank"] = temporal.events_percent_rank
 
     # HLL sketch — approximate by design, no SQL oracle (rows-only check;
     # accuracy pinned in tests/test_sketches.py against exact counts)
@@ -919,7 +923,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
     "pmi_collocations", "psi_source_drift", "dedup_pagerank",
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
-    "rrf_fusion", "embedding_pca",
+    "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2220,6 +2224,39 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    sql["events_streaks"] = """
+      WITH d AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('day', ts) AS DATE) AS day
+                 FROM events),
+      r AS (SELECT user_id, day,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                     AS rn
+            FROM d)
+      SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS start_day,
+             strftime(MAX(day), '%Y-%m-%d') AS end_day,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    """
+
+    sql["events_percent_rank"] = """
+      WITH e AS (SELECT event_id, user_id,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      w AS (SELECT event_id, user_id, cents,
+              RANK() OVER (PARTITION BY user_id ORDER BY cents) AS rnk,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS le,
+              COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM e)
+      SELECT event_id, user_id, cents,
+             CAST(CASE WHEN cnt = 1 THEN 0
+                       ELSE (rnk - 1) * 1000000 // (cnt - 1) END
+                  AS BIGINT) AS pr_micro,
+             CAST(le * 1000000 // cnt AS BIGINT) AS cd_micro
+      FROM w
     """
 
     sql["events_anomaly_days"] = """

@@ -625,3 +625,107 @@ def events_anomaly_days(sf_dir: str):
         "n": pa.array(n[order]),
         "is_anomaly": pa.array(flag[order]),
     })
+
+
+def events_streaks(sf_dir: str):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    (the classic streak/retention primitive SQL solves with the
+    row_number-difference trick).
+
+    Output: (user_id, start_day, end_day, n_days) — one row per island,
+    days as 'YYYY-MM-DD'.
+
+    Scale shape (same discipline as user_active_days): a per-batch
+    DISTINCT (user_id, day) combiner collapses each batch to at most one
+    row per active pair BEFORE the shuffle, then ONE hash shuffle on
+    ``user_id % NPART`` and a vectorized island scan per bucket
+    (sort + cumcount; island id = epoch_day - per-user rank, constant
+    within a run).  Nothing is order-dependent across buckets because
+    islands never span users.
+    """
+    ds = _events(sf_dir, columns=("ts", "user_id"))
+    npart = coarse_npart()
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                              pa.date32()), pa.int32())
+        pairs = pa.table({"user_id": t["user_id"], "day": day})
+        uniq = pairs.group_by(["user_id", "day"]).aggregate([])
+        b = pc.cast(pc.bit_wise_and(uniq["user_id"], npart - 1), pa.int64())
+        return uniq.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # re-distinct (batch combiner dedups within batches only)
+        g = g.drop_duplicates(["user_id", "day"]) \
+             .sort_values(["user_id", "day"], kind="mergesort",
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        rn = np.arange(len(g)) - \
+            pd.Series(np.arange(len(g))).groupby(u, sort=False) \
+              .transform("min").to_numpy(np.int64)
+        island = day - rn                     # constant within a run
+        df = pd.DataFrame({"u": u, "i": island, "d": day})
+        gr = df.groupby(["u", "i"], sort=False)["d"]
+        agg = gr.agg(["min", "max", "size"]).reset_index()
+        fmt = np.datetime_as_string(
+            agg["min"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
+        fmt_end = np.datetime_as_string(
+            agg["max"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
+        return pa.table({
+            "user_id": pa.array(agg["u"].to_numpy(np.int64)),
+            "start_day": pa.array(fmt, pa.string()),
+            "end_day": pa.array(fmt_end, pa.string()),
+            "n_days": pa.array(agg["size"].to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(batch_distinct, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))
+
+
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST per user over spend cents — the relative-
+    rank window surface, in exact integer micro-units so the value hash
+    can never drift on IEEE division order:
+      pr_micro  (rank-1) * 1e6 // (n-1)   (0 when the user has one row)
+      cd_micro  (#rows with cents <= current) * 1e6 // n
+
+    Output: (event_id, user_id, cents, pr_micro, cd_micro).
+
+    Same single-shuffle shape as the sibling window operators: bucket by
+    ``user_id % NPART``, one vectorized pandas rank pass per bucket
+    (method='min' for PERCENT_RANK, method='max' for the <=-count of
+    CUME_DIST — both C kernels).
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id", "value"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "c": cents})
+        gr = df.groupby("u", sort=False)
+        rnk = gr["c"].rank(method="min").to_numpy(np.int64)
+        le = gr["c"].rank(method="max").to_numpy(np.int64)
+        n = gr["c"].transform("size").to_numpy(np.int64)
+        pr = np.where(n > 1, (rnk - 1) * 1_000_000 // np.maximum(n - 1, 1),
+                      0)
+        cd = le * 1_000_000 // n
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(df["u"].to_numpy()),
+            "cents": pa.array(df["c"].to_numpy()),
+            "pr_micro": pa.array(pr.astype(np.int64)),
+            "cd_micro": pa.array(cd.astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                          num_cpus=1))

@@ -88,7 +88,7 @@ def test_every_oracle_key_has_query(contract):
     "q20_part_promotion", "q21_waiting_suppliers", "q22_global_sales",
     "ann_filtered_topk", "bm25_retrieval", "cdc_stream_topk",
     "bigram_heavy_hitters", "chunk_documents", "pmi_collocations",
-    "psi_source_drift",
+    "psi_source_drift", "events_streaks", "events_percent_rank",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
