@@ -729,6 +729,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q22_global_sales"] = analytics.q22_global_sales
     # FULL OUTER co-partitioned join (nullable both sides)
     q["user_day_click_purchase"] = analytics.user_day_click_purchase
+    # CORR / REGR_SLOPE / COVAR_POP via exact integer moment partials
+    q["grouped_corr"] = analytics.grouped_corr
+    # MODE() per group (deterministic smallest-value tie-break)
+    q["mode_per_group"] = analytics.mode_per_group
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -924,6 +928,7 @@ _DRIVER_WINDOW_ORDER = [
     "pmi_collocations", "psi_source_drift", "dedup_pagerank",
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
+    "grouped_corr", "mode_per_group",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2224,6 +2229,37 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    sql["grouped_corr"] = """
+      WITH b AS (SELECT l_returnflag AS grp,
+                        CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                        CAST(ROUND(l_discount * 10000) AS BIGINT) AS y
+                 FROM lineitem),
+      s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+                   SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                   SUM(x*y) AS sxy
+            FROM b GROUP BY grp)
+      SELECT grp, n,
+        CAST(FLOOR(1000000.0 * (n*sxy - sx*sy) /
+             SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                  * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT)
+          AS corr_micro,
+        CAST(FLOOR(1000000.0 * (n*sxy - sx*sy)
+             / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_micro,
+        CAST(FLOOR(100.0 * (n*sxy - sx*sy) / n / n) AS BIGINT)
+          AS covp_centi
+      FROM s
+    """
+
+    sql["mode_per_group"] = """
+      WITH c AS (SELECT l_returnflag AS grp,
+                        CAST(ROUND(l_quantity * 100) AS BIGINT) AS v,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT grp, v AS mode_cents, n FROM c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY grp
+                                 ORDER BY n DESC, v) = 1
     """
 
     sql["events_streaks"] = """

@@ -2884,3 +2884,114 @@ def q21_waiting_suppliers(sf_dir: str, region: str = "ASIA",
     return pa.table({
         "s_name": pa.array([name[s] for s in df["suppkey"]], pa.string()),
         "numwait": pa.array(df["numwait"].to_numpy(np.int64))})
+
+
+def grouped_corr(sf_dir: str):
+    """Grouped statistical aggregates — CORR / REGR_SLOPE / COVAR_POP of
+    (quantity cents, discount basis points) per returnflag — via EXACT
+    integer moment partials.
+
+    Distributed float summation is order-dependent, so the five moments
+    (sum x, sum y, sum x^2, sum y^2, sum xy) are accumulated as int64
+    per batch (inputs are bounded: x <= 5000, y <= 1000, so per-batch and
+    global sums stay far from overflow through sf1), merged exactly by a
+    Sum over 3 group rows, and only the FINAL formula touches floats — in
+    the same expression order as the SQL oracle, on Python arbitrary-
+    precision ints for the n*sxx-style products that outgrow int64.
+
+    Output: (grp, n, corr_micro, slope_micro, covp_centi) — micro/centi
+    FLOOR-scaled integers.
+
+    Scale shape: one combiner pass (5 int64 sums per group per batch),
+    one tiny groupby over |groups| rows, O(|groups|) driver finalize.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        y = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                    * 10000.0).astype(np.int64)
+        df = pd.DataFrame({"grp": t["l_returnflag"].to_numpy(
+            zero_copy_only=False),
+            "n": 1, "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+            "sxy": x * y})
+        agg = df.groupby("grp", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("grp").aggregate(
+                Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+            .take_all())                    # bounded: |groups| rows
+    rows.sort(key=lambda r: r["grp"])
+    out = {"grp": [], "n": [], "corr_micro": [], "slope_micro": [],
+           "covp_centi": []}
+    for r in rows:
+        # python ints: n*sxx products exceed int64 at large sf
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        out["grp"].append(r["grp"])
+        out["n"].append(n)
+        # identical IEEE expression order to the SQL oracle
+        out["corr_micro"].append(math.floor(
+            1000000.0 * float(num) / math.sqrt(float(vx) * float(vy))))
+        out["slope_micro"].append(math.floor(
+            1000000.0 * float(num) / float(vx)))
+        out["covp_centi"].append(math.floor(
+            100.0 * float(num) / n / n))
+    return pa.table({"grp": pa.array(out["grp"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64()),
+                     "corr_micro": pa.array(out["corr_micro"], pa.int64()),
+                     "slope_micro": pa.array(out["slope_micro"], pa.int64()),
+                     "covp_centi": pa.array(out["covp_centi"], pa.int64())})
+
+
+def mode_per_group(sf_dir: str):
+    """MODE() — most frequent quantity (cents) per returnflag, ties
+    broken by the smallest value (made deterministic; SQL's mode() alone
+    is tie-unspecified, so the oracle spells out the same rule).
+
+    Output: (grp, mode_cents, n) with n the winner's frequency.
+
+    Scale shape: per-batch (grp, value) value_counts combiner — each
+    batch ships at most |groups| x |distinct values| partial rows — one
+    groupby over (grp, value) pairs, then a per-group vectorized argmax
+    over the BOUNDED distinct-value set.  The raw column never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        df = pd.DataFrame({"grp": t["l_returnflag"].to_numpy(
+            zero_copy_only=False), "v": v})
+        agg = df.groupby(["grp", "v"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "v"], ascending=[False, True],
+                          kind="mergesort")
+        top = g.iloc[:1]
+        return pd.DataFrame({"grp": top["grp"].to_numpy(),
+                             "mode_cents": top["v"].to_numpy(np.int64),
+                             "n": top["n"].to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby(["grp", "v"]).aggregate(Sum("c", alias_name="n"))
+            .groupby("grp").map_groups(pick, batch_format="pandas",
+                                       num_cpus=0.5))
