@@ -802,6 +802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # floats -> expose only the node column to keep the check stable
     q["dedup_pagerank"] = lambda sf: dedup.dedup_pagerank(sf) \
         .select_columns(["vec_id"])
+    # per-node triangle counts over the same pair graph (clique signal)
+    q["dedup_triangles"] = dedup.dedup_triangles
 
     # -- similarity search -------------------------------------------------
     # oracled queries expose only exact-integer columns (rank, ids); the
@@ -928,7 +930,7 @@ _DRIVER_WINDOW_ORDER = [
     "pmi_collocations", "psi_source_drift", "dedup_pagerank",
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
-    "grouped_corr", "mode_per_group",
+    "grouped_corr", "mode_per_group", "dedup_triangles",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2229,6 +2231,26 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    sql["dedup_triangles"] = """
+      WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+      ), tri AS (
+        SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+        FROM pairs e1 JOIN pairs e2 ON e2.va = e1.vb
+        JOIN pairs e3 ON e3.va = e1.va AND e3.vb = e2.vb
+      ), corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM corners GROUP BY node
     """
 
     sql["grouped_corr"] = """

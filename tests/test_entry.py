@@ -89,7 +89,7 @@ def test_every_oracle_key_has_query(contract):
     "ann_filtered_topk", "bm25_retrieval", "cdc_stream_topk",
     "bigram_heavy_hitters", "chunk_documents", "pmi_collocations",
     "psi_source_drift", "events_streaks", "events_percent_rank",
-    "grouped_corr", "mode_per_group",
+    "grouped_corr", "mode_per_group", "dedup_triangles",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
