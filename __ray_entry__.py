@@ -804,6 +804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["vec_id"])
     # per-node triangle counts over the same pair graph (clique signal)
     q["dedup_triangles"] = dedup.dedup_triangles
+    # exact Levenshtein verification of Jaccard near-dup candidates
+    q["edit_distance_pairs"] = dedup.edit_distance_pairs
 
     # -- similarity search -------------------------------------------------
     # oracled queries expose only exact-integer columns (rank, ids); the
@@ -931,6 +933,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
+    "edit_distance_pairs",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2231,6 +2234,34 @@ def oracle_sql() -> dict[str, str]:
              LEAD(cents) OVER (PARTITION BY user_id
                                ORDER BY cents DESC, event_id) AS lead_cents
       FROM e
+    """
+
+    from pg_walstream_ray.pipelines.dedup import NGRAM_MAX_DF as _NDF
+
+    sql["edit_distance_pairs"] = f"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id
+      ), keep_w AS (
+        SELECT w FROM w GROUP BY w HAVING COUNT(*) <= {_NDF}
+      ), pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.w IN (SELECT w FROM keep_w)
+        GROUP BY 1, 2
+      ), cand AS (
+        SELECT da, db FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.95
+      )
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+      FROM cand
+      JOIN documents ta ON ta.doc_id = da
+      JOIN documents tb ON tb.doc_id = db
     """
 
     sql["dedup_triangles"] = """

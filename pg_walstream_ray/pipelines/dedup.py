@@ -1068,3 +1068,131 @@ def dedup_triangles(sf_dir: str, threshold: float = 0.35):
 
     return corners.groupby("nbkt").map_groups(count_nodes,
                                               batch_format="pandas")
+
+
+def _lev_batch(a_texts: np.ndarray, b_texts: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for a BATCH of string pairs in one
+    vectorized DP: the row recurrence runs once per character of the
+    longest left string, with every pair advanced simultaneously on
+    (n_pairs, max_len_b) matrices.  The within-row insert dependency
+    (dp[j] needs dp[j-1]) is closed in one kernel via the identity
+    dp[j] = min_k<=j (tmp[k] + (j-k)) = j + running_min(tmp[k] - k),
+    i.e. np.minimum.accumulate — no per-cell Python.  ~max_len python
+    iterations per batch instead of n_pairs * max_len."""
+    n = len(a_texts)
+    la = np.array([len(s) for s in a_texts], np.int64)
+    lb = np.array([len(s) for s in b_texts], np.int64)
+    if n == 0:
+        return np.array([], np.int64)
+    mla, mlb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(mla, 1)), np.uint32)
+    B = np.zeros((n, max(mlb, 1)), np.uint32)
+    for i, s in enumerate(a_texts):
+        if la[i]:
+            A[i, : la[i]] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    for i, s in enumerate(b_texts):
+        if lb[i]:
+            B[i, : lb[i]] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    j = np.arange(mlb + 1, dtype=np.int32)
+    prev = np.broadcast_to(j, (n, mlb + 1)).copy()
+    res = np.where(la == 0, lb, -1).astype(np.int64)
+    tmp = np.empty_like(prev)
+    for i in range(1, mla + 1):
+        ca = A[:, i - 1]
+        cost = (B != ca[:, None]).astype(np.int32)
+        tmp[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=tmp[:, 1:])
+        dp = np.minimum.accumulate(tmp - j, axis=1) + j
+        hit = la == i
+        if hit.any():
+            res[hit] = dp[hit, lb[hit]]
+        prev = dp
+    return res
+
+
+def edit_distance_pairs(sf_dir: str, threshold: float = 0.95):
+    """Exact edit-distance verification of near-dup candidates — the
+    LSH-recall / exact-verify pattern: the cheap set-similarity stage
+    (ngram_jaccard_pairs at a high threshold) proposes candidates, and
+    this stage scores each with TRUE character-level Levenshtein
+    distance, which set similarity cannot see (it ignores order and
+    repetition).
+
+    Output: (doc_a, doc_b, dist) — one row per candidate pair.
+
+    Scale shape: candidates are (doc_a, doc_b) int pairs from the
+    bucketed Jaccard pipeline (its df-cutoff + threshold bound the pair
+    count).  Texts attach via TWO union-tag co-partitions (route by
+    doc_a, merge text_a; re-route by doc_b, merge text_b) — each text
+    ships through at most two shuffles and never broadcasts.  The DP
+    kernel is batch-vectorized (_lev_batch): O(max_len) Python
+    iterations per bucket regardless of pair count.
+    """
+    npart = coarse_npart()
+    cand = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+
+    def cand_side(g: pd.DataFrame) -> pa.Table:
+        a = g["doc_a"].to_numpy(np.int64)
+        return pa.table({
+            "apart": pa.array(a % npart),
+            "doc_a": pa.array(a),
+            "doc_b": pa.array(g["doc_b"].to_numpy(np.int64)),
+            "text": pa.nulls(len(a), pa.string()),
+            "is_doc": pa.array(np.zeros(len(a), dtype=bool))})
+
+    def doc_side_a(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "apart": pc.cast(pc.bit_wise_and(d, npart - 1), pa.int64()),
+            "doc_a": d,
+            "doc_b": pa.array(np.full(n, -1, np.int64)),
+            "text": t["text"],
+            "is_doc": pa.array(np.ones(n, dtype=bool))})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["is_doc"]]
+        pairs = g[~g["is_doc"]]
+        m = pairs[["doc_a", "doc_b"]].merge(
+            docs[["doc_a", "text"]], on="doc_a", how="inner")
+        b = m["doc_b"].to_numpy(np.int64)
+        return pa.table({
+            "bpart": pa.array(b % npart),
+            "doc_a": pa.array(m["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(b),
+            "text_a": pa.array(m["text"].astype(object).to_numpy(),
+                               pa.string()),
+            "text": pa.nulls(len(b), pa.string()),
+            "is_doc": pa.array(np.zeros(len(b), dtype=bool))})
+
+    def doc_side_b(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "bpart": pc.cast(pc.bit_wise_and(d, npart - 1), pa.int64()),
+            "doc_a": pa.array(np.full(n, -1, np.int64)),
+            "doc_b": d,
+            "text_a": pa.nulls(n, pa.string()),
+            "text": t["text"],
+            "is_doc": pa.array(np.ones(n, dtype=bool))})
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["is_doc"]]
+        pairs = g[~g["is_doc"]]
+        m = pairs[["doc_a", "doc_b", "text_a"]].merge(
+            docs[["doc_b", "text"]], on="doc_b", how="inner")
+        dist = _lev_batch(m["text_a"].astype(object).to_numpy(),
+                          m["text"].astype(object).to_numpy())
+        return pa.table({
+            "doc_a": pa.array(m["doc_a"].to_numpy(np.int64)),
+            "doc_b": pa.array(m["doc_b"].to_numpy(np.int64)),
+            "dist": pa.array(dist)})
+
+    docs_a = _docs(sf_dir).map_batches(doc_side_a, batch_format="pyarrow")
+    with_a = (cand.map_batches(cand_side, batch_format="pandas")
+              .union(docs_a)
+              .groupby("apart").map_groups(attach_a,
+                                           batch_format="pandas"))
+    docs_b = _docs(sf_dir).map_batches(doc_side_b, batch_format="pyarrow")
+    return (with_a.union(docs_b)
+            .groupby("bpart").map_groups(score, batch_format="pandas"))
