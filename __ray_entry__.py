@@ -884,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # deterministic source-weighted mixing (data-mixing primitive)
     q["source_mix_sample"] = lambda sf: textops.source_mix_sample(
         sf, hash_mode="md5")
+    # temperature-flattened language mixing (alpha=0.5 upsampling)
+    q["temperature_mix"] = lambda sf: textops.temperature_mix(
+        sf, hash_mode="md5")
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -933,7 +936,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
-    "edit_distance_pairs",
+    "edit_distance_pairs", "temperature_mix",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1363,6 +1366,21 @@ def oracle_sql() -> dict[str, str]:
       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                  AS BIGINT) % 1000
             < (CAST(substr(source, 4) AS BIGINT) * 53) % 1000
+    """
+
+    sql["temperature_mix"] = """
+      WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY lang),
+      s AS (SELECT SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS st,
+                   SUM(n) AS tot FROM c),
+      p AS (SELECT lang,
+                   LEAST(1000, (1000 * tot * CAST(FLOOR(SQRT(n)) AS BIGINT))
+                               // (st * n)) AS permille
+            FROM c, s)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN p USING (lang)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000 < p.permille
     """
 
     sql["doc_sample"] = """

@@ -1526,3 +1526,66 @@ def psi_source_drift(sf_dir: str):
     return pa.table({"source": pa.array(out_src, pa.string()),
                      "n_docs": pa.array(out_n, pa.int64()),
                      "psi_micro": pa.array(out_psi, pa.int64())})
+
+
+def temperature_mix(sf_dir: str, hash_mode: str = "fast"):
+    """Temperature-flattened language mixing — the low-resource-upsampling
+    primitive (multilingual corpus construction a la XLM-R): target
+    share per language l is n_l^0.5 / sum_m n_m^0.5 (temperature
+    alpha = 0.5 flattens the skew toward head languages), realised by a
+    deterministic per-language keep fraction
+        permille_l = min(1000, 1000 * N * isqrt(n_l) // (S * n_l)),
+    with S = sum_m isqrt(n_m) — ALL integer arithmetic (isqrt =
+    floor-sqrt is the oracle-bridge convention: a float SUM over
+    languages would be order-dependent across engines).  Documents are
+    selected by content-stable id hash, never a seeded RNG, so
+    resampling any shard reproduces the same mixture.
+
+    Output: (doc_id, lang) — the flattened mixture (head languages
+    thinned, tail languages kept whole).
+
+    Scale shape: per-batch lang value_counts combiner -> one BOUNDED
+    groupby (|langs| rows) -> driver computes the |langs|-entry permille
+    table -> zero-shuffle filter map with the table in the closure
+    (ray.put broadcast at real vocabulary sizes).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import fast_hash64
+
+    ds = _docs(sf_dir, columns=("doc_id", "lang"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        agg = t.group_by("lang").aggregate([("lang", "count")])
+        return pa.table({"lang": agg["lang"],
+                         "n": pc.cast(agg["lang_count"], pa.int64())})
+
+    rows = (ds.map_batches(counts, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("lang").aggregate(Sum("n", alias_name="n"))
+            .take_all())                    # bounded: |langs| rows
+    total = sum(int(r["n"]) for r in rows)
+    s_int = sum(math.isqrt(int(r["n"])) for r in rows)
+    permille = {r["lang"]: min(
+        1000, 1000 * total * math.isqrt(int(r["n"]))
+        // (s_int * int(r["n"]))) for r in rows}
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        thr = np.fromiter((permille[l] for l in langs), dtype=np.int64,
+                          count=len(langs))
+        if hash_mode == "md5":
+            ids = t["doc_id"].to_pylist()
+            h = np.fromiter(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                 % 1000 for i in ids), dtype=np.int64, count=len(ids))
+        else:
+            h = (fast_hash64(pc.cast(t["doc_id"], pa.string()))
+                 % np.uint64(1000)).astype(np.int64)
+        mask = pa.array(h < thr)
+        return pa.table({"doc_id": t["doc_id"].filter(mask),
+                         "lang": t["lang"].filter(mask)})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
