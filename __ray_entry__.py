@@ -757,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_streaks"] = temporal.events_streaks
     # PERCENT_RANK / CUME_DIST relative-rank windows (integer micro-units)
     q["events_percent_rank"] = temporal.events_percent_rank
+    # first-order Markov transition matrix over per-user sequences
+    q["event_transitions"] = temporal.event_transitions
 
     # HLL sketch — approximate by design, no SQL oracle (rows-only check;
     # accuracy pinned in tests/test_sketches.py against exact counts)
@@ -936,7 +938,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
-    "edit_distance_pairs", "temperature_mix",
+    "edit_distance_pairs", "temperature_mix", "event_transitions",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2345,6 +2347,23 @@ def oracle_sql() -> dict[str, str]:
              strftime(MAX(day), '%Y-%m-%d') AS end_day,
              CAST(COUNT(*) AS BIGINT) AS n_days
       FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    """
+
+    sql["event_transitions"] = """
+      WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+      ), t AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+      )
+      SELECT from_type, to_type, n,
+             CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                  AS BIGINT) AS p_micro
+      FROM t
     """
 
     sql["events_percent_rank"] = """

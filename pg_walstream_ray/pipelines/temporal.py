@@ -729,3 +729,70 @@ def events_percent_rank(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
                                           num_cpus=1))
+
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition statistics over per-user event
+    sequences — the sequence-mining primitive behind next-action models
+    and funnel diagnostics: count consecutive (from_type -> to_type)
+    transitions in each user's (ts, event_id)-ordered timeline, with the
+    row-conditional probability in exact integer micro-units
+    (p_micro = n * 1e6 // n_from, so the value hash can never drift on
+    float division).
+
+    Output: (from_type, to_type, n, p_micro).
+
+    Scale shape: ONE hash shuffle on ``user_id % NPART``; each bucket
+    emits its |types|^2-bounded partial transition counts (vectorized
+    shift-compare, no per-row Python), then a BOUNDED groupby + driver
+    conditional-probability pass over |types|^2 rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                  "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        same = np.empty(len(g), dtype=bool)
+        if len(g):
+            same[0] = False
+            same[1:] = u[1:] == u[:-1]
+        src = et[np.flatnonzero(same) - 1]
+        dst = et[same]
+        df = pd.DataFrame({"from_type": src, "to_type": dst})
+        agg = df.groupby(["from_type", "to_type"], sort=False) \
+            .size().reset_index(name="c")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rows = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("c", alias_name="n"))
+            .take_all())                    # bounded: |types|^2 rows
+    if not rows:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p_micro": pa.array([], pa.int64())})
+    df = pd.DataFrame(rows).sort_values(["from_type", "to_type"],
+                                        ignore_index=True)
+    n = df["n"].to_numpy(np.int64)
+    n_from = df.groupby("from_type")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    return pa.table({
+        "from_type": pa.array(df["from_type"].to_numpy(object),
+                              pa.string()),
+        "to_type": pa.array(df["to_type"].to_numpy(object), pa.string()),
+        "n": pa.array(n),
+        "p_micro": pa.array(n * 1_000_000 // n_from),
+    })

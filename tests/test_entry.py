@@ -90,7 +90,7 @@ def test_every_oracle_key_has_query(contract):
     "bigram_heavy_hitters", "chunk_documents", "pmi_collocations",
     "psi_source_drift", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
-    "edit_distance_pairs", "temperature_mix",
+    "edit_distance_pairs", "temperature_mix", "event_transitions",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
