@@ -825,6 +825,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
     q["ann_ivf_topk"] = lambda sf: similarity.ann_ivf_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])  # approx: rows-only
+    # product-quantization ANN (compressed codes + ADC + exact re-rank):
+    # approximate by design -> rows-only driver check; recall/determinism
+    # pinned in tests
+    q["ann_pq_topk"] = lambda sf: similarity.ann_pq_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
     # k-means clustering: iterative (non-SQL-expressible) -> rows-only
     # driver check; self-consistency + determinism pinned in tests
     q["embedding_kmeans"] = similarity.embedding_kmeans
@@ -939,6 +944,7 @@ _DRIVER_WINDOW_ORDER = [
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
+    "ann_pq_topk",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",

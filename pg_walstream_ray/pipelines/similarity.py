@@ -905,3 +905,206 @@ def rrf_fusion(sf_dir: str, k: int = RRF_TOPK, depth: int = RRF_DEPTH):
         "rrf_micro": pa.array([f[1] for f in fused], pa.int64()),
         "rnk": pa.array(list(range(1, len(fused) + 1)), pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-index scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8            # subspaces (d=64 -> 8 dims each)
+PQ_KS = 16          # codes per subspace (4-bit)
+PQ_SEED = 40961
+PQ_ADC_FACTOR = 4   # ADC candidate multiplier before exact re-rank
+
+
+def _train_pq_codebooks(m: np.ndarray, n_sub: int = PQ_M, ks: int = PQ_KS,
+                        iters: int = 10,
+                        seed: int = PQ_SEED) -> np.ndarray:
+    """Per-subspace seeded L2 k-means over a bounded unit-vector sample.
+    Returns [n_sub, ks, d_sub] codebooks (deterministic)."""
+    if len(m) == 0:
+        return np.zeros((n_sub, ks, 0), np.float64)
+    n, d = m.shape
+    dsub = d // n_sub
+    rng = np.random.default_rng(seed)
+    books = np.zeros((n_sub, ks, dsub), np.float64)
+    for s in range(n_sub):
+        x = m[:, s * dsub:(s + 1) * dsub]
+        cent = x[rng.choice(n, size=min(ks, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mem = x[a == c]
+                cent[c] = mem.mean(0) if len(mem) \
+                    else x[rng.integers(0, n)]
+        books[s, : len(cent)] = cent
+    return books
+
+
+class PqEncodeStage:
+    """Actor: unit-normalize each vector and quantize every subvector to
+    its nearest codebook entry — the batch emits (vec_id, codes) only,
+    M bytes per vector instead of d floats (the object-store footprint
+    win that makes billion-scale ANN fit)."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = ray.get(books_ref)        # [M, ks, dsub]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        if len(m) == 0:
+            return pa.table({"vec_id": t["vec_id"].slice(0, 0),
+                             "codes": pa.array([], pa.list_(pa.uint8()))})
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n_sub, ks, dsub = self.books.shape
+        codes = np.empty((len(m), n_sub), np.uint8)
+        for s in range(n_sub):
+            x = m[:, s * dsub:(s + 1) * dsub]
+            # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2)
+            sc = x @ self.books[s].T \
+                - 0.5 * (self.books[s] ** 2).sum(1)[None, :]
+            codes[:, s] = np.argmax(sc, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), n_sub)})
+
+
+class PqAdcScore:
+    """Actor: asymmetric-distance (ADC) scoring — approx cosine of every
+    coded vector against every query via per-subspace lookup tables,
+    emitting each batch's top-k' candidates per query.  No float vectors
+    move: the stage reads M uint8 codes per row and the [nq, M, ks] LUT
+    broadcast."""
+
+    def __init__(self, lut_ref, kprime: int):
+        import ray
+
+        self.qids, self.lut = ray.get(lut_ref)   # [nq], [nq, M, ks]
+        self.kprime = kprime
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if n == 0:
+            return empty
+        codes = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, -1)                       # [n, M] uint8
+        n_sub = codes.shape[1]
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        # approx[n, nq] = sum_m LUT[:, m, codes[:, m]]
+        approx = np.zeros((n, len(self.qids)), np.float64)
+        for s in range(n_sub):
+            approx += self.lut[:, s, codes[:, s]].T
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            sc = approx[:, j]
+            mask = vec_ids != qid
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            kk = min(self.kprime, len(idx))
+            top = idx[np.argpartition(-sc[idx], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_n.append(vec_ids[top])
+            out_s.append(sc[top])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "sim": np.concatenate(out_s)})
+
+
+def ann_pq_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
+                n_sub: int = PQ_M, ks: int = PQ_KS,
+                adc_factor: int = PQ_ADC_FACTOR, concurrency: int = 4):
+    """Product-quantization ANN: bounded-sample codebook training ->
+    distributed encode to M-byte codes -> ADC lookup-table scoring of
+    the COMPRESSED index (no float vectors shuffle) -> exact cosine
+    re-rank of the bounded ADC candidate set (nq * k * adc_factor ids).
+
+    Output: (query_id, neighbor_id, rnk, cos_sim) — recall asserted in
+    tests (approximate by design; no SQL oracle).
+
+    Scale design: the float corpus is read twice (encode; re-rank
+    filter) but only codes + candidate ids ever shuffle; LUTs and
+    codebooks broadcast via ray.put.  The candidate id set is
+    O(nq * k * adc_factor) — driver-bounded by construction.
+    """
+    import ray
+
+    sm = _sample_matrix(sf_dir)
+    books = _train_pq_codebooks(sm, n_sub, ks)
+    qids, q = _load_queries(sf_dir, nq)
+    dsub = q.shape[1] // n_sub if len(q) else 0
+    lut = np.zeros((len(qids), n_sub, ks), np.float64)
+    for s in range(n_sub):
+        lut[:, s, :] = q[:, s * dsub:(s + 1) * dsub] @ books[s].T
+    lut_ref = ray.put((qids, lut))
+    books_ref = ray.put(books)
+
+    codes = _emb(sf_dir).map_batches(
+        as_tasks(PqEncodeStage, books_ref=books_ref),
+        batch_format="pyarrow", batch_size=4096)
+    adc = codes.map_batches(
+        as_tasks(PqAdcScore, lut_ref=lut_ref, kprime=k * adc_factor),
+        batch_format="pyarrow", batch_size=65536)
+
+    def adc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k * adc_factor)
+        return g[["query_id", "neighbor_id"]]
+
+    cand = (adc.groupby("query_id")
+            .map_groups(adc_topk, batch_format="pandas")
+            .take_all())                    # bounded: nq * k * adc_factor
+    cand_ids = np.unique(np.array([r["neighbor_id"] for r in cand],
+                                  np.int64))
+    by_query: dict = {}
+    for r in cand:
+        by_query.setdefault(int(r["neighbor_id"]), []).append(
+            int(r["query_id"]))
+    qn_by_id = {int(qid): q[i] for i, qid in enumerate(qids)}
+    cand_ref = ray.put((cand_ids, by_query, qn_by_id))
+
+    class ExactRerank:
+        def __init__(self):
+            ids, byq, qn = ray.get(cand_ref)
+            self.ids, self.byq, self.qn = ids, byq, qn
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            keep = np.isin(vec_ids, self.ids)
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "sim": pa.array([], pa.float64())})
+            if not keep.any():
+                return empty
+            sub = t.filter(pa.array(keep))
+            m = _batch_matrix(sub)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sids = sub["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s = [], [], []
+            for i, vid in enumerate(sids):
+                for qid in self.byq.get(int(vid), ()):
+                    out_q.append(qid)
+                    out_n.append(int(vid))
+                    out_s.append(float(m[i] @ self.qn[qid]))
+            if not out_q:
+                return empty
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+    exact = _emb(sf_dir).map_batches(as_tasks(ExactRerank),
+                                     batch_format="pyarrow",
+                                     batch_size=4096)
+    return _final_topk(exact, k)

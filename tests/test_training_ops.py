@@ -777,3 +777,24 @@ def test_rrf_fusion_local_reference(ray_session):
     assert out["doc_id"].tolist() == [f[0] for f in fused]
     assert out["rrf_micro"].tolist() == [f[1] for f in fused]
     assert out["rnk"].tolist() == list(range(1, len(fused) + 1))
+
+
+def test_ann_pq_recall_and_determinism(ray_session):
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       ann_pq_topk)
+
+    brute = ann_brute_topk(SF).to_pandas()
+    pq = ann_pq_topk(SF).to_pandas()
+    gt = {q: set(g["neighbor_id"]) for q, g in brute.groupby("query_id")}
+    got = {q: set(g["neighbor_id"]) for q, g in pq.groupby("query_id")}
+    recall = np.mean([len(gt[q] & got.get(q, set())) / len(gt[q])
+                      for q in gt])
+    assert recall >= 0.5, recall
+    # exact re-rank means every reported sim is the true cosine: the
+    # reported neighbors must rank identically on a second run (seeded
+    # codebooks, content-stable ids -> fully deterministic)
+    again = ann_pq_topk(SF).to_pandas()
+    a = pq.sort_values(["query_id", "rnk"], ignore_index=True)
+    b = again.sort_values(["query_id", "rnk"], ignore_index=True)
+    assert (a[["query_id", "neighbor_id", "rnk"]].to_numpy()
+            == b[["query_id", "neighbor_id", "rnk"]].to_numpy()).all()
