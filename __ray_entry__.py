@@ -733,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["grouped_corr"] = analytics.grouped_corr
     # MODE() per group (deterministic smallest-value tie-break)
     q["mode_per_group"] = analytics.mode_per_group
+    # per-type Gini skew audit over user activity (integer micro-units)
+    q["key_skew_audit"] = analytics.key_skew_audit
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -944,7 +946,7 @@ _DRIVER_WINDOW_ORDER = [
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
-    "ann_pq_topk",
+    "ann_pq_topk", "key_skew_audit",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2328,6 +2330,24 @@ def oracle_sql() -> dict[str, str]:
              / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_micro,
         CAST(FLOOR(100.0 * (n*sxy - sx*sy) / n / n) AS BIGINT)
           AS covp_centi
+      FROM s
+    """
+
+    sql["key_skew_audit"] = """
+      WITH c AS (SELECT event_type, user_id,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY n, user_id) AS i
+            FROM c),
+      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(SUM(i * n) AS BIGINT) AS wsum
+            FROM r GROUP BY event_type)
+      SELECT event_type, k, tot,
+             CAST((2 * wsum * 1000000) // (k * tot)
+                  - ((k + 1) * 1000000) // k AS BIGINT) AS gini_micro
       FROM s
     """
 

@@ -2995,3 +2995,75 @@ def mode_per_group(sf_dir: str):
             .groupby(["grp", "v"]).aggregate(Sum("c", alias_name="n"))
             .groupby("grp").map_groups(pick, batch_format="pandas",
                                        num_cpus=0.5))
+
+
+def key_skew_audit(sf_dir: str):
+    """Key-skew audit — exact Gini coefficient of the per-user activity
+    distribution within each event type, in integer micro-units.  The
+    corpus-level analogue of the CDC hot-key probe: a type whose Gini
+    approaches 1 concentrates its volume on few users (the partitioning
+    hazard the salted-shuffle path exists for).
+
+    Output: (event_type, k, tot, gini_micro) — k distinct users, tot
+    events, Gini from the rank-weighted sum identity.
+
+    Scale shape: one (type, user)-bucket shuffle for exact per-pair
+    counts; each bucket emits COUNT-OF-COUNTS partials ((type, n) ->
+    #users with n events), so the final groupby is bounded by
+    |types| x |distinct counts| regardless of user cardinality; the
+    driver computes Gini from that histogram with the tied-rank series
+    formula (sum of ranks over a tied block is arithmetic), never
+    touching per-user rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    from ..functions.scale import coarse_npart
+    npart = coarse_npart()
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")])
+        u = agg["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"bkt": pa.array(u % npart),
+                         "event_type": agg["event_type"],
+                         "user_id": agg["user_id"],
+                         "c": pc.cast(agg["user_id_count"], pa.int64())})
+
+    def count_of_counts(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby(["event_type", "user_id"], sort=False)["c"].sum() \
+            .reset_index(name="n")
+        hist = tot.groupby(["event_type", "n"], sort=False) \
+            .size().reset_index(name="m")
+        return pa.Table.from_pandas(hist, preserve_index=False)
+
+    rows = (ds.map_batches(pair_partials, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bkt").map_groups(count_of_counts,
+                                       batch_format="pandas")
+            .groupby(["event_type", "n"])
+            .aggregate(Sum("m", alias_name="m"))
+            .take_all())          # bounded: |types| x |distinct counts|
+    out = {"event_type": [], "k": [], "tot": [], "gini_micro": []}
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["n"]), int(r["m"])))
+    for et in sorted(by_type):
+        hist = sorted(by_type[et])
+        k = sum(m for _, m in hist)
+        tot = sum(n * m for n, m in hist)
+        pos, wsum = 0, 0
+        for n, m in hist:          # ranks pos+1 .. pos+m share value n
+            wsum += n * (m * pos + m * (m + 1) // 2)
+            pos += m
+        out["event_type"].append(et)
+        out["k"].append(k)
+        out["tot"].append(tot)
+        out["gini_micro"].append(
+            (2 * wsum * 1_000_000) // (k * tot)
+            - ((k + 1) * 1_000_000) // k)
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "k": pa.array(out["k"], pa.int64()),
+                     "tot": pa.array(out["tot"], pa.int64()),
+                     "gini_micro": pa.array(out["gini_micro"], pa.int64())})
