@@ -761,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_percent_rank"] = temporal.events_percent_rank
     # first-order Markov transition matrix over per-user sequences
     q["event_transitions"] = temporal.event_transitions
+    # peak session concurrency (distributed ordered-prefix-sum sweep)
+    q["session_concurrency"] = temporal.session_concurrency
 
     # HLL sketch — approximate by design, no SQL oracle (rows-only check;
     # accuracy pinned in tests/test_sketches.py against exact counts)
@@ -946,7 +948,7 @@ _DRIVER_WINDOW_ORDER = [
     "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
-    "ann_pq_topk", "key_skew_audit",
+    "ann_pq_topk", "key_skew_audit", "session_concurrency",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2373,6 +2375,36 @@ def oracle_sql() -> dict[str, str]:
              strftime(MAX(day), '%Y-%m-%d') AS end_day,
              CAST(COUNT(*) AS BIGINT) AS n_days
       FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    """
+
+    sql["session_concurrency"] = """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+      ), s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+      ), iv AS (
+        SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+        FROM s GROUP BY 1, 2
+      ), d AS (
+        SELECT st AS t, 1 AS delta FROM iv
+        UNION ALL SELECT en, -1 FROM iv
+      ), r AS (
+        SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+                                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM d
+      ), m AS (SELECT MAX(run) AS mx FROM r)
+      SELECT CAST(mx AS BIGINT) AS max_concurrent,
+             CAST(epoch_us(MIN(t)) AS BIGINT) AS at_micro
+      FROM r, m WHERE run = mx GROUP BY mx
     """
 
     sql["event_transitions"] = """

@@ -796,3 +796,83 @@ def event_transitions(sf_dir: str):
         "n": pa.array(n),
         "p_micro": pa.array(n * 1_000_000 // n_from),
     })
+
+
+def session_concurrency(sf_dir: str):
+    """Interval-overlap sweep: the maximum number of user sessions open
+    at the same instant, and the earliest microsecond it happens — the
+    capacity-planning primitive (peak concurrency) and the engine's
+    distributed ORDERED-PREFIX-SUM pattern.
+
+    Sessions use the same 30-minute-gap rule as events_sessionize; a
+    session [s, e] is open on the closed interval (a one-event session
+    is open at its instant).
+
+    Output: ONE row (max_concurrent, at_micro).
+
+    Scale shape (scan-combine, no global sort): one user-bucket shuffle
+    builds session intervals vectorized; interval endpoints become
+    (+1 at s, -1 at e) deltas routed by DAY bucket; each day bucket
+    sorts ITS deltas (t, +1-before--1), computes its local prefix sums,
+    and emits a 4-number summary (total, local max, earliest argmax t,
+    day).  The driver folds the bounded day summaries left-to-right —
+    global offset per day is the running total, global max is
+    max(offset + local max) — the classic parallel-scan combine; no
+    per-event data crosses the driver.
+    """
+    ds = _events(sf_dir, columns=("user_id", "ts"))
+    npart = coarse_npart()
+    gap_us = 30 * 60 * 1_000_000
+    day_us = 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort",
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new = np.empty(len(g), dtype=bool)
+        if len(g):
+            new[0] = True
+            new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g)) - 1
+        s, e = ts[starts], ts[ends]
+        t_all = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(len(s), np.int64),
+                                np.full(len(e), -1, np.int64)])
+        return pa.table({"dbkt": pa.array(t_all // day_us),
+                         "t": pa.array(t_all), "delta": pa.array(delta)})
+
+    def day_summary(g: pd.DataFrame) -> pa.Table:
+        # +1 before -1 at equal t: sort by (t, -delta)
+        g = g.sort_values(["t", "delta"], ascending=[True, False],
+                          kind="mergesort", ignore_index=True)
+        run = g["delta"].to_numpy(np.int64).cumsum()
+        mx = int(run.max())
+        at = int(g["t"].to_numpy(np.int64)[int(np.argmax(run == mx))])
+        return pa.table({"day": pa.array([int(g["dbkt"].iloc[0])]),
+                         "total": pa.array([int(run[-1])]),
+                         "mx": pa.array([mx]), "at": pa.array([at])})
+
+    rows = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(intervals,
+                                          batch_format="pandas")
+            .groupby("dbkt").map_groups(day_summary,
+                                        batch_format="pandas")
+            .take_all())                  # bounded: one row per day
+    rows.sort(key=lambda r: r["day"])
+    offset, best, best_at = 0, None, None
+    for r in rows:
+        cand = offset + int(r["mx"])
+        if best is None or cand > best:
+            best, best_at = cand, int(r["at"])
+        offset += int(r["total"])
+    if best is None:
+        return pa.table({"max_concurrent": pa.array([], pa.int64()),
+                         "at_micro": pa.array([], pa.int64())})
+    return pa.table({"max_concurrent": pa.array([best], pa.int64()),
+                     "at_micro": pa.array([best_at], pa.int64())})
