@@ -735,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mode_per_group"] = analytics.mode_per_group
     # per-type Gini skew audit over user activity (integer micro-units)
     q["key_skew_audit"] = analytics.key_skew_audit
+    # grouped ARG_MAX (event of each user's max spend, deterministic ties)
+    q["arg_max_per_user"] = analytics.arg_max_per_user
 
     # -- temporal / ordered-stream custom operators ------------------------
     from pg_walstream_ray.pipelines import temporal
@@ -949,6 +951,7 @@ _DRIVER_WINDOW_ORDER = [
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
+    "arg_max_per_user",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2333,6 +2336,16 @@ def oracle_sql() -> dict[str, str]:
         CAST(FLOOR(100.0 * (n*sxy - sx*sy) / n / n) AS BIGINT)
           AS covp_centi
       FROM s
+    """
+
+    sql["arg_max_per_user"] = """
+      WITH e AS (SELECT user_id, event_id,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events)
+      SELECT user_id, event_id AS top_event_id, cents AS top_cents
+      FROM e
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY cents DESC, event_id DESC) = 1
     """
 
     sql["key_skew_audit"] = """

@@ -3067,3 +3067,48 @@ def key_skew_audit(sf_dir: str):
                      "k": pa.array(out["k"], pa.int64()),
                      "tot": pa.array(out["tot"], pa.int64()),
                      "gini_micro": pa.array(out["gini_micro"], pa.int64())})
+
+
+def arg_max_per_user(sf_dir: str):
+    """Grouped ARG_MAX — for every user, the event carrying their maximum
+    spend (ties broken by the larger event_id, spelled out in the oracle
+    because SQL's arg_max alone is tie-unspecified).
+
+    Output: (user_id, top_event_id, top_cents).
+
+    Scale shape: per-batch argmax combiner — each batch ships ONE row
+    per user present in it — then one groupby over those partials with
+    the same vectorized argmax.  The raw event stream never shuffles.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    from ..functions.scale import coarse_npart
+    npart = coarse_npart()
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False),
+            "top_event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "top_cents": cents})
+        # (cents, event_id) lexicographic argmax via stable sort-last
+        df = df.sort_values(["user_id", "top_cents", "top_event_id"],
+                            kind="mergesort")
+        agg = df.groupby("user_id", sort=False, as_index=False).last()
+        agg["bucket"] = agg["user_id"].to_numpy(np.int64) % npart
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per USER BUCKET (never one Python group per
+        # user): stable sort + last-row-per-user
+        g = g.sort_values(["user_id", "top_cents", "top_event_id"],
+                          kind="mergesort")
+        out = g.groupby("user_id", sort=False, as_index=False).last()
+        return out[["user_id", "top_event_id", "top_cents"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))

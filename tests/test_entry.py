@@ -91,7 +91,7 @@ def test_every_oracle_key_has_query(contract):
     "psi_source_drift", "events_streaks", "events_percent_rank",
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
-    "key_skew_audit", "session_concurrency",
+    "key_skew_audit", "session_concurrency", "arg_max_per_user",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
