@@ -398,6 +398,42 @@ def _cdc_time_travel(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_snapshot_diff(sf_dir: str) -> Any:
+    """Snapshot diff between two WAL positions (lake.history_diff): keys
+    added / removed / updated between state AS OF the WAL's first-quartile
+    LSN and AS OF its third-quartile LSN, computed per-partition over the
+    SCD2 history lake (no replay, no cross-partition state).  Oracle: two
+    bounded LWW replays FULL OUTER joined on the key."""
+    import duckdb
+
+    from pg_walstream_ray.lake import history_diff
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    max_ev = duckdb.sql(
+        f"SELECT max(event_id) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    max_ev = int(max_ev) if max_ev is not None else 0
+    lsn_a = (max_ev // 4) * 4 + 4
+    lsn_b = ((3 * max_ev) // 4) * 4 + 4
+    lake = tempfile.mkdtemp(prefix="pgwr_diff_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        refs = history_diff(lake, lsn_a, lsn_b).to_arrow_refs()
+        import ray as _ray
+        tables = [t for t in _ray.get(refs) if t.num_rows]
+        cols = [*_TRANSCRIPT_COLS[:2], ("change", pa.string()),
+                *_TRANSCRIPT_COLS[2:]]
+        if not tables:
+            return pa.table({c: pa.array([], t_) for c, t_ in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_repartitioned(sf_dir: str) -> Any:
     """Lake repartitioning mid-stream (lake.repartition_lake): replay HALF
     the upsert WAL into a 4-partition lake, re-key it to 10 partitions
@@ -630,6 +666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_repartitioned"] = _cdc_repartitioned
     # time travel: history lake AS OF the WAL midpoint == bounded LWW replay
     q["cdc_time_travel"] = _cdc_time_travel
+    # snapshot diff: added/removed/updated keys between two WAL positions,
+    # per-partition over the history lake (checkpoint-to-checkpoint sync)
+    q["cdc_snapshot_diff"] = _cdc_snapshot_diff
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -1262,6 +1301,47 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """
+
+    # snapshot diff: state at the first-quartile LSN vs the third-quartile
+    # LSN (same change derivation as time travel), FULL OUTER on the key;
+    # payload carries the B-side version, NULL for removed keys
+    sql["cdc_snapshot_diff"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE role END AS role,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text,
+               CASE WHEN event_type = 'error' THEN NULL ELSE tool END AS tool,
+               ts
+        FROM ({_UPSERT_CHANGES})
+      ), pt AS (
+        SELECT (MAX(event_id) // 4) * 4 + 4 AS LA,
+               ((3 * MAX(event_id)) // 4) * 4 + 4 AS LB
+        FROM events
+      ), sa AS (
+        SELECT conv_id, turn_idx, lsn AS vfrom FROM (
+          SELECT c.*, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY lsn DESC) AS rn
+          FROM changes c, pt WHERE c.lsn <= pt.LA)
+        WHERE rn = 1 AND op <> 'delete'
+      ), sb AS (
+        SELECT conv_id, turn_idx, lsn AS vfrom, role, text, tool, ts FROM (
+          SELECT c.*, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY lsn DESC) AS rn
+          FROM changes c, pt WHERE c.lsn <= pt.LB)
+        WHERE rn = 1 AND op <> 'delete'
+      )
+      SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
+             COALESCE(sa.turn_idx, sb.turn_idx) AS turn_idx,
+             CASE WHEN sa.conv_id IS NULL THEN 'added'
+                  WHEN sb.conv_id IS NULL THEN 'removed'
+                  ELSE 'updated' END AS change,
+             sb.role, sb.text, sb.tool, sb.ts
+      FROM sa FULL OUTER JOIN sb
+        ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
+      WHERE sa.conv_id IS NULL OR sb.conv_id IS NULL
+            OR sa.vfrom <> sb.vfrom
     """
 
     # TOAST: click updates carry text as unchanged -> NULL in changes; the

@@ -224,6 +224,81 @@ def history_dataset(lake_dir: str,
                           batch_format="pyarrow")
 
 
+def history_diff(lake_dir: str, lsn_a: int, lsn_b: int,
+                 key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Snapshot diff between two WAL positions over a sink='history' lake:
+    which keys were added / removed / updated between state AS OF ``lsn_a``
+    and state AS OF ``lsn_b`` (the incremental-feed primitive a downstream
+    consumer uses to sync from one checkpoint to another without replaying
+    the WAL itself).
+
+    Distributed per partition, like history_as_of's streaming form: keys
+    are partition-local, so each task reconstructs its partition's version
+    intervals ONCE and classifies keys with two interval-containment masks
+    — no cross-partition state, nothing on the driver, and the diff of a
+    1000-partition lake is one task wave.  Output rows:
+    ``(*key_cols, change, role, text, tool, ts)`` where ``change`` is
+    'added' | 'removed' | 'updated'; payload columns carry the version at
+    ``lsn_b`` ('added'/'updated') and are NULL for 'removed'.  A key whose
+    live version is the same row at both points (valid_from unchanged) is
+    not emitted.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from .stages.history import version_intervals
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+    payload = ["role", "text", "tool", "ts"]
+
+    def live_at(df: pd.DataFrame, lsn: int) -> pd.DataFrame:
+        m = (df["valid_from"] <= lsn) & \
+            (df["valid_to"].isna() | (df["valid_to"] > lsn))
+        return df[m]
+
+    def diff_part(batch: pa.Table):
+        for row in batch.to_pylist():
+            raw = _unify([pq.read_table(p) for p in row["paths"]])
+            t = version_intervals(raw, key_cols=key_cols)
+            if not t.num_rows:
+                continue
+            df = t.to_pandas()
+            a = live_at(df, lsn_a).set_index(list(key_cols))
+            b = live_at(df, lsn_b).set_index(list(key_cols))
+            j = a[["valid_from"]].join(b[["valid_from", *payload]],
+                                       how="outer", lsuffix="_a",
+                                       rsuffix="_b")
+            va = j["valid_from_a"].to_numpy(np.float64, na_value=np.nan)
+            vb = j["valid_from_b"].to_numpy(np.float64, na_value=np.nan)
+            change = np.where(
+                np.isnan(va), "added",
+                np.where(np.isnan(vb), "removed", "updated"))
+            keep = np.isnan(va) | np.isnan(vb) | (va != vb)
+            if not keep.any():
+                continue
+            j = j[keep]
+            out = j.reset_index()[list(key_cols)]
+            out["change"] = change[keep]
+            for c in payload:
+                out[c] = j[c].to_numpy()
+            yield pa.table({
+                key_cols[0]: pa.array(out[key_cols[0]], pa.string()),
+                key_cols[1]: pa.array(out[key_cols[1]], pa.int32()),
+                "change": pa.array(out["change"], pa.string()),
+                "role": pa.array(out["role"], pa.string()),
+                "text": pa.array(out["text"], pa.string()),
+                "tool": pa.array(out["tool"], pa.string()),
+                "ts": pa.array(out["ts"]).cast(pa.timestamp("us")),
+            })
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(diff_part, batch_size=1, batch_format="pyarrow")
+
+
 def bootstrap_from_snapshot(snapshot_ds, lake_dir: str,
                             lsn0_by_source: dict, num_partitions: int,
                             hot_keys: Tuple[str, ...] = (),

@@ -154,6 +154,69 @@ class TestHistorySink:
             run_cdc(wal, lk, num_partitions=2)
 
 
+class TestHistoryDiff:
+    """lake.history_diff: applying the diff to state-at-A must reproduce
+    state-at-B exactly (the checkpoint-to-checkpoint sync contract)."""
+
+    def _diff_df(self, hist: str, a: int, b: int) -> pd.DataFrame:
+        ds = lakemod.history_diff(hist, a, b)
+        tables = list(ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+        if not tables:
+            return pd.DataFrame(columns=[*PAYLOAD, "change"])
+        return pa.concat_tables(tables,
+                                promote_options="default").to_pandas()
+
+    def test_apply_diff_reconstructs_b(self, ray_session):
+        spec = walgen.WalSpec(n_convs=40, turns_per_conv=8,
+                              update_frac=0.5, delete_frac=0.15, seed=29)
+        wal = make_wal(spec)
+        hist = tempfile.mkdtemp(prefix="lake_hist_")
+        run_cdc(wal, hist, num_partitions=4, sink="history")
+        t = lakemod.history_table(hist)
+        max_lsn = int(pc.max(t["valid_from"]).as_py())
+        a_lsn, b_lsn = max_lsn // 3, (2 * max_lsn) // 3
+        d = self._diff_df(hist, a_lsn, b_lsn)
+        assert len(d) > 0
+        assert set(d["change"].unique()) <= {"added", "removed", "updated"}
+        # removed rows carry NULL payload
+        rem = d[d["change"] == "removed"]
+        assert rem["text"].isna().all() and rem["role"].isna().all()
+
+        key = ["conv_id", "turn_idx"]
+        state_a = lakemod.history_as_of(hist, a_lsn).to_pandas() \
+            .set_index(key)
+        state_b = lakemod.history_as_of(hist, b_lsn).to_pandas() \
+            .set_index(key)
+        # added keys absent at A, removed keys absent at B
+        added = d[d["change"] == "added"].set_index(key)
+        assert not added.index.isin(state_a.index).any()
+        assert added.index.isin(state_b.index).all()
+        rem_i = rem.set_index(key)
+        assert rem_i.index.isin(state_a.index).all()
+        assert not rem_i.index.isin(state_b.index).any()
+        # A + diff == B
+        upserts = d[d["change"] != "removed"].set_index(key)[
+            [c for c in PAYLOAD if c not in key]]
+        merged = state_a.drop(index=rem_i.index) \
+            .drop(index=upserts.index, errors="ignore")
+        merged = pd.concat([merged, upserts]).sort_index()
+        pd.testing.assert_frame_equal(
+            merged[sorted(merged.columns)],
+            state_b.sort_index()[sorted(state_b.columns)],
+            check_dtype=False)
+
+    def test_diff_same_point_is_empty(self, ray_session):
+        spec = walgen.WalSpec(n_convs=10, turns_per_conv=4,
+                              update_frac=0.5, seed=31)
+        wal = make_wal(spec)
+        hist = tempfile.mkdtemp(prefix="lake_hist_")
+        run_cdc(wal, hist, num_partitions=2, sink="history")
+        t = lakemod.history_table(hist)
+        mid = int(pc.max(t["valid_from"]).as_py()) // 2
+        assert len(self._diff_df(hist, mid, mid)) == 0
+
+
 class TestRepartitionLake:
     def test_repartition_midstream_resume(self, ray_session):
         spec = walgen.WalSpec(n_convs=40, turns_per_conv=8,
