@@ -939,6 +939,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # temperature-flattened language mixing (alpha=0.5 upsampling)
     q["temperature_mix"] = lambda sf: textops.temperature_mix(
         sf, hash_mode="md5")
+    # deterministic global training-order shuffle with exact positions
+    # (histogram range-partition rank; content-stable across runs)
+    q["train_shuffle"] = lambda sf: textops.train_shuffle(
+        sf, hash_mode="md5")
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -1485,6 +1489,18 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
             AS BIGINT) % 100 < 10
+    """
+
+    from pg_walstream_ray.pipelines.textops import TRAIN_SHUFFLE_SEED
+
+    sql["train_shuffle"] = f"""
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || '|{TRAIN_SHUFFLE_SEED}'),
+                                        1, 15))::BIGINT,
+                        doc_id) - 1 AS pos,
+             doc_id
+      FROM documents
     """
 
     sql["tfidf_top_terms"] = """
