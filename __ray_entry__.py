@@ -822,6 +822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pg_walstream_ray.pipelines import corpus
 
     q["corpus_clean"] = lambda sf: corpus.corpus_clean(sf, hash_mode="md5")
+    # filter audit: per (source, verdict) doc/token counts with first-
+    # rejecting-filter attribution (observability for the cleaning job)
+    q["corpus_filter_audit"] = lambda sf: corpus.corpus_filter_audit(
+        sf, hash_mode="md5")
 
     # -- training-data ops: dedup ------------------------------------------
     from pg_walstream_ray.pipelines import dedup, similarity, textops
@@ -3051,6 +3055,54 @@ def oracle_sql() -> dict[str, str]:
         FROM f
       )
       SELECT doc_id, n_tokens, quality_q FROM ranked WHERE rn = 1
+    """
+
+    # filter audit: same feature derivation; verdict = first rejecting
+    # filter (quality -> lang), then kept/duplicate from the dedup keeper
+    sql["corpus_filter_audit"] = f"""
+      WITH b AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), hits AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM w GROUP BY doc_id
+      ), q AS (
+        SELECT b.doc_id, b.text, b.n_tokens, d.source,
+               FLOOR((0.4 * LEAST(1.0, b.n_tokens / 100.0)
+                      + 0.3 * (b.n_distinct::DOUBLE / b.n_tokens)
+                      + 0.3 * LEAST(1.0,
+                              (b.n_chars::DOUBLE / b.n_tokens) / 8.0))
+                     * 10000)::BIGINT AS quality_q,
+               {_pred_lang_case} AS pred_lang
+        FROM b JOIN hits USING (doc_id) JOIN documents d USING (doc_id)
+      ), cls AS (
+        SELECT *, CASE WHEN quality_q < {QUALITY_MIN_Q} THEN 'low_quality'
+                       WHEN pred_lang <> '{KEEP_LANG}' THEN 'wrong_lang'
+                       ELSE '' END AS v0
+        FROM q
+      ), ranked AS (
+        SELECT source, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+                 ORDER BY doc_id) AS rn
+        FROM cls WHERE v0 = ''
+      ), final AS (
+        SELECT source, CASE WHEN rn = 1 THEN 'kept' ELSE 'duplicate' END
+                 AS verdict, n_tokens
+        FROM ranked
+        UNION ALL
+        SELECT source, v0 AS verdict, n_tokens FROM cls WHERE v0 <> ''
+      )
+      SELECT source, verdict, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tokens)::BIGINT AS tok_total
+      FROM final GROUP BY source, verdict
     """
 
     sql["doc_fingerprint"] = """

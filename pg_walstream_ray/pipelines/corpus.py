@@ -104,3 +104,105 @@ def corpus_clean(sf_dir: str, min_quality_q: int = QUALITY_MIN_Q,
 
     return filtered.groupby("part").map_groups(dedup_part,
                                                batch_format="pandas")
+
+
+AUDIT_VERDICTS = ("kept", "duplicate", "low_quality", "wrong_lang")
+
+
+class AuditFeatureStage(CorpusFeatureStage):
+    """CorpusFeatureStage + source passthrough (same single scan)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = super().__call__(t)
+        return out.append_column("source", t["source"])
+
+
+def corpus_filter_audit(sf_dir: str, min_quality_q: int = QUALITY_MIN_Q,
+                        lang: str = KEEP_LANG, hash_mode: str = "fast"):
+    """Filter-audit companion to corpus_clean — the observability surface
+    a production cleaning job needs: per (source, verdict) document and
+    token counts, where verdict is the FIRST filter that rejected the doc
+    ('low_quality' then 'wrong_lang', mirroring corpus_clean's filter
+    order) or 'duplicate' / 'kept' from the exact-dedup keeper rule
+    (min doc_id per content hash among filter survivors).  A sudden
+    verdict-mix shift per source is the data-quality alarm.
+
+    Output: (source, verdict, n_docs, tok_total).
+
+    Scale shape: ONE feature scan (same fused stage as corpus_clean);
+    quality/lang rejections collapse to per-batch (source, verdict)
+    partial counts that never shuffle; only survivor (source, h, doc_id,
+    n_tokens) tuples take the hash exchange — text never moves — and the
+    final groupby is bounded by |sources| x |verdicts| rows.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    feat = ds.map_batches(as_tasks(AuditFeatureStage, hash_mode=hash_mode),
+                          batch_format="pyarrow", batch_size=4096)
+    npart = coarse_npart()
+
+    def classify(t: pa.Table) -> pa.Table:
+        lowq = pc.less(t["quality_q"], min_quality_q).to_numpy(
+            zero_copy_only=False)
+        wrong = ~lowq & pc.not_equal(t["pred_lang"], lang).to_numpy(
+            zero_copy_only=False)
+        surv = ~lowq & ~wrong
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        parts = []
+        # rejected docs: per-batch (source, verdict) partials, no shuffle
+        for verdict, m in (("low_quality", lowq), ("wrong_lang", wrong)):
+            if m.any():
+                d = pd.DataFrame({"source": src[m], "tok": ntok[m]})
+                g = d.groupby("source", as_index=False).agg(
+                    n_docs=("tok", "size"), tok=("tok", "sum"))
+                parts.append(pa.table({
+                    "part": pa.array(np.zeros(len(g), np.int64)),
+                    "source": pa.array(g["source"], pa.string()),
+                    "verdict": pa.array([verdict] * len(g), pa.string()),
+                    "h": pa.array(np.full(len(g), -1, np.int64)),
+                    "doc_id": pa.array(np.full(len(g), -1, np.int64)),
+                    "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                    "tok": pa.array(g["tok"].to_numpy(np.int64))}))
+        if surv.any():
+            h = t["h"].to_numpy(zero_copy_only=False)[surv]
+            parts.append(pa.table({
+                "part": pa.array(h % npart),
+                "source": pa.array(src[surv], pa.string()),
+                "verdict": pa.array([""] * int(surv.sum()), pa.string()),
+                "h": pa.array(h),
+                "doc_id": pa.array(t["doc_id"].to_numpy(
+                    zero_copy_only=False)[surv].astype(np.int64)),
+                "n_docs": pa.array(np.ones(int(surv.sum()), np.int64)),
+                "tok": pa.array(ntok[surv].astype(np.int64))}))
+        if not parts:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "verdict": pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    def audit_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = [g[g["verdict"] != ""][["source", "verdict",
+                                      "n_docs", "tok"]]]
+        s = g[g["verdict"] == ""]
+        if len(s):
+            s = s.sort_values("doc_id", kind="mergesort")
+            is_kept = ~s.duplicated("h", keep="first")
+            s = s.assign(verdict=np.where(is_kept, "kept", "duplicate"))
+            out.append(s.groupby(["source", "verdict"], as_index=False)
+                       .agg(n_docs=("n_docs", "sum"), tok=("tok", "sum")))
+        return pd.concat(out, ignore_index=True)
+
+    return (feat.map_batches(classify, batch_format="pyarrow")
+            .groupby("part").map_groups(audit_part, batch_format="pandas")
+            .groupby(["source", "verdict"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("tok", alias_name="tok_total")))

@@ -92,7 +92,7 @@ def test_every_oracle_key_has_query(contract):
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "key_skew_audit", "session_concurrency", "arg_max_per_user",
-    "cdc_snapshot_diff", "train_shuffle",
+    "cdc_snapshot_diff", "train_shuffle", "corpus_filter_audit",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
