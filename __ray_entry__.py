@@ -817,6 +817,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pinned in tests/test_sketches.py against exact quantiles / top-k)
     q["approx_quantiles"] = sketches.approx_quantiles
     q["approx_heavy_hitters"] = sketches.approx_heavy_hitters
+    # grouped HLL: approximate distinct users PER event type (sketch
+    # rows shuffle, users never do); accuracy pinned in tests
+    q["approx_group_distinct"] = sketches.approx_group_distinct
 
     # -- fused corpus-cleaning flagship ------------------------------------
     from pg_walstream_ray.pipelines import corpus

@@ -308,3 +308,56 @@ def approx_heavy_hitters(sf_dir: str, k: int = 20, cand_per_batch: int = 80):
         "token": [cand_list[i] for i in order],
         "n_approx": est[order].astype(np.int64),
     })
+
+
+def approx_group_distinct(sf_dir: str, hash_mode: str = "fast"):
+    """Per-group approximate COUNT(DISTINCT): distinct users per
+    event_type via GROUPED HyperLogLog sketches — the grouped companion
+    to ``approx_user_days``'s single global sketch.
+
+    Output: (event_type, n_approx) — one row per event type.
+
+    Scale shape: each batch folds its (type, user) pairs into one 4 KiB
+    sketch PER TYPE PRESENT (local exact dedup first, so fold cost is
+    distinct pairs, not rows); the only exchange is a groupby of
+    |types| x batches sketch rows merged by elementwise register max —
+    users never shuffle, and the answer for a 100 TB events table moves
+    O(types x batches x 4 KiB).  Approximate by design (rows-only driver
+    check); accuracy vs the exact distinct is pinned in tests (<5%).
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import fast_hash64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+
+    def batch_sketch(t: pa.Table) -> pa.Table:
+        pairs = pa.table({"event_type": t["event_type"],
+                          "user_id": t["user_id"]}) \
+            .group_by(["event_type", "user_id"]).aggregate([])
+        et = pairs["event_type"].to_numpy(zero_copy_only=False)
+        uid = pc.cast(pairs["user_id"], pa.string())
+        hashes = md5_hash64(uid.to_pylist()) if hash_mode == "md5" \
+            else fast_hash64(uid)
+        types, blobs = [], []
+        for ty in np.unique(et):
+            regs = hll_fold(hashes[et == ty],
+                            np.zeros(HLL_M, dtype=np.int8))
+            types.append(ty)
+            blobs.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "registers": pa.array(blobs, pa.binary())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(HLL_M, dtype=np.int8)
+        for blob in g["registers"]:
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_approx": [np.int64(hll_estimate(merged))]})
+
+    return (ds.map_batches(batch_sketch, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("event_type").map_groups(merge_group,
+                                              batch_format="pandas"))

@@ -132,3 +132,34 @@ def test_approx_heavy_hitters_vs_exact():
     """).df()["token"].tolist()
     overlap = len(set(got["token"]) & set(exact))
     assert overlap >= 18, (overlap, got["token"].tolist(), exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_group_distinct_vs_exact():
+    import duckdb
+
+    from pg_walstream_ray.pipelines.sketches import approx_group_distinct
+
+    sf = "/root/testdata/sf0.01"
+    got = approx_group_distinct(sf).to_pandas() \
+        .set_index("event_type")["n_approx"]
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+        f"'{sf}/events.parquet' GROUP BY event_type").df() \
+        .set_index("event_type")["n"]
+    assert set(got.index) == set(exact.index)
+    for ty in exact.index:
+        err = abs(int(got[ty]) - int(exact[ty])) / max(1, int(exact[ty]))
+        assert err < 0.05, (ty, int(got[ty]), int(exact[ty]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_group_distinct_deterministic():
+    from pg_walstream_ray.pipelines.sketches import approx_group_distinct
+
+    sf = "/root/testdata/sf0.001"
+    a = approx_group_distinct(sf).to_pandas().sort_values("event_type") \
+        .reset_index(drop=True)
+    b = approx_group_distinct(sf).to_pandas().sort_values("event_type") \
+        .reset_index(drop=True)
+    assert a.equals(b)
