@@ -434,6 +434,44 @@ def _cdc_snapshot_diff(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_lake_merge(sf_dir: str) -> Any:
+    """Regional consolidation (lake.merge_lakes): shard 0 and shard 1 of
+    the upsert_delete WAL replay into two separate lakes (different
+    partition counts), which merge_lakes consolidates into one 8-partition
+    lake — the result must equal the plain full replay (oracle: same LWW
+    SQL as cdc_upsert_delete; shards own disjoint conversations)."""
+    from pg_walstream_ray.lake import merge_lakes, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    split_root = os.path.join(_CDC_TMP_ROOT, f"walsplit-{key}")
+    for s in range(2):
+        d = os.path.join(split_root, f"only{s}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, f"shard={s:04d}")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(wal_dir, f"shard={s:04d}"), link)
+    lake_a = tempfile.mkdtemp(prefix="pgwr_merge_a_")
+    lake_b = tempfile.mkdtemp(prefix="pgwr_merge_b_")
+    merged = tempfile.mkdtemp(prefix="pgwr_merge_out_")
+    shutil.rmtree(merged, ignore_errors=True)   # seeder wants it absent
+    try:
+        run_cdc(os.path.join(split_root, "only0"), lake_a,
+                num_partitions=4)
+        run_cdc(os.path.join(split_root, "only1"), lake_b,
+                num_partitions=5)
+        merge_lakes([lake_a, lake_b], merged, num_partitions=8)
+        return _select_or_empty(snapshot_table(merged), _TRANSCRIPT_COLS)
+    finally:
+        shutil.rmtree(lake_a, ignore_errors=True)
+        shutil.rmtree(lake_b, ignore_errors=True)
+        shutil.rmtree(merged, ignore_errors=True)
+
+
 def _cdc_repartitioned(sf_dir: str) -> Any:
     """Lake repartitioning mid-stream (lake.repartition_lake): replay HALF
     the upsert WAL into a 4-partition lake, re-key it to 10 partitions
@@ -669,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # snapshot diff: added/removed/updated keys between two WAL positions,
     # per-partition over the history lake (checkpoint-to-checkpoint sync)
     q["cdc_snapshot_diff"] = _cdc_snapshot_diff
+    # regional consolidation: two per-shard lakes merged == full replay
+    q["cdc_lake_merge"] = _cdc_lake_merge
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -1267,6 +1307,10 @@ def oracle_sql() -> dict[str, str]:
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1 AND op <> 'delete'
     """
+
+    # lake merge: two per-shard regional lakes consolidated == the plain
+    # full replay (shards own disjoint conversations: user_id % 2)
+    sql["cdc_lake_merge"] = sql["cdc_upsert_delete"]
 
     # SCD2 history: every change is a version row; valid_to = the next
     # change's lsn for the key (deletes close intervals, emit no row)

@@ -437,6 +437,80 @@ def repartition_lake(lake_dir: str, out_dir: str, num_partitions: int,
                                    hot_keys=tuple(hot_keys), salt=salt)
 
 
+def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
+                hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
+    """Consolidate N LWW lakes into ONE freshly-partitioned lake — the
+    regional-consolidation operation (e.g. per-region CDC deployments,
+    each applying its own WAL shards, merged into a global table).
+
+    Per-key last-writer-wins across lakes by ``(_lsn, source-lake
+    index)`` — the true change LSN survives the merge, so a subsequent
+    ``run_cdc`` against the union of the source WALs resumes exactly:
+    per-WAL-source applied watermarks are carried as the MIN across the
+    lakes that report that source (conservative — any gap re-applies
+    idempotently under LWW).
+
+    Scale shape: each source lake streams per-partition merge tasks
+    (snapshot_dataset), the union takes ONE partition-key exchange for
+    the cross-lake LWW resolve, and the seeder writes one fragment per
+    target partition — nothing materializes on the driver.
+
+    Caveat (documented, inherent to LWW snapshots): deletes applied in
+    only one source lake cannot mask live versions of the same key held
+    by another, because snapshots carry no tombstones.  Intended for
+    disjoint key ownership (each conversation's WAL shard applied by
+    exactly one lake — the deployment shape above); overlapping-key
+    merges with deletes need the history sink.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from .stages.partition import Partitioner
+    from .state.manifest import global_watermark
+
+    if not src_dirs:
+        raise ValueError("merge_lakes needs at least one source lake")
+    wm_acc: dict = {}
+    snaps = []
+    for i, d in enumerate(src_dirs):
+        cfg = read_lake_config(d)
+        if cfg is None:
+            raise FileNotFoundError(f"no lake config at {d}")
+        if cfg.get("sink", "lww") != "lww":
+            raise NotImplementedError("merge_lakes supports sink='lww'")
+        for s, l in global_watermark(d, cfg["num_partitions"]).items():
+            if int(l) >= 0:
+                wm_acc.setdefault(int(s), []).append(int(l))
+
+        def tag(t: pa.Table, i=i) -> pa.Table:
+            return t.append_column("_src", pa.array(
+                np.full(t.num_rows, i, np.int64)))
+
+        snaps.append(snapshot_dataset(d, drop_internal=False)
+                     .map_batches(tag, batch_format="pyarrow"))
+    merged_wm = {s: min(ls) for s, ls in wm_acc.items()}
+
+    ds = snaps[0] if len(snaps) == 1 else snaps[0].union(*snaps[1:])
+    part = Partitioner(num_partitions, tuple(hot_keys), salt)
+
+    def route(t: pa.Table) -> pa.Table:
+        t2 = t.append_column("op", pa.array(
+            np.full(t.num_rows, "insert", dtype=object), pa.string()))
+        return part(t2).drop(["op"])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_lsn", "_src"], kind="mergesort")
+        g = g.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+        return g.drop(columns=["partition_id", "_src"])
+
+    resolved = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("partition_id").map_groups(resolve, batch_format="pandas")
+    return bootstrap_from_snapshot(resolved, out_dir, merged_wm,
+                                   num_partitions,
+                                   hot_keys=tuple(hot_keys), salt=salt)
+
+
 def _compact_one_partition(lake_dir: str, pid: int,
                            key_cols: Tuple[str, ...]) -> int:
     """Merge one partition's fragment chain to a single base fragment

@@ -217,6 +217,51 @@ class TestHistoryDiff:
         assert len(self._diff_df(hist, mid, mid)) == 0
 
 
+class TestMergeLakes:
+    def test_merge_disjoint_shards_equals_full_replay(self, ray_session,
+                                                      tmp_path):
+        """Two lakes each replaying half the WAL shards merge into the
+        full-replay state, and a resume against the merged lake is
+        exactly-once (applies nothing)."""
+        spec = walgen.WalSpec(n_convs=40, turns_per_conv=8, n_shards=2,
+                              update_frac=0.5, delete_frac=0.1, seed=37)
+        wal = make_wal(spec)
+        import os
+
+        splits = []
+        for s in range(2):
+            d = str(tmp_path / f"only{s}")
+            os.makedirs(d)
+            os.symlink(os.path.join(wal, f"shard={s:04d}"),
+                       os.path.join(d, f"shard={s:04d}"))
+            splits.append(d)
+        lake_a = str(tmp_path / "a"); lake_b = str(tmp_path / "b")
+        merged = str(tmp_path / "m")
+        run_cdc(splits[0], lake_a, num_partitions=3)
+        run_cdc(splits[1], lake_b, num_partitions=4)
+        lakemod.merge_lakes([lake_a, lake_b], merged, num_partitions=6)
+        from .helpers import assert_lake_matches
+
+        assert_lake_matches(merged, oracle_df(spec))
+        m = run_cdc(wal, merged, num_partitions=6)
+        assert m["rows_applied"] == 0
+
+    def test_merge_overlapping_keys_lww_by_lsn(self, ray_session,
+                                               tmp_path):
+        """Overlapping keys (same lake snapshot merged with itself after
+        extra updates): the higher-_lsn version wins per key."""
+        spec = walgen.WalSpec(n_convs=10, turns_per_conv=4, n_shards=1,
+                              update_frac=0.6, seed=41)
+        wal = make_wal(spec)
+        lake1 = str(tmp_path / "l1")
+        run_cdc(wal, lake1, num_partitions=2)
+        merged = str(tmp_path / "m")
+        lakemod.merge_lakes([lake1, lake1], merged, num_partitions=3)
+        a = normalize(lakemod.snapshot_table(lake1))
+        b = normalize(lakemod.snapshot_table(merged))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 class TestRepartitionLake:
     def test_repartition_midstream_resume(self, ray_session):
         spec = walgen.WalSpec(n_convs=40, turns_per_conv=8,
