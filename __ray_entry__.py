@@ -990,6 +990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (histogram range-partition rank; content-stable across runs)
     q["train_shuffle"] = lambda sf: textops.train_shuffle(
         sf, hash_mode="md5")
+    # weighted sampling without replacement (A-ES exponential keys,
+    # integer nano-units; per-batch top-k combiner)
+    q["weighted_sample"] = lambda sf: textops.weighted_sample(
+        sf, hash_mode="md5")
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -1552,6 +1556,21 @@ def oracle_sql() -> dict[str, str]:
                         doc_id) - 1 AS pos,
              doc_id
       FROM documents
+    """
+
+    from pg_walstream_ray.pipelines.textops import WSAMPLE_K, WSAMPLE_SEED
+
+    sql["weighted_sample"] = f"""
+      WITH s AS (
+        SELECT doc_id, n_chars,
+               FLOOR(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                              || '|{WSAMPLE_SEED}'), 1, 8))
+                            ::BIGINT + 0.5) / 4294967296.0)
+                     * 1000000000.0 / n_chars)::BIGINT AS score_micro
+        FROM documents
+      )
+      SELECT doc_id, n_chars, score_micro
+      FROM s ORDER BY score_micro, doc_id LIMIT {WSAMPLE_K}
     """
 
     sql["tfidf_top_terms"] = """

@@ -1678,3 +1678,57 @@ def train_shuffle(sf_dir: str, seed: int = TRAIN_SHUFFLE_SEED,
     return (ds.map_batches(route, batch_format="pyarrow")
             .groupby("bucket").map_groups(rank_bucket,
                                           batch_format="pandas"))
+
+
+WSAMPLE_K = 200
+WSAMPLE_SEED = 7
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K,
+                    seed: int = WSAMPLE_SEED, hash_mode: str = "fast"):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    keep the k documents with the smallest ``-ln(u)/w`` where ``u`` is a
+    content-stable uniform from ``hash(doc_id|seed)`` and ``w`` is the
+    document weight (n_chars — longer docs proportionally likelier).
+    Deterministic (no RNG state, independent of row order/partitioning),
+    so the sample is reproducible across runs and resumable shards.
+
+    Output: (doc_id, n_chars, score_micro) — the k winners.
+
+    Scores are floored to integer NANO-units so the DuckDB oracle's LN
+    agrees bit-for-bit (the micro-floor convention used by bm25/pmi/psi);
+    ties break by doc_id in both engines.  Scale shape: per-batch partial
+    top-k combiner (k rows leave each block), one k x nblocks merge block
+    — never a global sort.
+    """
+    from ..functions.hashing import fast_hash64
+
+    ds = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()), f"|{seed}", "")
+        if hash_mode == "md5":
+            vals = s.to_pylist()
+            h32 = np.fromiter(
+                (int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                 for v in vals), dtype=np.int64, count=len(vals))
+        else:
+            h32 = (fast_hash64(s) >> np.uint64(32)).astype(np.int64)
+        u = (h32.astype(np.float64) + 0.5) / 4294967296.0
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(-np.log(u) * 1e9 / w).astype(np.int64)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                         "score_micro": pa.array(micro)})
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False),
+                            t["score_micro"].to_numpy(
+                                zero_copy_only=False)))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .map_batches(topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topk, batch_size=None, batch_format="pyarrow"))

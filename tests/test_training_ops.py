@@ -798,3 +798,42 @@ def test_ann_pq_recall_and_determinism(ray_session):
     b = again.sort_values(["query_id", "rnk"], ignore_index=True)
     assert (a[["query_id", "neighbor_id", "rnk"]].to_numpy()
             == b[["query_id", "neighbor_id", "rnk"]].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES) + train shuffle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_fast_path_properties():
+    """Fast-hash path: deterministic, k rows, and weight-proportional —
+    the kept set's mean n_chars must exceed the corpus mean (longer docs
+    likelier under w=n_chars)."""
+    import duckdb
+
+    from pg_walstream_ray.pipelines.textops import weighted_sample
+
+    a = weighted_sample(SF, k=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = weighted_sample(SF, k=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 100
+    corpus_mean = duckdb.sql(
+        f"SELECT AVG(n_chars) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert a["n_chars"].mean() > corpus_mean
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_train_shuffle_fast_path_permutation():
+    from pg_walstream_ray.pipelines.textops import train_shuffle
+
+    df = train_shuffle(SF).to_pandas()
+    pos = np.sort(df["pos"].to_numpy())
+    assert (pos == np.arange(len(df))).all()
+    # seed changes the order
+    df2 = train_shuffle(SF, seed=99).to_pandas()
+    a = df.sort_values("pos")["doc_id"].to_numpy()
+    b = df2.sort_values("pos")["doc_id"].to_numpy()
+    assert not np.array_equal(a, b)
+    assert sorted(a.tolist()) == sorted(b.tolist())
