@@ -994,6 +994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # integer nano-units; per-batch top-k combiner)
     q["weighted_sample"] = lambda sf: textops.weighted_sample(
         sf, hash_mode="md5")
+    # Shannon token entropy per doc (distribution-shape quality signal)
+    q["token_entropy"] = textops.token_entropy
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -1556,6 +1558,26 @@ def oracle_sql() -> dict[str, str]:
                         doc_id) - 1 AS pos,
              doc_id
       FROM documents
+    """
+
+    from pg_walstream_ray.pipelines.textops import (ENTROPY_HI_MICRO,
+                                                    ENTROPY_LO_MICRO)
+
+    sql["token_entropy"] = f"""
+      WITH tc AS (
+        SELECT doc_id, w, COUNT(*)::DOUBLE AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY doc_id, w
+      ), agg AS (
+        SELECT doc_id, SUM(c * LN(c)) AS clnc, SUM(c) AS n
+        FROM tc GROUP BY doc_id
+      )
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             FLOOR((LN(n) - clnc / n) * 1000000)::BIGINT AS entropy_micro,
+             (FLOOR((LN(n) - clnc / n) * 1000000)::BIGINT
+                BETWEEN {ENTROPY_LO_MICRO} AND {ENTROPY_HI_MICRO}) AS keep
+      FROM agg
     """
 
     from pg_walstream_ray.pipelines.textops import WSAMPLE_K, WSAMPLE_SEED

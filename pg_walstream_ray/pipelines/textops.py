@@ -1732,3 +1732,62 @@ def weighted_sample(sf_dir: str, k: int = WSAMPLE_K,
             .map_batches(topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(topk, batch_size=None, batch_format="pyarrow"))
+
+
+ENTROPY_LO_MICRO = 1_000_000     # keep band: 1.0 .. 6.0 nats (micro-units)
+ENTROPY_HI_MICRO = 6_000_000
+
+
+def token_entropy(sf_dir: str, lo_micro: int = ENTROPY_LO_MICRO,
+                  hi_micro: int = ENTROPY_HI_MICRO):
+    """Shannon token entropy per document — the distribution-shape
+    quality signal (repetitive/templated docs score low, natural prose
+    sits mid-band, random token soup scores near ln(n_tokens)):
+        H = ln(n) - (1/n) * sum_t c_t * ln(c_t)
+    over the doc's token counts, floored to integer MICRO-nats (the
+    LN-micro oracle-bridge convention shared with bm25/pmi/psi), plus a
+    keep flag for the [lo, hi] band.
+
+    Output: (doc_id, n_tokens, entropy_micro, keep).
+
+    Fully vectorized, zero shuffle: per-(doc, token) counts come from ONE
+    np.unique over batch-local (doc_idx, token_id) pairs; the per-doc
+    sum of c*ln(c) is a segmented np.add.at — no Python loop touches a
+    row, and each batch's cost is O(tokens log tokens).
+    """
+
+    class EntropyStage:
+        def __init__(self):
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            text = t["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            offsets, tok = tokenize_column(text, self.hasher)
+            n_docs = t.num_rows
+            n_tok = np.diff(offsets).astype(np.int64)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+            # per-(doc, token) counts in one unique over combined keys;
+            # token ids compact to batch-local indices first so the pair
+            # key never collides (hash ids could share low bits)
+            _, inv = np.unique(tok, return_inverse=True)
+            pair = doc_of * np.int64(int(inv.max()) + 1) + inv
+            _, first, cnt = np.unique(pair, return_index=True,
+                                      return_counts=True)
+            c = cnt.astype(np.float64)
+            clnc = np.zeros(n_docs, np.float64)
+            np.add.at(clnc, doc_of[first], c * np.log(c))
+            n = n_tok.astype(np.float64)
+            h = np.log(n) - clnc / n
+            micro = np.floor(h * 1e6).astype(np.int64)
+            keep = (micro >= lo_micro) & (micro <= hi_micro)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "entropy_micro": pa.array(micro),
+                "keep": pa.array(keep)})
+
+    return _docs(sf_dir).map_batches(as_tasks(EntropyStage),
+                                     batch_format="pyarrow",
+                                     batch_size=4096)
