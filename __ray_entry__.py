@@ -434,6 +434,35 @@ def _cdc_snapshot_diff(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_export_conversations(sf_dir: str) -> Any:
+    """Training-corpus export (lake.export_conversations): replay the
+    upsert WAL, then assemble each conversation's final turns into one
+    'role: text' document — per-partition, zero shuffle (convs are
+    partition-local).  Oracle: STRING_AGG ORDER BY turn_idx over the LWW
+    state."""
+    from pg_walstream_ray.lake import export_conversations
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_export_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        import ray as _ray
+        tables = [t for t in _ray.get(
+            export_conversations(lake).to_arrow_refs()) if t.num_rows]
+        cols = [("conv_id", pa.string()), ("n_turns", pa.int64()),
+                ("doc", pa.string())]
+        if not tables:
+            return pa.table({c: pa.array([], t_) for c, t_ in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_lake_merge(sf_dir: str) -> Any:
     """Regional consolidation (lake.merge_lakes): shard 0 and shard 1 of
     the upsert_delete WAL replay into two separate lakes (different
@@ -709,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_snapshot_diff"] = _cdc_snapshot_diff
     # regional consolidation: two per-shard lakes merged == full replay
     q["cdc_lake_merge"] = _cdc_lake_merge
+    # training-corpus export: per-conversation document assembly
+    q["cdc_export_conversations"] = _cdc_export_conversations
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -1086,6 +1117,19 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    # training-corpus export: per-conversation doc assembly over the LWW
+    # state (turns joined in turn_idx order)
+    sql["cdc_export_conversations"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (
+        SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1
+      )
+      SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+             STRING_AGG(role || ': ' || text, chr(10)
+                        ORDER BY turn_idx) AS doc
+      FROM final GROUP BY conv_id
     """
 
     # hot-key mode: conv collapses onto user_id % HOT_CONV_MOD, turn spreads

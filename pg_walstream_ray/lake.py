@@ -437,6 +437,60 @@ def repartition_lake(lake_dir: str, out_dir: str, num_partitions: int,
                                    hot_keys=tuple(hot_keys), salt=salt)
 
 
+def export_conversations(lake_dir: str, sep: str = "\n"):
+    """Training-corpus export: assemble each conversation's turns into one
+    document string ``role: text`` joined by ``sep`` — the step that turns
+    the CDC transcript lake into model-ready training rows.
+
+    Output: (conv_id, n_turns, doc) as a streaming Dataset.
+
+    Scale shape: conversations are partition-local (the lake's routing
+    invariant), so assembly is a per-partition map with ZERO shuffle; the
+    join itself is Arrow-vectorized (ListArray over the partition's
+    sorted turn lines + one binary_join kernel), no per-row Python.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def assemble(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role", "text"])
+            if "_lsn" in t.column_names:
+                t = t.drop(["_lsn"])
+            if not t.num_rows:
+                continue
+            t = t.take(_pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            lines = _pc.binary_join_element_wise(
+                _pc.cast(t["role"], pa.string()), ": ",
+                _pc.cast(t["text"], pa.string()), "",
+                null_handling="replace", null_replacement="")
+            conv = t["conv_id"].combine_chunks()
+            cv = conv.to_numpy(zero_copy_only=False)
+            # conversation boundaries over the sorted column
+            change = np.flatnonzero(cv[1:] != cv[:-1]) + 1
+            offsets = np.concatenate([[0], change, [len(cv)]])
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                lines.combine_chunks() if isinstance(
+                    lines, pa.ChunkedArray) else lines)
+            docs = _pc.binary_join(lists, sep)
+            yield pa.table({
+                "conv_id": pa.array(cv[offsets[:-1]], pa.string()),
+                "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+                "doc": docs})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(assemble, batch_size=1, batch_format="pyarrow")
+
+
 def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
                 hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
     """Consolidate N LWW lakes into ONE freshly-partitioned lake — the
@@ -490,6 +544,20 @@ def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
         snaps.append(snapshot_dataset(d, drop_internal=False)
                      .map_batches(tag, batch_format="pyarrow"))
     merged_wm = {s: min(ls) for s, ls in wm_acc.items()}
+
+    if not any(live_fragments(d) for d in src_dirs):
+        # all-empty sources: manifests-only seed (watermarks still carry)
+        from .state.manifest import PartitionManifest, write_manifest_atomic
+
+        write_lake_config(out_dir, num_partitions, tuple(hot_keys), salt)
+        for pid in range(num_partitions):
+            write_manifest_atomic(out_dir, PartitionManifest(
+                partition_id=pid,
+                applied_lsns={str(s): l for s, l in merged_wm.items()},
+                epoch=1,
+                lineage=[{"epoch": 1, "bootstrap": True,
+                          "rows_applied": 0}]))
+        return {"partitions": num_partitions, "rows": 0}
 
     ds = snaps[0] if len(snaps) == 1 else snaps[0].union(*snaps[1:])
     part = Partitioner(num_partitions, tuple(hot_keys), salt)

@@ -887,11 +887,20 @@ def rrf_fusion(sf_dir: str, k: int = RRF_TOPK, depth: int = RRF_DEPTH):
     sparse = bm25_retrieval(sf_dir, k=depth).to_pandas()
     dense = ann_brute_topk(sf_dir, nq=1, k=depth).to_pandas()
 
-    sparse = sparse.sort_values(["score_micro", "doc_id"],
-                                ascending=[False, True]).head(depth)
-    rs = {int(r.doc_id): i + 1 for i, r in enumerate(sparse.itertuples())}
-    dense = dense.sort_values("rnk").head(depth)
-    rd = {int(r.neighbor_id): int(r.rnk) for r in dense.itertuples()}
+    # empty corpus: an empty Dataset loses its schema -> treat a
+    # column-less frame as an empty retrieval list
+    if "score_micro" in sparse.columns:
+        sparse = sparse.sort_values(["score_micro", "doc_id"],
+                                    ascending=[False, True]).head(depth)
+        rs = {int(r.doc_id): i + 1
+              for i, r in enumerate(sparse.itertuples())}
+    else:
+        rs = {}
+    if "rnk" in dense.columns:
+        dense = dense.sort_values("rnk").head(depth)
+        rd = {int(r.neighbor_id): int(r.rnk) for r in dense.itertuples()}
+    else:
+        rd = {}
 
     docs = sorted(set(rs) | set(rd))
     fused = [(doc,

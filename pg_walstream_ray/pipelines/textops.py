@@ -1761,6 +1761,11 @@ def token_entropy(sf_dir: str, lo_micro: int = ENTROPY_LO_MICRO,
             self.hasher = worker_token_hasher()
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_tokens": pa.array([], pa.int64()),
+                                 "entropy_micro": pa.array([], pa.int64()),
+                                 "keep": pa.array([], pa.bool_())})
             text = t["text"]
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
