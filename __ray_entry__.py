@@ -463,6 +463,61 @@ def _cdc_export_conversations(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_backfill_column(sf_dir: str) -> Any:
+    """Lake-wide derived-column backfill (lake.backfill_column): replay
+    the upsert WAL, then backfill n_chars_text = utf8_length(text) onto
+    every live row — one compact-style rewrite task per partition.
+    Oracle: LWW + length(text)."""
+    from pg_walstream_ray.lake import backfill_column, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_backfill_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        backfill_column(
+            lake, "n_chars_text",
+            lambda t: pa.compute.cast(
+                pa.compute.utf8_length(t["text"]), pa.int64()))
+        return _select_or_empty(
+            snapshot_table(lake),
+            [*_TRANSCRIPT_COLS, ("n_chars_text", pa.int64())])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_retention(sf_dir: str) -> Any:
+    """TTL retention enforcement (lake.enforce_retention): replay the
+    upsert_delete WAL, then drop live rows older than the events table's
+    midpoint timestamp.  Oracle: LWW WHERE ts >= cutoff."""
+    import duckdb
+
+    from pg_walstream_ray.lake import enforce_retention, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    cutoff = duckdb.sql(
+        f"SELECT MIN(ts) + (MAX(ts) - MIN(ts)) / 2 FROM "
+        f"'{sf_dir}/events.parquet'").fetchone()[0]
+    lake = tempfile.mkdtemp(prefix="pgwr_ttl_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        if cutoff is not None:
+            enforce_retention(lake, pa.scalar(
+                cutoff, pa.timestamp("us")))
+        return _select_or_empty(snapshot_table(lake), _TRANSCRIPT_COLS)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_lake_merge(sf_dir: str) -> Any:
     """Regional consolidation (lake.merge_lakes): shard 0 and shard 1 of
     the upsert_delete WAL replay into two separate lakes (different
@@ -740,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_lake_merge"] = _cdc_lake_merge
     # training-corpus export: per-conversation document assembly
     q["cdc_export_conversations"] = _cdc_export_conversations
+    # lake maintenance: derived-column backfill + TTL retention
+    q["cdc_backfill_column"] = _cdc_backfill_column
+    q["cdc_retention"] = _cdc_retention
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -1117,6 +1175,32 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    # backfill: LWW upsert state + derived length column
+    sql["cdc_backfill_column"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             length(text)::BIGINT AS n_chars_text
+      FROM ranked WHERE rn = 1
+    """
+
+    # retention: LWW upsert_delete state minus rows older than the events
+    # midpoint timestamp
+    sql["cdc_retention"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE role END AS role,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text,
+               CASE WHEN event_type = 'error' THEN NULL ELSE tool END AS tool,
+               ts
+        FROM ({_UPSERT_CHANGES})
+      ), ranked AS ({_LWW}), pt AS (
+        SELECT MIN(ts) + (MAX(ts) - MIN(ts)) / 2 AS cutoff FROM events
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked, pt WHERE rn = 1 AND op <> 'delete' AND ts >= cutoff
     """
 
     # training-corpus export: per-conversation doc assembly over the LWW

@@ -642,6 +642,102 @@ def compact_lake(lake_dir: str,
     return {"partitions_compacted": int(merged_parts)}
 
 
+def _rewrite_one_partition(lake_dir: str, pid: int, transform,
+                           tag: str,
+                           key_cols: Tuple[str, ...]) -> int:
+    """Compact-style rewrite of one partition's merged state through a
+    table->table ``transform`` (backfill / retention).  Same atomicity as
+    _compact_one_partition: tmp+rename fragment, manifest epoch bump,
+    dead-fragment GC.  Returns the rewritten row count."""
+    import uuid as _uuid
+
+    from .stages.apply import merged_partition_state
+    from .state.manifest import read_manifest, write_manifest_atomic
+
+    m = read_manifest(lake_dir, pid)
+    if not m.fragments:
+        return 0
+    d = partition_dir(lake_dir, pid)
+    state = merged_partition_state(d, m.fragments, key_cols=key_cols)
+    state = transform(state)
+    state = state.take(pc.sort_indices(
+        state, sort_keys=[(c, "ascending") for c in key_cols]))
+    frag = f"fragment-{m.epoch + 1:06d}-{tag}.parquet"
+    tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(state, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, frag))
+    old = list(m.fragments)
+    m.fragments = [frag]
+    m.row_count = state.num_rows
+    m.epoch += 1
+    m.lineage.append({"epoch": m.epoch, tag: True, "rows_applied": 0})
+    write_manifest_atomic(lake_dir, m)
+    for dead in old:
+        try:
+            os.remove(os.path.join(d, dead))
+        except OSError:
+            pass
+    compact_partition(lake_dir, pid)
+    return state.num_rows
+
+
+def _fanout_rewrite(lake_dir: str, transform, tag: str,
+                    key_cols: Tuple[str, ...]) -> dict:
+    import ray
+
+    pids = [pid for pid, _ in live_fragments(lake_dir)]
+    if ray.is_initialized() and len(pids) > 1:
+        fn = ray.remote(num_cpus=1)(_rewrite_one_partition)
+        rows = sum(ray.get([fn.remote(lake_dir, pid, transform, tag,
+                                      key_cols) for pid in pids]))
+    else:
+        rows = sum(_rewrite_one_partition(lake_dir, pid, transform, tag,
+                                          key_cols) for pid in pids)
+    return {"partitions": len(pids), "rows": int(rows)}
+
+
+def backfill_column(lake_dir: str, name: str, fn,
+                    key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+                    ) -> dict:
+    """Backfill a DERIVED column onto every live row — the lake-wide
+    enrichment a schema evolution usually demands (e.g. a length or
+    quality column added after ingestion started).  ``fn(table) ->
+    pa.Array`` computes the column from the partition's merged state.
+
+    Scale shape: one Ray task per partition (compact-style rewrite:
+    tmp+rename atomic, manifest epoch bump) — the driver schedules only;
+    a 1000-partition lake backfills in one task wave.  Rows applied by
+    LATER CDC replays arrive without the column and conform to NULL on
+    read — re-run the backfill (idempotent overwrite) to fill them.
+    """
+    def transform(t: pa.Table) -> pa.Table:
+        col = fn(t)
+        if name in t.column_names:
+            return t.set_column(t.column_names.index(name), name, col)
+        return t.append_column(name, col)
+
+    return _fanout_rewrite(lake_dir, transform, "backfill", key_cols)
+
+
+def enforce_retention(lake_dir: str, min_ts,
+                      ts_col: str = "ts",
+                      key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+                      ) -> dict:
+    """TTL/retention enforcement: drop every live row whose ``ts_col`` is
+    older than ``min_ts`` — the GDPR/cost-control maintenance pass.  Same
+    per-partition task-wave shape (and atomicity) as compaction.
+
+    Watermarks are untouched: an already-applied old event stays filtered
+    by the exactly-once replay guard, so re-runs never resurrect expired
+    rows; a genuinely NEW change to an expired key re-inserts it (standard
+    TTL semantics).
+    """
+    def transform(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[ts_col], min_ts))
+
+    return _fanout_rewrite(lake_dir, transform, "retention", key_cols)
+
+
 def compact_partition(lake_dir: str, pid: int) -> None:
     """GC stray tmp/dead fragment files not referenced by the manifest."""
     from .state.manifest import read_manifest

@@ -94,7 +94,7 @@ def test_every_oracle_key_has_query(contract):
     "key_skew_audit", "session_concurrency", "arg_max_per_user",
     "cdc_snapshot_diff", "train_shuffle", "corpus_filter_audit",
     "cdc_lake_merge", "weighted_sample", "token_entropy",
-    "cdc_export_conversations",
+    "cdc_export_conversations", "cdc_backfill_column", "cdc_retention",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract

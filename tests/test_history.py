@@ -262,6 +262,59 @@ class TestMergeLakes:
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+class TestLakeRewrites:
+    """backfill_column / enforce_retention: compact-style rewrites must
+    stay exactly-once-compatible (resume applies nothing new; the rewrite
+    survives a replay untouched for already-applied events)."""
+
+    def test_backfill_then_resume_exactly_once(self, ray_session,
+                                               tmp_path):
+        spec = walgen.WalSpec(n_convs=20, turns_per_conv=5,
+                              update_frac=0.5, seed=43)
+        wal = make_wal(spec)
+        lk = str(tmp_path / "l")
+        run_cdc(wal, lk, num_partitions=3)
+        r = lakemod.backfill_column(
+            lk, "n_chars_text",
+            lambda t: pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+        t = lakemod.snapshot_table(lk)
+        assert "n_chars_text" in t.column_names
+        got = t["n_chars_text"].to_numpy(zero_copy_only=False)
+        want = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        assert (got == want).all()
+        assert r["rows"] == t.num_rows
+        # resume: nothing re-applies, backfilled column intact
+        m = run_cdc(wal, lk, num_partitions=3)
+        assert m["rows_applied"] == 0
+        assert "n_chars_text" in lakemod.snapshot_table(lk).column_names
+        # re-backfill is idempotent
+        lakemod.backfill_column(
+            lk, "n_chars_text",
+            lambda t: pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+        t2 = lakemod.snapshot_table(lk)
+        assert t2.num_rows == t.num_rows
+
+    def test_retention_drops_old_and_stays_dropped(self, ray_session,
+                                                   tmp_path):
+        spec = walgen.WalSpec(n_convs=20, turns_per_conv=5,
+                              update_frac=0.4, seed=47)
+        wal = make_wal(spec)
+        lk = str(tmp_path / "l")
+        run_cdc(wal, lk, num_partitions=3)
+        t = lakemod.snapshot_table(lk)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        cutoff = pa.scalar(np.sort(ts)[len(ts) // 2], pa.timestamp("us"))
+        lakemod.enforce_retention(lk, cutoff)
+        t2 = lakemod.snapshot_table(lk)
+        kept = t2["ts"].to_numpy(zero_copy_only=False)
+        assert (kept >= cutoff.as_py()).all()
+        assert 0 < t2.num_rows < t.num_rows
+        # replay does not resurrect expired rows (events already applied)
+        m = run_cdc(wal, lk, num_partitions=3)
+        assert m["rows_applied"] == 0
+        assert lakemod.snapshot_table(lk).num_rows == t2.num_rows
+
+
 class TestRepartitionLake:
     def test_repartition_midstream_resume(self, ray_session):
         spec = walgen.WalSpec(n_convs=40, turns_per_conv=8,
