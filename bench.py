@@ -539,9 +539,18 @@ def _emit(out: dict) -> None:
     row counts) is written to BENCH_full.json next to this script and
     echoed to stderr."""
     full = json.dumps(out)
+    # Side-run outputs (scaling samples, scenario grids) get their own
+    # files so they never clobber the full-suite grid in BENCH_full.json.
+    metric = str(out.get("metric", ""))
+    if metric.startswith("scaling_efficiency"):
+        fname = "BENCH_scaling.json"
+    elif metric.startswith("scenario_grid"):
+        fname = "BENCH_scenarios.json"
+    else:
+        fname = "BENCH_full.json"
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_full.json")
+                            fname)
         with open(path, "w") as f:
             f.write(full + "\n")
     except OSError:
