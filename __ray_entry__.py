@@ -846,6 +846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_pivot"] = analytics.events_pivot
     q["docs_cube"] = analytics.docs_cube
     q["group_quantiles_cont"] = analytics.group_quantiles_cont
+    # robust location estimate: per-type [p05,p95] clip + winsorized mean,
+    # thresholds AND mean from one merged histogram (single scan)
+    q["winsorized_stats"] = analytics.winsorized_stats
     q["user_segments"] = analytics.user_segments
     # global ORDER BY/LIMIT via per-block top-k combiner (k rows/block move)
     q["events_global_topn"] = analytics.events_global_topn
@@ -1136,7 +1139,7 @@ _DRIVER_WINDOW_ORDER = [
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
-    "arg_max_per_user",
+    "arg_max_per_user", "winsorized_stats",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1881,6 +1884,23 @@ def oracle_sql() -> dict[str, str]:
              CAST(ROUND(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT)
                AS p90_cents
       FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["winsorized_stats"] = """
+      WITH c AS (SELECT event_type,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+           q AS (SELECT event_type,
+                        quantile_disc(cents, 0.05) AS p05_cents,
+                        quantile_disc(cents, 0.95) AS p95_cents,
+                        COUNT(*) AS n
+                 FROM c GROUP BY event_type)
+      SELECT q.event_type, p05_cents, p95_cents,
+             CAST(FLOOR(SUM(LEAST(GREATEST(c.cents, p05_cents), p95_cents))
+                        / q.n) AS BIGINT) AS wmean_cents,
+             CAST(q.n AS BIGINT) AS n
+      FROM c JOIN q ON c.event_type = q.event_type
+      GROUP BY q.event_type, p05_cents, p95_cents, q.n
     """
 
     sql["docs_cube"] = """

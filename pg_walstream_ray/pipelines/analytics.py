@@ -789,6 +789,70 @@ def group_quantiles_cont(sf_dir: str):
                                                    num_cpus=1)
 
 
+def winsorized_stats(sf_dir: str):
+    """Winsorized (outlier-clipped) grouped statistics: per ``event_type``,
+    clip ``value`` (as integer cents) to its own [p05, p95] band
+    (``quantile_disc`` semantics) and report the clipped mean — the robust
+    location estimate a reward/quality monitor uses when a handful of
+    extreme values would swamp a plain AVG.
+
+    Output: (event_type, p05_cents, p95_cents, wmean_cents, n).
+
+    Scale shape: ONE scan + ONE shuffle.  The per-batch combiner emits
+    (group, cents, count) histogram partials — the cents domain is bounded
+    by the value range (~10^4 distinct), so partial size is
+    O(|types| x |domain|) per batch regardless of row count.  Both the
+    quantile thresholds AND the winsorized mean come from the same merged
+    per-group histogram (clip is applied to the histogram's value column,
+    weighted by counts), so no second pass over the data rows is needed —
+    unlike the naive two-scan threshold-then-clip plan.  Exact integer
+    arithmetic end-to-end (cents sums in int64, floor division), so the
+    driver's value-hash compare is float-order-proof.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64))
+        d = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return pa.table({
+            "event_type": d["event_type"],
+            "cents": d["cents"],
+            "cnt": pc.cast(d["cents_count"], pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=262144) \
+        .groupby(["event_type", "cents"]).aggregate(Sum("cnt",
+                                                        alias_name="n"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="mergesort")
+        cnt = g["n"].to_numpy(np.int64)
+        vals = g["cents"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        # quantile_disc: element at index ceil(q*n)-1 of the sorted group
+        def disc(q: float) -> int:
+            idx = max(int(np.ceil(q * float(n))) - 1, 0)
+            return int(vals[np.searchsorted(cum, idx + 1)])
+        p05, p95 = disc(0.05), disc(0.95)
+        clipped = np.clip(vals, p05, p95)
+        wsum = int((clipped * cnt).sum())       # int64-exact: |cents|<2^31
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p05_cents": [p05], "p95_cents": [p95],
+            "wmean_cents": [wsum // n], "n": [n]})
+
+    return hist.groupby("event_type").map_groups(per_group,
+                                                 batch_format="pandas",
+                                                 num_cpus=1)
+
+
 def user_segments(sf_dir: str):
     """Distinct-set operations (INTERSECT / EXCEPT) as audience segments:
     users who both clicked AND purchased ('both'), clicked only, or
