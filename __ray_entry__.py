@@ -1051,6 +1051,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pmi_collocations"] = textops.pmi_collocations
     # per-source PSI drift monitor (bounded (source, bin) combiner)
     q["psi_source_drift"] = textops.psi_source_drift
+    # per-source quantile normalization (PERCENT_RANK calibration before
+    # mixing): bounded histogram + broadcast LUT, doc rows never shuffle
+    q["quality_percentile"] = textops.quality_percentile
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -1139,7 +1142,7 @@ _DRIVER_WINDOW_ORDER = [
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
-    "arg_max_per_user", "winsorized_stats",
+    "arg_max_per_user", "winsorized_stats", "quality_percentile",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -2405,6 +2408,29 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000) AS BIGINT) AS pmi_micro
       FROM j, ntok, nbi
       ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """
+
+    sql["quality_percentile"] = """
+      WITH b AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), s AS (
+        SELECT doc_id, source,
+               FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.3 * LEAST(1.0,
+                                    (n_chars::DOUBLE / n_tokens) / 8.0))
+                     * 10000)::BIGINT AS quality_q
+        FROM b
+      )
+      SELECT doc_id, source, quality_q,
+             CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY source
+                                             ORDER BY quality_q)
+                        * 1000000) AS BIGINT) AS pctl_micro
+      FROM s
     """
 
     sql["psi_source_drift"] = """

@@ -1528,6 +1528,98 @@ def psi_source_drift(sf_dir: str):
                      "psi_micro": pa.array(out_psi, pa.int64())})
 
 
+class _QualitySlim(TextStatsStage):
+    """Per-batch slim projection: (doc_id, source, quality_q)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:       # type: ignore[override]
+        stats = TextStatsStage.__call__(self, t)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "quality_q": stats["quality_q"]})
+
+
+def quality_percentile(sf_dir: str):
+    """Per-source quantile normalization of the quality score: each doc's
+    score mapped to its within-source PERCENT_RANK (micro-units) — the
+    calibration step before cross-source mixing, where raw scores are not
+    comparable because sources have different score distributions.
+
+    Output: (doc_id, source, quality_q, pctl_micro) with
+    pctl_micro = floor(percent_rank * 10^6), percent_rank =
+    count(values < q) / (n_source - 1) (SQL PERCENT_RANK tie semantics:
+    min rank of the tie group; single-doc sources get 0).
+
+    Scale shape: ONE text scan produces a slim (doc_id, source,
+    quality_q) projection (16 B/row — materialized once so the text is
+    never read twice); the per-source score histogram is BOUNDED
+    (|sources| x 10001 basis-point values) and gathered with O(1) driver
+    state per cell; ranks are then attached by a zero-shuffle map with
+    the cumulative tables broadcast via ray.put — doc rows never
+    shuffle, and no per-source sort of data rows ever happens.
+    """
+    import ray
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.analytics import _gather
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "quality_q": pa.array([], pa.int64()),
+                      "pctl_micro": pa.array([], pa.int64())})
+
+    slim = _docs(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(as_tasks(_QualitySlim), batch_format="pyarrow",
+                     batch_size=4096).materialize()
+
+    def hpart(t: pa.Table) -> pa.Table:
+        d = t.group_by(["source", "quality_q"]).aggregate(
+            [("quality_q", "count")])
+        return pa.table({"source": d["source"], "q": d["quality_q"],
+                         "cnt": pc.cast(d["quality_q_count"], pa.int64())})
+
+    rows = _gather(slim.map_batches(hpart, batch_format="pyarrow",
+                                    batch_size=262144))
+    if rows is None:
+        return rd.from_arrow(empty)
+
+    df = rows.to_pandas().groupby(["source", "q"], as_index=False)["cnt"] \
+        .sum()
+    # per-source LUT: sorted distinct scores + count-strictly-less + n
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for src, sub in df.groupby("source"):
+        sub = sub.sort_values("q", kind="mergesort")
+        cnt = sub["cnt"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        less = cum - cnt                       # strictly-less at each value
+        lut[str(src)] = (sub["q"].to_numpy(np.int64), less, int(cum[-1]))
+    ref = ray.put(lut)
+
+    class Attach:
+        def __init__(self, r):
+            self.lut = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            src = t["source"].to_numpy(zero_copy_only=False)
+            q = t["quality_q"].to_numpy(zero_copy_only=False)
+            pct = np.zeros(len(q), np.int64)
+            for s in np.unique(src):
+                m = src == s
+                vals, less, n = self.lut[str(s)]
+                if n <= 1:
+                    continue                   # PERCENT_RANK of 1 row = 0
+                cl = less[np.searchsorted(vals, q[m])]
+                # same double expression order as the SQL oracle:
+                # floor(((r-1)/(n-1)) * 1e6)
+                pr = cl.astype(np.float64) / float(n - 1)
+                pct[m] = np.floor(pr * 1000000.0).astype(np.int64)
+            return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                             "quality_q": t["quality_q"],
+                             "pctl_micro": pa.array(pct)})
+
+    return slim.map_batches(Attach, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", batch_size=65536,
+                            concurrency=(1, 8))
+
+
 def temperature_mix(sf_dir: str, hash_mode: str = "fast"):
     """Temperature-flattened language mixing — the low-resource-upsampling
     primitive (multilingual corpus construction a la XLM-R): target
