@@ -850,6 +850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # thresholds AND mean from one merged histogram (single scan)
     q["winsorized_stats"] = analytics.winsorized_stats
     q["user_segments"] = analytics.user_segments
+    # pairwise audience Jaccard: distinct-pair shuffle + bounded partials
+    q["audience_overlap"] = analytics.audience_overlap
     # global ORDER BY/LIMIT via per-block top-k combiner (k rows/block move)
     q["events_global_topn"] = analytics.events_global_topn
     # TPC-H Q14 shape (promo revenue share; broadcast part dimension)
@@ -1143,6 +1145,7 @@ _DRIVER_WINDOW_ORDER = [
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
     "arg_max_per_user", "winsorized_stats", "quality_percentile",
+    "audience_overlap",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1887,6 +1890,26 @@ def oracle_sql() -> dict[str, str]:
              CAST(ROUND(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT)
                AS p90_cents
       FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["audience_overlap"] = """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+           sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM ut GROUP BY event_type),
+           pairs AS (
+             SELECT x.event_type AS type_a, y.event_type AS type_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_both
+             FROM ut x JOIN ut y
+               ON x.user_id = y.user_id AND x.event_type < y.event_type
+             GROUP BY 1, 2
+           )
+      SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+             CAST(FLOOR(p.n_both * 1000000.0
+                        / (sa.n + sb.n - p.n_both)) AS BIGINT)
+               AS jaccard_micro
+      FROM pairs p
+      JOIN sizes sa ON sa.event_type = p.type_a
+      JOIN sizes sb ON sb.event_type = p.type_b
     """
 
     sql["winsorized_stats"] = """

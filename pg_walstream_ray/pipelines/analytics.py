@@ -897,6 +897,84 @@ def user_segments(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def audience_overlap(sf_dir: str):
+    """Exact Jaccard overlap between every pair of event-type audiences
+    (the \"how much do clickers and purchasers overlap\" question a
+    segmentation/mixing decision needs): for each type pair (a < b),
+    |users(a) ∩ users(b)| / |users(a) ∪ users(b)| in integer micro-units.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, jaccard_micro), one row
+    per pair with a non-empty intersection.
+
+    Scale shape: per-batch Arrow group_by collapses to distinct
+    (user_id, event_type) pairs, so the ONE shuffle (coarse user bucket)
+    moves at most one row per distinct pair per batch — never event rows;
+    each bucket's pair counting is a vectorized self-merge over its own
+    distinct pairs and emits a BOUNDED partial (<= |types|^2 + |types|
+    rows); the final reduce is O(|types|^2) on the driver.  Users never
+    co-locate globally — only same-user rows must share a bucket, which
+    the user-id bucket key guarantees.
+    """
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    npart = coarse_npart()
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.group_by(["user_id", "event_type"]).aggregate([])
+        u = d["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": d["user_id"],
+                         "event_type": d["event_type"],
+                         "bucket": pa.array(u % npart)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        sizes = d.groupby("event_type", as_index=False).size()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+        return pd.DataFrame({
+            "a": pd.concat([sizes["event_type"], pairs["event_type_x"]],
+                           ignore_index=True),
+            "b": pd.concat([pd.Series([""] * len(sizes)),
+                            pairs["event_type_y"]], ignore_index=True),
+            "cnt": pd.concat([sizes["size"], pairs["size"]],
+                             ignore_index=True).astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas",
+                                      num_cpus=1)
+    rows = _gather(parts)
+    empty = pa.table({"type_a": pa.array([], pa.string()),
+                      "type_b": pa.array([], pa.string()),
+                      "n_a": pa.array([], pa.int64()),
+                      "n_b": pa.array([], pa.int64()),
+                      "n_both": pa.array([], pa.int64()),
+                      "jaccard_micro": pa.array([], pa.int64())})
+    if rows is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    df = rows.to_pandas().groupby(["a", "b"], as_index=False)["cnt"].sum()
+    sizes = {r.a: int(r.cnt) for r in df[df["b"] == ""].itertuples()}
+    pairs = df[df["b"] != ""].sort_values(["a", "b"], kind="mergesort")
+    n_a = pairs["a"].map(sizes).to_numpy(np.int64)
+    n_b = pairs["b"].map(sizes).to_numpy(np.int64)
+    both = pairs["cnt"].to_numpy(np.int64)
+    union = n_a + n_b - both
+    # same double expression as the oracle: floor(n_both*1e6 / union)
+    jac = np.floor(both * 1000000.0 / union).astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(pairs["a"].astype(str), pa.string()),
+        "type_b": pa.array(pairs["b"].astype(str), pa.string()),
+        "n_a": pa.array(n_a), "n_b": pa.array(n_b),
+        "n_both": pa.array(both), "jaccard_micro": pa.array(jac)}))
+
+
 def q5_local_supplier(sf_dir: str, region: str = "ASIA"):
     """TPC-H Q5-shaped 6-table join: revenue per nation from lineitems
     where the supplier's nation equals the customer's nation, customers

@@ -92,7 +92,7 @@ def test_every_oracle_key_has_query(contract):
     "grouped_corr", "mode_per_group", "dedup_triangles",
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "key_skew_audit", "session_concurrency", "arg_max_per_user",
-    "winsorized_stats", "quality_percentile",
+    "winsorized_stats", "quality_percentile", "audience_overlap",
     "cdc_snapshot_diff", "train_shuffle", "corpus_filter_audit",
     "cdc_lake_merge", "weighted_sample", "token_entropy",
     "cdc_export_conversations", "cdc_backfill_column", "cdc_retention",
