@@ -1038,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters
+    # grouped heavy hitters: per-source signature vocabulary
+    q["source_top_tokens"] = textops.source_top_tokens
     # CCNet-style perplexity-proxy pruning (exact integer unigram LM:
     # bounded vocab broadcast, zero-shuffle scoring, histogram quantile)
     q["perplexity_prune"] = textops.perplexity_prune
@@ -1145,7 +1147,7 @@ _DRIVER_WINDOW_ORDER = [
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
     "arg_max_per_user", "winsorized_stats", "quality_percentile",
-    "audience_overlap",
+    "audience_overlap", "source_top_tokens",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -1990,6 +1992,22 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY token
       ORDER BY n DESC, token ASC
       LIMIT 20
+    """
+
+    sql["source_top_tokens"] = """
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ), c AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE token <> '' GROUP BY source, token
+      )
+      SELECT source, token, n, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT source, token, n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n DESC, token ASC) AS rk
+            FROM c)
+      WHERE rk <= 10
     """
 
     sql["events_window_functions"] = """

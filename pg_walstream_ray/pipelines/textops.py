@@ -250,6 +250,61 @@ def token_heavy_hitters(sf_dir: str, k: int = 20):
             .sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def source_top_tokens(sf_dir: str, k: int = 10):
+    """Grouped heavy hitters: the k most frequent tokens WITHIN each
+    source (the per-source \"signature vocabulary\" a mixing or
+    contamination review looks at), ties broken by token text ascending.
+
+    Output: (source, token, n, rk) with rk = 1..k per source, ordered
+    (source, rk).
+
+    Scale shape: the per-batch combiner ships one (source, token, count)
+    row per distinct pair per batch — never token occurrences; ONE
+    (source, token)-keyed groupby sum; then a per-block top-k-per-source
+    prefilter caps what the final per-source selection sees at
+    |sources| x k rows per block.  Identical shuffle economics to the
+    global token_heavy_hitters with the group key widened.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("text", "source"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(split)
+        keep = pc.not_equal(toks, "")
+        d = pa.table({"source": pa.array(np.repeat(src, lens), pa.string()),
+                      "token": toks}).filter(keep) \
+            .group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": d["source"], "token": d["token"],
+                         "cnt": pc.cast(d["token_count"], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144) \
+        .groupby(["source", "token"]).aggregate(Sum("cnt", alias_name="n"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = pa.table({"source": t["source"], "token": t["token"],
+                       "n": pc.cast(t["n"], pa.int64())}).to_pandas()
+        df = df.sort_values(["source", "n", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("source").head(k),
+                                    preserve_index=False)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "token", "n", "rk"]]
+
+    return agg.map_batches(block_topk, batch_format="pyarrow") \
+        .groupby("source").map_groups(per_source, batch_format="pandas",
+                                      num_cpus=1)
+
+
 def stratified_sample(sf_dir: str, per_group: int = 25,
                       hash_mode: str = "fast"):
     """Deterministic stratified sampling: the ``per_group``
