@@ -463,6 +463,61 @@ def _cdc_export_conversations(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_corpus_quality(sf_dir: str) -> Any:
+    """End-to-end 'transcripts lake -> training corpus' composite: replay
+    the upsert WAL, assemble per-conversation documents from the lake
+    (zero shuffle — convs are partition-local), then score each document
+    with the vectorized quality stage.  This is the flagship integration
+    of the CDC half and the corpus-ops half of the engine.  Oracle:
+    STRING_AGG doc assembly + the proven quality expression over it."""
+    from pg_walstream_ray.lake import export_conversations
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.stages.taskmode import as_tasks
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_corpusq_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        scored = export_conversations(lake).map_batches(
+            as_tasks(_ConvQualityStage), batch_format="pyarrow",
+            batch_size=4096)
+        import ray as _ray
+        tables = [t for t in _ray.get(scored.to_arrow_refs())
+                  if t.num_rows]
+        cols = [("conv_id", pa.string()), ("n_tokens", pa.int64()),
+                ("n_distinct", pa.int64()), ("quality_q", pa.int64())]
+        if not tables:
+            return pa.table({c: pa.array([], t_) for c, t_ in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+class _ConvQualityStage:
+    """Quality scoring over exported conversation docs: rename
+    (conv_id, doc) -> the text stage's (doc_id, text) contract, keeping
+    the oracle-proven quality expression bit-identical.  Stage state
+    (token hasher) builds once per worker via the usual __init__-once
+    actor/task-cache contract."""
+
+    def __init__(self):
+        from pg_walstream_ray.pipelines.textops import TextStatsStage
+
+        self._stage = TextStatsStage()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = self._stage(pa.table({"doc_id": t["conv_id"],
+                                  "text": t["doc"]}))
+        return pa.table({"conv_id": t["conv_id"],
+                         "n_tokens": s["n_tokens"],
+                         "n_distinct": s["n_distinct"],
+                         "quality_q": s["quality_q"]})
+
+
 def _cdc_backfill_column(sf_dir: str) -> Any:
     """Lake-wide derived-column backfill (lake.backfill_column): replay
     the upsert WAL, then backfill n_chars_text = utf8_length(text) onto
@@ -795,6 +850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_lake_merge"] = _cdc_lake_merge
     # training-corpus export: per-conversation document assembly
     q["cdc_export_conversations"] = _cdc_export_conversations
+    # flagship CDC x corpus composite: lake -> conversation docs -> quality
+    q["cdc_corpus_quality"] = _cdc_corpus_quality
     # lake maintenance: derived-column backfill + TTL retention
     q["cdc_backfill_column"] = _cdc_backfill_column
     q["cdc_retention"] = _cdc_retention
@@ -1225,6 +1282,31 @@ def oracle_sql() -> dict[str, str]:
              STRING_AGG(role || ': ' || text, chr(10)
                         ORDER BY turn_idx) AS doc
       FROM final GROUP BY conv_id
+    """
+
+    sql["cdc_corpus_quality"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (
+        SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1
+      ), docs AS (
+        SELECT conv_id,
+               STRING_AGG(role || ': ' || text, chr(10)
+                          ORDER BY turn_idx) AS doc
+        FROM final GROUP BY conv_id
+      ), b AS (
+        SELECT conv_id,
+               len(string_split(doc, ' ')) AS n_tokens,
+               len(list_distinct(string_split(doc, ' '))) AS n_distinct,
+               length(replace(doc, ' ', '')) AS n_chars
+        FROM docs
+      )
+      SELECT conv_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                    + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                    + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens) / 8.0))
+                   * 10000)::BIGINT AS quality_q
+      FROM b
     """
 
     # hot-key mode: conv collapses onto user_id % HOT_CONV_MOD, turn spreads

@@ -96,7 +96,8 @@ def test_every_oracle_key_has_query(contract):
     "source_top_tokens",
     "cdc_snapshot_diff", "train_shuffle", "corpus_filter_audit",
     "cdc_lake_merge", "weighted_sample", "token_entropy",
-    "cdc_export_conversations", "cdc_backfill_column", "cdc_retention",
+    "cdc_export_conversations", "cdc_corpus_quality",
+    "cdc_backfill_column", "cdc_retention",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
