@@ -975,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_range_join"] = temporal.events_range_join
     q["events_sliding_window"] = temporal.events_sliding_window
     q["user_active_days"] = temporal.user_active_days
+    # sliding-window COUNT DISTINCT: trailing-7-day active users per day
+    q["rolling_active_users"] = temporal.rolling_active_users
     q["events_window_functions"] = temporal.events_window_functions
     # frame-bounded (ROWS BETWEEN) + NTILE tiling window surface
     q["events_window_frame"] = temporal.events_window_frame
@@ -1204,7 +1206,7 @@ _DRIVER_WINDOW_ORDER = [
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "ann_pq_topk", "key_skew_audit", "session_concurrency",
     "arg_max_per_user", "winsorized_stats", "quality_percentile",
-    "audience_overlap", "source_top_tokens",
+    "audience_overlap", "source_top_tokens", "rolling_active_users",
     # 10 approximate/rows-only queries, also never driver-checked
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
@@ -3068,6 +3070,17 @@ def oracle_sql() -> dict[str, str]:
              ROUND(SUM(value), 2) AS sum_value
       FROM events CROSS JOIN (SELECT UNNEST(range(4)) AS k)
       GROUP BY 1
+    """
+
+    sql["rolling_active_users"] = """
+      WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                    FROM events),
+           ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                  FROM events)
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
     """
 
     sql["user_active_days"] = """

@@ -247,6 +247,61 @@ def user_active_days(sf_dir: str):
                                           num_cpus=1))
 
 
+def rolling_active_users(sf_dir: str, window: int = 7):
+    """Exact trailing-N-day distinct active users (rolling DAU/WAU): for
+    every day that appears in the data, the number of DISTINCT users with
+    at least one event in [day - (window-1), day] — the sliding-window
+    COUNT DISTINCT that neither a plain groupby (windows overlap) nor a
+    per-user pass (count is per-day) expresses.
+
+    Output: (day, n_users) with day as midnight timestamp[us], only days
+    observed in the data.
+
+    Scale shape: the per-batch combiner dedups to distinct (user, day)
+    pairs (at most users x days rows per batch); each pair explodes into
+    ``window`` (window_day, user) membership int pairs; ONE shuffle
+    bucketed by window_day co-locates every window's members, so the
+    per-bucket distinct-and-count is exact with no second exchange (a
+    given (window_day, user) duplicate always lands in the same bucket).
+    Partial output is bounded (<= |days| rows).  Events themselves never
+    shuffle, and the explosion factor is the window length — constant.
+    """
+    ds = _events(sf_dir, columns=("user_id", "ts"))
+    npart = coarse_npart()
+
+    def explode(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        pairs = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        u = pairs["user_id"].to_numpy(zero_copy_only=False)
+        d_us = pairs["day"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)                     # midnight micros
+        d = d_us // 86_400_000_000                    # day ordinal
+        k = np.arange(window, dtype=np.int64)
+        wday = (d[:, None] + k).ravel()
+        return pa.table({
+            "wday": pa.array(wday),
+            "user_id": pa.array(np.repeat(u, window)),
+            "is_base": pa.array(np.tile(k == 0, len(d))),
+            "bucket": pa.array(wday % npart),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("wday").agg(
+            n_users=("user_id", "nunique"), obs=("is_base", "max"))
+        agg = agg[agg["obs"]]
+        day_us = agg.index.to_numpy(np.int64) * 86_400_000_000
+        return pd.DataFrame({
+            "day": day_us.astype("datetime64[us]"),
+            "n_users": agg["n_users"].to_numpy(np.int64)})
+
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))
+
+
 # ---------------------------------------------------------------------------
 # per-user window functions: ROW_NUMBER, running SUM, LAG delta
 # ---------------------------------------------------------------------------

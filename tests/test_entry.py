@@ -93,7 +93,7 @@ def test_every_oracle_key_has_query(contract):
     "edit_distance_pairs", "temperature_mix", "event_transitions",
     "key_skew_audit", "session_concurrency", "arg_max_per_user",
     "winsorized_stats", "quality_percentile", "audience_overlap",
-    "source_top_tokens",
+    "source_top_tokens", "rolling_active_users",
     "cdc_snapshot_diff", "train_shuffle", "corpus_filter_audit",
     "cdc_lake_merge", "weighted_sample", "token_entropy",
     "cdc_export_conversations", "cdc_corpus_quality",
