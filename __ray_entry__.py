@@ -1037,6 +1037,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, hash_mode="md5")
     q["dup_span_removal"] = lambda sf: dedup.dup_span_removal(
         sf, hash_mode="md5")
+    # first-occurrence novelty per doc in corpus order (incremental-crawl
+    # marginal-new-content curve)
+    q["ngram_novelty"] = lambda sf: dedup.ngram_novelty(
+        sf, hash_mode="md5")
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
@@ -3142,6 +3146,24 @@ def oracle_sql() -> dict[str, str]:
              CAST(FLOOR(SUM(CASE WHEN g > 1 THEN c ELSE 0 END) * 10000.0
                         / SUM(c)) AS BIGINT) AS dup_frac_q
       FROM cnt JOIN tot USING (h) GROUP BY doc_id
+    """
+
+    sql["ngram_novelty"] = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents),
+      pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM t),
+      sgl AS (SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')),
+                                     1, 15))::BIGINT AS h
+              FROM pos),
+      mn AS (SELECT h, MIN(doc_id) AS first_doc FROM sgl GROUP BY h)
+      SELECT s.doc_id, COUNT(*) AS n_distinct,
+             CAST(SUM(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+             CAST(FLOOR(SUM(CASE WHEN m.first_doc = s.doc_id
+                                 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*))
+                  AS BIGINT) AS novelty_q
+      FROM sgl s JOIN mn m USING (h) GROUP BY s.doc_id
     """
 
     sql["dup_span_removal"] = """

@@ -798,6 +798,105 @@ def dup_span_removal(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty: first-occurrence attribution in corpus order
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
+    """Per-document n-gram NOVELTY in corpus order: for each document,
+    the fraction of its distinct k-token shingles whose global first
+    occurrence (minimum ``doc_id`` over the whole corpus) is this
+    document.  This is the marginal-new-content curve an incremental
+    crawl pipeline watches — how much a slice adds beyond everything
+    ingested before it — the first-occurrence dual of ``dup_span_stats``
+    (which counts multiplicity, not attribution).  Reference parity:
+    pg-walstream has no corpus ops; this extends the training-data
+    surface of SURVEY §2.12.
+
+    Output: (doc_id, n_distinct, n_novel, novelty_q), novelty_q =
+    floor(n_novel / n_distinct * 10000) basis points.  Docs with < k
+    tokens emit no row (mirrored by the SQL oracle).
+
+    Scale shape: the text never shuffles.  Each doc is one row, so a
+    batch-local distinct over (shingle_hash, doc_id) is globally
+    distinct; the map stage ships ONE int64 posting per distinct pair.
+    Then two coarse reductions: by hash bucket (min doc per shingle +
+    per-doc novel/total partials, all vectorized np.lexsort/reduceat)
+    and by doc bucket (final sums).  hash_mode='md5' is the SQL-bridge
+    mode pinned by the driver query; 'fast' is the xxhash path.
+    """
+    npart = coarse_npart()
+
+    def postings(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+        empty = pa.table({"bpart": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if L < k:
+            return empty
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, L - k + 1) for j in range(k)], " ")
+        n_tokens = np.diff(offsets)
+        doc_pos = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            n_tokens)
+        ok = doc_pos[: L - k + 1] == doc_pos[k - 1:]
+        if not ok.any():
+            return empty
+        h = content_hash60(joined, hash_mode)[ok]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = ids[doc_pos[: L - k + 1][ok]]
+        uniq = np.unique(np.stack([h, d], axis=1), axis=0)
+        return pa.table({"bpart": pa.array(uniq[:, 0] % npart),
+                         "h": pa.array(uniq[:, 0]),
+                         "doc_id": pa.array(uniq[:, 1])})
+
+    def per_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        # min doc per shingle, broadcast back to every posting of that
+        # shingle — all sort + reduceat, no Python per group
+        order = np.lexsort((d, h))
+        hs, ds = h[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], hs[1:] != hs[:-1]]))
+        first = ds[starts]                    # min doc (d is sort minor)
+        reps = np.diff(np.append(starts, len(hs)))
+        novel = (ds == np.repeat(first, reps)).astype(np.int64)
+        part = pd.DataFrame({"doc_id": ds, "nd": 1, "novel": novel}) \
+            .groupby("doc_id", as_index=False).sum()
+        part["dpart"] = part["doc_id"] % npart
+        return part
+
+    def per_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("doc_id", as_index=False)[["nd", "novel"]].sum()
+        nd = a["nd"].to_numpy(np.int64)
+        nv = a["novel"].to_numpy(np.int64)
+        q = np.floor(nv * 10000.0 / nd.astype(np.float64)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(a["doc_id"].to_numpy(np.int64)),
+                         "n_distinct": pa.array(nd),
+                         "n_novel": pa.array(nv),
+                         "novelty_q": pa.array(q)})
+
+    return (_docs(sf_dir)
+            .map_batches(postings, batch_format="pyarrow",
+                         batch_size=4096)
+            .groupby("bpart").map_groups(per_hash_bucket,
+                                         batch_format="pandas")
+            .groupby("dpart").map_groups(per_doc_bucket,
+                                         batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the near-dup pair graph (duplicate-hub scoring)
 # ---------------------------------------------------------------------------
 

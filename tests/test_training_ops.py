@@ -620,6 +620,30 @@ def test_dup_span_stats_planted(ray_session, planted_dir):
     assert dff.sort_index().equals(df.sort_index())
 
 
+def test_ngram_novelty_planted(ray_session, planted_dir):
+    """First-occurrence attribution: doc 0 is the min-id owner of every
+    base shingle, so docs 2/5 (copies of it) attribute ~nothing."""
+    from pg_walstream_ray.pipelines.dedup import ngram_novelty
+
+    df = ngram_novelty(planted_dir).to_pandas().set_index("doc_id")
+    assert 3 not in df.index and 4 not in df.index   # < 5 tokens
+    # doc 0: all 26 distinct shingles first-seen here
+    assert df.loc[0, "n_distinct"] == 26
+    assert df.loc[0, "n_novel"] == 26 and df.loc[0, "novelty_q"] == 10000
+    # doc 1 shares its first 25 shingles with doc 0; only the tokX
+    # shingle is first-seen here
+    assert df.loc[1, "n_distinct"] == 26 and df.loc[1, "n_novel"] == 1
+    assert df.loc[1, "novelty_q"] == 10000 // 26
+    # doc 2 is an exact copy of doc 0: zero novelty
+    assert df.loc[2, "n_novel"] == 0 and df.loc[2, "novelty_q"] == 0
+    # doc 5 = doc 0 + ' tail': only the tail shingle is novel
+    assert df.loc[5, "n_distinct"] == 27 and df.loc[5, "n_novel"] == 1
+    # fast mode: identical values (hash only keys the reduction)
+    dff = ngram_novelty(planted_dir, hash_mode="fast").to_pandas() \
+        .set_index("doc_id")
+    assert dff.sort_index().equals(df.sort_index())
+
+
 def test_dup_span_removal_planted(ray_session, planted_dir):
     from pg_walstream_ray.pipelines.dedup import dup_span_removal
 
