@@ -1041,6 +1041,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # marginal-new-content curve)
     q["ngram_novelty"] = lambda sf: dedup.ngram_novelty(
         sf, hash_mode="md5")
+    # cross-source contamination matrix (mixture audit before
+    # source-weighted mixing)
+    q["source_ngram_overlap"] = lambda sf: dedup.source_ngram_overlap(
+        sf, hash_mode="md5")
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
@@ -3164,6 +3168,23 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) * 10000.0 / COUNT(*))
                   AS BIGINT) AS novelty_q
       FROM sgl s JOIN mn m USING (h) GROUP BY s.doc_id
+    """
+
+    sql["source_ngram_overlap"] = """
+      WITH t AS (SELECT source, string_split(text, ' ') AS l
+                 FROM documents),
+      pos AS (SELECT source, l, unnest(range(1, len(l) - 1)) AS i FROM t),
+      sgl AS (SELECT DISTINCT source,
+                     ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')),
+                                     1, 15))::BIGINT AS h
+              FROM pos),
+      siz AS (SELECT source, COUNT(*) AS n FROM sgl GROUP BY source)
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS n_inter,
+             CAST(FLOOR(COUNT(*) * 10000.0 / MIN(siz.n)) AS BIGINT)
+               AS overlap_q
+      FROM sgl a JOIN sgl b USING (h) JOIN siz ON siz.source = a.source
+      GROUP BY a.source, b.source
     """
 
     sql["dup_span_removal"] = """

@@ -897,6 +897,117 @@ def ngram_novelty(sf_dir: str, k: int = 5, hash_mode: str = "fast"):
 
 
 # ---------------------------------------------------------------------------
+# cross-source n-gram contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def source_ngram_overlap(sf_dir: str, k: int = 3, hash_mode: str = "fast"):
+    """Cross-source n-gram contamination matrix: for every ordered pair
+    of sources (a, b), the number of distinct k-token shingles they share
+    and that intersection as a fraction of a's distinct-shingle set.  The
+    between-slice generalization of ``decontaminate`` (benchmark-vs-corpus)
+    — a mixture audit answering "which crawl sources are near-copies of
+    which" before source-weighted mixing.
+
+    Output: (src_a, src_b, n_inter, overlap_q) for every ordered pair that
+    shares at least one shingle, diagonal included (n_inter there = |S_a|,
+    overlap_q = 10000); overlap_q = floor(n_inter / |S_a| * 10000).
+
+    Scale shape: text never shuffles.  A tiny groupby first collects the
+    distinct source names (codes are their sorted rank); the map stage
+    ships ONE (shingle_hash, src_code) int posting per batch-distinct
+    pair; one hash-bucket reduction dedupes globally (a hash lands in
+    exactly one bucket), then emits SPARSE ordered co-occurrence pairs
+    per shingle (a source appears at most once per shingle group, so
+    group sizes are <= |sources| and the per-bucket output is the
+    observed-pair count matrix, never the dense S^2 grid); a final
+    (a, b) groupby sums bucket partials — bounded by observed pairs.
+    Assumes source cardinality is mixture-audit-granular (<= thousands),
+    not per-URL.
+    """
+    npart = coarse_npart()
+    src_rows = _docs(sf_dir, columns=("source",)) \
+        .groupby("source").count().take_all()
+    names = sorted(r["source"] for r in src_rows)
+    code = {s: i for i, s in enumerate(names)}
+
+    def postings(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        L = len(flat)
+        empty = pa.table({"bpart": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "src": pa.array([], pa.int64())})
+        if L < k:
+            return empty
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, L - k + 1) for j in range(k)], " ")
+        n_tokens = np.diff(offsets)
+        doc_pos = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            n_tokens)
+        ok = doc_pos[: L - k + 1] == doc_pos[k - 1:]
+        if not ok.any():
+            return empty
+        h = content_hash60(joined, hash_mode)[ok]
+        codes = np.fromiter((code[s] for s in t["source"].to_pylist()),
+                            dtype=np.int64, count=t.num_rows)
+        s = codes[doc_pos[: L - k + 1][ok]]
+        uniq = np.unique(np.stack([h, s], axis=1), axis=0)
+        return pa.table({"bpart": pa.array(uniq[:, 0] % npart),
+                         "h": pa.array(uniq[:, 0]),
+                         "src": pa.array(uniq[:, 1])})
+
+    def per_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "src"])   # global: h lives here only
+        g = g.sort_values(["h", "src"], kind="mergesort")
+        h = g["h"].to_numpy(np.int64)
+        s = g["src"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        cnt = np.diff(np.append(starts, len(h)))
+        # ordered all-pairs per shingle group (diagonal included): the
+        # posting at i emits one row per member of its group
+        rep = np.repeat(cnt, cnt)             # emission block per posting
+        a = np.repeat(s, rep)
+        csum = np.cumsum(rep)
+        off = np.arange(int(csum[-1]) if len(csum) else 0,
+                        dtype=np.int64) - np.repeat(csum - rep, rep)
+        b = s[np.repeat(np.repeat(starts, cnt), rep) + off]
+        part = pd.DataFrame({"a": a, "b": b, "cnt": 1}) \
+            .groupby(["a", "b"], as_index=False).sum()
+        return part
+
+    parts = (_docs(sf_dir, columns=("doc_id", "text", "source"))
+             .map_batches(postings, batch_format="pyarrow",
+                          batch_size=4096)
+             .groupby("bpart").map_groups(per_hash_bucket,
+                                          batch_format="pandas")
+             .to_pandas())     # bounded: npart x observed source pairs
+    cols = ["src_a", "src_b", "n_inter", "overlap_q"]
+    if len(parts) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object if c[0] == "s"
+                                          else np.int64) for c in cols})
+    pdf = parts.groupby(["a", "b"], as_index=False)["cnt"].sum()
+    cnt = pdf["cnt"].to_numpy(np.int64)
+    a = pdf["a"].to_numpy(np.int64)
+    b = pdf["b"].to_numpy(np.int64)
+    diag = {int(x): int(c) for x, y, c in zip(a, b, cnt) if x == y}
+    sz = np.fromiter((diag[int(x)] for x in a), dtype=np.int64,
+                     count=len(a))
+    q = np.floor(cnt * 10000.0 / sz.astype(np.float64)).astype(np.int64)
+    name_arr = np.asarray(names, dtype=object)
+    return pd.DataFrame({"src_a": name_arr[a], "src_b": name_arr[b],
+                         "n_inter": cnt, "overlap_q": q})
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the near-dup pair graph (duplicate-hub scoring)
 # ---------------------------------------------------------------------------
 

@@ -644,6 +644,32 @@ def test_ngram_novelty_planted(ray_session, planted_dir):
     assert dff.sort_index().equals(df.sort_index())
 
 
+def test_source_ngram_overlap_planted(ray_session):
+    """Hand-computable 2-source corpus: S_A = {w123, w234, x123} (3),
+    S_B = {w123, y123, y234, y345} (4), intersection = {w123}."""
+    from pg_walstream_ray.pipelines.dedup import source_ngram_overlap
+
+    d = tempfile.mkdtemp(prefix="srcovl_")
+    tab = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["w1 w2 w3 w4", "x1 x2 x3",
+                          "w1 w2 w3", "y1 y2 y3 y4 y5"], pa.string()),
+        "source": pa.array(["A", "A", "B", "B"], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    df = source_ngram_overlap(d).set_index(["src_a", "src_b"])
+    assert df.loc[("A", "A"), "n_inter"] == 3
+    assert df.loc[("A", "A"), "overlap_q"] == 10000
+    assert df.loc[("B", "B"), "n_inter"] == 4
+    assert df.loc[("A", "B"), "n_inter"] == 1
+    assert df.loc[("A", "B"), "overlap_q"] == 10000 // 3
+    assert df.loc[("B", "A"), "overlap_q"] == 2500
+    # md5 bridge mode: identical values
+    dm = source_ngram_overlap(d, hash_mode="md5") \
+        .set_index(["src_a", "src_b"])
+    assert dm.sort_index().equals(df.sort_index())
+
+
 def test_dup_span_removal_planted(ray_session, planted_dir):
     from pg_walstream_ray.pipelines.dedup import dup_span_removal
 
