@@ -977,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_active_days"] = temporal.user_active_days
     # sliding-window COUNT DISTINCT: trailing-7-day active users per day
     q["rolling_active_users"] = temporal.rolling_active_users
+    # recency-weighted engagement: power-of-two decay over integer cents
+    # (order-independent exact distributed sum)
+    q["decayed_user_value"] = temporal.decayed_user_value
     q["events_window_functions"] = temporal.events_window_functions
     # frame-bounded (ROWS BETWEEN) + NTILE tiling window surface
     q["events_window_frame"] = temporal.events_window_frame
@@ -3095,6 +3098,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["decayed_user_value"] = """
+      WITH b AS (SELECT CAST(max(ts) AS DATE) AS d1,
+                        CAST(min(ts) AS DATE) AS d0 FROM events),
+      e AS (SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   date_diff('day', CAST(ts AS DATE), b.d1) // 7 AS k,
+                   date_diff('day', b.d0, b.d1) // 7 AS kmax
+            FROM events, b)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(cents * (CAST(1 AS BIGINT) << (kmax - k)))
+                  AS BIGINT) AS decayed_q
+      FROM e GROUP BY user_id
     """
 
     sql["q6_forecast_revenue"] = """

@@ -247,6 +247,67 @@ def user_active_days(sf_dir: str):
                                           num_cpus=1))
 
 
+def decayed_user_value(sf_dir: str, half_life_days: int = 7):
+    """Per-user exponentially time-decayed engagement value: each event
+    contributes ``cents * 0.5 ** age_weeks`` where ``age_weeks =
+    floor(days_before_anchor / half_life_days)`` and the anchor is the
+    corpus max event date.  The recency-weighted LTV/engagement score a
+    ranking or sampling stage consumes.
+
+    Exactness: decay weights are POWERS OF TWO over integer cents, so
+    every contribution is an exact int64 multiple of cents/2^kmax — the
+    distributed sum is order-independent and bit-equal to the SQL oracle
+    regardless of block arrival order (the same reason grouped_corr uses
+    integer moments).  Output: (user_id, n_events, decayed_q) with
+    decayed_q in units of cents / 2^kmax, kmax = floor(span_days /
+    half_life).
+
+    Scale shape: one bounded aggregate pass for the (min, max) date
+    anchor, then one scoring scan with per-batch per-user partial sums
+    (the combiner) and ONE coarse user-bucket reduction; raw events never
+    shuffle.
+    """
+    from ray.data.aggregate import Max, Min
+
+    npart = coarse_npart()
+    US_DAY = 86_400_000_000
+    bounds = _events(sf_dir, columns=("ts",)).aggregate(
+        Max("ts"), Min("ts"))
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "decayed_q": pa.array([], pa.int64())})
+    if bounds is None or bounds.get("max(ts)") is None:
+        import ray
+        return ray.data.from_arrow(empty)
+    d1 = int(pd.Timestamp(bounds["max(ts)"]).value // 1000) // US_DAY
+    d0 = int(pd.Timestamp(bounds["min(ts)"]).value // 1000) // US_DAY
+    kmax = (d1 - d0) // half_life_days
+
+    def partial(t: pa.Table) -> pa.Table:
+        e_days = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                  // US_DAY)
+        k = (d1 - e_days) // half_life_days
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        contrib = cents << (kmax - k)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(
+            zero_copy_only=False), "n_events": 1, "decayed_q": contrib})
+        agg = df.groupby("user_id", sort=False, as_index=False).sum()
+        agg["bucket"] = agg["user_id"] % npart
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)[
+            ["n_events", "decayed_q"]].sum()
+
+    return (_events(sf_dir, columns=("ts", "user_id", "value"))
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=262144)
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))
+
+
 def rolling_active_users(sf_dir: str, window: int = 7):
     """Exact trailing-N-day distinct active users (rolling DAU/WAU): for
     every day that appears in the data, the number of DISTINCT users with
