@@ -891,6 +891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_order_totals"] = analytics.customer_order_totals
     q["events_sessionize"] = analytics.sessionize_events
     q["events_hourly"] = analytics.hourly_event_stats
+    # fixed-width histogram (width_bucket primitive), combiner-first
+    q["value_histogram"] = analytics.value_histogram
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3098,6 +3100,12 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["value_histogram"] = """
+      SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
     """
 
     sql["decayed_user_value"] = """

@@ -213,6 +213,38 @@ def hourly_event_stats(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def value_histogram(sf_dir: str, width: float = 25.0):
+    """Fixed-width histogram of event value per event type (the
+    width_bucket primitive): bin = floor(value / width).
+
+    Output: (event_type, bin, n_events) — one row per non-empty bin.
+
+    Scale shape: per-batch combiner collapses each batch to at most
+    |types| x |bins| partial-count rows, then ONE tiny groupby by type
+    with a vectorized per-type bin sum; raw events never shuffle.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     / width).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(
+            zero_copy_only=False), "bin": b, "n_events": 1})
+        agg = df.groupby(["event_type", "bin"], sort=False,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "bin"], as_index=False)[
+            "n_events"].sum()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas",
+                                              num_cpus=1))
+
+
 def q6_forecast_revenue(sf_dir: str):
     """TPC-H Q6-shaped filtered aggregate: predicate applied per batch on
     pruned columns, partial sums, one global reduce. Returns one row."""
