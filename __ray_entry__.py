@@ -208,6 +208,26 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def _cdc_stream_hopping(sf_dir: str) -> Any:
+    """Streaming HOPPING windows over the CDC tap (width 2x slide —
+    every event counted in two overlapping windows), sharded across 4
+    conv-routed aggregator actors.  Full-stream result must equal the
+    batch SQL union-of-two-window-assignments group-by."""
+    from pg_walstream_ray.pipelines.streaming import stream_hopping_windows
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_hopping_windows(wal_dir, 2 * STREAM_WINDOW_US,
+                                 STREAM_WINDOW_US, n_sources=n_shards,
+                                 n_actors=4)
+    assert agg.late_dropped == 0
+    return agg.result_table()
+
+
 STREAM_SESSION_GAP_US = 500   # commit-time gap that splits a session
                               # (~2-3 skipped transactions at sf0.01)
 
@@ -858,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
+    q["cdc_stream_hopping"] = _cdc_stream_hopping
     q["cdc_stream_sessions"] = _cdc_stream_sessions
     # streaming per-window top-k convs (windowed heavy hitters, sharded)
     q["cdc_stream_topk"] = _cdc_stream_topk
@@ -1435,6 +1456,35 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
       FROM e GROUP BY 1
+    """
+
+    sql["cdc_stream_hopping"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.user_id, {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      ), w AS (
+        SELECT user_id, cts - cts % {STREAM_WINDOW_US} AS ws FROM e
+        UNION ALL
+        SELECT user_id,
+               cts - cts % {STREAM_WINDOW_US} - {STREAM_WINDOW_US} AS ws
+        FROM e
+      )
+      SELECT CAST(ws AS BIGINT) AS window_start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
+      FROM w GROUP BY 1
     """
 
     sql["cdc_stream_topk"] = f"""

@@ -122,7 +122,12 @@ class TumblingWindowAggregator:
         """Vectorized state update from pre-extracted key arrays (no
         watermark movement — callers pair this with observe_watermarks +
         _advance; ``ingest`` and the sharded actor both do)."""
-        starts = cts - cts % self.width
+        self._ingest_starts(cts - cts % self.width, conv)
+
+    def _ingest_starts(self, starts: np.ndarray,
+                       conv: np.ndarray) -> None:
+        """Window-start-bucketed state update (shared by the tumbling and
+        hopping shapes; hopping calls it with replicated rows)."""
         order = np.argsort(starts, kind="stable")
         ss = starts[order]
         conv_s = conv[order]
@@ -175,6 +180,33 @@ class TumblingWindowAggregator:
             "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
             "n_convs": pa.array([r["n_convs"] for r in rows], pa.int64()),
         })
+
+
+class HoppingWindowAggregator(TumblingWindowAggregator):
+    """HOPPING (sliding-step) windows: width ``width_us``, slide
+    ``slide_us`` with ``width % slide == 0`` — every event lands in
+    ``width // slide`` overlapping windows (the Flink/Beam
+    hop/sliding-window contract; tumbling is the slide == width special
+    case).  State, watermark finalization (a window is final when the
+    global watermark passes ``start + width + lateness``) and the
+    sharded conv-disjoint merge are inherited unchanged: window ends are
+    monotone in starts, so the ``closed_before`` lateness ledger stays
+    a single scalar even though windows overlap.
+    """
+
+    def __init__(self, width_us: int, slide_us: int,
+                 sources: Iterable[int], lateness_us: int = 0):
+        if int(width_us) % int(slide_us):
+            raise ValueError("width_us must be a multiple of slide_us")
+        super().__init__(width_us, sources, lateness_us)
+        self.slide = int(slide_us)
+
+    def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray) -> None:
+        m = self.width // self.slide
+        base = cts - cts % self.slide
+        starts = np.concatenate([base - j * self.slide for j in range(m)])
+        self._ingest_starts(starts, np.tile(conv, m))
 
 
 class WindowTopKAggregator:
@@ -394,6 +426,8 @@ class ShardedAggResult:
 def _make_agg(kind: str, kw: dict):
     if kind == "windows":
         return TumblingWindowAggregator(**kw)
+    if kind == "hopping":
+        return HoppingWindowAggregator(**kw)
     if kind == "topk":
         return WindowTopKAggregator(**kw)
     return StreamSessionizer(**kw)
@@ -559,6 +593,26 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
     from .events import poll_envelopes
 
     agg = TumblingWindowAggregator(**kw)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg
+
+
+def stream_hopping_windows(wal_dir: str, width_us: int, slide_us: int,
+                           n_sources: int, lateness_us: int = 0,
+                           batch_size: int = 8192, n_actors: int = 0):
+    """Consume a WAL dir into HOPPING commit-time windows (width W,
+    slide S, W % S == 0; every event counted in W/S overlapping
+    windows).  Same deployment contract as ``stream_windows``."""
+    kw = dict(width_us=width_us, slide_us=slide_us,
+              sources=range(n_sources), lateness_us=lateness_us)
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "hopping", kw, n_actors,
+                            _merge_windows)
+    from .events import poll_envelopes
+
+    agg = HoppingWindowAggregator(**kw)
     for batch in poll_envelopes(wal_dir, batch_size=batch_size):
         agg.ingest(batch)
     agg.flush()

@@ -406,6 +406,50 @@ def test_stream_windows_lateness_grace():
     assert done[0]["n_events"] == 3 and done[0]["n_convs"] == 3
 
 
+def test_stream_hopping_windows():
+    """Hopping width=200/slide=100: every event lands in TWO overlapping
+    windows; finalization waits for start + WIDTH (not + slide), and a
+    row behind a finalized window is late for that window only."""
+    from pg_walstream_ray.pipelines.streaming import (
+        HoppingWindowAggregator)
+
+    agg = HoppingWindowAggregator(width_us=200, slide_us=100,
+                                  sources=[0, 1])
+    # events at 10 (windows -100 and 0) and 120 (windows 0 and 100)
+    out1 = agg.ingest(_env_batch([(0, 10, "a"), (1, 120, "b")]))
+    # watermark = min(10, 120) = 10: nothing final yet
+    assert out1 == []
+    out2 = agg.ingest(_env_batch([(0, 130, "c"), (1, 310, "d")]))
+    # watermark 130: window [-100, 100) finalizes with the single event
+    assert [w["window_start_us"] for w in out2] == [-100]
+    assert out2[0]["n_events"] == 1 and out2[0]["n_convs"] == 1
+    rest = agg.flush()
+    done = {w["window_start_us"]: w for w in agg.emitted}
+    # window [0,200): events 10, 120, 130 from convs a,b,c
+    assert done[0]["n_events"] == 3 and done[0]["n_convs"] == 3
+    # window [100,300): events 120, 130
+    assert done[100]["n_events"] == 2
+    # windows [200,400) and [300,500): event 310
+    assert done[200]["n_events"] == 1 and done[300]["n_events"] == 1
+    assert len(rest) == 4 and agg.late_dropped == 0
+
+
+def test_stream_hopping_late_rows():
+    from pg_walstream_ray.pipelines.streaming import (
+        HoppingWindowAggregator)
+
+    agg = HoppingWindowAggregator(width_us=200, slide_us=100,
+                                  sources=[0, 1])
+    agg.ingest(_env_batch([(0, 10, "a"), (1, 350, "b"),
+                           (0, 360, "c")]))
+    # watermark 350: windows [-100,100) and [0,200) final
+    done = sorted(w["window_start_us"] for w in agg.emitted)
+    assert done == [-100, 0]
+    # a row at 30 belongs to both finalized windows: late twice
+    agg.ingest(_env_batch([(1, 30, "z")]))
+    assert agg.late_dropped == 2
+
+
 def test_stream_sessions_per_source_independence():
     """A conversation's session closes against ITS source's watermark —
     a lagging other source does not delay it (key->source affinity)."""
