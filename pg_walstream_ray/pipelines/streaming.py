@@ -93,14 +93,26 @@ def _batch_watermarks(cts: np.ndarray, src: np.ndarray) -> Dict[int, int]:
 
 
 class TumblingWindowAggregator:
-    """Exact tumbling-window counts + distinct-conversation counts."""
+    """Tumbling-window counts + distinct-conversation counts.
+
+    ``distinct_mode='exact'`` (default) keeps a per-window conv set;
+    ``'approx'`` keeps a per-window HyperLogLog register array
+    (``pipelines/sketches.py``) — 4 KiB fixed state per open window
+    regardless of conv cardinality, the 100 TB shape.  The sharded
+    conv-disjoint merge is unchanged: per-actor estimates add because
+    each conv is folded on exactly one actor (disjoint-set estimates
+    sum; errors stay the per-sketch ~1.6% rel. std at p=12).
+    """
 
     def __init__(self, width_us: int, sources: Iterable[int],
-                 lateness_us: int = 0):
+                 lateness_us: int = 0, distinct_mode: str = "exact"):
+        if distinct_mode not in ("exact", "approx"):
+            raise ValueError(f"distinct_mode {distinct_mode!r}")
         self.width = int(width_us)
         self.late = int(lateness_us)
+        self.approx = distinct_mode == "approx"
         self.wm: Dict[int, int] = {int(s): -1 for s in sources}
-        self.open: Dict[int, list] = {}        # start -> [n, conv_set]
+        self.open: Dict[int, list] = {}   # start -> [n, conv_set | hll]
         self.closed_before = -1                # windows ending <= this are final
         self.late_dropped = 0
         self.emitted: List[dict] = []
@@ -131,6 +143,11 @@ class TumblingWindowAggregator:
         order = np.argsort(starts, kind="stable")
         ss = starts[order]
         conv_s = conv[order]
+        hv = None
+        if self.approx:
+            from ..functions.hashing import fast_hash64
+
+            hv = fast_hash64(conv_s)      # one vectorized pass per batch
         uq, i0, cnt = np.unique(ss, return_index=True, return_counts=True)
         for w, i, n in zip(uq.tolist(), i0.tolist(), cnt.tolist()):
             # a row whose window already finalized is, by construction,
@@ -140,10 +157,27 @@ class TumblingWindowAggregator:
                 continue
             st = self.open.get(w)
             if st is None:
-                st = [0, set()]
+                if self.approx:
+                    from .sketches import HLL_M
+
+                    st = [0, np.zeros(HLL_M, dtype=np.int8)]
+                else:
+                    st = [0, set()]
                 self.open[w] = st
             st[0] += n
-            st[1].update(conv_s[i:i + n].tolist())
+            if self.approx:
+                from .sketches import hll_fold
+
+                hll_fold(hv[i:i + n], st[1])
+            else:
+                st[1].update(conv_s[i:i + n].tolist())
+
+    def _n_convs(self, st_distinct) -> int:
+        if self.approx:
+            from .sketches import hll_estimate
+
+            return hll_estimate(st_distinct)
+        return len(st_distinct)
 
     def observe_watermarks(self, wm: Dict[int, int]) -> None:
         for s, m in wm.items():
@@ -157,7 +191,7 @@ class TumblingWindowAggregator:
             if w + self.width + self.late <= gw:
                 n, convs = self.open.pop(w)
                 out.append({"window_start_us": w, "n_events": n,
-                            "n_convs": len(convs)})
+                            "n_convs": self._n_convs(convs)})
                 self.closed_before = max(self.closed_before,
                                          w + self.width - 1)
         self.emitted.extend(out)
@@ -166,7 +200,7 @@ class TumblingWindowAggregator:
     def flush(self) -> List[dict]:
         """End of stream: finalize every open window."""
         out = [{"window_start_us": w, "n_events": st[0],
-                "n_convs": len(st[1])}
+                "n_convs": self._n_convs(st[1])}
                for w, st in sorted(self.open.items())]
         self.open.clear()
         self.emitted.extend(out)
@@ -195,10 +229,11 @@ class HoppingWindowAggregator(TumblingWindowAggregator):
     """
 
     def __init__(self, width_us: int, slide_us: int,
-                 sources: Iterable[int], lateness_us: int = 0):
+                 sources: Iterable[int], lateness_us: int = 0,
+                 distinct_mode: str = "exact"):
         if int(width_us) % int(slide_us):
             raise ValueError("width_us must be a multiple of slide_us")
-        super().__init__(width_us, sources, lateness_us)
+        super().__init__(width_us, sources, lateness_us, distinct_mode)
         self.slide = int(slide_us)
 
     def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
@@ -577,16 +612,17 @@ def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
 
 def stream_windows(wal_dir: str, width_us: int, n_sources: int,
                    lateness_us: int = 0, batch_size: int = 8192,
-                   n_actors: int = 0):
+                   n_actors: int = 0, distinct_mode: str = "exact"):
     """Consume a WAL dir into tumbling commit-time windows.
 
     ``n_actors=0``: single consumer fed from the polling tap (reference
     consumer-tier parity).  ``n_actors=N``: N aggregator actors over the
     conv-routed key stream (the key-parallel generalization; results are
     exact because convs are actor-disjoint and every actor heartbeats
-    every source watermark)."""
+    every source watermark).  ``distinct_mode='approx'`` swaps the
+    per-window conv set for a fixed-size HLL register array."""
     kw = dict(width_us=width_us, sources=range(n_sources),
-              lateness_us=lateness_us)
+              lateness_us=lateness_us, distinct_mode=distinct_mode)
     if n_actors > 0:
         return _run_sharded(wal_dir, "windows", kw, n_actors,
                             _merge_windows)

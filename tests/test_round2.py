@@ -450,6 +450,37 @@ def test_stream_hopping_late_rows():
     assert agg.late_dropped == 2
 
 
+def test_stream_windows_approx_distinct():
+    """distinct_mode='approx' (per-window HLL registers, fixed 4 KiB
+    state) tracks the exact distinct-conv counts within HLL tolerance
+    (~1.6% rel. std at p=12; assert 5%), with n_events identical."""
+    from pg_walstream_ray.pipelines.streaming import (
+        TumblingWindowAggregator)
+
+    rng = np.random.default_rng(7)
+    # 3 windows x ~4000 distinct convs, convs repeat within a window
+    rows = []
+    for w in range(3):
+        convs = [f"c{w}_{i}" for i in range(4000)]
+        for c in rng.choice(convs, size=6000, replace=True):
+            rows.append((0, w * 1000 + int(rng.integers(0, 1000)), c))
+    rows.sort(key=lambda r: r[1])
+    exact = TumblingWindowAggregator(width_us=1000, sources=[0])
+    approx = TumblingWindowAggregator(width_us=1000, sources=[0],
+                                      distinct_mode="approx")
+    for lo in range(0, len(rows), 4096):
+        batch = _env_batch(rows[lo:lo + 4096])
+        exact.ingest(batch)
+        approx.ingest(batch)
+    te = {r["window_start_us"]: r for r in exact.flush() + exact.emitted}
+    ta = {r["window_start_us"]: r for r in approx.flush() + approx.emitted}
+    assert set(te) == set(ta) and len(te) == 3
+    for w, er in te.items():
+        ar = ta[w]
+        assert ar["n_events"] == er["n_events"]
+        assert abs(ar["n_convs"] - er["n_convs"]) <= 0.05 * er["n_convs"]
+
+
 def test_stream_sessions_per_source_independence():
     """A conversation's session closes against ITS source's watermark —
     a lagging other source does not delay it (key->source affinity)."""
