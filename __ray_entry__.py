@@ -914,6 +914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = analytics.hourly_event_stats
     # fixed-width histogram (width_bucket primitive), combiner-first
     q["value_histogram"] = analytics.value_histogram
+    # Bloom-prefiltered exact semi-join (broadcast bitmap prunes the
+    # probe shuffle; in-bucket isin kills false positives)
+    q["bloom_semi_join"] = analytics.bloom_semi_join
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3150,6 +3153,17 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["bloom_semi_join"] = """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                  AS BIGINT) AS revenue_cbp
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      GROUP BY l_returnflag
     """
 
     sql["value_histogram"] = """
