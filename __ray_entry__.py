@@ -917,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Bloom-prefiltered exact semi-join (broadcast bitmap prunes the
     # probe shuffle; in-bucket isin kills false positives)
     q["bloom_semi_join"] = analytics.bloom_semi_join
+    # association mining: within-session type co-occurrence lift
+    q["session_type_lift"] = analytics.session_type_lift
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3153,6 +3155,36 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["session_type_lift"] = """
+      WITH g AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+      ), s AS (
+        SELECT user_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+      ), st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+      ns AS (SELECT COUNT(*) AS n
+             FROM (SELECT DISTINCT user_id, sess FROM st)),
+      ta AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab,
+             (COUNT(*) * (SELECT n FROM ns) * 1000000)
+               // (MIN(x.n) * MIN(y.n)) AS lift_micro
+      FROM st a
+      JOIN st b ON a.user_id = b.user_id AND a.sess = b.sess
+                AND a.event_type < b.event_type
+      JOIN ta x ON x.event_type = a.event_type
+      JOIN ta y ON y.event_type = b.event_type
+      GROUP BY 1, 2
     """
 
     sql["bloom_semi_join"] = """

@@ -188,6 +188,99 @@ def sessionize_events(sf_dir: str):
                                           num_cpus=1))
 
 
+def session_type_lift(sf_dir: str):
+    """Within-session event-type co-occurrence LIFT (association-rule
+    mining over session baskets): for every unordered event-type pair
+    (a < b), the number of sessions containing BOTH types and the lift
+    ``P(a,b) / (P(a) P(b))`` in exact integer micro-units —
+    ``lift_micro = n_ab * n_sessions * 10^6 // (n_a * n_b)`` (pure int64
+    arithmetic, no float division, bit-equal to the SQL oracle).
+    Sessions are the engine's standard 30-min-gap windows
+    (sessionize_events).
+
+    Output: (type_a, type_b, n_ab, lift_micro).
+
+    Scale shape: one user-bucket shuffle (sessions are user-local, so
+    every basket resolves inside its bucket); per bucket ONE vectorized
+    sessionize scan + distinct (session, type) dedupe + predecessor-trick
+    pair emission (baskets have <= |types| items, so pairs per session
+    are bounded); partials are |types|^2 + |types| + 1 rows per bucket,
+    reduced in one bounded driver pass.
+    """
+    import pandas as _pd
+
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds() * 1e6
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_s = (new_user | gaps.isna()
+                 | (gaps > SESSION_GAP_US)).to_numpy()
+        sid = np.cumsum(new_s)                 # bucket-local session id
+        # distinct (session, type) basket items
+        items = _pd.DataFrame({"sid": sid,
+                               "ty": g["event_type"].to_numpy()}) \
+            .drop_duplicates()
+        items = items.sort_values(["sid", "ty"], kind="mergesort")
+        s = items["sid"].to_numpy()
+        ty = items["ty"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        cnt = np.diff(np.append(starts, len(s)))
+        # predecessor trick: row k in its basket pairs with each earlier
+        # item; types sort ascending within a basket, so a < b holds
+        local = np.arange(len(s), dtype=np.int64) - np.repeat(starts, cnt)
+        csum = np.cumsum(local)
+        total = int(csum[-1]) if len(csum) else 0
+        rows = []
+        if total:
+            tb = np.repeat(ty, local)
+            off = np.arange(total, dtype=np.int64) \
+                - np.repeat(csum - local, local)
+            ta = ty[np.repeat(np.arange(len(s), dtype=np.int64)
+                              - local, local) + off]
+            pc_df = _pd.DataFrame({"a": ta, "b": tb, "n": 1}) \
+                .groupby(["a", "b"], as_index=False).sum()
+            rows.append(_pd.DataFrame({"kind": "pair", "a": pc_df["a"],
+                                       "b": pc_df["b"], "n": pc_df["n"]}))
+        tc = items.groupby("ty", as_index=False).agg(n=("sid", "size"))
+        rows.append(_pd.DataFrame({"kind": "type", "a": tc["ty"],
+                                   "b": "", "n": tc["n"]}))
+        rows.append(_pd.DataFrame({"kind": ["sess"], "a": [""],
+                                   "b": [""], "n": [len(starts)]}))
+        return _pd.concat(rows, ignore_index=True)
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas",
+                                           num_cpus=1)
+             .to_pandas())                    # bounded partial rows
+    cols = ["type_a", "type_b", "n_ab", "lift_micro"]
+    if len(parts) == 0:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c.startswith("type") else np.int64)
+            for c in cols})
+    agg = parts.groupby(["kind", "a", "b"], as_index=False)["n"].sum()
+    n_sess = int(agg.loc[agg["kind"] == "sess", "n"].sum())
+    n_ty = dict(zip(agg.loc[agg["kind"] == "type", "a"],
+                    agg.loc[agg["kind"] == "type", "n"].astype(np.int64)))
+    pr = agg[agg["kind"] == "pair"]
+    n_ab = pr["n"].to_numpy(np.int64)
+    na = np.fromiter((n_ty[a] for a in pr["a"]), np.int64, len(pr))
+    nb = np.fromiter((n_ty[b] for b in pr["b"]), np.int64, len(pr))
+    lift = (n_ab * n_sess * 1_000_000) // (na * nb)
+    return pd.DataFrame({"type_a": pr["a"].to_numpy(),
+                         "type_b": pr["b"].to_numpy(),
+                         "n_ab": n_ab, "lift_micro": lift})
+
+
 def hourly_event_stats(sf_dir: str):
     """Tumbling 1-hour windows: vectorized bucket column + grouped agg."""
     from ray.data.aggregate import Sum
