@@ -104,6 +104,30 @@ _LWW = """
 """
 
 
+def _cdc_conv_integrity(sf_dir: str) -> Any:
+    """Transcript integrity audit over the CDC-produced lake: per-
+    conversation turn-index coverage (missing turns, contiguity) of the
+    final LWW state — the data-quality gate before corpus export.
+    Oracle: the same audit expressed over the SQL LWW state."""
+    import duckdb  # noqa: F401  (parity with sibling wrappers)
+
+    from pg_walstream_ray.lake import audit_conversations
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_audit_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        return audit_conversations(lake_dir).to_pandas()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
     """Initial-load path (EXPORT_SNAPSHOT analogue, stream.rs:497-527):
     1. bounded replay of the upsert stream to LSN0 -> snapshot state;
@@ -855,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "evolve", extra_cols=("score",))
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
+    # transcript integrity audit over the live lake (turn-index coverage:
+    # missing-turn counts + contiguity verdict), zero-shuffle per-partition
+    q["cdc_conv_integrity"] = _cdc_conv_integrity
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
@@ -1284,6 +1311,20 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    sql["cdc_conv_integrity"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      st AS (SELECT conv_id, turn_idx FROM ranked WHERE rn = 1)
+      SELECT conv_id, COUNT(*) AS n_turns,
+             CAST(MIN(turn_idx) AS BIGINT) AS min_turn,
+             CAST(MAX(turn_idx) AS BIGINT) AS max_turn,
+             CAST(MAX(turn_idx) - MIN(turn_idx) + 1 - COUNT(*)
+                  AS BIGINT) AS n_missing,
+             (MIN(turn_idx) = 0 AND
+              MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*))
+               AS is_contiguous
+      FROM st GROUP BY conv_id
     """
 
     # backfill: LWW upsert state + derived length column

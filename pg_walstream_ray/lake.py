@@ -491,6 +491,62 @@ def export_conversations(lake_dir: str, sep: str = "\n"):
     return ds.map_batches(assemble, batch_size=1, batch_format="pyarrow")
 
 
+def audit_conversations(lake_dir: str):
+    """Transcript integrity audit over the live lake state: per
+    conversation, the turn-index coverage a training-export step needs to
+    trust — live turn count, min/max turn_idx, missing-turn count inside
+    the observed range, and a contiguity verdict (starts at 0, no holes).
+    The data-quality gate between CDC apply and corpus export.
+
+    Output: (conv_id, n_turns, min_turn, max_turn, n_missing,
+    is_contiguous) as a streaming Dataset, one row per live conversation.
+
+    Scale shape: conversations are partition-local (the lake's routing
+    invariant), so the audit is a per-partition map with ZERO shuffle;
+    per partition it is one Arrow sort + numpy reduceat over boundary
+    offsets — no per-row Python.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def audit(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=[])
+            if not t.num_rows:
+                continue
+            t = t.take(_pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ti = t["turn_idx"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            change = np.flatnonzero(cv[1:] != cv[:-1]) + 1
+            offsets = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(cv)]])
+            n = (ends - offsets).astype(np.int64)
+            mn = ti[offsets]                      # sorted: first = min
+            mx = ti[ends - 1]
+            missing = mx - mn + 1 - n
+            yield pa.table({
+                "conv_id": pa.array(cv[offsets], pa.string()),
+                "n_turns": pa.array(n),
+                "min_turn": pa.array(mn),
+                "max_turn": pa.array(mx),
+                "n_missing": pa.array(missing),
+                "is_contiguous": pa.array((mn == 0) & (missing == 0)),
+            })
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(audit, batch_size=1, batch_format="pyarrow")
+
+
 def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
                 hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
     """Consolidate N LWW lakes into ONE freshly-partitioned lake — the
