@@ -946,6 +946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_semi_join"] = analytics.bloom_semi_join
     # association mining: within-session type co-occurrence lift
     q["session_type_lift"] = analytics.session_type_lift
+    # exact mass-weighted median per group (no global sort; bounded
+    # integer-cents histogram, same shape as winsorized_stats)
+    q["weighted_median"] = analytics.weighted_median
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3196,6 +3199,24 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["weighted_median"] = """
+      WITH h AS (SELECT event_type,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      o AS (SELECT event_type, cents,
+                   SUM(cents) OVER (PARTITION BY event_type ORDER BY cents
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cents) OVER (PARTITION BY event_type) AS tot
+            FROM h),
+      m AS (SELECT event_type, MIN(cents) AS wmedian_cents
+            FROM o WHERE 2 * cum >= tot GROUP BY 1),
+      t AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n
+            FROM h GROUP BY 1)
+      SELECT event_type, wmedian_cents, total_cents, n
+      FROM m JOIN t USING (event_type)
     """
 
     sql["session_type_lift"] = """

@@ -1099,6 +1099,59 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def weighted_median(sf_dir: str):
+    """Exact VALUE-WEIGHTED median per event type: the smallest value v
+    such that rows with value <= v carry at least half the group's total
+    value mass (the revenue-splitting point, not the row-count median) —
+    computed with no global sort, from the same bounded integer-cents
+    histogram as winsorized_stats.
+
+    Output: (event_type, wmedian_cents, total_cents, n).
+
+    Scale shape: ONE scan + ONE shuffle of (type, cents, count) histogram
+    partials (bounded by the cents domain per type, row-count-
+    independent); the per-group kernel is a cumsum over the merged
+    histogram.  Exact int64 arithmetic end-to-end.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64))
+        d = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]).aggregate(
+                [("cents", "count")])
+        return pa.table({
+            "event_type": d["event_type"],
+            "cents": d["cents"],
+            "n": pc.cast(d["cents_count"], pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=262144)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        etype = g["event_type"].iloc[0]
+        g = g.groupby("cents", as_index=False)["n"].sum() \
+            .sort_values("cents", kind="mergesort")
+        cnt = g["n"].to_numpy(np.int64)
+        vals = g["cents"].to_numpy(np.int64)
+        mass = vals * cnt                    # int64-exact: |cents| < 2^31
+        cum = mass.cumsum()
+        tot = int(cum[-1])
+        idx = int(np.argmax(2 * cum >= tot))
+        return pd.DataFrame({
+            "event_type": [etype],
+            "wmedian_cents": [int(vals[idx])],
+            "total_cents": [tot],
+            "n": [int(cnt.sum())]})
+
+    return hist.groupby("event_type").map_groups(per_group,
+                                                 batch_format="pandas",
+                                                 num_cpus=1)
+
+
 def user_segments(sf_dir: str):
     """Distinct-set operations (INTERSECT / EXCEPT) as audience segments:
     users who both clicked AND purchased ('both'), clicked only, or
