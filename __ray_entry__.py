@@ -949,6 +949,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact mass-weighted median per group (no global sort; bounded
     # integer-cents histogram, same shape as winsorized_stats)
     q["weighted_median"] = analytics.weighted_median
+    # dominance query: per-type pareto frontier (skyline), O(n log n)
+    # vectorized scan per bucket instead of pairwise comparisons
+    q["pareto_frontier"] = analytics.pareto_frontier
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3199,6 +3202,19 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["pareto_frontier"] = """
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us
+      FROM events e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events o
+        WHERE o.event_type = e.event_type
+          AND CAST(ROUND(o.value * 100) AS BIGINT)
+              > CAST(ROUND(e.value * 100) AS BIGINT)
+          AND o.ts > e.ts)
     """
 
     sql["weighted_median"] = """

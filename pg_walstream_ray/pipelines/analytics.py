@@ -1099,6 +1099,65 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def pareto_frontier(sf_dir: str):
+    """Per-group PARETO FRONTIER (skyline / dominance query): events of a
+    type that no other event of the same type strictly dominates on BOTH
+    dimensions (higher value AND later ts) — the maxima set a
+    multi-objective ranking keeps.
+
+    Output: (event_type, event_id, cents, ts_us), one row per
+    non-dominated event.
+
+    Scale shape: one event-type-bucket shuffle of slim (type, id, cents,
+    ts) rows; per bucket a vectorized skyline scan — sort by value
+    descending, prefix-max of ts over STRICTLY greater values (ties on
+    value do not dominate each other), keep rows whose ts is not below
+    that prefix max.  O(n log n) per group, no pairwise comparisons.
+    """
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value", "ts"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        ts_us = t["ts"].cast(pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"],
+                         "cents": pa.array(cents),
+                         "ts_us": ts_us})
+
+    def skyline(g: pd.DataFrame) -> pd.DataFrame:
+        # one group == one event type (groupby key), vectorized scan
+        g = g.sort_values(["cents", "ts_us"], ascending=[False, False],
+                          kind="mergesort")
+        cents = g["cents"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        # prefix max of ts over rows with STRICTLY greater cents: group
+        # rows by distinct cents (descending), shift the running max by
+        # one value-group
+        new_val = np.concatenate([[True], cents[1:] != cents[:-1]])
+        grp = np.cumsum(new_val) - 1               # 0-based value-group
+        run = np.maximum.accumulate(ts)
+        # max ts within each value-group's prefix == run at group ends
+        ends = np.flatnonzero(np.concatenate([new_val[1:], [True]]))
+        gmax = run[ends]                           # per value-group max
+        prev_max = np.concatenate([[np.iinfo(np.int64).min],
+                                   gmax[:-1]])[grp]
+        keep = ts >= prev_max                      # strictly-later wins
+        out = g[keep]
+        return pd.DataFrame({
+            "event_type": out["event_type"].to_numpy(),
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "cents": out["cents"].to_numpy(np.int64),
+            "ts_us": out["ts_us"].to_numpy(np.int64)})
+
+    return (ds.map_batches(slim, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("event_type").map_groups(skyline,
+                                              batch_format="pandas",
+                                              num_cpus=1))
+
+
 def weighted_median(sf_dir: str):
     """Exact VALUE-WEIGHTED median per event type: the smallest value v
     such that rows with value <= v carry at least half the group's total
