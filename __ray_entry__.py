@@ -128,6 +128,64 @@ def _cdc_conv_integrity(sf_dir: str) -> Any:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
 
+def _cdc_watermark_report(sf_dir: str) -> Any:
+    """CDC observability report: per WAL source, the post-replay safe
+    feedback point (global min applied LSN across partitions — what the
+    reference acks via send_standby_status_update) next to the stream's
+    commit/row counts from one envelope-tap pass.  After a FULL replay
+    the applied watermark must equal each source's final commit LSN —
+    which is exactly what the SQL oracle predicts from the event table.
+    Output: (source, applied_lsn, n_commits, n_rows)."""
+    import numpy as _np
+    import pandas as _pd
+    import pyarrow.compute as _pc
+
+    from pg_walstream_ray.lake import read_lake_config  # noqa: F401
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.pipelines.events import envelope_dataset
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.state.manifest import global_watermark
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_wm_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        wm = global_watermark(lake_dir, 8)
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    cols = ["source", "applied_lsn", "n_commits", "n_rows"]
+    if not wm:
+        return _pd.DataFrame({c: _pd.Series([], dtype="int64")
+                              for c in cols})
+
+    dml_ops = pa.array(["insert", "update", "delete"], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.filter(_pc.is_in(t["op"], value_set=dml_ops))
+        g = pa.table({"source": d["source"],
+                      "cts": d["commit_ts_us"]}) \
+            .group_by(["source", "cts"]).aggregate([("cts", "count")])
+        return pa.table({"source": _pc.cast(g["source"], pa.int64()),
+                         "cts": g["cts"],
+                         "n": _pc.cast(g["cts_count"], pa.int64())})
+
+    parts = envelope_dataset(wal_dir) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["source", "cts"], as_index=False)["n"].sum() \
+        .groupby("source").agg(n_commits=("cts", "nunique"),
+                               n_rows=("n", "sum"))
+    return _pd.DataFrame({
+        "source": agg.index.to_numpy(_np.int64),
+        "applied_lsn": _np.array([wm[str(s)] for s in agg.index],
+                                 _np.int64),
+        "n_commits": agg["n_commits"].to_numpy(_np.int64),
+        "n_rows": agg["n_rows"].to_numpy(_np.int64)})
+
+
 def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
     """Initial-load path (EXPORT_SNAPSHOT analogue, stream.rs:497-527):
     1. bounded replay of the upsert stream to LSN0 -> snapshot state;
@@ -882,6 +940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # transcript integrity audit over the live lake (turn-index coverage:
     # missing-turn counts + contiguity verdict), zero-shuffle per-partition
     q["cdc_conv_integrity"] = _cdc_conv_integrity
+    # observability: per-source safe feedback point + stream commit/row
+    # counts (post-replay watermark == final commit LSN, SQL-predicted)
+    q["cdc_watermark_report"] = _cdc_watermark_report
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
@@ -1317,6 +1378,23 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    sql["cdc_watermark_report"] = f"""
+      WITH base AS (
+        SELECT event_id, event_id * 4 + 4 AS lsn, user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      )
+      SELECT shard AS source,
+             CAST(MAX(lsn) + 1 AS BIGINT) AS applied_lsn,
+             CAST(COUNT(DISTINCT tx) AS BIGINT) AS n_commits,
+             COUNT(*) AS n_rows
+      FROM r GROUP BY shard
     """
 
     sql["cdc_conv_integrity"] = f"""
