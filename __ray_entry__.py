@@ -1013,6 +1013,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dominance query: per-type pareto frontier (skyline), O(n log n)
     # vectorized scan per bucket instead of pairwise comparisons
     q["pareto_frontier"] = analytics.pareto_frontier
+    # last-touch attribution (LAG + conditional aggregation)
+    q["purchase_attribution"] = analytics.purchase_attribution
+    # exact two-sample KS drift between type value distributions
+    q["ks_drift"] = analytics.ks_drift
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3280,6 +3284,47 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["ks_drift"] = """
+      WITH h AS (SELECT event_type AS ty,
+                        CAST(ROUND(value * 100) AS BIGINT) AS c,
+                        COUNT(*) AS n
+                 FROM events GROUP BY 1, 2),
+      tot AS (SELECT ty, SUM(n) AS N FROM h GROUP BY ty),
+      support AS (SELECT DISTINCT c FROM h),
+      grid AS (SELECT t.ty, s.c
+               FROM (SELECT DISTINCT ty FROM h) t CROSS JOIN support s),
+      j AS (SELECT grid.ty, grid.c, COALESCE(h.n, 0) AS n
+            FROM grid LEFT JOIN h ON h.ty = grid.ty AND h.c = grid.c),
+      cum AS (SELECT ty, c,
+                     SUM(n) OVER (PARTITION BY ty ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM j),
+      pairs AS (SELECT a.ty AS ta, a.N AS na, b.ty AS tb, b.N AS nb
+                FROM tot a JOIN tot b ON a.ty < b.ty)
+      SELECT p.ta AS type_a, p.tb AS type_b,
+             CAST(MAX(ABS(a.cum * p.nb - b.cum * p.na)) * 1000000
+                  // (MIN(p.na) * MIN(p.nb)) AS BIGINT) AS ks_micro,
+             CAST(MIN(p.na) AS BIGINT) AS n_a,
+             CAST(MIN(p.nb) AS BIGINT) AS n_b
+      FROM pairs p
+      JOIN cum a ON a.ty = p.ta
+      JOIN cum b ON b.ty = p.tb AND b.c = a.c
+      GROUP BY 1, 2
+    """
+
+    sql["purchase_attribution"] = """
+      WITH w AS (
+        SELECT event_type,
+               COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+                        'none') AS attributed_type
+        FROM events
+      )
+      SELECT attributed_type, COUNT(*) AS n_purchases
+      FROM w WHERE event_type = 'purchase'
+      GROUP BY attributed_type
     """
 
     sql["pareto_frontier"] = """

@@ -1099,6 +1099,120 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def ks_drift(sf_dir: str):
+    """Exact two-sample KOLMOGOROV-SMIRNOV statistic between every pair
+    of event types' value distributions — the distribution-drift test a
+    data monitor runs between slices (the nonparametric complement of
+    psi_source_drift's binned PSI).  D = max over the union support of
+    |F_a(c) - F_b(c)|, computed EXACTLY in integers: the numerator
+    ``|cum_a * N_b - cum_b * N_a|`` never touches floats, and
+    ``ks_micro = max_num * 10^6 // (N_a * N_b)``.
+
+    Output: (type_a, type_b, ks_micro, n_a, n_b) for ordered pairs a < b.
+
+    Scale shape: ONE scan emitting (type, cents, count) histogram
+    partials (bounded by the cents domain — row-count-independent), one
+    cents-bucket shuffle to merge duplicates, then a bounded driver
+    finalize (|types| x |domain| rows) that evaluates all pairs with
+    numpy cumsums over the shared support.
+    """
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    npart = coarse_npart()
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0)
+            .astype(np.int64))
+        d = pa.table({"ty": t["event_type"], "cents": cents}) \
+            .group_by(["ty", "cents"]).aggregate([("cents", "count")])
+        c = d["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(c % npart),
+                         "ty": d["ty"], "cents": d["cents"],
+                         "n": pc.cast(d["cents_count"], pa.int64())})
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["ty", "cents"], as_index=False)["n"].sum()
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(merge_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1)
+            .to_pandas())                   # bounded: |types| x |domain|
+    cols = ["type_a", "type_b", "ks_micro", "n_a", "n_b"]
+    if len(hist) == 0:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c.startswith("type") else np.int64)
+            for c in cols})
+    support = np.unique(hist["cents"].to_numpy(np.int64))
+    types = sorted(hist["ty"].unique())
+    cums, totals = {}, {}
+    for ty in types:
+        h = hist[hist["ty"] == ty]
+        counts = np.zeros(len(support), dtype=np.int64)
+        idx = np.searchsorted(support, h["cents"].to_numpy(np.int64))
+        counts[idx] = h["n"].to_numpy(np.int64)
+        cums[ty] = counts.cumsum()
+        totals[ty] = int(cums[ty][-1])
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            num = np.abs(cums[a] * totals[b] - cums[b] * totals[a]).max()
+            rows.append((a, b,
+                         int(num) * 1_000_000 // (totals[a] * totals[b]),
+                         totals[a], totals[b]))
+    return pd.DataFrame(rows, columns=cols)
+
+
+def purchase_attribution(sf_dir: str):
+    """LAST-TOUCH attribution: for every purchase event, the event type
+    of the same user's immediately preceding event (strictly earlier in
+    (ts, event_id) order), counted per attributed type — the marketing
+    attribution primitive (LAG + conditional aggregation).  Purchases
+    with no prior event attribute to 'none'.
+
+    Output: (attributed_type, n_purchases).
+
+    Scale shape: one user-bucket shuffle of slim (user, ts, id, type)
+    rows; per bucket ONE vectorized sort + shift (no per-user Python);
+    final reduce is |types|+1 partial rows per bucket.
+    """
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev_ty = g["event_type"].shift()
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        attributed = prev_ty.where(~new_user, other=None).fillna("none")
+        m = g["event_type"].to_numpy() == "purchase"
+        out = pd.DataFrame({"attributed_type": attributed.to_numpy()[m],
+                            "n": 1})
+        agg = out.groupby("attributed_type", as_index=False).sum()
+        return agg
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas",
+                                           num_cpus=1)
+             .to_pandas())                  # bounded: (|types|+1) x NPART
+    if len(parts) == 0:
+        return pd.DataFrame({"attributed_type": pd.Series([], dtype=object),
+                             "n_purchases": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("attributed_type", as_index=False)["n"].sum()
+    return pd.DataFrame({"attributed_type": agg["attributed_type"],
+                         "n_purchases": agg["n"].to_numpy(np.int64)})
+
+
 def pareto_frontier(sf_dir: str):
     """Per-group PARETO FRONTIER (skyline / dominance query): events of a
     type that no other event of the same type strictly dominates on BOTH

@@ -101,7 +101,8 @@ def test_every_oracle_key_has_query(contract):
     "ngram_novelty", "source_ngram_overlap", "decayed_user_value",
     "value_histogram", "cdc_stream_hopping", "bloom_semi_join",
     "session_type_lift", "cdc_conv_integrity", "weighted_median",
-    "pareto_frontier", "cdc_watermark_report",
+    "pareto_frontier", "cdc_watermark_report", "purchase_attribution",
+    "ks_drift",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
