@@ -197,6 +197,37 @@ class TumblingWindowAggregator:
         self.emitted.extend(out)
         return out
 
+    def state_dict(self) -> dict:
+        """Serializable CHECKPOINT of all mutable state (the Flink-style
+        snapshot a deployment takes between batches): open-window
+        contents, per-source watermarks, lateness ledger, emission log.
+        ``load_state`` on a fresh aggregator reproduces the uninterrupted
+        run exactly (checkpoint/restore equivalence is pinned in tests).
+        """
+        return {
+            "wm": dict(self.wm),
+            "open": {w: [st[0],
+                         st[1].tobytes() if self.approx
+                         else sorted(st[1])]
+                     for w, st in self.open.items()},
+            "closed_before": self.closed_before,
+            "late_dropped": self.late_dropped,
+            "emitted": list(self.emitted),
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.wm = {int(s): int(m) for s, m in state["wm"].items()}
+        self.open = {}
+        for w, (n, distinct) in state["open"].items():
+            if self.approx:
+                st = [n, np.frombuffer(distinct, dtype=np.int8).copy()]
+            else:
+                st = [n, set(distinct)]
+            self.open[int(w)] = st
+        self.closed_before = int(state["closed_before"])
+        self.late_dropped = int(state["late_dropped"])
+        self.emitted = list(state["emitted"])
+
     def flush(self) -> List[dict]:
         """End of stream: finalize every open window."""
         out = [{"window_start_us": w, "n_events": st[0],
@@ -316,6 +347,21 @@ class WindowTopKAggregator:
                                          w + self.width - 1)
         return self.emitted[before:]
 
+    def state_dict(self) -> dict:
+        """Checkpoint (see TumblingWindowAggregator.state_dict)."""
+        return {"wm": dict(self.wm),
+                "open": {w: dict(st) for w, st in self.open.items()},
+                "closed_before": self.closed_before,
+                "late_dropped": self.late_dropped,
+                "emitted": list(self.emitted)}
+
+    def load_state(self, state: dict) -> None:
+        self.wm = {int(s): int(m) for s, m in state["wm"].items()}
+        self.open = {int(w): dict(st) for w, st in state["open"].items()}
+        self.closed_before = int(state["closed_before"])
+        self.late_dropped = int(state["late_dropped"])
+        self.emitted = list(state["emitted"])
+
     def flush(self) -> List[dict]:
         before = len(self.emitted)
         for w in sorted(self.open):
@@ -422,6 +468,17 @@ class StreamSessionizer:
                   if self.wm.get(st[0], -1) > st[2] + self.gap]:
             self._emit(c, self.open.pop(c))
         return self.emitted[before:]
+
+    def state_dict(self) -> dict:
+        """Checkpoint (see TumblingWindowAggregator.state_dict)."""
+        return {"wm": dict(self.wm),
+                "open": {c: list(st) for c, st in self.open.items()},
+                "emitted": list(self.emitted)}
+
+    def load_state(self, state: dict) -> None:
+        self.wm = {int(s): int(m) for s, m in state["wm"].items()}
+        self.open = {c: list(st) for c, st in state["open"].items()}
+        self.emitted = list(state["emitted"])
 
     def flush(self) -> List[dict]:
         before = len(self.emitted)

@@ -481,6 +481,52 @@ def test_stream_windows_approx_distinct():
         assert abs(ar["n_convs"] - er["n_convs"]) <= 0.05 * er["n_convs"]
 
 
+def test_stream_checkpoint_restore():
+    """Flink-style state checkpointing: serialize mid-stream, restore
+    into a FRESH aggregator, continue — byte-identical results to the
+    uninterrupted run, for all three aggregator kinds (exact + approx
+    tumbling, top-k, sessions).  The checkpoint round-trips pickle."""
+    import pickle
+
+    from pg_walstream_ray.pipelines.streaming import (
+        StreamSessionizer, TumblingWindowAggregator, WindowTopKAggregator)
+
+    rng = np.random.default_rng(11)
+    rows = sorted(
+        ((int(rng.integers(0, 2)), int(t), f"c{int(rng.integers(0, 40))}")
+         for t in rng.integers(0, 5000, size=2000)),
+        key=lambda r: r[1])
+    batches = [_env_batch(rows[lo:lo + 200])
+               for lo in range(0, len(rows), 200)]
+
+    makers = [
+        lambda: TumblingWindowAggregator(width_us=500, sources=[0, 1]),
+        lambda: TumblingWindowAggregator(width_us=500, sources=[0, 1],
+                                         distinct_mode="approx"),
+        lambda: WindowTopKAggregator(width_us=500, sources=[0, 1], k=3),
+        lambda: StreamSessionizer(gap_us=40),
+    ]
+    for make in makers:
+        base = make()
+        for b in batches:
+            base.ingest(b)
+        base.flush()
+        want = base.result_table()
+
+        half = make()
+        for b in batches[:5]:
+            half.ingest(b)
+        ckpt = pickle.loads(pickle.dumps(half.state_dict()))
+        resumed = make()
+        resumed.load_state(ckpt)
+        for b in batches[5:]:
+            resumed.ingest(b)
+        resumed.flush()
+        assert resumed.result_table().equals(want), type(base).__name__
+        assert getattr(resumed, "late_dropped", 0) == \
+            getattr(base, "late_dropped", 0)
+
+
 def test_stream_sessions_per_source_independence():
     """A conversation's session closes against ITS source's watermark —
     a lagging other source does not delay it (key->source affinity)."""
