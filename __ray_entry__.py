@@ -1017,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["purchase_attribution"] = analytics.purchase_attribution
     # exact two-sample KS drift between type value distributions
     q["ks_drift"] = analytics.ks_drift
+    # stream-hygiene debounce audit (per-(user,type) LAG gap rule)
+    q["events_debounce"] = analytics.events_debounce
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -1256,6 +1258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_percentile"] = textops.quality_percentile
     q["text_quality"] = textops.text_quality
     q["lang_id"] = textops.lang_id
+    # declared-label vs predicted-language confusion matrix
+    q["lang_confusion"] = textops.lang_confusion
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
@@ -3286,6 +3290,22 @@ def oracle_sql() -> dict[str, str]:
       FROM events GROUP BY user_id
     """
 
+    sql["events_debounce"] = """
+      WITH w AS (
+        SELECT event_type,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 60 SECOND
+                    THEN 1 ELSE 0 END AS keep
+        FROM events
+      )
+      SELECT event_type, CAST(SUM(keep) AS BIGINT) AS n_kept,
+             CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+      FROM w GROUP BY 1
+    """
+
     sql["ks_drift"] = """
       WITH h AS (SELECT event_type AS ty,
                         CAST(ROUND(value * 100) AS BIGINT) AS c,
@@ -3781,6 +3801,23 @@ def oracle_sql() -> dict[str, str]:
                WHEN hits_es >= hits_fr THEN 'es'
                ELSE 'fr'
              END"""
+
+    sql["lang_confusion"] = f"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+      ), hits AS (
+        SELECT doc_id,
+               {hit_cols}
+        FROM w GROUP BY doc_id
+      ), p AS (
+        SELECT doc_id, {_pred_lang_case} AS pred_lang FROM hits
+      )
+      SELECT d.lang, p.pred_lang, COUNT(*) AS n
+      FROM documents d JOIN p USING (doc_id)
+      GROUP BY 1, 2
+    """
 
     # fused corpus cleaning: quality + lang filters then exact dedup
     # (keeper = min doc_id per content hash of the FILTERED set)

@@ -1099,6 +1099,61 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def events_debounce(sf_dir: str, min_gap_s: int = 60):
+    """Stream-hygiene DEBOUNCE audit: an event is kept iff it is the
+    user's first event of its type or the gap to the user's PREVIOUS
+    same-type event exceeds ``min_gap_s`` (LAG semantics — each event
+    compares to its actual predecessor, the dedup rule for double-fired
+    client events).  Output: per type, kept/dropped counts.
+
+    Output: (event_type, n_kept, n_dropped).
+
+    Scale shape: one user-bucket shuffle of slim rows; ONE vectorized
+    sort + shift per bucket; |types| partial rows per bucket, bounded
+    driver reduce.
+    """
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    npart = coarse_npart()
+    gap_us = int(min_gap_s) * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same_key = (g["user_id"].eq(g["user_id"].shift())
+                    & g["event_type"].eq(g["event_type"].shift())) \
+            .to_numpy()
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = ~same_key | (gap > gap_us)
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "k": keep.astype(np.int64), "n": 1})
+        return out.groupby("event_type", as_index=False).sum()
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas",
+                                           num_cpus=1)
+             .to_pandas())                 # bounded: |types| x NPART
+    if len(parts) == 0:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_kept": pd.Series([], dtype=np.int64),
+                             "n_dropped": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("event_type", as_index=False)[["k", "n"]].sum()
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "n_kept": agg["k"].to_numpy(np.int64),
+                         "n_dropped": (agg["n"] - agg["k"]).to_numpy(
+                             np.int64)})
+
+
 def ks_drift(sf_dir: str):
     """Exact two-sample KOLMOGOROV-SMIRNOV statistic between every pair
     of event types' value distributions — the distribution-drift test a

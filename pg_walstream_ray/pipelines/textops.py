@@ -131,6 +131,48 @@ def lang_id(sf_dir: str, concurrency: int = 4):
                                      batch_size=4096)
 
 
+class LangConfusionStage(LangIdStage):
+    """Actor: declared-label vs predicted-language partial counts."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        pred = super().__call__(t)["pred_lang"]
+        df = _pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "pred_lang": pred.to_numpy(zero_copy_only=False),
+            "n": 1}).groupby(["lang", "pred_lang"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lang_confusion(sf_dir: str):
+    """Label-quality evaluation: confusion matrix between the corpus's
+    DECLARED ``lang`` column and the stoplist language-ID prediction —
+    the metadata-trust audit run before lang-filtered mixing (declared
+    labels are crawl metadata; predictions are content; disagreement
+    rows flag mislabeled slices, incl. languages the ID model cannot
+    emit, e.g. 'zh' here).
+
+    Output: (lang, pred_lang, n).
+
+    Scale shape: zero shuffle — the per-batch stage scores and collapses
+    to at most |langs|^2 partial rows; one bounded driver reduce.
+    """
+    import pandas as _pd
+
+    parts = _docs(sf_dir, columns=("doc_id", "text", "lang")) \
+        .map_batches(as_tasks(LangConfusionStage),
+                     batch_format="pyarrow", batch_size=4096) \
+        .to_pandas()
+    if len(parts) == 0:
+        return _pd.DataFrame({"lang": _pd.Series([], dtype=object),
+                              "pred_lang": _pd.Series([], dtype=object),
+                              "n": _pd.Series([], dtype=np.int64)})
+    agg = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg
+
+
 def doc_fingerprint(sf_dir: str, hash_mode: str = "fast"):
     """Content fingerprint of lowercased text: hex digest + 60-bit int form
     (the exact-dedup / shard-routing key).  (doc_id, fp, fp_int).
