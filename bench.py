@@ -269,6 +269,42 @@ def bench_streaming_sessions(n_events: int = 4_000_000) -> dict:
     return out
 
 
+def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
+    """Windowed streaming tier over the same synthetic WAL, 8 conv-routed
+    aggregator actors: tumbling (exact distinct), hopping 2x overlap
+    (exact), hopping with HLL distinct state (the fixed-4KiB/window
+    100 TB shape).  Best-of-2 per config."""
+    from pg_walstream_ray.pipelines.streaming import (
+        stream_hopping_windows, stream_windows)
+
+    wal = _synthetic_wal(n_events)
+    width = 1 << 20
+    configs = {
+        "tumbling": lambda: stream_windows(
+            wal, width, n_sources=64, n_actors=8),
+        "hopping2x": lambda: stream_hopping_windows(
+            wal, 2 * width, width, n_sources=64, n_actors=8),
+        "hopping2x_hll": lambda: stream_hopping_windows(
+            wal, 2 * width, width, n_sources=64, n_actors=8,
+            distinct_mode="approx"),
+    }
+    out: dict = {}
+    for name, fn in configs.items():
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = fn()
+            dt = time.time() - t0
+            rows = res.result_table().num_rows
+            if best is None or dt < best[0]:
+                best = (dt, rows)
+        out[f"sec_{name}"] = round(best[0], 3)
+        out[f"events_per_s_{name}"] = round(n_events / best[0], 1)
+        out[f"windows_{name}"] = best[1]
+    out["sec"] = out["sec_hopping2x"]
+    return out
+
+
 def _consume(res) -> int:
     """Materialize a query result minimally; return row count."""
     import pandas as pd
@@ -354,6 +390,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             queries["compact_refresh_lookup"] = maint["sec"]
             strm = bench_streaming_sessions(4_000_000)
             queries["stream_sessions_sharded"] = strm["sec"]
+            wnd = bench_streaming_windows(4_000_000)
+            queries["stream_hopping_sharded"] = wnd["sec"]
         return {
             "metric": "cdc_replay_wall_sec (events applied/sec in events_per_s)",
             "value": round(head["sec"], 3),
@@ -368,7 +406,8 @@ def run_suite(sf_dir: str, headline_only: bool,
                 "synthetic_rows_applied": syn["rows_applied"]}
                if syn else {}),
             **({"lake_maintenance": maint,
-                "streaming_sessions": strm} if not headline_only else {}),
+                "streaming_sessions": strm,
+                "streaming_windows": wnd} if not headline_only else {}),
             "rows_out": extra,
         }
     finally:

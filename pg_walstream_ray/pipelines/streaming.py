@@ -694,12 +694,14 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
 
 def stream_hopping_windows(wal_dir: str, width_us: int, slide_us: int,
                            n_sources: int, lateness_us: int = 0,
-                           batch_size: int = 8192, n_actors: int = 0):
+                           batch_size: int = 8192, n_actors: int = 0,
+                           distinct_mode: str = "exact"):
     """Consume a WAL dir into HOPPING commit-time windows (width W,
     slide S, W % S == 0; every event counted in W/S overlapping
     windows).  Same deployment contract as ``stream_windows``."""
     kw = dict(width_us=width_us, slide_us=slide_us,
-              sources=range(n_sources), lateness_us=lateness_us)
+              sources=range(n_sources), lateness_us=lateness_us,
+              distinct_mode=distinct_mode)
     if n_actors > 0:
         return _run_sharded(wal_dir, "hopping", kw, n_actors,
                             _merge_windows)
