@@ -1019,6 +1019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ks_drift"] = analytics.ks_drift
     # stream-hygiene debounce audit (per-(user,type) LAG gap rule)
     q["events_debounce"] = analytics.events_debounce
+    # dense zero-filled hourly resample (gap-filling for forecasters)
+    q["events_resample"] = analytics.events_resample
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3288,6 +3290,22 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["events_resample"] = """
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                        COUNT(*) AS n
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+      grid AS (SELECT t.event_type, g.hour
+               FROM (SELECT DISTINCT event_type FROM events) t
+               CROSS JOIN (SELECT unnest(generate_series(
+                             b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+                           FROM b) g)
+      SELECT grid.event_type, grid.hour,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+      FROM grid LEFT JOIN h
+        ON h.event_type = grid.event_type AND h.hour = grid.hour
     """
 
     sql["events_debounce"] = """

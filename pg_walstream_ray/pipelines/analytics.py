@@ -1099,6 +1099,55 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def events_resample(sf_dir: str):
+    """Dense time-series RESAMPLE: hourly event counts per type with the
+    missing hours ZERO-FILLED over the corpus's [min, max] hour range —
+    the gap-filling step every downstream forecaster/anomaly detector
+    needs (a sparse group-by emits no row for an empty hour; this
+    operator makes absence explicit).
+
+    Output: (event_type, hour, n_events) — |types| x |hours| rows.
+
+    Scale shape: the aggregation is the usual per-batch combiner + tiny
+    groupby (bounded by types x hours, row-count-independent); the
+    zero-fill grid is built on the driver over that bounded result.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        d = pa.table({"event_type": t["event_type"], "hour": hour}) \
+            .group_by(["event_type", "hour"]).aggregate([("hour", "count")])
+        return pa.table({"event_type": d["event_type"], "hour": d["hour"],
+                         "n": pc.cast(d["hour_count"], pa.int64())})
+
+    sparse = (ds.map_batches(bucket, batch_format="pyarrow",
+                             batch_size=262144)
+              .groupby("event_type").map_groups(
+                  lambda g: g.groupby(["event_type", "hour"],
+                                      as_index=False)["n"].sum(),
+                  batch_format="pandas", num_cpus=1)
+              .to_pandas())               # bounded: |types| x |hours|
+    if len(sparse) == 0:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "hour": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype=np.int64)})
+    hours = pd.date_range(sparse["hour"].min(), sparse["hour"].max(),
+                          freq="h")
+    types = sorted(sparse["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, hours],
+                                      names=["event_type", "hour"])
+    dense = sparse.set_index(["event_type", "hour"]) \
+        .reindex(grid, fill_value=0).reset_index()
+    return pd.DataFrame({
+        "event_type": dense["event_type"],
+        "hour": dense["hour"].astype("datetime64[us]"),
+        "n_events": dense["n"].to_numpy(np.int64)})
+
+
 def events_debounce(sf_dir: str, min_gap_s: int = 60):
     """Stream-hygiene DEBOUNCE audit: an event is kept iff it is the
     user's first event of its type or the gap to the user's PREVIOUS

@@ -102,7 +102,7 @@ def test_every_oracle_key_has_query(contract):
     "value_histogram", "cdc_stream_hopping", "bloom_semi_join",
     "session_type_lift", "cdc_conv_integrity", "weighted_median",
     "pareto_frontier", "cdc_watermark_report", "purchase_attribution",
-    "ks_drift", "events_debounce", "lang_confusion",
+    "ks_drift", "events_debounce", "lang_confusion", "events_resample",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
