@@ -1021,6 +1021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_debounce"] = analytics.events_debounce
     # dense zero-filled hourly resample (gap-filling for forecasters)
     q["events_resample"] = analytics.events_resample
+    # activation latency: exact p50/p90 of signup->purchase delay from a
+    # merged delay histogram (never per-user rows on the driver)
+    q["conversion_time_quantiles"] = analytics.conversion_time_quantiles
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -3290,6 +3293,21 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id,
              COUNT(DISTINCT date_trunc('day', ts)) AS n_days
       FROM events GROUP BY user_id
+    """
+
+    sql["conversion_time_quantiles"] = """
+      WITH s AS (SELECT user_id, MIN(ts) AS ts0 FROM events
+                 WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS ts1
+            FROM events e JOIN s ON s.user_id = e.user_id
+                               AND e.ts >= s.ts0
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT date_diff('second', s.ts0, p.ts1) AS dt
+            FROM s JOIN p USING (user_id))
+      SELECT COUNT(*) AS n_users,
+             CAST(quantile_disc(dt, 0.5) AS BIGINT) AS p50_s,
+             CAST(quantile_disc(dt, 0.9) AS BIGINT) AS p90_s
+      FROM d
     """
 
     sql["events_resample"] = """

@@ -1099,6 +1099,68 @@ def winsorized_stats(sf_dir: str):
                                                  num_cpus=1)
 
 
+def conversion_time_quantiles(sf_dir: str):
+    """Conversion-latency distribution: per user, the delay from FIRST
+    signup to the first purchase at-or-after it; exact ``quantile_disc``
+    p50/p90 over those per-user delays (the activation-latency KPI).
+
+    Output: one row (n_users, p50_s, p90_s).
+
+    Scale shape: one user-bucket shuffle of slim (user, ts, type) rows;
+    per bucket a vectorized first-signup/first-qualifying-purchase
+    reduction, emitted as a (delay_seconds, count) HISTOGRAM partial —
+    the final exact quantile runs over the merged histogram (bounded by
+    the delay domain in seconds over the retention window), never over
+    per-user rows.
+    """
+    from ..functions.scale import coarse_npart
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["event_type"] == "signup"] \
+            .groupby("user_id")["ts"].min()
+        pur = g[g["event_type"] == "purchase"][["user_id", "ts"]] \
+            .merge(sig.rename("ts0"), left_on="user_id",
+                   right_index=True)
+        pur = pur[pur["ts"] >= pur["ts0"]]
+        first = pur.groupby("user_id", as_index=False) \
+            .agg(ts1=("ts", "min"), ts0=("ts0", "first"))
+        dt = ((first["ts1"].to_numpy("datetime64[us]").astype(np.int64)
+               - first["ts0"].to_numpy("datetime64[us]").astype(np.int64))
+              // 1_000_000)
+        out = pd.DataFrame({"dt_s": dt, "n": 1})
+        return out.groupby("dt_s", as_index=False).sum()
+
+    hist = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1)
+            .to_pandas())                # bounded: delay-seconds domain
+    if len(hist) == 0:
+        return pd.DataFrame({"n_users": pd.Series([], dtype=np.int64),
+                             "p50_s": pd.Series([], dtype=np.int64),
+                             "p90_s": pd.Series([], dtype=np.int64)})
+    h = hist.groupby("dt_s", as_index=False)["n"].sum() \
+        .sort_values("dt_s", kind="mergesort")
+    vals = h["dt_s"].to_numpy(np.int64)
+    cum = h["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        idx = max(int(np.ceil(q * float(n))) - 1, 0)
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    return pd.DataFrame({"n_users": [n], "p50_s": [disc(0.5)],
+                         "p90_s": [disc(0.9)]})
+
+
 def events_resample(sf_dir: str):
     """Dense time-series RESAMPLE: hourly event counts per type with the
     missing hours ZERO-FILLED over the corpus's [min, max] hour range —
