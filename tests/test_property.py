@@ -251,3 +251,72 @@ def test_tokenize_column_matches_naive_split(texts):
         expect_offs.append(expect_offs[-1] + len(toks))
     assert offs.tolist() == expect_offs
     assert fast.h60_array[tok].tolist() == expect_h60
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1),          # source
+                          st.integers(0, 999),        # commit ts
+                          st.integers(0, 15)),        # conv
+                min_size=1, max_size=200))
+def test_hopping_windows_match_bruteforce(rows):
+    """HoppingWindowAggregator (W=2S) flushed over an in-order stream
+    equals the brute-force per-window count/distinct over the raw rows —
+    every event in exactly two windows, grids offset by S."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pg_walstream_ray.pipelines.streaming import (
+        HoppingWindowAggregator)
+
+    rows = sorted(rows, key=lambda r: r[1])       # commit order
+    S = 100
+    agg = HoppingWindowAggregator(width_us=2 * S, slide_us=S,
+                                  sources=[0, 1])
+    tab = pa.table({
+        "source": pa.array([r[0] for r in rows], pa.int32()),
+        "commit_ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "op": pa.array(["insert"] * len(rows), pa.string()),
+        "after_values": pa.array([[f"c{r[2]}"] for r in rows],
+                                 pa.list_(pa.string())),
+        "before_values": pa.array([None] * len(rows),
+                                  pa.list_(pa.string())),
+    })
+    agg.ingest(tab)
+    agg.flush()
+    got = {r["window_start_us"]: (r["n_events"], r["n_convs"])
+           for r in agg.emitted}
+
+    want: dict = {}
+    for src, t, c in rows:
+        base = t - t % S
+        for w in (base, base - S):
+            n, convs = want.setdefault(w, [0, set()])
+            want[w][0] += 1
+            want[w][1].add(c)
+    assert got == {w: (n, len(cs)) for w, (n, cs) in want.items()}
+    assert agg.late_dropped == 0
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=300))
+def test_weighted_median_histogram_matches_bruteforce(cents):
+    """The histogram-cumsum weighted-median rule (smallest v with
+    2*cum(v) >= total mass) equals the brute-force scan over sorted raw
+    values."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.DataFrame({"cents": cents}).groupby("cents").size() \
+        .rename("n").reset_index().sort_values("cents")
+    vals = h["cents"].to_numpy(np.int64)
+    cum = (vals * h["n"].to_numpy(np.int64)).cumsum()
+    tot = int(cum[-1])
+    got = int(vals[np.argmax(2 * cum >= tot)])
+
+    s = sorted(cents)
+    run = 0
+    for v in s:
+        run += v
+        if 2 * run >= sum(cents):
+            assert v == got
+            break
