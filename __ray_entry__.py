@@ -186,6 +186,28 @@ def _cdc_watermark_report(sf_dir: str) -> Any:
         "n_rows": agg["n_rows"].to_numpy(_np.int64)})
 
 
+def _cdc_conv_shapes(sf_dir: str) -> Any:
+    """Conversation-template detection over the CDC lake: group
+    conversations by role sequence (turn order) — boilerplate-shape
+    audit, the structural dual of content dedup.  Oracle: STRING_AGG of
+    roles ORDER BY turn_idx over the SQL LWW state."""
+    from pg_walstream_ray.lake import conv_shapes
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_shapes_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        return conv_shapes(lake_dir).to_pandas()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 def _cdc_snapshot_bootstrap(sf_dir: str) -> Any:
     """Initial-load path (EXPORT_SNAPSHOT analogue, stream.rs:497-527):
     1. bounded replay of the upsert stream to LSN0 -> snapshot state;
@@ -943,6 +965,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # observability: per-source safe feedback point + stream commit/row
     # counts (post-replay watermark == final commit LSN, SQL-predicted)
     q["cdc_watermark_report"] = _cdc_watermark_report
+    # conversation-template detection (role-sequence grouping over the
+    # lake — structural dedup signal for scripted transcripts)
+    q["cdc_conv_shapes"] = _cdc_conv_shapes
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
@@ -1391,6 +1416,19 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    sql["cdc_conv_shapes"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      st AS (SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1),
+      f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS r
+            FROM st),
+      s AS (SELECT conv_id,
+                   STRING_AGG(role, ',' ORDER BY turn_idx) AS shape
+            FROM f WHERE r <= 4 GROUP BY conv_id)
+      SELECT shape, COUNT(*) AS n_convs, MIN(conv_id) AS min_conv
+      FROM s GROUP BY shape
     """
 
     sql["cdc_watermark_report"] = f"""

@@ -547,6 +547,69 @@ def audit_conversations(lake_dir: str):
     return ds.map_batches(audit, batch_size=1, batch_format="pyarrow")
 
 
+def conv_shapes(lake_dir: str, k: int = 4):
+    """Conversation-TEMPLATE detection over the live lake: group
+    conversations by their OPENING role sequence (first ``k`` turns in
+    turn order) — identical openings flag boilerplate/scripted
+    transcripts the corpus curator down-weights, the structural dual of
+    content dedup (openings are the scripted part; full sequences are
+    near-unique).
+
+    Output: (shape, n_convs, min_conv) — one row per distinct role
+    sequence, with the lexicographically smallest conv_id as the
+    canonical example.
+
+    Scale shape: per-partition ZERO-SHUFFLE assembly (the same
+    sorted-boundary ListArray trick as export_conversations, roles only
+    — text never read); then ONE shuffle of slim (shape, conv) rows
+    grouped by shape for count + min.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def shapes(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role"])
+            if not t.num_rows:
+                continue
+            t = t.take(_pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            roles = t["role"].combine_chunks()
+            change = np.flatnonzero(cv[1:] != cv[:-1]) + 1
+            offsets = np.concatenate([[0], change, [len(cv)]])
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                _pc.cast(roles, pa.string()))
+            shape = _pc.binary_join(
+                _pc.list_slice(lists, 0, k), ",")
+            yield pa.table({
+                "shape": shape,
+                "conv_id": pa.array(cv[offsets[:-1]], pa.string())})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+
+    def per_shape(g):
+        import pandas as _pd
+
+        return _pd.DataFrame({
+            "shape": [g["shape"].iloc[0]],
+            "n_convs": np.array([len(g)], np.int64),
+            "min_conv": [g["conv_id"].min()]})
+
+    return ds.map_batches(shapes, batch_size=1, batch_format="pyarrow") \
+        .groupby("shape").map_groups(per_shape, batch_format="pandas",
+                                     num_cpus=1)
+
+
 def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
                 hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
     """Consolidate N LWW lakes into ONE freshly-partitioned lake — the

@@ -103,7 +103,7 @@ def test_every_oracle_key_has_query(contract):
     "session_type_lift", "cdc_conv_integrity", "weighted_median",
     "pareto_frontier", "cdc_watermark_report", "purchase_attribution",
     "ks_drift", "events_debounce", "lang_confusion", "events_resample",
-    "conversion_time_quantiles",
+    "conversion_time_quantiles", "cdc_conv_shapes",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
