@@ -642,6 +642,97 @@ class _ConvQualityStage:
                          "quality_q": s["quality_q"]})
 
 
+def _cdc_turn_latency(sf_dir: str) -> Any:
+    """Response-latency profile over the CDC lake (lake.turn_latency):
+    per conversation, exact int64-microsecond gaps from each assistant
+    turn to the immediately preceding turn — zero shuffle (convs are
+    partition-local).  Oracle: LAG over the SQL LWW state."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import turn_latency
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_latency_lake_")
+    cols = [("conv_id", pa.string()), ("n_responses", pa.int64()),
+            ("total_gap_us", pa.int64()), ("max_gap_us", pa.int64())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(turn_latency(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_conv_near_dup(sf_dir: str) -> Any:
+    """Conversation-LEVEL near-dup detection: CDC lake -> per-conversation
+    document assembly (zero shuffle) -> MinHash(16)+LSH(4x4) flags — the
+    transcripts analogue of dedup_minhash_lsh, composing the CDC half and
+    the dedup half of the engine.  Conversations are keyed by their
+    numeric id (conv 'c<uid>' -> uid) so the band-min keeper rule and the
+    md5-bridge oracle stay integer-exact."""
+    import pyarrow.compute as _pc
+    import ray as _ray
+
+    from pg_walstream_ray.lake import export_conversations
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.pipelines.dedup import minhash_flags_for
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_convdup_lake_")
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        did = _pc.cast(_pc.utf8_slice_codeunits(
+            t["conv_id"], 1, (1 << 30)), pa.int64())
+        return pa.table({"doc_id": did, "text": t["doc"]})
+
+    def back(t: pa.Table) -> pa.Table:
+        conv = _pc.binary_join_element_wise(
+            "c", _pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({"conv_id": conv, "is_dup": t["is_dup"]})
+
+    cols = [("conv_id", pa.string()), ("is_dup", pa.bool_())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        flags = minhash_flags_for(
+            export_conversations(lake).map_batches(
+                to_docs, batch_format="pyarrow")) \
+            .map_batches(back, batch_format="pyarrow")
+        tables = [t for t in _ray.get(flags.to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_changefeed(sf_dir: str) -> Any:
+    """Ordered changefeed export (CDC-out / outbox): the full DML stream
+    re-emitted with CONTIGUOUS per-source sequence numbers in LSN order
+    (events.changefeed — histogram-rank, no global sort operator).
+    Oracle: ROW_NUMBER per WAL shard over the derived change stream."""
+    from pg_walstream_ray.pipelines.events import changefeed
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    return changefeed(wal_dir)
+
+
 def _cdc_backfill_column(sf_dir: str) -> Any:
     """Lake-wide derived-column backfill (lake.backfill_column): replay
     the upsert WAL, then backfill n_chars_text = utf8_length(text) onto
@@ -985,6 +1076,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_export_conversations"] = _cdc_export_conversations
     # flagship CDC x corpus composite: lake -> conversation docs -> quality
     q["cdc_corpus_quality"] = _cdc_corpus_quality
+    # response-latency profile (LAG gaps per conversation, zero shuffle)
+    q["cdc_turn_latency"] = _cdc_turn_latency
+    # conversation-level near-dup: lake -> assembled docs -> MinHash+LSH
+    q["cdc_conv_near_dup"] = _cdc_conv_near_dup
+    # ordered changefeed export (CDC-out): contiguous per-source seq in
+    # LSN order via histogram rank — no global sort operator
+    q["cdc_changefeed"] = _cdc_changefeed
     # lake maintenance: derived-column backfill + TTL retention
     q["cdc_backfill_column"] = _cdc_backfill_column
     q["cdc_retention"] = _cdc_retention
@@ -1027,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = analytics.hourly_event_stats
     # fixed-width histogram (width_bucket primitive), combiner-first
     q["value_histogram"] = analytics.value_histogram
+    # broadcast range-lookup join (value cents -> named tier bands)
+    q["band_lookup_join"] = analytics.value_band_lookup
     # Bloom-prefiltered exact semi-join (broadcast bitmap prunes the
     # probe shuffle; in-bucket isin kills false positives)
     q["bloom_semi_join"] = analytics.bloom_semi_join
@@ -1145,7 +1245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_rank_lead"] = temporal.events_rank_lead
     # ordered funnel progression + retention-cohort matrix
     q["events_funnel"] = temporal.events_funnel
+    # conversion-window funnel (each step within 7 days of the previous)
+    q["funnel_windowed"] = temporal.funnel_windowed
     q["retention_cohorts"] = temporal.retention_cohorts
+    # cohort lifetime value: cumulative purchase cents by week offset
+    q["cohort_ltv"] = temporal.cohort_ltv
     # daily-volume anomaly flags (exact-integer two-sigma test)
     q["events_anomaly_days"] = temporal.events_anomaly_days
     # ordered string_agg / collect surface (per-user event journey)
@@ -4016,6 +4120,124 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, r.range::INT AS frame_idx
       FROM documents, range(64) r
       WHERE r.range % 4 = 0 AND r.range < (16 + (doc_id * 7) % 48)
+    """
+
+    # response-latency profile over the LWW lake state: LAG gap to the
+    # previous turn, assistant turns only, exact int64 micros
+    sql["cdc_turn_latency"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (SELECT conv_id, turn_idx, role, ts
+                FROM ranked WHERE rn = 1),
+      l AS (SELECT conv_id, role, ts,
+                   LAG(ts) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS pts
+            FROM final)
+      SELECT conv_id, COUNT(*)::BIGINT AS n_responses,
+             SUM(epoch_us(ts) - epoch_us(pts))::BIGINT AS total_gap_us,
+             MAX(epoch_us(ts) - epoch_us(pts))::BIGINT AS max_gap_us
+      FROM l WHERE role = 'assistant' AND pts IS NOT NULL
+      GROUP BY conv_id
+    """
+
+    # conversation-level MinHash+LSH near-dup over assembled transcripts
+    # (same md5-bridge pipeline as dedup_minhash_lsh, docs = STRING_AGG
+    # assembly, doc key = numeric conv id)
+    sql["cdc_conv_near_dup"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (SELECT conv_id, turn_idx, role, text
+                FROM ranked WHERE rn = 1),
+      docs AS (SELECT CAST(substr(conv_id, 2) AS BIGINT) AS doc_id,
+                      STRING_AGG(role || ': ' || text, chr(10)
+                                 ORDER BY turn_idx) AS text
+               FROM final GROUP BY conv_id),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM docs),
+      h AS (SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT % {H_PRIME}
+                     AS hp
+            FROM w),
+      params(i, a, b) AS {minhash_params_sql()},
+      sig AS (SELECT doc_id, i, MIN((a * hp + b) % {H_PRIME}) AS s
+              FROM h CROSS JOIN params GROUP BY doc_id, i),
+      bands AS (SELECT doc_id,
+                       (i // 4)::VARCHAR || ':' ||
+                         string_agg(s::VARCHAR, ',' ORDER BY i) AS bkey
+                FROM sig GROUP BY doc_id, i // 4),
+      bmin AS (SELECT bkey, MIN(doc_id) AS m FROM bands GROUP BY bkey),
+      flags AS (SELECT b.doc_id, MIN(bm.m) AS mm
+                FROM bands b JOIN bmin bm USING (bkey) GROUP BY b.doc_id)
+      SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id,
+             (mm < doc_id) AS is_dup
+      FROM flags
+    """
+
+    # ordered changefeed export: contiguous per-source seq in LSN order
+    # (source = WAL shard = user_id % 2, recovered from the conv key)
+    sql["cdc_changefeed"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES})
+      SELECT CAST(substr(conv_id, 2) AS BIGINT) % 2 AS source,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY CAST(substr(conv_id, 2) AS BIGINT) % 2
+                    ORDER BY lsn) AS BIGINT) AS seq,
+             CAST(lsn AS BIGINT) AS lsn, conv_id, turn_idx, op
+      FROM changes
+    """
+
+    # broadcast range-lookup join: integer-cents value -> named tier band
+    sql["band_lookup_join"] = """
+      WITH bands(tier, lo, hi) AS (VALUES
+        ('T0', 0, 1000), ('T1', 1000, 2500), ('T2', 2500, 5000),
+        ('T3', 5000, 10000), ('T4', 10000, 25000),
+        ('T5', 25000, 9223372036854775807)),
+      e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events)
+      SELECT tier, COUNT(*)::BIGINT AS n_events,
+             SUM(cents)::BIGINT AS sum_cents
+      FROM e JOIN bands ON e.cents >= bands.lo AND e.cents < bands.hi
+      GROUP BY tier
+    """
+
+    # cohort lifetime value: cumulative purchase cents by week offset
+    sql["cohort_ltv"] = """
+      WITH c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+                 FROM events WHERE event_type = 'signup'
+                 GROUP BY user_id),
+      p AS (SELECT user_id, date_trunc('week', ts) AS pw,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', c.cw, p.pw) // 7 AS BIGINT)
+                     AS week_offset,
+                   cents
+            FROM p JOIN c USING (user_id) WHERE p.pw >= c.cw),
+      g AS (SELECT cohort_week, week_offset, SUM(cents) AS wk
+            FROM j GROUP BY cohort_week, week_offset)
+      SELECT cohort_week, week_offset, CAST(wk AS BIGINT) AS wk_cents,
+             CAST(SUM(wk) OVER (PARTITION BY cohort_week
+                                ORDER BY week_offset) AS BIGINT)
+               AS cum_cents
+      FROM g
+    """
+
+    # conversion-window funnel: each step strictly after AND within 7
+    # days of the previous step's first occurrence
+    sql["funnel_windowed"] = """
+      WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t
+              AND e.ts <= v.t + INTERVAL 7 DAY
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t
+              AND e.ts <= c.t + INTERVAL 7 DAY
+            GROUP BY e.user_id)
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM v)::BIGINT AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
     """
 
     return sql

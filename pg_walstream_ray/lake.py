@@ -610,6 +610,74 @@ def conv_shapes(lake_dir: str, k: int = 4):
                                      num_cpus=1)
 
 
+def turn_latency(lake_dir: str, role: str = "assistant"):
+    """Response-latency profile over the live lake state: for every turn
+    with the given ``role`` that has a preceding turn in its conversation
+    (turn order), the gap to that preceding turn's timestamp — the
+    "how fast does the assistant answer" signal a transcript curator
+    filters on.  Gaps are EXACT int64 microseconds (negative gaps are
+    kept: turn order is authoritative, timestamps are evidence).
+
+    Output: (conv_id, n_responses, total_gap_us, max_gap_us), one row per
+    conversation with at least one such response turn.
+
+    Scale shape: conversations are partition-local (the lake's routing
+    invariant), so the whole profile is a per-partition map with ZERO
+    shuffle; per partition it is one Arrow sort + numpy shift/reduceat —
+    no per-row Python.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def profile(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role", "ts"])
+            if not t.num_rows:
+                continue
+            t = t.take(pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            rl = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+            ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            n = len(cv)
+            if n < 2:
+                continue
+            # row i responds to row i-1 iff same conversation
+            has_prev = np.concatenate([[False], cv[1:] == cv[:-1]])
+            gap = np.empty(n, np.int64)
+            gap[1:] = ts[1:] - ts[:-1]
+            sel = has_prev & (rl == role)
+            if not sel.any():
+                continue
+            # conversation ordinal per row (sorted -> boundary cumsum)
+            conv_ord = np.concatenate(
+                [[0], np.cumsum(cv[1:] != cv[:-1])])
+            starts = np.concatenate(
+                [[0], np.flatnonzero(cv[1:] != cv[:-1]) + 1])
+            k = conv_ord[sel]                 # sorted (subset of sorted)
+            g = gap[sel]
+            uk, first = np.unique(k, return_index=True)
+            yield pa.table({
+                "conv_id": pa.array(cv[starts[uk]], pa.string()),
+                "n_responses": pa.array(
+                    np.diff(np.concatenate([first, [len(k)]]))
+                    .astype(np.int64)),
+                "total_gap_us": pa.array(np.add.reduceat(g, first)),
+                "max_gap_us": pa.array(np.maximum.reduceat(g, first)),
+            })
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(profile, batch_size=1, batch_format="pyarrow")
+
+
 def merge_lakes(src_dirs: List[str], out_dir: str, num_partitions: int,
                 hot_keys: Tuple[str, ...] = (), salt: int = 8) -> dict:
     """Consolidate N LWW lakes into ONE freshly-partitioned lake — the

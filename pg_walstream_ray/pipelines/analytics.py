@@ -338,6 +338,52 @@ def value_histogram(sf_dir: str, width: float = 25.0):
                                               num_cpus=1))
 
 
+BAND_TABLE = (("T0", 0, 1000), ("T1", 1000, 2500), ("T2", 2500, 5000),
+              ("T3", 5000, 10000), ("T4", 10000, 25000),
+              ("T5", 25000, np.iinfo(np.int64).max))
+
+
+def value_band_lookup(sf_dir: str, bands=BAND_TABLE):
+    """Broadcast RANGE-LOOKUP join: map each event's value (integer cents)
+    into a named tier from a small [lo, hi) band table and aggregate per
+    tier — the dimension-banding primitive (price tiers, latency SLO
+    buckets, age bands) that a naive engine runs as a theta-join.
+
+    Output: (tier, n_events, sum_cents) — tiers with no events are absent
+    (inner-join semantics, mirroring the SQL oracle).
+
+    Scale shape: the band table is tiny and broadcast in the task closure
+    (one np.searchsorted per batch — no theta-join, no shuffle of raw
+    events); each batch collapses to <= |bands| partial rows and the final
+    reduce over |bands| x blocks rows happens in one tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    names = np.array([b[0] for b in bands], object)
+    lo = np.array([b[1] for b in bands], np.int64)   # sorted, contiguous
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        idx = np.searchsorted(lo, cents, side="right") - 1
+        keep = idx >= 0                    # below the first band: no tier
+        idx, cents = idx[keep], cents[keep]
+        n = np.bincount(idx, minlength=len(lo))
+        s = np.bincount(idx, weights=cents.astype(np.float64),
+                        minlength=len(lo)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"tier": pa.array(names[nz], pa.string()),
+                         "n_events": pa.array(n[nz].astype(np.int64)),
+                         "sum_cents": pa.array(s[nz])})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("tier").aggregate(Sum("n_events", alias_name="n_events"),
+                                       Sum("sum_cents",
+                                           alias_name="sum_cents")))
+
+
 def q6_forecast_revenue(sf_dir: str):
     """TPC-H Q6-shaped filtered aggregate: predicate applied per batch on
     pruned columns, partial sums, one global reduce. Returns one row."""

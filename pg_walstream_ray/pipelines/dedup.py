@@ -155,12 +155,22 @@ class MinHashBuckets:
                          "doc_id": pa.array(flat_ids, pa.int64())})
 
 
+def minhash_flags_for(docs_ds):
+    """MinHash(16)+LSH(4x4) near-dup flags over ANY dataset with
+    ``(doc_id:int64, text:string)`` columns — the reusable core behind
+    ``minhash_dedup`` and the conversation-level composite
+    (``cdc_conv_near_dup``: CDC lake -> assembled transcripts -> near-dup).
+    Output: (doc_id, is_dup).  Same scale shape as minhash_dedup: the
+    shuffles move (band_key, doc_id) pairs only, never the text."""
+    bucketed = docs_ds.map_batches(
+        as_tasks(MinHashBuckets), batch_format="pyarrow", batch_size=4096)
+    return _dup_flags_from_buckets(bucketed)
+
+
 def minhash_dedup(sf_dir: str, concurrency: int = 4):
     """MinHash(16 sigs) + LSH(4 bands x 4 rows) near-dup flags.
     Output: (doc_id, is_dup)."""
-    bucketed = _docs(sf_dir).map_batches(
-        as_tasks(MinHashBuckets), batch_format="pyarrow", batch_size=4096)
-    return _dup_flags_from_buckets(bucketed)
+    return minhash_flags_for(_docs(sf_dir))
 
 
 class SimHashStage:

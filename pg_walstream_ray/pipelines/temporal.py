@@ -679,6 +679,167 @@ def retention_cohorts(sf_dir: str):
     })
 
 
+def cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: users grouped by signup week, purchase
+    revenue accumulated by week offset since the cohort week — the
+    monetized companion of ``retention_cohorts`` (does revenue compound or
+    stall per acquisition cohort?).
+
+    Output: (cohort_week, week_offset, wk_cents, cum_cents) — exact
+    integer cents; offsets only for weeks with at least one purchase
+    (cum runs over the present offsets, mirroring the SQL window).
+
+    Scale shape: one user-bucket shuffle (users are bucket-local, so the
+    per-bucket (cohort, offset) revenue partials are additive); the final
+    reduce + running sum happens over the BOUNDED weeks x weeks x buckets
+    partial rows on the driver, like the other bounded reduces.
+    """
+    ds = _events(sf_dir, columns=("ts", "user_id", "event_type", "value"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        su = g[g["event_type"] == "signup"]
+        cohort = su.groupby("user_id", as_index=False)["ts"].min()
+        cw_days = cohort["ts"].to_numpy("datetime64[us]") \
+            .astype("datetime64[D]")
+        cw_days = cw_days - ((cw_days.astype(np.int64) + 3) % 7) \
+            .astype("timedelta64[D]")         # Monday start (_week_start)
+        cohort = pd.DataFrame({"user_id": cohort["user_id"],
+                               "cw": cw_days})
+        pu = g[g["event_type"] == "purchase"][["user_id", "ts", "value"]]
+        if not len(pu) or not len(cohort):
+            return pa.table({"cohort_week": pa.array([], pa.string()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        pw = pu["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
+        pw = pw - ((pw.astype(np.int64) + 3) % 7).astype("timedelta64[D]")
+        pu = pd.DataFrame({
+            "user_id": pu["user_id"].to_numpy(np.int64),
+            "pw": pw,
+            # DuckDB-identical ROUND(value*100) (half away from zero on
+            # the .5 grid reachable from 2-decimal doubles)
+            "cents": np.rint(pu["value"].to_numpy(np.float64) * 100.0)
+            .astype(np.int64)})
+        m = pu.merge(cohort, on="user_id", how="inner")
+        m = m[m["pw"] >= m["cw"]]
+        if not len(m):
+            return pa.table({"cohort_week": pa.array([], pa.string()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        off = ((m["pw"].to_numpy("datetime64[D]")
+                - m["cw"].to_numpy("datetime64[D]"))
+               .astype(np.int64) // 7)
+        agg = pd.DataFrame({
+            "cohort_week": m["cw"].to_numpy("datetime64[D]").astype(str),
+            "week_offset": off,
+            "cents": m["cents"].to_numpy(np.int64)}) \
+            .groupby(["cohort_week", "week_offset"], as_index=False)[
+            "cents"].sum()
+        return pa.table({
+            "cohort_week": pa.array(agg["cohort_week"].to_numpy(object),
+                                    pa.string()),
+            "week_offset": pa.array(agg["week_offset"]
+                                    .to_numpy(np.int64)),
+            "cents": pa.array(agg["cents"].to_numpy(np.int64)),
+        })
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas",
+                                              num_cpus=1))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    empty = pa.table({"cohort_week": pa.array([], pa.string()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "wk_cents": pa.array([], pa.int64()),
+                      "cum_cents": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    rows = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts]).to_pandas()
+    if not len(rows):
+        return empty
+    agg = rows.groupby(["cohort_week", "week_offset"], as_index=False)[
+        "cents"].sum().sort_values(["cohort_week", "week_offset"])
+    cum = agg.groupby("cohort_week")["cents"].cumsum()
+    return pa.table({
+        "cohort_week": pa.array(agg["cohort_week"].to_numpy(object),
+                                pa.string()),
+        "week_offset": pa.array(agg["week_offset"].to_numpy(np.int64)),
+        "wk_cents": pa.array(agg["cents"].to_numpy(np.int64)),
+        "cum_cents": pa.array(cum.to_numpy(np.int64)),
+    })
+
+
+def funnel_windowed(sf_dir: str, steps=("view", "click", "purchase"),
+                    window_days: int = 7):
+    """Time-constrained funnel: each step must happen strictly AFTER the
+    previous step AND within ``window_days`` of it (the product-analytics
+    "conversion window" variant of ``events_funnel`` — a purchase three
+    months after the click no longer counts as funnel progress).
+
+    Output: (step_idx, step, n_users) — one row per step, the number of
+    users whose windowed cascade reaches it.
+
+    Scale shape: one user-bucket shuffle; inside each bucket the cascade
+    is the same vectorized per-step groupby-min + merge as
+    ``events_funnel`` with the window upper bound added; per-bucket step
+    counts are additive, so the final reduce is len(steps) x buckets rows
+    on the driver.
+    """
+    ds = _events(sf_dir, columns=("ts", "user_id", "event_type"))
+    npart = coarse_npart()
+    win = np.timedelta64(window_days, "D")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        counts = np.zeros(len(steps), np.int64)
+        first = g[g["event_type"] == steps[0]] \
+            .groupby("user_id", as_index=False)["ts"].min()
+        counts[0] = len(first)
+        prev = first.rename(columns={"ts": "t_prev"})
+        for depth, step in enumerate(steps[1:], start=1):
+            if not len(prev):
+                break
+            ev = g[g["event_type"] == step][["user_id", "ts"]]
+            m = ev.merge(prev, on="user_id", how="inner")
+            m = m[(m["ts"] > m["t_prev"]) & (m["ts"] <= m["t_prev"] + win)]
+            if not len(m):
+                break
+            t_step = m.groupby("user_id", as_index=False)["ts"].min()
+            counts[depth] = len(t_step)
+            prev = t_step.rename(columns={"ts": "t_prev"})
+        return pa.table({"step_idx": pa.array(
+            np.arange(1, len(steps) + 1, dtype=np.int64)),
+            "n": pa.array(counts)})
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas",
+                                              num_cpus=1))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20))
+    totals = np.zeros(len(steps), np.int64)
+    for p in parts:
+        t = p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+        if t.num_rows:
+            idx = t["step_idx"].to_numpy(zero_copy_only=False) - 1
+            np.add.at(totals, idx, t["n"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "step_idx": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "step": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(totals),
+    })
+
+
 def events_anomaly_days(sf_dir: str):
     """Daily-volume anomaly detection per event type: flag days whose
     event count deviates from the type's mean by more than two population
