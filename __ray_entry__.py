@@ -671,6 +671,100 @@ def _cdc_turn_latency(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_tool_stats(sf_dir: str) -> Any:
+    """Tool-usage profile over the CDC lake (lake.tool_stats): per tool,
+    exact call count, distinct-conversation count (partition-local convs
+    make per-partition distincts globally exact) and turn-position mass.
+    Oracle: GROUP BY tool over the SQL LWW state."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import tool_stats
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_toolstats_lake_")
+    cols = [("tool", pa.string()), ("n_calls", pa.int64()),
+            ("n_convs", pa.int64()), ("sum_turn_idx", pa.int64())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(tool_stats(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_context_windows(sf_dir: str) -> Any:
+    """Context-window geometry for training-example extraction
+    (lake.context_windows): per assistant turn, the turn count and exact
+    character mass of its up-to-4 preceding turns — zero shuffle (convs
+    are partition-local).  Oracle: COUNT/SUM over a ROWS BETWEEN 4
+    PRECEDING AND 1 PRECEDING frame on the SQL LWW state."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import context_windows
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_ctxwin_lake_")
+    cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("ctx_turns", pa.int64()), ("ctx_chars", pa.int64())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in
+                  _ray.get(context_windows(lake, k=4).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def _cdc_gdpr_purge(sf_dir: str) -> Any:
+    """Right-to-be-forgotten erasure (lake.purge_keys): replay the WAL,
+    then purge every conversation whose numeric id is divisible by 13
+    (the deterministic stand-in for an external erasure-request list) via
+    per-partition atomic rewrites, and return the surviving final state.
+    Oracle: the LWW state filtered by the same key rule.
+
+    The request list is derived from the lake's own key column here so
+    the test is self-contained; a real erasure list arrives externally.
+    Listing distinct keys is bounded by |conversations|, not rows."""
+    from pg_walstream_ray.lake import purge_keys, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_purge_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        convs = snapshot_table(lake, sort=False,
+                               columns=["conv_id"])["conv_id"]
+        import pyarrow.compute as _pc
+        uniq = _pc.unique(convs).to_pylist()
+        doomed = [c for c in uniq if int(c[1:]) % 13 == 0]
+        purge_keys(lake, doomed)
+        snap = snapshot_table(lake)
+        return snap.select(["conv_id", "turn_idx", "role", "text",
+                            "tool", "ts"])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_conv_near_dup(sf_dir: str) -> Any:
     """Conversation-LEVEL near-dup detection: CDC lake -> per-conversation
     document assembly (zero shuffle) -> MinHash(16)+LSH(4x4) flags — the
@@ -1078,6 +1172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_corpus_quality"] = _cdc_corpus_quality
     # response-latency profile (LAG gaps per conversation, zero shuffle)
     q["cdc_turn_latency"] = _cdc_turn_latency
+    # tool-usage profile (exact distinct-conv counts, partition-local)
+    q["cdc_tool_stats"] = _cdc_tool_stats
+    # context-window geometry for training-example extraction
+    q["cdc_context_windows"] = _cdc_context_windows
+    # right-to-be-forgotten key purge across fragment chains
+    q["cdc_gdpr_purge"] = _cdc_gdpr_purge
     # conversation-level near-dup: lake -> assembled docs -> MinHash+LSH
     q["cdc_conv_near_dup"] = _cdc_conv_near_dup
     # ordered changefeed export (CDC-out): contiguous per-source seq in
@@ -4137,6 +4237,41 @@ def oracle_sql() -> dict[str, str]:
              MAX(epoch_us(ts) - epoch_us(pts))::BIGINT AS max_gap_us
       FROM l WHERE role = 'assistant' AND pts IS NOT NULL
       GROUP BY conv_id
+    """
+
+    sql["cdc_tool_stats"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (SELECT conv_id, turn_idx, tool
+                FROM ranked WHERE rn = 1)
+      SELECT tool, COUNT(*)::BIGINT AS n_calls,
+             COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+             SUM(turn_idx)::BIGINT AS sum_turn_idx
+      FROM final WHERE tool IS NOT NULL
+      GROUP BY tool
+    """
+
+    sql["cdc_context_windows"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (SELECT conv_id, turn_idx, role, text
+                FROM ranked WHERE rn = 1),
+      w AS (SELECT conv_id, turn_idx, role,
+                   COUNT(*) OVER win AS ctx_turns,
+                   COALESCE(SUM(LENGTH(text)) OVER win, 0) AS ctx_chars
+            FROM final
+            WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+      SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+             CAST(ctx_turns AS BIGINT) AS ctx_turns,
+             CAST(ctx_chars AS BIGINT) AS ctx_chars
+      FROM w WHERE role = 'assistant'
+    """
+
+    sql["cdc_gdpr_purge"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked
+      WHERE rn = 1
+        AND CAST(substr(conv_id, 2) AS BIGINT) % 13 <> 0
     """
 
     # conversation-level MinHash+LSH near-dup over assembled transcripts

@@ -1073,3 +1073,153 @@ def read_mv(mv_dir: str) -> pa.Table:
                          "last_lsn": pa.array([], pa.int64())})
     t = pa.concat_tables(tables)
     return t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending")]))
+
+
+def tool_stats(lake_dir: str):
+    """Tool-usage profile over the live lake state: per tool name, the
+    number of tool turns, the number of DISTINCT conversations that used
+    the tool, and the exact integer sum of turn indexes (position mass —
+    mean call position is sum_turn_idx/n_calls, computed by the consumer
+    so no float leaves the distributed part).
+
+    Output: (tool, n_calls, n_convs, sum_turn_idx), one row per tool.
+
+    Scale shape: conversations are partition-local (the lake routing
+    invariant), so per-partition DISTINCT-conversation counts sum to the
+    exact global count; each partition emits one partial row per tool
+    (|tools| x |partitions| rows in total) and ONE tiny groupby adds the
+    partials — text never read, keys never shuffled.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def partials(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["tool"])
+            t = t.filter(pc.is_valid(t["tool"]))
+            if not t.num_rows:
+                continue
+            df = pd.DataFrame({
+                "tool": t["tool"].combine_chunks().to_numpy(
+                    zero_copy_only=False),
+                "conv": t["conv_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False),
+                "ti": pc.cast(t["turn_idx"], pa.int64()).combine_chunks()
+                .to_numpy(zero_copy_only=False)})
+            g = df.groupby("tool", sort=False).agg(
+                n_calls=("conv", "size"), n_convs=("conv", "nunique"),
+                sum_turn_idx=("ti", "sum")).reset_index()
+            yield pa.table({
+                "tool": pa.array(g["tool"], pa.string()),
+                "n_calls": pa.array(g["n_calls"].to_numpy(np.int64)),
+                "n_convs": pa.array(g["n_convs"].to_numpy(np.int64)),
+                "sum_turn_idx": pa.array(
+                    g["sum_turn_idx"].to_numpy(np.int64))})
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "tool": [g["tool"].iloc[0]],
+            "n_calls": np.array([g["n_calls"].sum()], np.int64),
+            "n_convs": np.array([g["n_convs"].sum()], np.int64),
+            "sum_turn_idx": np.array([g["sum_turn_idx"].sum()], np.int64)})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(partials, batch_size=1, batch_format="pyarrow") \
+        .groupby("tool").map_groups(merge, batch_format="pandas",
+                                    num_cpus=1)
+
+
+def context_windows(lake_dir: str, k: int = 4, role: str = "assistant"):
+    """Training-example extraction geometry over the live lake: for every
+    turn with the given ``role``, how much context its up-to-``k``
+    immediately preceding turns (same conversation, turn order) supply —
+    the row a context-length-aware example packer consumes before cutting
+    (conv, turn) windows into training sequences.
+
+    Output: (conv_id, turn_idx, ctx_turns, ctx_chars) — exact counts,
+    ``ctx_chars`` in characters (codepoints) over the preceding window.
+
+    Scale shape: conversations are partition-local, so the whole pass is
+    per-partition with ZERO shuffle; per partition it is one Arrow sort +
+    numpy prefix-sum window arithmetic (no per-row Python, no pandas).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def windows(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role", "text"])
+            if not t.num_rows:
+                continue
+            t = t.take(pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            rl = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+            lens = pc.fill_null(pc.cast(pc.utf8_length(
+                t["text"].combine_chunks()), pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            n = len(cv)
+            idx = np.arange(n, dtype=np.int64)
+            # first row index of each row's conversation (sorted order)
+            bound = np.concatenate(
+                [[0], np.flatnonzero(cv[1:] != cv[:-1]) + 1])
+            conv_start = bound[np.searchsorted(bound, idx, side="right")
+                               - 1]
+            start = np.maximum(conv_start, idx - k)
+            prefix = np.concatenate([[0], np.cumsum(lens)])
+            sel = rl == role
+            if not sel.any():
+                continue
+            yield pa.table({
+                "conv_id": pa.array(cv[sel], pa.string()),
+                "turn_idx": pc.cast(
+                    t["turn_idx"].combine_chunks(), pa.int32())
+                .filter(pa.array(sel)),
+                "ctx_turns": pa.array((idx - start)[sel]),
+                "ctx_chars": pa.array(
+                    (prefix[idx] - prefix[start])[sel])})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(windows, batch_size=1, batch_format="pyarrow")
+
+
+def purge_keys(lake_dir: str, keys,
+               key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")
+               ) -> dict:
+    """GDPR / right-to-be-forgotten erasure: remove every live row whose
+    partition key is in ``keys`` from the lake — targeted key purge with
+    manifests intact (epoch bump, atomic tmp+rename, dead-fragment GC),
+    so later replays stay exactly-once and resumable and the purged keys
+    do NOT resurrect from pre-purge WAL on restart (the replay guard
+    filters already-applied LSNs).
+
+    A genuinely NEW change to a purged key re-inserts it — the erasure is
+    point-in-time, which is the regulation's semantics (new consent, new
+    data).
+
+    Scale shape: one Ray task per partition (driver schedules only); the
+    key set ships once per task — an erasure request list is thousands of
+    keys, not millions; for larger sets ship a bloom filter + exact
+    in-bucket verify, as bloom_semi_join does.
+    """
+    key_arr = pa.array(sorted(set(keys)), pa.string())
+
+    def transform(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(
+            pc.is_in(t[key_cols[0]], value_set=key_arr)))
+
+    return _fanout_rewrite(lake_dir, transform, "purge", key_cols)

@@ -139,3 +139,100 @@ def test_conv_near_dup_consistent_with_doc_minhash(ray_session):
         for convs in by_doc:
             # all but the smallest-id copy must be flagged
             assert set(convs[1:]) <= flagged
+
+
+def test_tool_stats_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    state = _as_df(q["cdc_upsert_lww"](SF))
+    got = _as_df(q["cdc_tool_stats"](SF)).sort_values("tool") \
+        .reset_index(drop=True)
+
+    t = state[state["tool"].notna()]
+    want = t.groupby("tool").agg(
+        n_calls=("conv_id", "size"), n_convs=("conv_id", "nunique"),
+        sum_turn_idx=("turn_idx", "sum")).reset_index() \
+        .sort_values("tool").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_calls": np.int64, "n_convs": np.int64,
+                    "sum_turn_idx": np.int64}),
+        want.astype({"n_calls": np.int64, "n_convs": np.int64,
+                     "sum_turn_idx": np.int64}))
+
+
+def test_context_windows_matches_bruteforce(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    state = _as_df(q["cdc_upsert_lww"](SF))
+    got = _as_df(q["cdc_context_windows"](SF)) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["ctx_turns"] <= 4).all()
+    assert (got["ctx_chars"] >= 0).all()
+
+    rows = []
+    for conv, g in state.groupby("conv_id"):
+        s = g.sort_values("turn_idx")
+        texts = s["text"].to_numpy(object)
+        roles = s["role"].to_numpy(object)
+        tis = s["turn_idx"].to_numpy(np.int64)
+        for i in range(len(s)):
+            if roles[i] != "assistant":
+                continue
+            lo = max(0, i - 4)
+            rows.append((conv, int(tis[i]), i - lo,
+                         int(sum(len(t) for t in texts[lo:i]))))
+    want = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                       "ctx_turns", "ctx_chars"]) \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": np.int64, "ctx_turns": np.int64,
+                    "ctx_chars": np.int64}),
+        want.astype({"turn_idx": np.int64, "ctx_turns": np.int64,
+                     "ctx_chars": np.int64}))
+
+
+def test_gdpr_purge_erases_and_does_not_resurrect(ray_session):
+    """Purged keys must be gone from the final state, everything else
+    byte-identical to the unpurged LWW state — and a REPLAY of the same
+    WAL over the purged lake must apply nothing (the exactly-once guard
+    is what keeps erased keys erased across restarts)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    import shutil as _sh
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.lake import purge_keys, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    q = e.queries()
+    base = _as_df(q["cdc_upsert_lww"](SF))
+    purged = _as_df(q["cdc_gdpr_purge"](SF))
+    doomed = {c for c in base["conv_id"].unique() if int(c[1:]) % 13 == 0}
+    assert doomed, "fixture must contain at least one purge target"
+    assert set(purged["conv_id"]).isdisjoint(doomed)
+    keep = base[~base["conv_id"].isin(doomed)]
+    assert len(purged) == len(keep)
+
+    # no-resurrection: replay the same WAL onto a purged lake -> no-op
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    lake = _tf.mkdtemp(prefix="pgwr_purge_replay_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=4)
+        convs = snapshot_table(lake, sort=False, columns=["conv_id"])
+        uniq = set(convs["conv_id"].to_pylist())
+        target = sorted(c for c in uniq if int(c[1:]) % 13 == 0)
+        purge_keys(lake, target)
+        before = snapshot_table(lake)
+        run_cdc(wal_dir, lake, num_partitions=4)   # resume, same WAL
+        after = snapshot_table(lake)
+        assert before.equals(after)
+        assert set(after["conv_id"].to_pylist()).isdisjoint(target)
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
