@@ -1024,6 +1024,66 @@ def _cdc_router_two_tables(sf_dir: str) -> Any:
         shutil.rmtree(lake_r, ignore_errors=True)
 
 
+def _repair_score_cells(t: pa.Table) -> pa.Table:
+    """Repair rule for the dirty fixture's producer bug, applied to RAW
+    envelope rows: corrupted score cells arrived as 'x<turn_idx>' instead
+    of str(turn_idx % 5) — strip the prefix, re-reduce mod 5.  Vectorized
+    over the flattened list<string> values buffer."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    after = t["after_values"].combine_chunks()
+    offsets = after.offsets.to_numpy(zero_copy_only=False)
+    flat = after.values.to_numpy(zero_copy_only=False).copy()
+    lens = np.diff(offsets)
+    # score is the 7th cell of the evolved (v2) tuple layout
+    pos = offsets[:-1][lens >= 7] + 6
+    cells = flat[pos]
+    bad = np.array([isinstance(c, str) and c.startswith("x")
+                    for c in cells])
+    if bad.any():
+        fixed = np.array([str(int(c[1:]) % 5) for c in cells[bad]],
+                         dtype=object)
+        p = pos[bad]
+        flat[p] = fixed
+    new_after = pa.ListArray.from_arrays(
+        after.offsets, pa.array(flat, pa.string()))
+    i = t.schema.get_field_index("after_values")
+    return t.set_column(i, "after_values", new_after)
+
+
+def _cdc_deadletter_repair(sf_dir: str) -> Any:
+    """Dead-letter REPROCESSING end-to-end: replay the dirty WAL with the
+    quarantine channel (clean rows apply exactly-once, corrupt rows are
+    captured raw), then repair the producer bug and merge the quarantined
+    rows back at their true LSNs (cdc.reprocess_deadletters).  The final
+    lake state must equal a never-corrupted evolve replay — the oracle is
+    the same SQL as cdc_schema_evolution."""
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.cdc import (reprocess_deadletters,
+                                                run_cdc_quarantine)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|dirty|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-dirty-{key}")
+    build_wal_from_events(sf_dir, "dirty", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_dlrepair_lake_")
+    dl_dir = tempfile.mkdtemp(prefix="pgwr_dlq_")
+    try:
+        stats = run_cdc_quarantine(wal_dir, lake, dl_dir,
+                                   num_partitions=8)
+        if not stats["dl_files"]:
+            raise RuntimeError("dirty fixture produced no dead letters")
+        reprocess_deadletters(dl_dir, lake, _repair_score_cells, wal_dir)
+        snap = snapshot_table(lake)
+        return snap.select(["conv_id", "turn_idx", "role", "text",
+                            "tool", "ts", "score"])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(dl_dir, ignore_errors=True)
+
+
 def _cdc_lenient_deadletter(sf_dir: str) -> Any:
     """Lenient typed projection over a WAL whose evolved ``score`` column
     carries unparseable values on a deterministic subset of rows: the cast
@@ -1200,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_hot_key"] = lambda sf: _cdc_run(sf, "hot", n_shards=1,
                                            auto_hot=True)
     q["cdc_lenient_deadletter"] = _cdc_lenient_deadletter
+    # dead-letter quarantine -> repair -> merge: final state == clean replay
+    q["cdc_deadletter_repair"] = _cdc_deadletter_repair
     # streamed (v2 in-progress) transactions: every 3rd tx arrives as
     # StreamStart..StreamStop segments, every 9th StreamAborts and must
     # vanish; n_shards=1 so the tx rank is SQL-expressible
@@ -2131,6 +2193,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT conv_id, turn_idx, role, text, tool, ts, score
       FROM ranked WHERE rn = 1
     """
+    # repaired dead letters restore the clean evolve state exactly
+    sql["cdc_deadletter_repair"] = sql["cdc_schema_evolution"]
 
     sql["q1_pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,

@@ -220,6 +220,210 @@ def lenient_deadletter_stats(wal_dir: str, oid: int = TRANSCRIPTS_OID):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def run_cdc_quarantine(wal_dir: str, lake_dir: str, dl_dir: str,
+                       num_partitions: int = 8,
+                       oid: int = TRANSCRIPTS_OID) -> dict:
+    """CDC replay with a dead-letter QUARANTINE channel: clean rows apply
+    exactly-once exactly as ``run_cdc``; rows whose typed cast fails are
+    captured in RAW envelope form (text cells intact) under ``dl_dir`` —
+    one parquet file per WAL segment with a DETERMINISTIC name, so a
+    retried decode task overwrites its own file instead of duplicating
+    rows (idempotent side channel).  ``reprocess_deadletters`` repairs and
+    merges them later.
+
+    Scale shape: identical to run_cdc minus the fused fast path — decode +
+    lenient projection + routing in one map stage per segment, ONE
+    all-to-all for the apply.  The DL write adds no shuffle: each segment
+    task writes its own quarantine file next to its decode.  Hot-key
+    salting is pinned OFF for quarantine lakes (the repair merge routes by
+    the same unsalted partitioner).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.typed import project_envelope_quarantine
+
+    t0 = time.time()
+    shard_paths = discover_shards(wal_dir)
+    registry_ref = ray.put(build_registry(wal_dir, shard_paths))
+    if read_lake_config(lake_dir) is None:
+        write_lake_config(lake_dir, num_partitions, (), 8, sink="lww")
+    os.makedirs(dl_dir, exist_ok=True)
+    work = [{"wal_paths": [seg]} for segs in shard_paths for seg in segs]
+    ds = rd.from_items(work, override_num_blocks=len(work))
+    partitioner = Partitioner(num_partitions,
+                              drop_cols=("xid", "commit_ts_us"))
+
+    def scan(batch: pa.Table):
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        reg = _ray.get(registry_ref)
+        seg_path = batch["wal_paths"].to_pylist()[0][0]
+        source = DecodeShard.source_of(seg_path)
+        dl_acc = []
+        for env in DecodeShard()(batch):
+            typed, dl = project_envelope_quarantine(env, reg, oid)
+            if dl.num_rows:
+                dl_acc.append(dl)
+            if typed.num_rows:
+                yield partitioner(typed)
+        if dl_acc:
+            name = (f"dl-{source}-"
+                    f"{os.path.basename(seg_path)}")
+            tmp = os.path.join(dl_dir, f".{name}.tmp")
+            pq.write_table(pa.concat_tables(dl_acc), tmp,
+                           compression="zstd")
+            os.replace(tmp, os.path.join(dl_dir, name))
+
+    routed = ds.map_batches(scan, batch_size=None, batch_format="pyarrow",
+                            num_cpus=1)
+    apply_group = ApplyGroup(lake_dir)
+    sdf = routed.groupby("partition_id").map_groups(
+        lambda g: apply_group(g), batch_format="pyarrow").to_pandas()
+    wall = time.time() - t0
+    rows = int(sdf["rows_applied"].sum()) if len(sdf) else 0
+    dl_files = [f for f in os.listdir(dl_dir) if f.startswith("dl-")]
+    return {"wall_s": wall, "rows_applied": rows,
+            "dl_files": len(dl_files),
+            "lake_rows": int(sdf["row_count"].sum()) if len(sdf) else 0}
+
+
+def reprocess_deadletters(dl_dir: str, lake_dir: str, repair_fn,
+                          wal_dir: str,
+                          oid: int = TRANSCRIPTS_OID) -> dict:
+    """Dead-letter REPAIR pass: read the quarantined raw envelope rows,
+    apply ``repair_fn`` (envelope table -> envelope table, fixing the raw
+    text cells once the producer bug is understood), STRICT-project them,
+    route by the lake's partitioner, and merge each touched partition at
+    the FRAGMENT level — union of the existing fragment chain (as ops:
+    tombstones become delete ops at their ``_lsn``) with the repaired rows,
+    resolved by ``lww_resolve`` and rewritten as ONE fragment (atomic
+    tmp+rename, manifest epoch bump, dead-fragment GC).
+
+    The replay-LSN guard is deliberately bypassed: quarantined rows were
+    never applied, so their LSNs being below the watermark is exactly the
+    situation the quarantine exists for.  The merge is idempotent —
+    re-running with the same DL set reproduces the same state — and
+    LWW-correct: a clean delete/update newer than a repaired row still
+    wins, because everything re-resolves by true ``_lsn``.
+
+    Scale shape: DL volume is the anomaly rate, not the corpus — a 10^10
+    event replay with 10^-5 corruption yields ~10^5 DL rows; the repair is
+    one small read + one routed shuffle + one rewrite task per TOUCHED
+    partition (untouched partitions are not rewritten).
+    """
+    import ray
+    import ray.data as rd
+
+    files = sorted(os.path.join(dl_dir, f) for f in os.listdir(dl_dir)
+                   if f.startswith("dl-") and f.endswith(".parquet"))
+    if not files:
+        return {"repaired": 0, "partitions": 0}
+    cfg = read_lake_config(lake_dir)
+    num_partitions = cfg["num_partitions"]
+    shard_paths = discover_shards(wal_dir)
+    registry_ref = ray.put(build_registry(wal_dir, shard_paths))
+    partitioner = Partitioner(num_partitions,
+                              drop_cols=("xid", "commit_ts_us"))
+    ds = rd.read_parquet(files)
+
+    def fix_and_project(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        reg = _ray.get(registry_ref)
+        repaired = repair_fn(t)
+        typed = project_envelope(repaired, reg, oid)   # strict
+        return partitioner(typed)
+
+    def merge(group: pa.Table) -> pa.Table:
+        pid = group["partition_id"][0].as_py()
+        n = _repair_merge_partition(lake_dir, int(pid), group)
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "repaired": pa.array([group.num_rows], pa.int64()),
+                         "row_count": pa.array([n], pa.int64())})
+
+    sdf = ds.map_batches(fix_and_project, batch_format="pyarrow") \
+        .groupby("partition_id") \
+        .map_groups(merge, batch_format="pyarrow").to_pandas()
+    return {"repaired": int(sdf["repaired"].sum()) if len(sdf) else 0,
+            "partitions": int(len(sdf))}
+
+
+def _repair_merge_partition(lake_dir: str, pid: int,
+                            group: pa.Table) -> int:
+    """Fragment-level merge of repaired typed rows into one partition:
+    existing chain rows re-enter LWW as ops (tombstone -> delete at its
+    ``_lsn``), repaired rows enter at their true lsn; the resolved state
+    is written as a single fragment (tombstones droppable: nothing older
+    remains to cancel).  Same atomicity as compaction."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.apply import KEY_COLS, lww_resolve
+    from ..state.manifest import (partition_dir, read_manifest,
+                                  write_manifest_atomic)
+
+    m = read_manifest(lake_dir, pid)
+    d = partition_dir(lake_dir, pid)
+    os.makedirs(d, exist_ok=True)
+
+    # repaired rows -> op form (payload + lsn + op + _unchanged_*)
+    from ..stages.apply import payload_columns
+
+    payload = payload_columns(group.schema)
+    parts = []
+    rep_cols: dict = {c: group[c] for c in payload}
+    rep_cols["lsn"] = group["lsn"]
+    rep_cols["op"] = group["op"]
+    for c in payload:
+        un = f"_unchanged_{c}"
+        rep_cols[un] = group[un] if un in group.column_names \
+            else pa.array(np.zeros(group.num_rows, dtype=bool))
+    parts.append(pa.table(rep_cols))
+
+    for name in m.fragments:
+        t = pq.read_table(os.path.join(d, name))
+        n = t.num_rows
+        tomb = t["_tombstone"] if "_tombstone" in t.column_names \
+            else pa.array(np.zeros(n, dtype=bool))
+        cols: dict = {}
+        for c in payload:
+            cols[c] = t[c] if c in t.column_names \
+                else pa.nulls(n, parts[0][c].type)
+            cols[f"_unchanged_{c}"] = pa.array(np.zeros(n, dtype=bool))
+        cols["lsn"] = t["_lsn"]
+        cols["op"] = pc.if_else(pc.fill_null(tomb, False), "delete",
+                                "insert")
+        parts.append(pa.table(cols).select(parts[0].column_names))
+
+    ops = pa.concat_tables(parts)
+    final = lww_resolve(ops, payload, keep_tombstones=False,
+                        key_cols=KEY_COLS)
+    final = final.take(pc.sort_indices(
+        final, sort_keys=[(c, "ascending") for c in KEY_COLS]))
+    frag = f"fragment-{m.epoch + 1:06d}-repair.parquet"
+    tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(final, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, frag))
+    old = list(m.fragments)
+    m.fragments = [frag]
+    m.row_count = final.num_rows
+    m.epoch += 1
+    m.lineage.append({"epoch": m.epoch, "repair": True,
+                      "rows_applied": int(group.num_rows)})
+    write_manifest_atomic(lake_dir, m)
+    for dead in old:
+        try:
+            os.remove(os.path.join(d, dead))
+        except OSError:
+            pass
+    return final.num_rows
+
+
 def run_cdc_follow(wal_dir: str, lake_dir: str, num_partitions: int = 16,
                    poll_interval_s: float = 2.0, max_idle_polls: int = 3,
                    **kw) -> dict:

@@ -132,6 +132,54 @@ def project_envelope(envelope: pa.Table, registry: SchemaRegistry, oid: int,
     return typed
 
 
+def project_envelope_quarantine(envelope: pa.Table,
+                                registry: SchemaRegistry, oid: int):
+    """Lenient projection with a dead-letter SIDE CHANNEL — the repairable
+    form of the FieldError-list contract
+    (/root/reference/src/deserializer.rs:617-691): instead of reducing a
+    failed row to a null cell + error count, the whole failing row is
+    returned in RAW envelope form (text cells intact) so a reprocessing
+    pass can repair the producer bug and replay it.
+
+    -> (typed_clean, dl_envelope_rows): ``typed_clean`` is strictly typed
+    (no ``_cast_errors`` column — every surviving row parsed fully);
+    ``dl_envelope_rows`` keeps the envelope schema, one row per DML row
+    with at least one failed column cast.  Truncate rows always ride the
+    clean channel (they carry no castable payload).
+    """
+    unified = registry.unified_arrow_schema(oid)
+    dml, trunc, _rel = split_envelope(envelope, oid)
+    versions = sorted(set(dml["rel_version"].to_pylist())) \
+        if dml.num_rows else []
+    clean_parts: List[pa.Table] = []
+    dl_parts: List[pa.Table] = []
+    for v in versions:
+        rv = registry.get(oid, v)
+        sl = dml.filter(pc.equal(dml["rel_version"], v))
+        typed = _project_version_slice(sl, rv, unified, lenient=True)
+        bad = pc.fill_null(pc.greater(typed["_cast_errors"], 0), False)
+        if pc.any(bad).as_py():
+            dl_parts.append(sl.filter(bad))
+            typed = typed.filter(pc.invert(bad))
+        clean_parts.append(typed.drop_columns(["_cast_errors"]))
+    if clean_parts:
+        typed_clean = pa.concat_tables(clean_parts) \
+            if len(clean_parts) > 1 else clean_parts[0]
+    else:
+        typed_clean = project_dml(dml, registry, oid, lenient=False)
+    if trunc.num_rows:
+        n = trunc.num_rows
+        cols: dict = {c: trunc[c] for c in CONTROL_COLS}
+        for f in unified:
+            cols[f.name] = pa.nulls(n, f.type)
+            cols[f"_unchanged_{f.name}"] = pa.array(
+                np.zeros(n, dtype=bool))
+        typed_clean = pa.concat_tables([typed_clean, pa.table(cols).select(
+            typed_clean.column_names)])
+    dl = pa.concat_tables(dl_parts) if dl_parts else dml.slice(0, 0)
+    return typed_clean, dl
+
+
 class ProjectStage:
     """Actor-pool stage: envelope batches -> typed change batches.
 

@@ -236,3 +236,114 @@ def test_gdpr_purge_erases_and_does_not_resurrect(ray_session):
         assert set(after["conv_id"].to_pylist()).isdisjoint(target)
     finally:
         _sh.rmtree(lake, ignore_errors=True)
+
+
+def test_deadletter_repair_restores_clean_state(ray_session):
+    """Quarantine + repair == never-corrupted evolve replay; the repair
+    merge is idempotent (second run is a no-op)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.cdc import (reprocess_deadletters,
+                                                run_cdc_quarantine)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|dirty|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-dirty-{key}")
+    build_wal_from_events(SF, "dirty", wal_dir, n_shards=2)
+    lake = _tf.mkdtemp(prefix="pgwr_dltest_lake_")
+    dl = _tf.mkdtemp(prefix="pgwr_dltest_dlq_")
+    try:
+        stats = run_cdc_quarantine(wal_dir, lake, dl, num_partitions=4)
+        assert stats["dl_files"] > 0
+        # every quarantined score cell carries the corruption signature
+        import pyarrow.parquet as _pq
+        for f in _os.listdir(dl):
+            t = _pq.read_table(_os.path.join(dl, f))
+            for vals in t["after_values"].to_pylist():
+                assert len(vals) >= 7 and vals[6].startswith("x")
+        pre = snapshot_table(lake)
+        assert "score" in pre.column_names
+
+        r1 = reprocess_deadletters(dl, lake, e._repair_score_cells,
+                                   wal_dir)
+        assert r1["repaired"] > 0
+        after1 = snapshot_table(lake)
+        # repaired state == the clean evolve replay
+        want = e.queries()["cdc_schema_evolution"](SF)
+        a = after1.select(want.column_names).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        w = want.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, w)
+        # idempotent: merging the same DL set again changes nothing
+        reprocess_deadletters(dl, lake, e._repair_score_cells, wal_dir)
+        assert snapshot_table(lake).equals(after1)
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
+        _sh.rmtree(dl, ignore_errors=True)
+
+
+def test_repair_merge_does_not_resurrect_tombstones(ray_session):
+    """A repaired row OLDER than an existing tombstone must stay dead; a
+    repaired row NEWER than the tombstone resurrects the key."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+    from pg_walstream_ray.lake import write_lake_config
+    from pg_walstream_ray.pipelines.cdc import _repair_merge_partition
+    from pg_walstream_ray.state.manifest import (PartitionManifest,
+                                                 partition_dir,
+                                                 write_manifest_atomic)
+
+    lake = _tf.mkdtemp(prefix="pgwr_tombtest_")
+    try:
+        write_lake_config(lake, 1)
+        d = partition_dir(lake, 0)
+        _os.makedirs(d, exist_ok=True)
+        frag = pa.table({
+            "conv_id": pa.array(["cA", "cB"]),
+            "turn_idx": pa.array([1, 1], pa.int32()),
+            "text": pa.array([None, None], pa.string()),
+            "_lsn": pa.array([100, 100], pa.int64()),
+            "_tombstone": pa.array([True, True])})
+        _pq.write_table(frag, _os.path.join(d, "fragment-000001-x.parquet"))
+        m = PartitionManifest(partition_id=0, row_count=0,
+                              fragments=["fragment-000001-x.parquet"],
+                              epoch=1)
+        write_manifest_atomic(lake, m)
+
+        def typed(conv, lsn):
+            return pa.table({
+                "source": pa.array([0], pa.int64()),
+                "lsn": pa.array([lsn], pa.int64()),
+                "commit_lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array(["insert"]),
+                "rel_version": pa.array([1], pa.int32()),
+                "conv_id": pa.array([conv]),
+                "turn_idx": pa.array([1], pa.int32()),
+                "text": pa.array(["fixed"]),
+                "_unchanged_conv_id": pa.array([False]),
+                "_unchanged_turn_idx": pa.array([False]),
+                "_unchanged_text": pa.array([False]),
+                "partition_id": pa.array([0], pa.int32())})
+
+        # cA repaired at lsn 50 (< tombstone 100): stays dead
+        # cB repaired at lsn 150 (> tombstone 100): resurrects
+        group = pa.concat_tables([typed("cA", 50), typed("cB", 150)])
+        n = _repair_merge_partition(lake, 0, group)
+        assert n == 1
+        state = _pq.read_table(_os.path.join(
+            d, [f for f in _os.listdir(d)
+                if f.startswith("fragment-000002")][0]))
+        assert state["conv_id"].to_pylist() == ["cB"]
+        assert state["text"].to_pylist() == ["fixed"]
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
