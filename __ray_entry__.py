@@ -752,15 +752,16 @@ def _cdc_gdpr_purge(sf_dir: str) -> Any:
     lake = tempfile.mkdtemp(prefix="pgwr_purge_lake_")
     try:
         run_cdc(wal_dir, lake, num_partitions=8)
-        convs = snapshot_table(lake, sort=False,
-                               columns=["conv_id"])["conv_id"]
-        import pyarrow.compute as _pc
-        uniq = _pc.unique(convs).to_pylist()
-        doomed = [c for c in uniq if int(c[1:]) % 13 == 0]
-        purge_keys(lake, doomed)
-        snap = snapshot_table(lake)
-        return snap.select(["conv_id", "turn_idx", "role", "text",
-                            "tool", "ts"])
+        cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", pa.timestamp("us"))]
+        keyed = snapshot_table(lake, sort=False, columns=["conv_id"])
+        if "conv_id" in keyed.column_names:
+            import pyarrow.compute as _pc
+            uniq = _pc.unique(keyed["conv_id"]).to_pylist()
+            doomed = [c for c in uniq if int(c[1:]) % 13 == 0]
+            purge_keys(lake, doomed)
+        return _select_or_empty(snapshot_table(lake), cols)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
 
@@ -1073,12 +1074,14 @@ def _cdc_deadletter_repair(sf_dir: str) -> Any:
     try:
         stats = run_cdc_quarantine(wal_dir, lake, dl_dir,
                                    num_partitions=8)
-        if not stats["dl_files"]:
+        if stats["rows_applied"] and not stats["dl_files"]:
             raise RuntimeError("dirty fixture produced no dead letters")
         reprocess_deadletters(dl_dir, lake, _repair_score_cells, wal_dir)
-        snap = snapshot_table(lake)
-        return snap.select(["conv_id", "turn_idx", "role", "text",
-                            "tool", "ts", "score"])
+        cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", pa.timestamp("us")),
+                ("score", pa.int32())]
+        return _select_or_empty(snapshot_table(lake), cols)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
         shutil.rmtree(dl_dir, ignore_errors=True)
