@@ -671,6 +671,36 @@ def _cdc_turn_latency(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_update_diffs(sf_dir: str) -> Any:
+    """Before/after UPDATE diff stream (lake.update_diffs) over the SCD2
+    history lake: every contiguous version transition emits (key, lsn,
+    old_text, new_text) — the Debezium-style before-image feed.  Oracle:
+    LAG over the raw change derivation."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import update_diffs
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_diffs_lake_")
+    cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("lsn", pa.int64()), ("old_text", pa.string()),
+            ("new_text", pa.string())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        tables = [t for t in _ray.get(update_diffs(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_tool_stats(sf_dir: str) -> Any:
     """Tool-usage profile over the CDC lake (lake.tool_stats): per tool,
     exact call count, distinct-conversation count (partition-local convs
@@ -1237,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_turn_latency"] = _cdc_turn_latency
     # tool-usage profile (exact distinct-conv counts, partition-local)
     q["cdc_tool_stats"] = _cdc_tool_stats
+    # before/after update-diff stream from the SCD2 history lake
+    q["cdc_update_diffs"] = _cdc_update_diffs
     # context-window geometry for training-example extraction
     q["cdc_context_windows"] = _cdc_context_windows
     # right-to-be-forgotten key purge across fragment chains
@@ -4304,6 +4336,17 @@ def oracle_sql() -> dict[str, str]:
              MAX(epoch_us(ts) - epoch_us(pts))::BIGINT AS max_gap_us
       FROM l WHERE role = 'assistant' AND pts IS NOT NULL
       GROUP BY conv_id
+    """
+
+    sql["cdc_update_diffs"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}),
+      v AS (SELECT conv_id, turn_idx, lsn, text,
+                   LAG(text) OVER w AS old_text,
+                   LAG(lsn) OVER w AS plsn
+            FROM changes
+            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn))
+      SELECT conv_id, turn_idx, lsn, old_text, text AS new_text
+      FROM v WHERE plsn IS NOT NULL
     """
 
     sql["cdc_tool_stats"] = f"""

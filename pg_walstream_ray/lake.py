@@ -1223,3 +1223,66 @@ def purge_keys(lake_dir: str, keys,
             pc.is_in(t[key_cols[0]], value_set=key_arr)))
 
     return _fanout_rewrite(lake_dir, transform, "purge", key_cols)
+
+
+def update_diffs(lake_dir: str, col: str = "text",
+                 key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Before/after UPDATE diff stream from the SCD2 history lake — the
+    Debezium-style before-image feed, reconstructed from version intervals
+    instead of retained at decode time: for every version that REPLACES a
+    prior version of the same key (predecessor's ``valid_to`` equals its
+    ``valid_from`` — a contiguous transition, i.e. an UPDATE; a gap means
+    delete+reinsert and is excluded), emit the key, the change LSN and the
+    (old, new) values of ``col``.
+
+    Output: (*key_cols, lsn, old_<col>, new_<col>).
+
+    Scale shape: keys are partition-local, so the whole feed is a
+    per-partition map with ZERO shuffle — interval reconstruction is the
+    existing vectorized pass, the adjacency diff is one numpy shift.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from .stages.history import version_intervals
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def diffs(batch: pa.Table):
+        for row in batch.to_pylist():
+            raw = _unify([pq.read_table(p) for p in row["paths"]])
+            if not raw.num_rows:
+                continue
+            t = version_intervals(raw, key_cols=key_cols)
+            n = t.num_rows
+            if n < 2:
+                continue
+            # sorted by (key, valid_from) — adjacency is the predecessor
+            same = np.ones(n, dtype=bool)
+            same[0] = False
+            for kc in key_cols:
+                kv = t[kc].combine_chunks().to_numpy(zero_copy_only=False)
+                same[1:] &= kv[1:] == kv[:-1]
+            vf = t["valid_from"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vt = pc.fill_null(t["valid_to"].combine_chunks(), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            contig = same.copy()
+            contig[1:] &= vt[:-1] == vf[1:]
+            if not contig.any():
+                continue
+            sel = pa.array(contig)
+            vals = t[col].combine_chunks()
+            prev = vals.take(pa.array(
+                np.maximum(np.arange(n) - 1, 0)))
+            yield pa.table({
+                **{kc: t[kc].filter(sel) for kc in key_cols},
+                "lsn": pa.array(vf[contig]),
+                f"old_{col}": prev.filter(sel),
+                f"new_{col}": vals.filter(sel)})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(diffs, batch_size=1, batch_format="pyarrow")

@@ -347,3 +347,48 @@ def test_repair_merge_does_not_resurrect_tombstones(ray_session):
         assert state["text"].to_pylist() == ["fixed"]
     finally:
         _sh.rmtree(lake, ignore_errors=True)
+
+
+def test_update_diffs_excludes_delete_gaps(ray_session):
+    """A version following a DELETE is a re-insert, not an update — the
+    diff stream must emit only contiguous transitions (predecessor's
+    valid_to == successor's valid_from)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+    import ray as _ray
+    from pg_walstream_ray.lake import update_diffs, write_lake_config
+    from pg_walstream_ray.state.manifest import (PartitionManifest,
+                                                 partition_dir,
+                                                 write_manifest_atomic)
+
+    lake = _tf.mkdtemp(prefix="pgwr_diffgap_")
+    try:
+        write_lake_config(lake, 1, sink="history")
+        d = partition_dir(lake, 0)
+        _os.makedirs(d, exist_ok=True)
+        frag = pa.table({
+            "lsn": pa.array([10, 20, 30, 40], pa.int64()),
+            "op": pa.array(["insert", "update", "delete", "insert"]),
+            "conv_id": pa.array(["cA"] * 4),
+            "turn_idx": pa.array([1] * 4, pa.int32()),
+            "text": pa.array(["a", "b", None, "c"]),
+            "_unchanged_conv_id": pa.array([False] * 4),
+            "_unchanged_turn_idx": pa.array([False] * 4),
+            "_unchanged_text": pa.array([False] * 4)})
+        _pq.write_table(frag, _os.path.join(d, "fragment-000001-h.parquet"))
+        m = PartitionManifest(partition_id=0, row_count=4,
+                              fragments=["fragment-000001-h.parquet"],
+                              epoch=1)
+        write_manifest_atomic(lake, m)
+
+        tables = [t for t in _ray.get(update_diffs(lake).to_arrow_refs())
+                  if t.num_rows]
+        got = pa.concat_tables(tables).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["lsn"], r["old_text"], r["new_text"]) == (20, "a", "b")
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
