@@ -671,6 +671,37 @@ def _cdc_turn_latency(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_lake_stats(sf_dir: str) -> Any:
+    """ANALYZE over the CDC lake (lake.lake_stats): per payload column,
+    exact row/null counts and min/max in canonical text form — catalog
+    statistics for pruning + freshness dashboards.  Type-aware partial
+    merge (int extremes merge numerically, not lexicographically).
+    Oracle: per-column UNION ALL of aggregates over the SQL LWW state."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import lake_stats
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_stats_lake_")
+    cols = [("col_name", pa.string()), ("n_rows", pa.int64()),
+            ("n_null", pa.int64()), ("min_str", pa.string()),
+            ("max_str", pa.string())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(lake_stats(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_update_diffs(sf_dir: str) -> Any:
     """Before/after UPDATE diff stream (lake.update_diffs) over the SCD2
     history lake: every contiguous version transition emits (key, lsn,
@@ -1269,6 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_tool_stats"] = _cdc_tool_stats
     # before/after update-diff stream from the SCD2 history lake
     q["cdc_update_diffs"] = _cdc_update_diffs
+    # ANALYZE: per-column catalog statistics over the lake
+    q["cdc_lake_stats"] = _cdc_lake_stats
     # context-window geometry for training-example extraction
     q["cdc_context_windows"] = _cdc_context_windows
     # right-to-be-forgotten key purge across fragment chains
@@ -1663,6 +1696,8 @@ _DRIVER_WINDOW_ORDER = [
     "stratified_sample", "doc_sample", "media_metadata",
     "media_frame_sample", "media_resize",
     # round-3 additions (no driver row yet)
+    "cdc_deadletter_repair", "cdc_gdpr_purge", "cdc_update_diffs",
+    "cdc_tool_stats", "cdc_context_windows",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
@@ -4336,6 +4371,28 @@ def oracle_sql() -> dict[str, str]:
              MAX(epoch_us(ts) - epoch_us(pts))::BIGINT AS max_gap_us
       FROM l WHERE role = 'assistant' AND pts IS NOT NULL
       GROUP BY conv_id
+    """
+
+    _stat_cols = [
+        ("conv_id", "MIN(conv_id)", "MAX(conv_id)"),
+        ("turn_idx", "CAST(MIN(turn_idx) AS VARCHAR)",
+         "CAST(MAX(turn_idx) AS VARCHAR)"),
+        ("role", "MIN(role)", "MAX(role)"),
+        ("text", "MIN(text)", "MAX(text)"),
+        ("tool", "MIN(tool)", "MAX(tool)"),
+        ("ts", "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')",
+         "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')"),
+    ]
+    _stat_union = "\n      UNION ALL\n".join(
+        f"""      SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows,
+             SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             {mn} AS min_str, {mx} AS max_str FROM f"""
+        for c, mn, mx in _stat_cols)
+    sql["cdc_lake_stats"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      f AS (SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1)
+{_stat_union}
     """
 
     sql["cdc_update_diffs"] = f"""

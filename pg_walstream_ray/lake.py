@@ -1286,3 +1286,99 @@ def update_diffs(lake_dir: str, col: str = "text",
     ds = rd.from_items([{"paths": paths} for _, paths in parts],
                        override_num_blocks=len(parts))
     return ds.map_batches(diffs, batch_size=1, batch_format="pyarrow")
+
+
+def lake_stats(lake_dir: str,
+               key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+    """ANALYZE over the live lake state: per payload column, exact
+    (n_rows, n_null, min, max) — the catalog statistics a query planner
+    prunes with, and the freshness/completeness signal an operator
+    dashboard tracks.  min/max are reported as strings (canonical text
+    form) so one schema covers every column type.
+
+    Output: (col_name, n_rows, n_null, min_str, max_str).
+
+    Scale shape: one partial row per (column x partition), tiny groupby
+    merge; per-partition min/max/null counts are Arrow kernels over the
+    merged state — no row ever leaves its partition.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def partials(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], key_cols)
+            if not t.num_rows:
+                continue
+            names, kinds, nn, nv, mins, maxs = [], [], [], [], [], []
+            for c in t.column_names:
+                if c.startswith("_"):
+                    continue
+                col = t[c]
+                names.append(c)
+                kinds.append(_stat_kind(col.type))
+                nn.append(t.num_rows)
+                nv.append(col.null_count)
+                valid = col.drop_null()
+                if len(valid) == 0:
+                    mins.append(None)
+                    maxs.append(None)
+                else:
+                    mm = pc.min_max(valid)
+                    mins.append(_stat_str(mm["min"]))
+                    maxs.append(_stat_str(mm["max"]))
+            yield pa.table({
+                "col_name": pa.array(names, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "n_rows": pa.array(np.asarray(nn, np.int64)),
+                "n_null": pa.array(np.asarray(nv, np.int64)),
+                "min_str": pa.array(mins, pa.string()),
+                "max_str": pa.array(maxs, pa.string())})
+
+    def merge(g):
+        import pandas as pd
+
+        # type-aware extreme merge: per-partition int extremes must merge
+        # numerically ("10" < "2" lexicographically — wrong for ints)
+        kind = g["kind"].iloc[0]
+        key = (lambda s: int(s)) if kind == "int" else \
+              (lambda s: float(s)) if kind == "float" else (lambda s: s)
+        mn = [key(s) for s in g["min_str"].dropna()]
+        mx = [key(s) for s in g["max_str"].dropna()]
+        return pd.DataFrame({
+            "col_name": [g["col_name"].iloc[0]],
+            "n_rows": np.array([g["n_rows"].sum()], np.int64),
+            "n_null": np.array([g["n_null"].sum()], np.int64),
+            "min_str": [str(min(mn)) if mn else None],
+            "max_str": [str(max(mx)) if mx else None]})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(partials, batch_size=1, batch_format="pyarrow") \
+        .groupby("col_name").map_groups(merge, batch_format="pandas",
+                                      num_cpus=1)
+
+
+def _stat_str(scalar: pa.Scalar) -> str:
+    """Canonical text form for min/max stats: integers bare, timestamps
+    ISO with microseconds, strings as-is."""
+    v = scalar.as_py()
+    if v is None:
+        return None
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+
+def _stat_kind(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    return "str"   # strings, timestamps (ISO text is order-faithful)

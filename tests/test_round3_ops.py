@@ -392,3 +392,45 @@ def test_update_diffs_excludes_delete_gaps(ray_session):
         assert (r["lsn"], r["old_text"], r["new_text"]) == (20, "a", "b")
     finally:
         _sh.rmtree(lake, ignore_errors=True)
+
+
+def test_lake_stats_merges_int_extremes_numerically(ray_session):
+    """Partition A max turn_idx 9, partition B max 10: a lexicographic
+    merge would answer "9"; the type-aware merge must answer "10"."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+    import ray as _ray
+    from pg_walstream_ray.lake import lake_stats, write_lake_config
+    from pg_walstream_ray.state.manifest import (PartitionManifest,
+                                                 partition_dir,
+                                                 write_manifest_atomic)
+
+    lake = _tf.mkdtemp(prefix="pgwr_statstest_")
+    try:
+        write_lake_config(lake, 2)
+        for pid, turns in ((0, [2, 9]), (1, [10, 3])):
+            d = partition_dir(lake, pid)
+            _os.makedirs(d, exist_ok=True)
+            frag = pa.table({
+                "conv_id": pa.array([f"c{pid}"] * 2),
+                "turn_idx": pa.array(turns, pa.int32()),
+                "text": pa.array(["x", None]),
+                "_lsn": pa.array([1, 2], pa.int64())})
+            _pq.write_table(frag,
+                            _os.path.join(d, "fragment-000001-s.parquet"))
+            m = PartitionManifest(partition_id=pid, row_count=2,
+                                  fragments=["fragment-000001-s.parquet"],
+                                  epoch=1)
+            write_manifest_atomic(lake, m)
+        stats = pa.concat_tables(
+            [t for t in _ray.get(lake_stats(lake).to_arrow_refs())
+             if t.num_rows]).to_pandas().set_index("col_name")
+        assert stats.loc["turn_idx", "min_str"] == "2"
+        assert stats.loc["turn_idx", "max_str"] == "10"
+        assert int(stats.loc["text", "n_null"]) == 2
+        assert int(stats.loc["turn_idx", "n_rows"]) == 4
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
