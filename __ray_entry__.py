@@ -671,6 +671,35 @@ def _cdc_turn_latency(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_turn_dedup(sf_dir: str) -> Any:
+    """Turn-level exact dedup over the lake (lake.turn_dedup): first
+    occurrence by (conv uid, turn) keeps, every later verbatim copy
+    flags — the scripted-boilerplate detector.  md5-bridge hash mode so
+    the oracle groups by text directly."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import turn_dedup
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_tdedup_lake_")
+    cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("is_dup", pa.bool_())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(turn_dedup(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_lake_stats(sf_dir: str) -> Any:
     """ANALYZE over the CDC lake (lake.lake_stats): per payload column,
     exact row/null counts and min/max in canonical text form — catalog
@@ -1302,6 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_update_diffs"] = _cdc_update_diffs
     # ANALYZE: per-column catalog statistics over the lake
     q["cdc_lake_stats"] = _cdc_lake_stats
+    # turn-level exact dedup (scripted-boilerplate detector)
+    q["cdc_turn_dedup"] = _cdc_turn_dedup
     # context-window geometry for training-example extraction
     q["cdc_context_windows"] = _cdc_context_windows
     # right-to-be-forgotten key purge across fragment chains
@@ -4371,6 +4402,19 @@ def oracle_sql() -> dict[str, str]:
              MAX(epoch_us(ts) - epoch_us(pts))::BIGINT AS max_gap_us
       FROM l WHERE role = 'assistant' AND pts IS NOT NULL
       GROUP BY conv_id
+    """
+
+    sql["cdc_turn_dedup"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      f AS (SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1),
+      k AS (SELECT conv_id, turn_idx,
+                   regexp_replace(text, '[0-9]{{2,}}', '#', 'g') AS tmpl,
+                   CAST(substr(conv_id, 2) AS BIGINT) * 1048576 + turn_idx
+                     AS okey
+            FROM f)
+      SELECT conv_id, turn_idx,
+             okey > MIN(okey) OVER (PARTITION BY tmpl) AS is_dup
+      FROM k
     """
 
     _stat_cols = [

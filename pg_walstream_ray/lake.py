@@ -1382,3 +1382,72 @@ def _stat_kind(t: pa.DataType) -> str:
     if pa.types.is_floating(t):
         return "float"
     return "str"   # strings, timestamps (ISO text is order-faithful)
+
+
+def turn_dedup(lake_dir: str, hash_mode: str = "md5",
+               mask_digits: bool = True):
+    """TURN-level template dedup across the whole lake: a turn is a
+    duplicate iff its DIGIT-MASKED text (every digit run of length >= 2 -> '#'; the
+    standard boilerplate-template fingerprint — ids/counters/timestamps
+    vary, the script does not) also appears at a lower-ordered turn
+    anywhere in the corpus (order = (conversation uid, turn_idx) — the
+    keeper is the first occurrence).  This is the scripted-boilerplate
+    detector for transcripts: greeting/ack/system turns repeat modulo
+    identifiers across conversations and a curator down-weights or masks
+    them.  ``mask_digits=False`` degrades to verbatim-text dedup.
+
+    Output: (conv_id, turn_idx, is_dup), one row per live turn.
+
+    Scale shape: per-partition extraction ships (hash, order_key) int
+    pairs ONLY (text never leaves its partition); ONE coarse groupby by
+    hash%NPART computes first-occurrence per text group.  Requires
+    numeric conversation ids ('c<uid>') and turn_idx < 2^20 — the
+    synthesized transcript shape; generalize the order key for other id
+    schemes.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from .functions.hashing import content_hash60
+    from .functions.scale import coarse_npart
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+    npart = coarse_npart()
+
+    def extract(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["text"])
+            if not t.num_rows:
+                continue
+            txt = t["text"]
+            if mask_digits:
+                txt = pc.replace_substring_regex(txt, r"[0-9]{2,}", "#")
+            h = content_hash60(txt, hash_mode)
+            uid = pc.cast(pc.utf8_slice_codeunits(
+                t["conv_id"].combine_chunks(), 1, 2**30), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            turn = pc.cast(t["turn_idx"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            yield pa.table({
+                "part": pa.array(h % npart),
+                "h": pa.array(h),
+                "okey": pa.array(uid * (1 << 20) + turn)})
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("h")["okey"].transform("min")
+        okey = g["okey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": np.char.add(
+                "c", (okey >> 20).astype(str)).astype(object),
+            "turn_idx": (okey & ((1 << 20) - 1)).astype(np.int32),
+            "is_dup": okey > m.to_numpy(np.int64)})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(extract, batch_size=1, batch_format="pyarrow") \
+        .groupby("part").map_groups(first_occurrence,
+                                    batch_format="pandas", num_cpus=1)

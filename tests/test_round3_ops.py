@@ -434,3 +434,23 @@ def test_lake_stats_merges_int_extremes_numerically(ray_session):
         assert int(stats.loc["turn_idx", "n_rows"]) == 4
     finally:
         _sh.rmtree(lake, ignore_errors=True)
+
+
+def test_turn_dedup_one_keeper_per_template(ray_session):
+    import re
+
+    import __ray_entry__ as e
+
+    q = e.queries()
+    flags = _as_df(q["cdc_turn_dedup"](SF))
+    state = _as_df(q["cdc_upsert_lww"](SF))
+    m = state.merge(flags, on=["conv_id", "turn_idx"])
+    assert len(m) == len(state)
+    m["tmpl"] = m["text"].map(lambda s: re.sub(r"[0-9]{2,}", "#", s))
+    for tmpl, g in m.groupby("tmpl"):
+        keep = g[~g["is_dup"]]
+        assert len(keep) == 1
+        # the keeper is the minimum (uid, turn) in its group
+        okey = g["conv_id"].map(lambda c: int(c[1:])) * (1 << 20) \
+            + g["turn_idx"]
+        assert int(okey[keep.index[0]]) == int(okey.min())
