@@ -454,3 +454,45 @@ def test_turn_dedup_one_keeper_per_template(ray_session):
         okey = g["conv_id"].map(lambda c: int(c[1:])) * (1 << 20) \
             + g["turn_idx"]
         assert int(okey[keep.index[0]]) == int(okey.min())
+
+
+def test_quarantine_rerun_is_exactly_once(ray_session):
+    """Re-running the quarantine replay is a no-op on the lake (clean
+    channel exactly-once) and the DL files are overwritten, not
+    duplicated; repair after the re-run still lands the clean state."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.cdc import (reprocess_deadletters,
+                                                run_cdc_quarantine)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|dirty|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-dirty-{key}")
+    build_wal_from_events(SF, "dirty", wal_dir, n_shards=2)
+    lake = _tf.mkdtemp(prefix="pgwr_qrerun_lake_")
+    dl = _tf.mkdtemp(prefix="pgwr_qrerun_dlq_")
+    try:
+        s1 = run_cdc_quarantine(wal_dir, lake, dl, num_partitions=4)
+        state1 = snapshot_table(lake)
+        files1 = sorted(_os.listdir(dl))
+        s2 = run_cdc_quarantine(wal_dir, lake, dl, num_partitions=4)
+        assert s2["rows_applied"] == 0          # replay guard held
+        assert snapshot_table(lake).equals(state1)
+        assert sorted(_os.listdir(dl)) == files1  # overwritten, not added
+        reprocess_deadletters(dl, lake, e._repair_score_cells, wal_dir)
+        want = e.queries()["cdc_schema_evolution"](SF).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        got = snapshot_table(lake).select(want.columns.tolist()) \
+            .to_pandas().sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert s1["dl_files"] > 0
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
+        _sh.rmtree(dl, ignore_errors=True)
