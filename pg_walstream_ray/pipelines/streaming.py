@@ -499,6 +499,106 @@ class StreamSessionizer:
         })
 
 
+class StreamJoiner:
+    """Windowed STREAM-STREAM interval join over the keyed change stream
+    (Flink-style interval join): every EMIT event (flag 1 — e.g. a
+    purchase / assistant turn) joins the same conversation's EARLIER
+    PROBE events (flag 0 — clicks / user turns) whose commit time lies
+    within ``width_us`` behind it.  Exact under the conv->source
+    affinity invariant: a conversation's events arrive time-ordered from
+    one source, so the join is a sorted-buffer ``searchsorted`` per
+    conversation — no shuffle, no lateness contract, no pair
+    materialization.
+
+    State per open conversation: the probe commit-ts buffer pruned to
+    the window behind the newest event — bounded by (window x probe
+    rate), independent of stream length.
+
+    Output (finish): (conv_id, n_emits, n_pairs), one row per
+    conversation with at least one emit event.
+    """
+
+    def __init__(self, width_us: int):
+        self.width = int(width_us)
+        self.buf: Dict[str, np.ndarray] = {}
+        self.acc: Dict[str, list] = {}        # conv -> [n_emits, n_pairs]
+        self.wm: Dict[int, int] = {}
+        self.late_dropped = 0                 # no lateness contract
+
+    def ingest_keyed(self, conv: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray, flag: np.ndarray) -> None:
+        import pandas as pd
+
+        keep = flag >= 0
+        if not keep.all():
+            conv, cts, flag = conv[keep], cts[keep], flag[keep]
+        n = len(cts)
+        if n == 0:
+            return
+        codes, uniques = pd.factorize(conv)
+        order = np.argsort(codes, kind="stable")   # per-conv order kept
+        c = codes[order]
+        t = cts[order].astype(np.int64)
+        f = flag[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], c[1:] != c[:-1]]))
+        ends = np.append(starts[1:], n)
+        empty = np.array([], np.int64)
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            cv = uniques[c[a]]
+            seg_t, seg_f = t[a:b], f[a:b]
+            probes = seg_t[seg_f == 0]
+            buf = self.buf.get(cv, empty)
+            allp = np.concatenate([buf, probes])
+            e_rel = np.flatnonzero(seg_f == 1)
+            if e_rel.size:
+                # probes strictly before each emit row (emit rows add 0
+                # to the cumsum, so prefix AT the emit == strictly-before)
+                local_prefix = np.cumsum(seg_f == 0)
+                before = local_prefix[e_rel]
+                te = seg_t[e_rel]
+                stale = np.searchsorted(allp, te - self.width, "left")
+                pairs = (len(buf) + before) - stale
+                acc = self.acc.setdefault(cv, [0, 0])
+                acc[0] += int(e_rel.size)
+                acc[1] += int(pairs.sum())
+            tmax = int(seg_t[-1])
+            cut = np.searchsorted(allp, tmax - self.width, "left")
+            self.buf[cv] = allp[cut:]
+
+    def observe_watermarks(self, wm: Dict[int, int]) -> None:
+        for s, m in wm.items():
+            if m > self.wm.get(int(s), -1):
+                self.wm[int(s)] = int(m)
+
+    def _advance(self) -> List[dict]:
+        return []
+
+    def state_dict(self) -> dict:
+        return {"kind": "join", "width": self.width,
+                "buf": {k: v.tolist() for k, v in self.buf.items()},
+                "acc": {k: list(v) for k, v in self.acc.items()},
+                "wm": dict(self.wm)}
+
+    def load_state(self, state: dict) -> None:
+        assert state["kind"] == "join" and state["width"] == self.width
+        self.buf = {k: np.asarray(v, np.int64)
+                    for k, v in state["buf"].items()}
+        self.acc = {k: list(v) for k, v in state["acc"].items()}
+        self.wm = {int(k): int(v) for k, v in state["wm"].items()}
+
+    def flush(self) -> List[dict]:
+        return []
+
+    def result_table(self) -> pa.Table:
+        rows = sorted(self.acc.items())
+        return pa.table({
+            "conv_id": pa.array([k for k, _ in rows], pa.string()),
+            "n_emits": pa.array([v[0] for _, v in rows], pa.int64()),
+            "n_pairs": pa.array([v[1] for _, v in rows], pa.int64()),
+        })
+
+
 # ---------------------------------------------------------------------------
 # sharded deployment: N aggregator actors over a conv-routed key stream
 # ---------------------------------------------------------------------------
@@ -522,6 +622,8 @@ def _make_agg(kind: str, kw: dict):
         return HoppingWindowAggregator(**kw)
     if kind == "topk":
         return WindowTopKAggregator(**kw)
+    if kind == "join":
+        return StreamJoiner(**kw)
     return StreamSessionizer(**kw)
 
 
@@ -540,10 +642,12 @@ class _AggActor:
 
     def ingest(self, slim: pa.Table, wm: Dict[int, int]) -> None:
         if slim.num_rows:
-            self.agg.ingest_keyed(
-                slim["conv"].to_numpy(zero_copy_only=False),
-                slim["cts"].to_numpy(zero_copy_only=False),
-                slim["src"].to_numpy(zero_copy_only=False))
+            args = [slim["conv"].to_numpy(zero_copy_only=False),
+                    slim["cts"].to_numpy(zero_copy_only=False),
+                    slim["src"].to_numpy(zero_copy_only=False)]
+            if "flag" in slim.column_names:      # join kind: probe/emit
+                args.append(slim["flag"].to_numpy(zero_copy_only=False))
+            self.agg.ingest_keyed(*args)
         self.agg.observe_watermarks(wm)
         self.agg._advance()
 
@@ -554,7 +658,7 @@ class _AggActor:
 
 
 def _route_shard(segs: List[str], actors: list, n_actors: int,
-                 max_inflight: int = 64) -> int:
+                 max_inflight: int = 64, with_role: bool = False) -> int:
     """Decode ONE WAL source sequentially and route its key stream.
 
     Runs as a Ray task; per-source ordering is preserved end-to-end
@@ -578,9 +682,24 @@ def _route_shard(segs: List[str], actors: list, n_actors: int,
         key_arr = pa.chunked_array([pa.array(conv, pa.string())])
         h = stable_hash_strings(key_arr) % n_actors
         wm = _batch_watermarks(cts, src)
-        slim = pa.table({"conv": key_arr,
-                         "cts": pa.array(cts, pa.int64()),
-                         "src": pa.array(src, pa.int32())})
+        cols = {"conv": key_arr,
+                "cts": pa.array(cts, pa.int64()),
+                "src": pa.array(src, pa.int32())}
+        if with_role:
+            # probe/emit flag from the role cell (tuple column 2):
+            # 0 = probe (user), 1 = emit (assistant), -1 = dropped
+            # (deletes carry no role cell -> null -> -1)
+            after = dml["after_values"]
+            if isinstance(after, pa.ChunkedArray):
+                after = after.combine_chunks()
+            role = pc.list_element(after, 2)
+            flag = pc.if_else(
+                pc.equal(role, "assistant"), pa.scalar(1, pa.int8()),
+                pc.if_else(pc.equal(role, "user"),
+                           pa.scalar(0, pa.int8()),
+                           pa.scalar(-1, pa.int8())))
+            cols["flag"] = pc.fill_null(flag, pa.scalar(-1, pa.int8()))
+        slim = pa.table(cols)
         for i in range(n_actors):
             sub = slim.filter(pa.array(h == i))
             pending.append(actors[i].ingest.remote(sub, wm))
@@ -639,7 +758,7 @@ def _merge_sessions(tables: List[pa.Table]) -> pa.Table:
 
 
 def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
-                 merge) -> ShardedAggResult:
+                 merge, with_role: bool = False) -> ShardedAggResult:
     import ray
 
     from .cdc import discover_shards
@@ -657,7 +776,8 @@ def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
     try:
         # all routers finish -> all their ingests are acked -> finish()
         # observes every batch (actor task order is per-caller FIFO)
-        ray.get([route_fn.remote(segs, actors, n_actors)
+        ray.get([route_fn.remote(segs, actors, n_actors,
+                                 with_role=with_role)
                  for segs in shard_paths])
         parts = ray.get([a.finish.remote() for a in actors])
     finally:
