@@ -353,6 +353,29 @@ def _cdc_stream_sessions(sf_dir: str) -> Any:
                            n_actors=4).result_table()
 
 
+STREAM_JOIN_WINDOW_US = 800   # interval-join reach behind each emit
+                              # event (LSN-clock units; ~10 transactions)
+
+
+def _cdc_stream_join(sf_dir: str) -> Any:
+    """Windowed STREAM-STREAM interval join over the CDC tap: purchases
+    (assistant turns) joined to the same conversation's earlier clicks
+    (user turns) within the window of commit time — Flink-style interval
+    join as conv-hash-routed joiner actors; exact via the conv->source
+    affinity invariant (no lateness contract needed).  Oracle: the batch
+    SQL self-join on (same conv, earlier lsn, cts within window)."""
+    from pg_walstream_ray.pipelines.streaming import stream_join
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    return stream_join(wal_dir, STREAM_JOIN_WINDOW_US,
+                       n_actors=4).result_table()
+
+
 STREAM_TOPK = 5               # per-window heavy-hitter cut
 
 
@@ -1350,6 +1373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_stream_windows"] = _cdc_stream_windows
     q["cdc_stream_hopping"] = _cdc_stream_hopping
     q["cdc_stream_sessions"] = _cdc_stream_sessions
+    # windowed stream-stream interval join (click -> purchase attribution)
+    q["cdc_stream_join"] = _cdc_stream_join
     # streaming per-window top-k convs (windowed heavy hitters, sharded)
     q["cdc_stream_topk"] = _cdc_stream_topk
     q["cdc_router_two_tables"] = _cdc_router_two_tables
@@ -1729,7 +1754,7 @@ _DRIVER_WINDOW_ORDER = [
     # round-3 additions (no driver row yet)
     "cdc_deadletter_repair", "cdc_gdpr_purge", "cdc_update_diffs",
     "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
-    "cdc_turn_dedup",
+    "cdc_turn_dedup", "cdc_stream_join",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
@@ -2067,6 +2092,37 @@ def oracle_sql() -> dict[str, str]:
       SELECT window_start_us, conv_id, n_events, CAST(rnk AS BIGINT)
                AS rnk
       FROM rk WHERE rnk <= {STREAM_TOPK}
+    """
+
+    sql["cdc_stream_join"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard, event_type
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.user_id, r.lsn, {BASE_TS_US} + c.commit_lsn AS cts,
+               {_ROLE_SQL} AS role
+        FROM r JOIN c USING (shard, tx)
+      ), p AS (
+        SELECT a.user_id,
+               (SELECT COUNT(*) FROM e b
+                WHERE b.user_id = a.user_id AND b.role = 'user'
+                  AND b.lsn < a.lsn
+                  AND b.cts >= a.cts - {STREAM_JOIN_WINDOW_US}) AS np
+        FROM e a WHERE a.role = 'assistant'
+      )
+      SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+             COUNT(*)::BIGINT AS n_emits,
+             SUM(np)::BIGINT AS n_pairs
+      FROM p GROUP BY user_id
     """
 
     sql["cdc_stream_sessions"] = f"""

@@ -868,3 +868,19 @@ def stream_sessions(wal_dir: str, gap_us: int, batch_size: int = 8192,
         agg.ingest(batch)
     agg.flush()
     return agg
+
+
+def _merge_join(tables: List[pa.Table]) -> pa.Table:
+    """Join accumulators are conv-complete per actor (conv-hash route):
+    concatenate + canonical sort."""
+    cat = pa.concat_tables(tables)
+    return cat.sort_by([("conv_id", "ascending")])
+
+
+def stream_join(wal_dir: str, width_us: int, n_actors: int = 4):
+    """Windowed stream-stream interval join over the CDC tap: purchases
+    (assistant turns) joined to the same conversation's clicks (user
+    turns) within ``width_us`` of commit time — N conv-hash-routed
+    joiner actors, slim (conv, cts, src, flag) mailbox rows."""
+    return _run_sharded(wal_dir, "join", dict(width_us=width_us),
+                        n_actors, _merge_join, with_role=True)

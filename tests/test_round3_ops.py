@@ -496,3 +496,77 @@ def test_quarantine_rerun_is_exactly_once(ray_session):
     finally:
         _sh.rmtree(lake, ignore_errors=True)
         _sh.rmtree(dl, ignore_errors=True)
+
+
+def _brute_join_pairs(conv, cts, flag, width):
+    acc = {}
+    rows = list(zip(conv, cts, flag))
+    for i, (cv, t, f) in enumerate(rows):
+        if f != 1:
+            continue
+        n = sum(1 for cv2, t2, f2 in rows[:i]
+                if cv2 == cv and f2 == 0 and t2 >= t - width)
+        e, p = acc.get(cv, (0, 0))
+        acc[cv] = (e + 1, p + n)
+    return acc
+
+
+def test_stream_joiner_matches_bruteforce_chunked():
+    """Random keyed stream (cts monotone per conv), fed in chunks of
+    varying size: the joiner's per-conv (n_emits, n_pairs) must equal the
+    O(n^2) brute force, and a checkpoint/restore mid-stream must not
+    change the result."""
+    import pickle
+
+    from pg_walstream_ray.pipelines.streaming import StreamJoiner
+
+    rng = np.random.default_rng(11)
+    n, width = 400, 50
+    convs = np.array([f"c{int(u)}" for u in rng.integers(0, 12, n)],
+                     dtype=object)
+    # per-conv monotone cts: global monotone clock works for every conv
+    cts = np.cumsum(rng.integers(1, 9, n)).astype(np.int64)
+    flag = rng.choice(np.array([0, 1, -1], np.int8), size=n,
+                      p=[0.5, 0.35, 0.15])
+    src = np.zeros(n, np.int32)
+
+    want = _brute_join_pairs(convs[flag >= 0], cts[flag >= 0],
+                             flag[flag >= 0], width)
+
+    for chunks in (1, 7, 64):
+        agg = StreamJoiner(width)
+        restored = None
+        bounds = np.linspace(0, n, chunks + 1).astype(int)
+        for ci, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if ci == chunks // 2:           # checkpoint mid-stream
+                restored = StreamJoiner(width)
+                restored.load_state(
+                    pickle.loads(pickle.dumps(agg.state_dict())))
+                agg = restored
+            agg.ingest_keyed(convs[a:b], cts[a:b], src[a:b], flag[a:b])
+        got = {r["conv_id"]: (r["n_emits"], r["n_pairs"])
+               for r in agg.result_table().to_pylist()}
+        assert got == want, f"chunks={chunks}"
+
+
+def test_stream_join_sharded_matches_single(ray_session):
+    """4-actor sharded run == the oracle SQL semantics == a 1-actor run
+    (conv-disjoint merge is exact)."""
+    import hashlib as _hl
+    import os as _os
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.streaming import stream_join
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    four = stream_join(wal_dir, e.STREAM_JOIN_WINDOW_US,
+                       n_actors=4).result_table()
+    one = stream_join(wal_dir, e.STREAM_JOIN_WINDOW_US,
+                      n_actors=1).result_table()
+    assert four.equals(one)
+    assert four.num_rows > 0
+    assert int(pa.compute.sum(four["n_pairs"]).as_py()) > 0
