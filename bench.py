@@ -276,6 +276,8 @@ def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
     100 TB shape).  Best-of-2 per config."""
     from pg_walstream_ray.pipelines.streaming import (
         stream_hopping_windows, stream_windows)
+    from pg_walstream_ray.pipelines.streaming import stream_join \
+        as _stream_join
 
     wal = _synthetic_wal(n_events)
     width = 1 << 20
@@ -287,6 +289,8 @@ def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
         "hopping2x_hll": lambda: stream_hopping_windows(
             wal, 2 * width, width, n_sources=64, n_actors=8,
             distinct_mode="approx"),
+        "interval_join": lambda: _stream_join(
+            wal, width // 4, n_actors=8),
     }
     out: dict = {}
     for name, fn in configs.items():
