@@ -1692,6 +1692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["vocab_coverage"] = textops.vocab_coverage
     q["tfidf_top_terms"] = textops.tfidf_top_terms
     q["decontaminate"] = textops.decontaminate
+    # leakage-audited train/val split (identity-hash split + shingle audit)
+    q["train_val_split"] = textops.train_val_split
     # sequence packing: bin assignment is algorithmic (FFD), not
     # SQL-expressible -> rows-only driver check; invariants pinned in tests
     q["pack_sequences"] = textops.pack_sequences
@@ -2539,6 +2541,40 @@ def oracle_sql() -> dict[str, str]:
              CAST(COALESCE(h.hit, 0) AS BIGINT) AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id)
       WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+    """
+
+    sql["train_val_split"] = """
+      WITH v AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 100 < 3) AS is_val
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' ||
+                 lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ), shv AS (
+        SELECT doc_id, s FROM sh WHERE s IS NOT NULL
+      ), vs AS (
+        SELECT DISTINCT s FROM shv JOIN v USING (doc_id) WHERE v.is_val
+      ), hits AS (
+        SELECT t.doc_id,
+               MAX(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM shv t JOIN v USING (doc_id) LEFT JOIN vs b USING (s)
+        WHERE NOT v.is_val
+        GROUP BY t.doc_id
+      )
+      SELECT d.doc_id,
+             CASE WHEN v.is_val THEN 'val' ELSE 'train' END AS split,
+             CAST(CASE WHEN v.is_val THEN 0
+                  ELSE COALESCE(h.hit, 0) END AS BIGINT) AS leaky
+      FROM documents d JOIN v USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
     """
 
     sql["text_normalize"] = r"""

@@ -1985,3 +1985,77 @@ def token_entropy(sf_dir: str, lo_micro: int = ENTROPY_LO_MICRO,
     return _docs(sf_dir).map_batches(as_tasks(EntropyStage),
                                      batch_format="pyarrow",
                                      batch_size=4096)
+
+
+def train_val_split(sf_dir: str, val_pct: int = 3):
+    """Leakage-audited train/val split: documents are assigned to the VAL
+    split by IDENTITY hash (md5(doc_id) % 100 < val_pct) — deterministic
+    and reshuffle-proof, unlike a random split — then every TRAIN doc
+    sharing at least one 3-token shingle with ANY val doc is flagged
+    LEAKY: the split-internal contamination audit run before an eval set
+    is trusted (a val answer verbatim in train invalidates the eval).
+
+    Output: (doc_id, split, leaky) — split in {'train','val'}; val rows
+    carry leaky=0 by definition.
+
+    Scale shape: same as decontaminate — the val side is a small fixed
+    fraction, its distinct shingles are collected bounded and broadcast
+    once (``ray.put``); the train scan matches each doc's shingles via
+    searchsorted inside map_batches.  ZERO shuffle.
+    """
+    import ray
+
+    def _is_val(doc_ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (md5_int60(str(int(d))) % 100 < val_pct for d in doc_ids),
+            dtype=bool, count=len(doc_ids))
+
+    def val_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(_is_val(ids)))
+        _, sh = _shingles3(t["text"])
+        return pa.table({"s": pc.unique(sh)})
+
+    parts = [b for b in _docs(sf_dir).map_batches(val_shingles,
+                                                  batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    if parts:
+        allsh = pa.concat_tables(
+            [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+             for p in parts])
+        val_arr = np.sort(np.asarray(
+            pc.unique(allsh["s"]).to_pylist(), dtype=object))
+    else:
+        val_arr = np.array([], dtype=object)
+    val_ref = ray.put(val_arr)
+
+    def scan(t: pa.Table) -> pa.Table:
+        vset = ray.get(val_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        isv = _is_val(ids)
+        n = t.num_rows
+        leaky = np.zeros(n, dtype=np.int64)
+        train = t.filter(pa.array(~isv))
+        if len(vset) and train.num_rows:
+            offs, sh = _shingles3(train["text"])
+            if len(sh):
+                denc = pc.dictionary_encode(sh)
+                dvals = np.asarray(denc.dictionary.to_pylist(),
+                                   dtype=object)
+                pos = np.searchsorted(vset, dvals)
+                pos_c = np.clip(pos, 0, len(vset) - 1)
+                dhit = (pos < len(vset)) & (vset[pos_c] == dvals)
+                hit = dhit[denc.indices.to_numpy(zero_copy_only=False)
+                           .astype(np.int64)]
+                doc_of_sh = np.repeat(
+                    np.arange(train.num_rows, dtype=np.int64),
+                    np.diff(offs))
+                tl = np.zeros(train.num_rows, dtype=np.int64)
+                np.maximum.at(tl, doc_of_sh, hit.astype(np.int64))
+                leaky[~isv] = tl
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(np.where(isv, "val", "train"), pa.string()),
+            "leaky": pa.array(leaky)})
+
+    return _docs(sf_dir).map_batches(scan, batch_format="pyarrow")

@@ -570,3 +570,21 @@ def test_stream_join_sharded_matches_single(ray_session):
     assert four.equals(one)
     assert four.num_rows > 0
     assert int(pa.compute.sum(four["n_pairs"]).as_py()) > 0
+
+
+def test_train_val_split_contract(ray_session):
+    from pg_walstream_ray.pipelines.textops import train_val_split
+
+    df = _as_df(train_val_split(SF).to_pandas() if hasattr(
+        train_val_split(SF), "to_pandas") else train_val_split(SF))
+    assert set(df["split"].unique()) <= {"train", "val"}
+    # val rows are never flagged leaky
+    assert (df.loc[df["split"] == "val", "leaky"] == 0).all()
+    # identity-hash split: deterministic across runs
+    df2 = _as_df(train_val_split(SF).to_pandas() if hasattr(
+        train_val_split(SF), "to_pandas") else train_val_split(SF))
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True))
+    # every doc appears exactly once
+    assert df["doc_id"].is_unique
