@@ -1088,6 +1088,77 @@ def _cdc_upsert_compacted(sf_dir: str) -> Any:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
 
+def _cdc_router_atomic_cut(sf_dir: str) -> Any:
+    """Cross-table transactional atomicity at a bounded-replay cut: one
+    WAL whose every TRANSACTION interleaves customer and orders rows
+    (tablegen.write_multi_table_wal), replayed through the router with a
+    stop LSN landing MID-transaction — the crossing tx must be applied
+    WHOLE to BOTH lakes (commit-unit contract, stream.rs:378-387 parity),
+    so each lake holds exactly transactions 0..T.  Output: (rel, key)
+    rows of both lakes at the cut.  Oracle: key-rank // rows-per-tx <= T
+    on both base tables."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.router import TableRoute, run_cdc_router
+    from pg_walstream_ray.sources.tablegen import write_multi_table_wal
+    from pg_walstream_ray.wire import codec
+
+    C_OID, O_OID = 32001, 32002
+    KC, KO = 10, 100                      # rows per tx per table
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|atomcut"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-atomcut-{key}")
+    done = os.path.join(wal_dir, "_DONE")
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name"]) \
+        .sort_by("c_custkey")
+    orde = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey"]) \
+        .sort_by("o_orderkey")
+    info = {"n_txs": max((cust.num_rows + KC - 1) // KC,
+                         (orde.num_rows + KO - 1) // KO),
+            "block": 1 + 2 + KC + KO + 1, "lsn_base": 1 << 44}
+    if not os.path.exists(done):
+        rel_c = codec.Relation(C_OID, "public", "customer", "d", [
+            codec.ColumnInfo(1, "c_custkey", 23, -1),
+            codec.ColumnInfo(0, "c_name", 25, -1)])
+        rel_o = codec.Relation(O_OID, "public", "orders", "d", [
+            codec.ColumnInfo(1, "o_orderkey", 23, -1),
+            codec.ColumnInfo(0, "o_custkey", 23, -1)])
+        os.makedirs(wal_dir, exist_ok=True)
+        info = write_multi_table_wal(
+            [(cust, rel_c, KC), (orde, rel_o, KO)], wal_dir)
+        open(done, "w").close()
+    T = info["n_txs"] // 2
+    # cut mid-tx T: the first customer-insert slot of tx T (after begin
+    # + 2 relation frames) — the crossing tx must still apply whole
+    stop = info["lsn_base"] + T * info["block"] + 3 + 1
+    lake_c = tempfile.mkdtemp(prefix="pgwr_lake_atc_")
+    lake_o = tempfile.mkdtemp(prefix="pgwr_lake_ato_")
+    try:
+        run_cdc_router(wal_dir, [TableRoute(C_OID, lake_c, 4),
+                                 TableRoute(O_OID, lake_o, 4)],
+                       stop_at_lsn=stop)
+        c = _select_or_empty(
+            snapshot_table(lake_c, key_cols=("c_custkey",)),
+            [("c_custkey", pa.int32())])
+        o = _select_or_empty(
+            snapshot_table(lake_o, key_cols=("o_orderkey",)),
+            [("o_orderkey", pa.int32())])
+        return pa.table({
+            "rel": pa.array(["customer"] * c.num_rows
+                            + ["orders"] * o.num_rows, pa.string()),
+            "key": pa.concat_arrays([
+                _pc.cast(c["c_custkey"], pa.int64()).combine_chunks(),
+                _pc.cast(o["o_orderkey"], pa.int64()).combine_chunks()]),
+        })
+    finally:
+        shutil.rmtree(lake_c, ignore_errors=True)
+        shutil.rmtree(lake_o, ignore_errors=True)
+
+
 def _cdc_router_two_tables(sf_dir: str) -> Any:
     """Multi-table fan-out (WalRouter parity): one WAL carrying two
     relations (nation + region), one decode pass, routed to two lakes;
@@ -1368,6 +1439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # lake maintenance: derived-column backfill + TTL retention
     q["cdc_backfill_column"] = _cdc_backfill_column
     q["cdc_retention"] = _cdc_retention
+    # cross-table transactional atomicity at a mid-tx bounded-replay cut
+    q["cdc_router_atomic_cut"] = _cdc_router_atomic_cut
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
@@ -2188,6 +2261,25 @@ def oracle_sql() -> dict[str, str]:
              CAST(MAX(lsn) AS BIGINT) AS last_lsn
       FROM ranked WHERE rn = 1 GROUP BY conv_id
     """
+    sql["cdc_router_atomic_cut"] = """
+      WITH nc AS (SELECT COUNT(*) AS n FROM customer),
+      nn AS (SELECT COUNT(*) AS n FROM orders),
+      t AS (SELECT GREATEST((nc.n + 9) // 10, (nn.n + 99) // 100) // 2
+              AS tt
+            FROM nc, nn),
+      c AS (SELECT c_custkey AS key,
+                   ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS r
+            FROM customer),
+      o AS (SELECT o_orderkey AS key,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS r
+            FROM orders)
+      SELECT 'customer' AS rel, CAST(key AS BIGINT) AS key
+      FROM c, t WHERE c.r // 10 <= t.tt
+      UNION ALL
+      SELECT 'orders' AS rel, CAST(key AS BIGINT) AS key
+      FROM o, t WHERE o.r // 100 <= t.tt
+    """
+
     sql["cdc_router_two_tables"] = """
       SELECT n_nationkey, n_name, n_regionkey, r_name
       FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -169,9 +169,15 @@ class DecodeRoute:
     def __init__(self, registry_ref, routes, stop_at_lsn=None):
         self.router = RouterStage(registry_ref=registry_ref, routes=routes)
         self.stop_at_lsn = stop_at_lsn
+        # global rel_version numbering: a decoder seeing only a subset of
+        # the Relation messages (one segment, or a multi-relation shard)
+        # must not number them by local arrival order (see
+        # SchemaRegistry.version_map)
+        self.version_map = self.router.registry.version_map()
 
     def __call__(self, batch):
-        shard = DecodeShard(stop_at_lsn=self.stop_at_lsn)
+        shard = DecodeShard(stop_at_lsn=self.stop_at_lsn,
+                            version_map=self.version_map)
         for env in shard(batch):
             routed = self.router(env)
             if routed.num_rows:

@@ -588,3 +588,48 @@ def test_train_val_split_contract(ray_session):
         df2.sort_values("doc_id").reset_index(drop=True))
     # every doc appears exactly once
     assert df["doc_id"].is_unique
+
+
+def test_router_atomic_cut_whole_transactions(ray_session):
+    """Any stop LSN inside tx T yields exactly transactions 0..T in BOTH
+    lakes — no partial transaction ever becomes visible in either table
+    (commit-unit contract across tables)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+    import __ray_entry__ as e
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.router import (TableRoute,
+                                                   run_cdc_router)
+
+    # reuse the query fixture's WAL (built by the driver query)
+    e.queries()["cdc_router_atomic_cut"](SF)
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|atomcut".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-atomcut-{key}")
+    KC, KO, B, base = 10, 100, 1 + 2 + 10 + 100 + 1, 1 << 44
+    cust = _pq.read_metadata(
+        _os.path.join(SF, "customer.parquet")).num_rows
+    orde = _pq.read_metadata(
+        _os.path.join(SF, "orders.parquet")).num_rows
+    n_txs = max((cust + KC - 1) // KC, (orde + KO - 1) // KO)
+    T = n_txs // 2
+    # cut points: first insert slot, inside customer block, inside orders
+    # block, and the commit LSN itself minus 1
+    for off in (3, 3 + KC // 2, 3 + KC + KO // 2, B - 2):
+        lk_c = _tf.mkdtemp(prefix="pgwr_atc_")
+        lk_o = _tf.mkdtemp(prefix="pgwr_ato_")
+        try:
+            run_cdc_router(wal_dir, [TableRoute(32001, lk_c, 2),
+                                     TableRoute(32002, lk_o, 2)],
+                           stop_at_lsn=base + T * B + off)
+            nc = snapshot_table(lk_c, key_cols=("c_custkey",)).num_rows
+            no = snapshot_table(lk_o, key_cols=("o_orderkey",)).num_rows
+            assert nc == min(cust, (T + 1) * KC), off
+            assert no == min(orde, (T + 1) * KO), off
+        finally:
+            _sh.rmtree(lk_c, ignore_errors=True)
+            _sh.rmtree(lk_o, ignore_errors=True)
