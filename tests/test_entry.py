@@ -104,6 +104,10 @@ def test_every_oracle_key_has_query(contract):
     "pareto_frontier", "cdc_watermark_report", "purchase_attribution",
     "ks_drift", "events_debounce", "lang_confusion", "events_resample",
     "conversion_time_quantiles", "cdc_conv_shapes",
+    "cdc_tool_stats", "cdc_context_windows", "cdc_gdpr_purge",
+    "cdc_deadletter_repair", "cdc_update_diffs", "cdc_lake_stats",
+    "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
+    "train_val_split",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
