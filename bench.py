@@ -575,7 +575,7 @@ _HEADLINE_QUERIES = (
 _FINAL_LINE_BUDGET = 1600
 
 
-def _emit(out: dict) -> None:
+def _emit(out: dict, fname_override: str = "") -> None:
     """Print the result with the driver's tail-capture contract: the final
     stdout line is ONE compact JSON object guaranteed to fit in the last
     2000 captured chars.  The untrimmed result (all per-query timings +
@@ -585,7 +585,9 @@ def _emit(out: dict) -> None:
     # Side-run outputs (scaling samples, scenario grids) get their own
     # files so they never clobber the full-suite grid in BENCH_full.json.
     metric = str(out.get("metric", ""))
-    if metric.startswith("scaling_efficiency"):
+    if fname_override:
+        fname = fname_override
+    elif metric.startswith("scaling_efficiency"):
         fname = "BENCH_scaling.json"
     elif metric.startswith("scenario_grid"):
         fname = "BENCH_scenarios.json"
@@ -681,7 +683,10 @@ def main() -> None:
     else:
         out = run_suite(args.sf_dir, args.headline_only,
                         synthetic_events=args.synthetic_events)
-    _emit(out)
+    # headline-only / synthetic side-runs must not clobber the
+    # full-suite per-query grid in BENCH_full.json
+    partial = args.headline_only or bool(args.synthetic_events)
+    _emit(out, fname_override="BENCH_headline.json" if partial else "")
 
 
 if __name__ == "__main__":
