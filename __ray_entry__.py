@@ -376,6 +376,23 @@ def _cdc_stream_join(sf_dir: str) -> Any:
                        n_actors=4).result_table()
 
 
+def _cdc_stream_dedup(sf_dir: str) -> Any:
+    """Streaming exact-dedup INDEX over the change stream: per role,
+    total change rows vs distinct digit-masked templates — a sharded
+    shared-mutable-index actor pool (hash-range ownership makes shard
+    distinct counts add exactly).  Oracle: COUNT + COUNT(DISTINCT
+    template) over the change derivation."""
+    from pg_walstream_ray.pipelines.streaming import stream_dedup_index
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    return stream_dedup_index(wal_dir, n_actors=4)
+
+
 STREAM_TOPK = 5               # per-window heavy-hitter cut
 
 
@@ -1448,6 +1465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_stream_sessions"] = _cdc_stream_sessions
     # windowed stream-stream interval join (click -> purchase attribution)
     q["cdc_stream_join"] = _cdc_stream_join
+    # streaming exact-dedup index (sharded shared mutable index)
+    q["cdc_stream_dedup"] = _cdc_stream_dedup
     # streaming per-window top-k convs (windowed heavy hitters, sharded)
     q["cdc_stream_topk"] = _cdc_stream_topk
     q["cdc_router_two_tables"] = _cdc_router_two_tables
@@ -1830,7 +1849,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_deadletter_repair", "cdc_gdpr_purge", "cdc_update_diffs",
     "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
     "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
-    "train_val_split",
+    "train_val_split", "cdc_stream_dedup",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
@@ -2168,6 +2187,14 @@ def oracle_sql() -> dict[str, str]:
       SELECT window_start_us, conv_id, n_events, CAST(rnk AS BIGINT)
                AS rnk
       FROM rk WHERE rnk <= {STREAM_TOPK}
+    """
+
+    sql["cdc_stream_dedup"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES})
+      SELECT role, COUNT(*)::BIGINT AS n_rows,
+             COUNT(DISTINCT regexp_replace(text, '[0-9]{{2,}}', '#',
+                                           'g'))::BIGINT AS n_distinct
+      FROM changes GROUP BY role
     """
 
     sql["cdc_stream_join"] = f"""

@@ -884,3 +884,123 @@ def stream_join(wal_dir: str, width_us: int, n_actors: int = 4):
     joiner actors, slim (conv, cts, src, flag) mailbox rows."""
     return _run_sharded(wal_dir, "join", dict(width_us=width_us),
                         n_actors, _merge_join, with_role=True)
+
+
+class _DedupIndexActor:
+    """One shard of the streaming exact-dedup INDEX — the shared mutable
+    state the Dataset API cannot express (the brief's canonical raw-actor
+    case): hash-range ownership makes global exactness local (a given
+    content hash always lands on the same actor), and per-shard distinct
+    counts ADD exactly because the ranges are disjoint.
+
+    State per (role): the seen-hash set + row count.  At 100 TB the set
+    swaps for a disk-backed or bloom+exact two-tier index; the routing
+    contract (hash-range ownership) is the part that matters.
+    """
+
+    def __init__(self):
+        self.seen: Dict[str, set] = {}
+        self.rows: Dict[str, int] = {}
+
+    def ingest(self, slim: pa.Table) -> None:
+        roles = slim["role"].to_numpy(zero_copy_only=False)
+        hs = slim["h"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        codes, uniques = pd.factorize(roles)
+        for i, role in enumerate(uniques):
+            hr = hs[codes == i]
+            self.seen.setdefault(role, set()).update(hr.tolist())
+            self.rows[role] = self.rows.get(role, 0) + len(hr)
+
+    def finish(self) -> pa.Table:
+        roles = sorted(self.rows)
+        return pa.table({
+            "role": pa.array(roles, pa.string()),
+            "n_rows": pa.array([self.rows[r] for r in roles], pa.int64()),
+            "n_distinct": pa.array([len(self.seen.get(r, ()))
+                                    for r in roles], pa.int64())})
+
+
+def _route_dedup_shard(segs: List[str], actors: list, n_actors: int,
+                       max_inflight: int = 64) -> int:
+    """Decode one WAL source and route (role, template-hash) rows to the
+    index shard that OWNS each hash (hash % N) — text never leaves the
+    router; the index mailbox carries two slim columns."""
+    import ray
+
+    from ..functions.hashing import fast_hash64
+    from ..stages.decode import DecodeShard
+
+    batch = pa.table({"wal_paths": [segs]})
+    pending: list = []
+    routed = 0
+    for env in DecodeShard()(batch):
+        dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
+        if dml.num_rows == 0:
+            continue
+        after = dml["after_values"]
+        if isinstance(after, pa.ChunkedArray):
+            after = after.combine_chunks()
+        role = pc.list_element(after, 2)
+        text = pc.list_element(after, 3)
+        keep = pc.is_valid(role)
+        if not pc.all(keep).as_py():
+            role, text = role.filter(keep), text.filter(keep)
+        if len(role) == 0:
+            continue
+        tmpl = pc.replace_substring_regex(text, r"[0-9]{2,}", "#")
+        h = fast_hash64(pa.chunked_array([tmpl])).astype(np.int64)
+        routed += len(role)
+        slim = pa.table({"role": role, "h": pa.array(h)})
+        owner = (h % n_actors).astype(np.int64)
+        for i in range(n_actors):
+            sub = slim.filter(pa.array(owner == i))
+            if sub.num_rows:
+                pending.append(actors[i].ingest.remote(sub))
+        if len(pending) > max_inflight:
+            done, pending = ray.wait(pending,
+                                     num_returns=len(pending) // 2)
+            ray.get(list(done))
+    ray.get(pending)
+    return routed
+
+
+def stream_dedup_index(wal_dir: str, n_actors: int = 4) -> pa.Table:
+    """Streaming exact-dedup over the CDC change stream via a SHARDED
+    shared mutable index: per role, total change rows vs DISTINCT
+    digit-masked text templates seen — the live duplicate-rate signal an
+    ingest pipeline gates on.  Hash-disjoint shards make the merged
+    distinct counts exact.
+
+    Output: (role, n_rows, n_distinct), merged across index shards.
+    """
+    import ray
+
+    from .cdc import discover_shards
+
+    shard_paths = discover_shards(wal_dir)
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_actors = max(1, min(n_actors, cpus))
+    actor_cls = ray.remote(num_cpus=0.5)(_DedupIndexActor)
+    route_fn = ray.remote(num_cpus=0.5)(_route_dedup_shard)
+    actors = [actor_cls.remote() for _ in range(n_actors)]
+    try:
+        ray.get([route_fn.remote(segs, actors, n_actors)
+                 for segs in shard_paths])
+        parts = ray.get([a.finish.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    cat = pa.concat_tables([t for t in parts if t.num_rows])
+    if cat.num_rows == 0:
+        return pa.table({"role": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64())})
+    agg = cat.group_by("role").aggregate(
+        [("n_rows", "sum"), ("n_distinct", "sum")])
+    agg = agg.sort_by("role")
+    return pa.table({"role": agg["role"],
+                     "n_rows": pc.cast(agg["n_rows_sum"], pa.int64()),
+                     "n_distinct": pc.cast(agg["n_distinct_sum"],
+                                           pa.int64())})

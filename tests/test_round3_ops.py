@@ -633,3 +633,25 @@ def test_router_atomic_cut_whole_transactions(ray_session):
         finally:
             _sh.rmtree(lk_c, ignore_errors=True)
             _sh.rmtree(lk_o, ignore_errors=True)
+
+
+def test_stream_dedup_index_shard_invariant(ray_session):
+    """Distinct counts are exact regardless of index shard count
+    (hash-range ownership: 1 shard == 4 shards)."""
+    import hashlib as _hl
+    import os as _os
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.streaming import stream_dedup_index
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    one = stream_dedup_index(wal_dir, n_actors=1)
+    four = stream_dedup_index(wal_dir, n_actors=4)
+    assert one.equals(four)
+    d = one.to_pandas()
+    assert (d["n_distinct"] <= d["n_rows"]).all()
+    assert len(d) > 0
