@@ -801,6 +801,40 @@ def _cdc_update_diffs(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+EPISODE_GAP_US = 1_000_000_000_000   # ~11.6 days on the synthetic clock
+
+
+def _cdc_conv_episodes(sf_dir: str) -> Any:
+    """Episode segmentation over the CDC lake (lake.conv_episodes):
+    conversations split at large timestamp gaps in turn order — the
+    session boundary for long-running agent transcripts.  Oracle:
+    LAG-gap islands with FIRST/LAST ordered aggregates."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import conv_episodes
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_episodes_lake_")
+    cols = [("conv_id", pa.string()), ("episode", pa.int64()),
+            ("n_turns", pa.int64()), ("start_us", pa.int64()),
+            ("end_us", pa.int64())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(
+            conv_episodes(lake, EPISODE_GAP_US).to_arrow_refs())
+            if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_tool_stats(sf_dir: str) -> Any:
     """Tool-usage profile over the CDC lake (lake.tool_stats): per tool,
     exact call count, distinct-conversation count (partition-local convs
@@ -1436,6 +1470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_corpus_quality"] = _cdc_corpus_quality
     # response-latency profile (LAG gaps per conversation, zero shuffle)
     q["cdc_turn_latency"] = _cdc_turn_latency
+    # episode segmentation (timestamp-gap islands per conversation)
+    q["cdc_conv_episodes"] = _cdc_conv_episodes
     # tool-usage profile (exact distinct-conv counts, partition-local)
     q["cdc_tool_stats"] = _cdc_tool_stats
     # before/after update-diff stream from the SCD2 history lake
@@ -4650,6 +4686,26 @@ def oracle_sql() -> dict[str, str]:
       f AS (SELECT conv_id, turn_idx, role, text, tool, ts
             FROM ranked WHERE rn = 1)
 {_stat_union}
+    """
+
+    sql["cdc_conv_episodes"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      f AS (SELECT conv_id, turn_idx, ts FROM ranked WHERE rn = 1),
+      l AS (SELECT conv_id, turn_idx, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                           > {EPISODE_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+      e AS (SELECT conv_id, turn_idx, ts,
+                   SUM(brk) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) - 1 AS episode
+            FROM l)
+      SELECT conv_id, CAST(episode AS BIGINT) AS episode,
+             COUNT(*)::BIGINT AS n_turns,
+             epoch_us(FIRST(ts ORDER BY turn_idx))::BIGINT AS start_us,
+             epoch_us(LAST(ts ORDER BY turn_idx))::BIGINT AS end_us
+      FROM e GROUP BY conv_id, episode
     """
 
     sql["cdc_update_diffs"] = f"""

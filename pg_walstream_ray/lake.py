@@ -1451,3 +1451,61 @@ def turn_dedup(lake_dir: str, hash_mode: str = "md5",
     return ds.map_batches(extract, batch_size=1, batch_format="pyarrow") \
         .groupby("part").map_groups(first_occurrence,
                                     batch_format="pandas", num_cpus=1)
+
+
+def conv_episodes(lake_dir: str, gap_us: int = 3_600_000_000):
+    """Episode segmentation of long-running transcripts: split each
+    conversation into EPISODES at timestamp gaps larger than ``gap_us``
+    (turn order authoritative, timestamps evidence) — the session
+    boundary a context-window packer or a per-episode summarizer needs
+    for agent transcripts that span days.
+
+    Output: (conv_id, episode, n_turns, start_us, end_us) — episode is
+    0-based per conversation in turn order; timestamps exact int64 us.
+
+    Scale shape: conversations are partition-local, so the whole pass is
+    per-partition with ZERO shuffle; per partition it is one Arrow sort +
+    a numpy boundary cumsum + reduceat.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def episodes(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["ts"])
+            if not t.num_rows:
+                continue
+            t = t.take(pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ts = pc.cast(t["ts"].combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            n = len(cv)
+            new_conv = np.concatenate([[True], cv[1:] != cv[:-1]])
+            brk = new_conv.copy()
+            brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+            seg_id = np.cumsum(brk) - 1            # global segment index
+            starts = np.flatnonzero(brk)
+            # episode ordinal within its conversation: segment index
+            # minus the conversation's first segment index
+            conv_first_seg = np.cumsum(new_conv) - 1
+            first_seg_of_conv = seg_id[np.flatnonzero(new_conv)]
+            episode = seg_id - first_seg_of_conv[conv_first_seg]
+            cnt = np.diff(np.append(starts, n))
+            yield pa.table({
+                "conv_id": pa.array(cv[starts], pa.string()),
+                "episode": pa.array(episode[starts]),
+                "n_turns": pa.array(cnt.astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(
+                    ts[np.append(starts[1:], n) - 1])})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(episodes, batch_size=1, batch_format="pyarrow")

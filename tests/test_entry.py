@@ -107,7 +107,7 @@ def test_every_oracle_key_has_query(contract):
     "cdc_tool_stats", "cdc_context_windows", "cdc_gdpr_purge",
     "cdc_deadletter_repair", "cdc_update_diffs", "cdc_lake_stats",
     "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
-    "train_val_split", "cdc_stream_dedup",
+    "train_val_split", "cdc_stream_dedup", "cdc_conv_episodes",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
