@@ -376,6 +376,21 @@ def _cdc_stream_join(sf_dir: str) -> Any:
                        n_actors=4).result_table()
 
 
+def _cdc_prefix_enrich(sf_dir: str) -> Any:
+    """AS-OF-LSN prefix-state enrichment (events.prefix_state_enrich):
+    each assistant change event annotated with its conversation's
+    distinct-turn count strictly before it in WAL order.  Oracle:
+    correlated COUNT(DISTINCT) over earlier-lsn changes."""
+    from pg_walstream_ray.pipelines.events import prefix_state_enrich
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    return prefix_state_enrich(wal_dir)
+
+
 def _cdc_stream_dedup(sf_dir: str) -> Any:
     """Streaming exact-dedup INDEX over the change stream: per role,
     total change rows vs distinct digit-masked templates — a sharded
@@ -1503,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_stream_join"] = _cdc_stream_join
     # streaming exact-dedup index (sharded shared mutable index)
     q["cdc_stream_dedup"] = _cdc_stream_dedup
+    # as-of-LSN prefix-state enrichment of the change stream
+    q["cdc_prefix_enrich"] = _cdc_prefix_enrich
     # streaming per-window top-k convs (windowed heavy hitters, sharded)
     q["cdc_stream_topk"] = _cdc_stream_topk
     q["cdc_router_two_tables"] = _cdc_router_two_tables
@@ -2223,6 +2240,15 @@ def oracle_sql() -> dict[str, str]:
       SELECT window_start_us, conv_id, n_events, CAST(rnk AS BIGINT)
                AS rnk
       FROM rk WHERE rnk <= {STREAM_TOPK}
+    """
+
+    sql["cdc_prefix_enrich"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES})
+      SELECT c1.conv_id, c1.lsn,
+             (SELECT COUNT(DISTINCT c2.turn_idx) FROM changes c2
+              WHERE c2.conv_id = c1.conv_id
+                AND c2.lsn < c1.lsn)::BIGINT AS n_turns_before
+      FROM changes c1 WHERE c1.role = 'assistant'
     """
 
     sql["cdc_stream_dedup"] = f"""

@@ -295,3 +295,59 @@ def changefeed(wal_dir: str, bits: int = 12,
         feed.write_parquet(out_dir)
         return rd.read_parquet(out_dir)
     return feed
+
+
+def prefix_state_enrich(wal_dir: str, emit_role: str = "assistant",
+                        npart: int = 0):
+    """AS-OF-LSN prefix-state enrichment of the change stream: every EMIT
+    event (role == ``emit_role``) is annotated with the number of
+    DISTINCT turns its conversation had accumulated STRICTLY BEFORE it in
+    WAL order — the evolving-state join a feature pipeline needs ("how
+    much context existed when this reply was written"), computed from the
+    stream itself rather than a lake probe per event.
+
+    Output: (conv_id, lsn, n_turns_before), one row per emit event.
+
+    Scale shape: ONE shuffle of slim (conv, lsn, turn, emit) int rows
+    bucketed by conv hash; per bucket the prefix-distinct count is a
+    sorted first-occurrence cumsum — no per-event state probe, no
+    N-probe lake reads.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.scale import coarse_npart
+    from ..stages.partition import stable_hash_strings
+
+    npart = npart or coarse_npart()
+    ds = filter_ops(envelope_dataset(wal_dir), ["insert", "update"])
+
+    def slim(t):
+        after = t["after_values"]
+        if isinstance(after, pa.ChunkedArray):
+            after = after.combine_chunks()
+        conv = pc.list_element(after, 0)
+        turn = pc.cast(pc.list_element(after, 1), pa.int64())
+        role = pc.list_element(after, 2)
+        h = stable_hash_strings(pa.chunked_array([conv])) % npart
+        return pa.table({
+            "part": pa.array(h.astype(np.int64)),
+            "conv": conv, "lsn": t["lsn"], "turn": turn,
+            "emit": pc.equal(role, emit_role)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv", "lsn"], kind="mergesort")
+        first = ~g.duplicated(subset=["conv", "turn"], keep="first")
+        distinct_prefix = first.groupby(
+            g["conv"], sort=False).cumsum()       # inclusive of row i
+        before = distinct_prefix - first.astype(np.int64)
+        e = g["emit"].to_numpy(bool)
+        return pd.DataFrame({
+            "conv_id": g["conv"].to_numpy(object)[e],
+            "lsn": g["lsn"].to_numpy(np.int64)[e],
+            "n_turns_before": before.to_numpy(np.int64)[e]})
+
+    return ds.map_batches(slim, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_bucket, batch_format="pandas",
+                                    num_cpus=1)
