@@ -1902,7 +1902,8 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_deadletter_repair", "cdc_gdpr_purge", "cdc_update_diffs",
     "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
     "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
-    "train_val_split", "cdc_stream_dedup",
+    "train_val_split", "cdc_stream_dedup", "cdc_conv_episodes",
+    "cdc_prefix_enrich",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
