@@ -850,6 +850,35 @@ def _cdc_conv_episodes(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_key_churn(sf_dir: str) -> Any:
+    """Update-churn profile over the SCD2 history lake (lake.key_churn):
+    per conversation, key count / total versions / hottest key's version
+    count — the write-amplification signal.  Oracle: COUNT per key then
+    per-conv rollup over the change derivation."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import key_churn
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_churn_lake_")
+    cols = [("conv_id", pa.string()), ("n_keys", pa.int64()),
+            ("n_versions", pa.int64()), ("max_key_versions", pa.int64())]
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        tables = [t for t in _ray.get(key_churn(lake).to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_tool_stats(sf_dir: str) -> Any:
     """Tool-usage profile over the CDC lake (lake.tool_stats): per tool,
     exact call count, distinct-conversation count (partition-local convs
@@ -1489,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_conv_episodes"] = _cdc_conv_episodes
     # tool-usage profile (exact distinct-conv counts, partition-local)
     q["cdc_tool_stats"] = _cdc_tool_stats
+    # write-amplification / update-churn profile over the history lake
+    q["cdc_key_churn"] = _cdc_key_churn
     # before/after update-diff stream from the SCD2 history lake
     q["cdc_update_diffs"] = _cdc_update_diffs
     # ANALYZE: per-column catalog statistics over the lake
@@ -1903,7 +1934,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
     "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
     "train_val_split", "cdc_stream_dedup", "cdc_conv_episodes",
-    "cdc_prefix_enrich",
+    "cdc_prefix_enrich", "cdc_key_churn",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
@@ -4713,6 +4744,16 @@ def oracle_sql() -> dict[str, str]:
       f AS (SELECT conv_id, turn_idx, role, text, tool, ts
             FROM ranked WHERE rn = 1)
 {_stat_union}
+    """
+
+    sql["cdc_key_churn"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}),
+      k AS (SELECT conv_id, turn_idx, COUNT(*) AS v
+            FROM changes GROUP BY conv_id, turn_idx)
+      SELECT conv_id, COUNT(*)::BIGINT AS n_keys,
+             SUM(v)::BIGINT AS n_versions,
+             MAX(v)::BIGINT AS max_key_versions
+      FROM k GROUP BY conv_id
     """
 
     sql["cdc_conv_episodes"] = f"""

@@ -1509,3 +1509,63 @@ def conv_episodes(lake_dir: str, gap_us: int = 3_600_000_000):
     ds = rd.from_items([{"paths": paths} for _, paths in parts],
                        override_num_blocks=len(parts))
     return ds.map_batches(episodes, batch_size=1, batch_format="pyarrow")
+
+
+def key_churn(lake_dir: str,
+              key_cols: Tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Update-churn profile over the SCD2 history lake: per conversation,
+    how many keys it has, how many VERSIONS its keys accumulated, and the
+    hottest key's version count — the write-amplification signal that
+    decides compaction cadence and flags edit-war keys (a turn rewritten
+    50 times is a different beast than 50 turns written once).
+
+    Output: (conv_id, n_keys, n_versions, max_key_versions).
+
+    Scale shape: conversations are partition-local — ZERO shuffle; per
+    partition one interval reconstruction (already vectorized) + one
+    sort + two reduceat passes.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from .stages.history import version_intervals
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def churn(batch: pa.Table):
+        for row in batch.to_pylist():
+            raw = _unify([pq.read_table(p) for p in row["paths"]])
+            if not raw.num_rows:
+                continue
+            t = version_intervals(raw, key_cols=key_cols)
+            n = t.num_rows
+            if not n:
+                continue
+            # sorted by (key, valid_from): key and conv boundaries
+            cv = t[key_cols[0]].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ti = pc.cast(t[key_cols[1]], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            new_key = np.concatenate(
+                [[True], (cv[1:] != cv[:-1]) | (ti[1:] != ti[:-1])])
+            new_conv = np.concatenate([[True], cv[1:] != cv[:-1]])
+            kstart = np.flatnonzero(new_key)
+            kcount = np.diff(np.append(kstart, n))      # versions per key
+            # conv boundaries in KEY space
+            key_conv_new = new_conv[kstart]
+            cstart = np.flatnonzero(key_conv_new)
+            ck = np.diff(np.append(cstart, len(kstart)))  # keys per conv
+            yield pa.table({
+                "conv_id": pa.array(cv[kstart[cstart]], pa.string()),
+                "n_keys": pa.array(ck.astype(np.int64)),
+                "n_versions": pa.array(
+                    np.add.reduceat(kcount, cstart).astype(np.int64)),
+                "max_key_versions": pa.array(
+                    np.maximum.reduceat(kcount, cstart).astype(np.int64)),
+            })
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(churn, batch_size=1, batch_format="pyarrow")
