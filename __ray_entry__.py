@@ -391,6 +391,23 @@ def _cdc_prefix_enrich(sf_dir: str) -> Any:
     return prefix_state_enrich(wal_dir)
 
 
+TIMELINE_WINDOW_US = 256     # narrow commit-window for per-source rows
+
+
+def _cdc_source_timeline(sf_dir: str) -> Any:
+    """Per-source ingest timeline (events.source_timeline): change events
+    per commit-time window per WAL source — the per-slot throughput/lag
+    dashboard.  Oracle: GROUP BY shard + commit-window."""
+    from pg_walstream_ray.pipelines.events import source_timeline
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    return source_timeline(wal_dir, TIMELINE_WINDOW_US)
+
+
 def _cdc_stream_dedup(sf_dir: str) -> Any:
     """Streaming exact-dedup INDEX over the change stream: per role,
     total change rows vs distinct digit-masked templates — a sharded
@@ -1551,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_stream_dedup"] = _cdc_stream_dedup
     # as-of-LSN prefix-state enrichment of the change stream
     q["cdc_prefix_enrich"] = _cdc_prefix_enrich
+    # per-source commit-window ingest timeline (slot lag dashboard)
+    q["cdc_source_timeline"] = _cdc_source_timeline
     # streaming per-window top-k convs (windowed heavy hitters, sharded)
     q["cdc_stream_topk"] = _cdc_stream_topk
     q["cdc_router_two_tables"] = _cdc_router_two_tables
@@ -1934,7 +1953,7 @@ _DRIVER_WINDOW_ORDER = [
     "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
     "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
     "train_val_split", "cdc_stream_dedup", "cdc_conv_episodes",
-    "cdc_prefix_enrich", "cdc_key_churn",
+    "cdc_prefix_enrich", "cdc_key_churn", "cdc_source_timeline",
     "q7_volume_shipping", "q10_returned_items",
     "q13_customer_distribution", "q17_small_quantity",
     "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
@@ -2281,6 +2300,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE c2.conv_id = c1.conv_id
                 AND c2.lsn < c1.lsn)::BIGINT AS n_turns_before
       FROM changes c1 WHERE c1.role = 'assistant'
+    """
+
+    sql["cdc_source_timeline"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.shard, {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      )
+      SELECT CAST(shard AS BIGINT) AS source,
+             CAST(cts - cts % {TIMELINE_WINDOW_US} AS BIGINT)
+               AS window_start_us,
+             COUNT(*)::BIGINT AS n_events
+      FROM e GROUP BY 1, 2
     """
 
     sql["cdc_stream_dedup"] = f"""

@@ -351,3 +351,49 @@ def prefix_state_enrich(wal_dir: str, emit_role: str = "assistant",
     return ds.map_batches(slim, batch_format="pyarrow") \
         .groupby("part").map_groups(per_bucket, batch_format="pandas",
                                     num_cpus=1)
+
+
+def source_timeline(wal_dir: str, width_us: int):
+    """Per-SOURCE ingest timeline: change events per commit-time window
+    per WAL source — the per-slot throughput/lag dashboard row (a source
+    whose windows thin out is a stalling replication slot; the global
+    tumbling windows cannot see which one).
+
+    Output: (source, window_start_us, n_events).
+
+    Scale shape: per-batch (source, window) partial counts inside the
+    decode map — |sources| x |windows| partial rows — then one tiny
+    groupby sum.  Text never leaves the decoder.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = filter_ops(envelope_dataset(wal_dir),
+                    ["insert", "update", "delete"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cts = t["commit_ts_us"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = cts - cts % width_us
+        df = pd.DataFrame({"source": src, "window_start_us": w})
+        g = df.groupby(["source", "window_start_us"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(np.int64)),
+            "window_start_us": pa.array(
+                g["window_start_us"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "window_start_us"]) \
+        .aggregate(Sum("n", alias_name="n_events"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pc.cast(t["source"], pa.int64()),
+            "window_start_us": pc.cast(t["window_start_us"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
