@@ -1022,6 +1022,78 @@ def source_ngram_overlap(sf_dir: str, k: int = 3, hash_mode: str = "fast"):
 # ---------------------------------------------------------------------------
 
 
+class _PrShard:
+    """One PageRank graph shard (Pregel-style vertex-cut by ``node % K``).
+
+    Holds the bucket's out-edges compacted to local integer indices —
+    built ONCE from a single edge shuffle; per superstep it emits
+    per-destination-bucket contribution sums that are already reduced
+    locally (``np.bincount`` over compacted dst ids), so the cross-actor
+    exchange per round is at most K x |distinct dst per (src-bucket,
+    dst-bucket) cell| floats — never |edges| rows, and never a Ray Data
+    all-to-all.  Memory per actor: |E|/K x ~12 bytes of int32/float64
+    index arrays (the 100 TB sizing knob is K ~= cluster cores).
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.nodes = np.zeros(0, np.int64)       # owned nodes, sorted
+        self.deg = np.zeros(0, np.int64)
+        self.rank = np.zeros(0, np.float64)
+        self._src_idx = []                       # per dst-bucket: local src
+        self._dst_u = []                         # per dst-bucket: uniq dsts
+        self._dst_inv = []                       # per dst-bucket: compact id
+
+    def load(self, src: np.ndarray, dst: np.ndarray) -> int:
+        """Ingest this bucket's directed edges (src % k == bucket).
+        Symmetrized input guarantees every dst also appears as a src in
+        its own bucket, so ownership below is total."""
+        self.nodes, src_idx = np.unique(src, return_inverse=True)
+        self.deg = np.bincount(src_idx, minlength=len(self.nodes)) \
+            .astype(np.int64)
+        db = dst % self.k
+        order = np.argsort(db, kind="stable")
+        dst_s, src_s = dst[order], src_idx[order]
+        bounds = np.searchsorted(db[order], np.arange(self.k + 1))
+        self._src_idx, self._dst_u, self._dst_inv = [], [], []
+        for t in range(self.k):
+            sl = slice(bounds[t], bounds[t + 1])
+            u, inv = np.unique(dst_s[sl], return_inverse=True)
+            self._src_idx.append(src_s[sl].astype(np.int32))
+            self._dst_u.append(u)
+            self._dst_inv.append(inv.astype(np.int32))
+        return len(self.nodes)
+
+    def init_rank(self, r0: float) -> None:
+        self.rank = np.full(len(self.nodes), r0, np.float64)
+
+    def scatter(self):
+        """One superstep's outgoing half: per dst-bucket pre-aggregated
+        contribution sums.  Called with num_returns=k so each receiving
+        bucket fetches only its own slice."""
+        w = self.rank / np.maximum(self.deg, 1)
+        out = []
+        for t in range(self.k):
+            sums = np.bincount(self._dst_inv[t],
+                               weights=w[self._src_idx[t]],
+                               minlength=len(self._dst_u[t]))
+            out.append((self._dst_u[t], sums))
+        return tuple(out) if self.k > 1 else out[0]
+
+    def gather(self, base: float, damping: float, *parts) -> None:
+        """Reduce the k incoming pre-summed parts (fixed sender order ->
+        deterministic float summation) into the new rank vector."""
+        s = np.zeros(len(self.nodes), np.float64)
+        for u, part in parts:
+            if len(u):
+                s[np.searchsorted(self.nodes, u)] += part
+        self.rank = base + damping * s
+
+    def ranks_table(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "rank": pa.array(self.rank, pa.float64())})
+
+
 def pagerank(pairs, damping: float = 0.85, iters: int = 10,
              npart: Optional[int] = None):
     """Distributed PageRank over an undirected pair Dataset
@@ -1030,144 +1102,78 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
     to many others — the "template page" signal a dedup policy
     prioritizes for removal).
 
-    Per iteration (the classic two-shuffle loop):
-      1. ranks co-partition with the directed edge list by ``src %
-         NPART`` (union-tag, no broadcast) and each bucket emits one
-         ``(dst, rank(src)/deg(src))`` contribution per edge —
-         vectorized merge, never per-node Python;
-      2. contributions + the degree table co-partition by ``dst %
-         NPART`` and reduce to the new rank ``(1-d)/N + d * sum``.
-
-    Every shuffled row is an integer/float triple — node payloads never
-    move.  Ranks materialize per round (|nodes| rows in the object
-    store, the same bound as connected_components' label table).
-    Iterative and float-summed, so no SQL oracle: invariants
-    (stochasticity, positivity, hub ordering) are pinned in tests.
+    Architecture (Pregel-style actor pool — the brief's "raw actors only
+    where the Dataset API can't express it" case: an iterative algorithm
+    over SHARED MUTABLE graph state):
+      1. ONE Dataset shuffle partitions the symmetrized edge list by
+         ``src % K`` into K ``_PrShard`` actors, each compacting its
+         adjacency to int32 index arrays (degree is local: all of a
+         node's out-edges live in its own bucket).
+      2. Each superstep is scatter (per-actor ``np.bincount`` -> K
+         pre-aggregated ``(dst_nodes, sums)`` slices via
+         ``num_returns=K``, fetched point-to-point by the owning
+         bucket) + gather (deterministic fixed-order reduce, rank =
+         (1-d)/N + d*sum).  Nothing static ever re-ships: the previous
+         Dataset-loop design moved the edge list through an all-to-all
+         every iteration; this moves only O(|nodes|) floats per round.
+    Ranks come back as a Dataset via ``from_arrow_refs`` (one table per
+    shard, no driver materialization).  Iterative and float-summed, so
+    no SQL oracle: invariants (stochasticity, positivity, hub ordering)
+    are pinned in tests.
     """
+    import ray
     import ray.data as rd
-
-    npart = npart or coarse_npart()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        return pa.table({"bucket": pa.array(src % npart),
-                         "key": pa.array(src),
-                         "dst": pa.array(dst)})
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-
-    from ray.data.aggregate import Count
-
-    deg = edges.groupby("key").aggregate(Count(alias_name="deg")) \
-        .materialize()
-    n_nodes = deg.count()
+    n_edges = edges.count()
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.float64())})
-    if n_nodes == 0:
+    if n_edges == 0:
         return rd.from_arrow(empty)
+
+    # shard count: ~one actor per 64k edges, capped at cluster CPUs
+    # (each shard holds |E|/K edges in RAM; on a real cluster K grows
+    # with the node count via cluster_resources)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    k = npart or max(2, min(ncpu, n_edges // 65536 + 2))
+
+    Shard = ray.remote(num_cpus=1)(_PrShard)
+    actors = [Shard.remote(k) for _ in range(k)]
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(s % k))
+
+    def load(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        n = ray.get(actors[b].load.remote(
+            np.ascontiguousarray(g["src"].to_numpy(zero_copy_only=False)),
+            np.ascontiguousarray(g["dst"].to_numpy(zero_copy_only=False))))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_nodes": pa.array([n], pa.int64())})
+
+    loaded = edges.map_batches(route, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(load, batch_format="pyarrow") \
+        .to_pandas()                              # K rows — bounded
+    n_nodes = int(loaded["n_nodes"].sum())
     base = (1.0 - damping) / n_nodes
-
-    def deg_side(t: pa.Table) -> pa.Table:
-        node = pc.cast(t["key"], pa.int64())
-        nd = node.to_numpy(zero_copy_only=False)
-        return pa.table({"bucket": pa.array(nd % npart),
-                         "key": node,
-                         "deg": pc.cast(t["deg"], pa.int64()),
-                         "val": pa.array(np.zeros(len(nd), np.float64)),
-                         "is_deg": pa.array(np.ones(len(nd), bool))})
-
-    deg_tagged = deg.map_batches(deg_side,
-                                 batch_format="pyarrow").materialize()
-
-    # init: rank = 1/N, co-located with deg
-    def init_ranks(t: pa.Table) -> pa.Table:
-        return pa.table({"bucket": t["bucket"], "node": t["key"],
-                         "deg": t["deg"],
-                         "rank": pa.array(np.full(t.num_rows,
-                                                  1.0 / n_nodes))})
-
-    ranks = deg_tagged.map_batches(init_ranks,
-                                   batch_format="pyarrow").materialize()
-
-    def edge_side(t: pa.Table) -> pa.Table:
-        return pa.table({"bucket": t["bucket"], "key": t["key"],
-                         "dst": t["dst"],
-                         "val": pa.array(np.zeros(t.num_rows,
-                                                  np.float64)),
-                         "is_rank": pa.array(np.zeros(t.num_rows, bool))})
-
-    edges_tagged = edges.map_batches(edge_side,
-                                     batch_format="pyarrow").materialize()
+    ray.get([a.init_rank.remote(1.0 / n_nodes) for a in actors])
 
     for _ in range(iters):
-        def rank_side(t: pa.Table) -> pa.Table:
-            r = t["rank"].to_numpy(zero_copy_only=False)
-            d = t["deg"].to_numpy(zero_copy_only=False)
-            return pa.table({"bucket": t["bucket"], "key": t["node"],
-                             "dst": pa.array(np.zeros(t.num_rows,
-                                                      np.int64)),
-                             "val": pa.array(r / d),
-                             "is_rank": pa.array(np.ones(t.num_rows,
-                                                         bool))})
+        outs = [a.scatter.options(num_returns=k).remote() if k > 1
+                else [a.scatter.remote()] for a in actors]
+        ray.get([actors[b].gather.remote(
+            base, damping, *[outs[a][b] for a in range(k)])
+            for b in range(k)])
 
-        def scatter(g: pd.DataFrame) -> pd.DataFrame:
-            rk = g[g["is_rank"]]
-            eg = g[~g["is_rank"]]
-            m = eg.merge(rk[["key", "val"]].rename(
-                columns={"val": "contrib"}), on="key", how="inner")
-            return pd.DataFrame({
-                "dst": m["dst"].to_numpy(np.int64),
-                "contrib": m["contrib"].to_numpy(np.float64)})
-
-        contribs = ranks.map_batches(rank_side, batch_format="pyarrow") \
-            .union(edges_tagged) \
-            .groupby("bucket").map_groups(scatter,
-                                          batch_format="pandas",
-                                          num_cpus=1)
-
-        def contrib_side(t: pa.Table) -> pa.Table:
-            d = t["dst"].to_numpy(zero_copy_only=False)
-            return pa.table({"bucket": pa.array(d % npart),
-                             "key": pa.array(d),
-                             "deg": pa.array(np.zeros(len(d), np.int64)),
-                             "val": t["contrib"],
-                             "is_deg": pa.array(np.zeros(len(d), bool))})
-
-        def gather(g: pd.DataFrame) -> pd.DataFrame:
-            dg = g[g["is_deg"]]
-            cb = g[~g["is_deg"]]
-            s = cb.groupby("key")["val"].sum()
-            node = dg["key"].to_numpy(np.int64)
-            rank = base + damping * s.reindex(node,
-                                              fill_value=0.0) \
-                .to_numpy(np.float64)
-            return pd.DataFrame({
-                "bucket": node % npart,
-                "node": node,
-                "deg": dg["deg"].to_numpy(np.int64),
-                "rank": rank})
-
-        # carry deg through the reduce so the next scatter needs no join
-        def deg_carry(t: pa.Table) -> pa.Table:
-            return pa.table({"bucket": t["bucket"], "key": t["key"],
-                             "deg": t["deg"], "val": t["val"],
-                             "is_deg": t["is_deg"]})
-
-        ranks = contribs.map_batches(contrib_side,
-                                     batch_format="pyarrow") \
-            .union(deg_tagged.map_batches(deg_carry,
-                                          batch_format="pyarrow")) \
-            .groupby("bucket").map_groups(gather,
-                                          batch_format="pandas",
-                                          num_cpus=1).materialize()
-
-    return ranks.map_batches(
-        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
-                            "rank": pc.cast(t["rank"], pa.float64())}),
-        batch_format="pyarrow")
+    return rd.from_arrow_refs(
+        [a.ranks_table.remote() for a in actors])
 
 
 def dedup_pagerank(sf_dir: str, threshold: float = 0.35,
