@@ -1630,6 +1630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # activation latency: exact p50/p90 of signup->purchase delay from a
     # merged delay histogram (never per-user rows on the driver)
     q["conversion_time_quantiles"] = analytics.conversion_time_quantiles
+    # Kaplan-Meier risk-set grid (signup->purchase, right-censored at the
+    # corpus max ts) — integer-exact accounting, fully oracled
+    q["survival_curve"] = analytics.survival_curve
     q["q6_forecast_revenue"] = analytics.q6_forecast_revenue
     q["q3_top_unshipped"] = analytics.q3_top_unshipped
     q["top_orders_per_customer"] = analytics.top_orders_per_customer
@@ -1828,6 +1831,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # approximate by design -> rows-only driver check; recall/determinism
     # pinned in tests
     q["ann_pq_topk"] = lambda sf: similarity.ann_pq_topk(sf) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
+    # MMR diverse retrieval (redundancy-penalized greedy over the brute
+    # candidate pool): greedy/float -> rows-only driver check; first-pick,
+    # lam=1-degeneracy and determinism invariants pinned in tests
+    q["mmr_diverse_topk"] = lambda sf: similarity.mmr_diverse_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])
     # k-means clustering: iterative (non-SQL-expressible) -> rows-only
     # driver check; self-consistency + determinism pinned in tests
@@ -4065,6 +4073,40 @@ def oracle_sql() -> dict[str, str]:
              CAST(quantile_disc(dt, 0.5) AS BIGINT) AS p50_s,
              CAST(quantile_disc(dt, 0.9) AS BIGINT) AS p90_s
       FROM d
+    """
+
+    sql["survival_curve"] = """
+      WITH mx AS (SELECT MAX(ts) AS m FROM events),
+      s AS (SELECT user_id, MIN(ts) AS ts0 FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS ts1
+            FROM events e JOIN s ON s.user_id = e.user_id
+                               AND e.ts >= s.ts0
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT s.user_id,
+                   CASE WHEN p.ts1 IS NOT NULL
+                        THEN (epoch_us(p.ts1) - epoch_us(s.ts0))
+                             // 86400000000
+                        ELSE (epoch_us((SELECT m FROM mx))
+                              - epoch_us(s.ts0)) // 86400000000
+                   END AS day,
+                   (p.ts1 IS NOT NULL) AS is_event
+            FROM s LEFT JOIN p USING (user_id)),
+      d AS (SELECT day,
+                   CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_converted,
+                   CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_censored
+            FROM u GROUP BY day)
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST((SELECT COUNT(*) FROM u)
+                  - COALESCE(SUM(n_converted + n_censored)
+                             OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk,
+             n_converted, n_censored
+      FROM d ORDER BY day
     """
 
     sql["events_resample"] = """

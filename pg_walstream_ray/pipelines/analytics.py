@@ -1207,6 +1207,91 @@ def conversion_time_quantiles(sf_dir: str):
                          "p90_s": [disc(0.9)]})
 
 
+def survival_curve(sf_dir: str):
+    """Kaplan-Meier risk-set table for signup->purchase conversion with
+    right-censoring: cohort = users with >=1 signup (t0 = first signup);
+    the event is the first purchase at-or-after t0; users who never
+    convert are censored at the corpus's global max timestamp.  Output is
+    the exact KM accounting grid — one row per day carrying at least one
+    event or censoring:
+
+        (day, n_at_risk, n_converted, n_censored)
+
+    where ``n_at_risk(d)`` counts users whose event-or-censor day >= d.
+    The survival estimate S(d) = prod(1 - d_i/n_i) is a trivial
+    downstream fold over this table; emitting the integer grid keeps the
+    operator exactly SQL-oracled (no float products in the hash).
+
+    Scale shape: one slim (user, ts, type) user-bucket shuffle; each
+    bucket reduces its users vectorized (first signup / first qualifying
+    purchase) and emits a (day, is_event) HISTOGRAM partial — the final
+    risk-set cumsum runs on the driver over the bounded day domain
+    (observation-window days x 2 rows), never over per-user rows.  The
+    global max timestamp is a single-column Ray aggregate.
+    """
+    from ..functions.scale import coarse_npart
+
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype=np.int64),
+        "n_at_risk": pd.Series([], dtype=np.int64),
+        "n_converted": pd.Series([], dtype=np.int64),
+        "n_censored": pd.Series([], dtype=np.int64)})
+
+    max_ts = _read(sf_dir, "events", columns=["ts"]).max("ts")
+    if max_ts is None:
+        return empty
+    max_us = int(np.datetime64(max_ts, "us").astype(np.int64))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    npart = coarse_npart()
+    DAY_US = 86_400_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        if len(sig) == 0:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 "is_event": pd.Series([], dtype=bool),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pur = g[g["event_type"] == "purchase"][["user_id", "ts"]] \
+            .merge(sig.rename("ts0"), left_on="user_id", right_index=True)
+        pur = pur[pur["ts"] >= pur["ts0"]]
+        first = pur.groupby("user_id")["ts"].min().reindex(sig.index)
+        ts0 = sig.to_numpy("datetime64[us]").astype(np.int64)
+        ev = first.to_numpy("datetime64[us]").astype(np.int64)
+        conv = first.notna().to_numpy()
+        day = np.where(conv, (ev - ts0) // DAY_US,
+                       (max_us - ts0) // DAY_US)
+        out = pd.DataFrame({"day": day.astype(np.int64),
+                            "is_event": conv})
+        return out.groupby(["day", "is_event"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    hist = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1)
+            .to_pandas())               # bounded: day domain x 2
+    if len(hist) == 0:
+        return empty
+    grid = hist.groupby("day").apply(
+        lambda x: pd.Series({
+            "n_converted": int(x.loc[x["is_event"], "n"].sum()),
+            "n_censored": int(x.loc[~x["is_event"], "n"].sum())}),
+        include_groups=False).reset_index().sort_values("day")
+    removed = (grid["n_converted"] + grid["n_censored"]).to_numpy(np.int64)
+    total = int(removed.sum())
+    at_risk = total - np.concatenate([[0], removed.cumsum()[:-1]])
+    return pd.DataFrame({
+        "day": grid["day"].to_numpy(np.int64),
+        "n_at_risk": at_risk.astype(np.int64),
+        "n_converted": grid["n_converted"].to_numpy(np.int64),
+        "n_censored": grid["n_censored"].to_numpy(np.int64)})
+
+
 def events_resample(sf_dir: str):
     """Dense time-series RESAMPLE: hourly event counts per type with the
     missing hours ZERO-FILLED over the corpus's [min, max] hour range —

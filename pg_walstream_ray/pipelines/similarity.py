@@ -1117,3 +1117,116 @@ def ann_pq_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
                                      batch_format="pyarrow",
                                      batch_size=4096)
     return _final_topk(exact, k)
+
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 4          # candidate pool = MMR_POOL * k per query
+
+
+def mmr_diverse_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
+                     lam: float = MMR_LAMBDA, pool: int = MMR_POOL):
+    """Maximal-Marginal-Relevance diverse top-k retrieval: per query,
+    greedily select k results maximizing
+
+        lam * cos(q, d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    — the standard redundancy-penalized retrieval used to keep near-dup
+    documents from crowding a result list (and, in a training-data
+    pipeline, to pick DIVERSE exemplars per centroid).  ``lam=1``
+    degenerates to plain relevance top-k.
+
+    Output: (query_id, neighbor_id, rnk, mmr_score).  Greedy + float, so
+    rows-only driver check; invariants (first pick = relevance argmax,
+    lam=1 == brute top-k set, determinism) are pinned in tests.
+
+    Scale shape: candidate generation is the BruteScore pattern —
+    broadcast unit query matrix, per-batch partial top-M (M = pool*k)
+    with the candidate's UNIT VECTOR carried on the candidate row (a
+    FixedSizeList column, [M x d] floats per batch — bounded); the
+    greedy itself runs per query over the merged pool inside
+    ``groupby(query_id).map_groups`` — at most M*n_batches rows pruned
+    to M before the O(k*M) vectorized selection.  The corpus is scanned
+    once; nothing quadratic in corpus size.
+    """
+    import ray
+
+    queries_ref = ray.put(_load_queries(sf_dir, nq))
+    m_pool = pool * k
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64()),
+                      "unit": pa.array([], pa.list_(pa.float64()))})
+
+    class PoolScore:
+        def __init__(self, queries_ref, m):
+            self.qids, self.q = ray.get(queries_ref)
+            self.m = m
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mtx = _batch_matrix(t)
+            if not len(mtx):
+                return empty
+            mtx /= np.linalg.norm(mtx, axis=1, keepdims=True)
+            sims = mtx @ self.q.T
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_n, out_s, out_v = [], [], [], []
+            for j, qid in enumerate(self.qids):
+                s = sims[:, j]
+                idx = np.flatnonzero(vec_ids != qid)
+                if not len(idx):
+                    continue
+                mm = min(self.m, len(idx))
+                top = idx[np.argpartition(-s[idx], mm - 1)[:mm]]
+                out_q.append(np.full(mm, qid, np.int64))
+                out_n.append(vec_ids[top].astype(np.int64))
+                out_s.append(s[top])
+                out_v.append(mtx[top])
+            if not out_q:
+                return empty
+            vecs = np.concatenate(out_v)
+            unit = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(vecs) + 1, dtype=np.int32)
+                         * vecs.shape[1]),
+                pa.array(vecs.reshape(-1)))
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             "neighbor_id": pa.array(np.concatenate(out_n)),
+                             "sim": pa.array(np.concatenate(out_s)),
+                             "unit": unit})
+
+    def mmr_select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(m_pool)
+        rel = g["sim"].to_numpy(np.float64)
+        nid = g["neighbor_id"].to_numpy(np.int64)
+        V = np.stack([np.asarray(v, np.float64)
+                      for v in g["unit"].to_numpy()])
+        n = len(nid)
+        kk = min(k, n)
+        chosen = np.zeros(kk, np.int64)
+        scores = np.zeros(kk, np.float64)
+        alive = np.ones(n, bool)
+        chosen[0], scores[0] = 0, rel[0]       # argmax rel, id tie-broken
+        alive[0] = False
+        maxsim = V @ V[0]
+        for r in range(1, kk):
+            s = lam * rel - (1.0 - lam) * maxsim
+            su = np.rint(s * 1e9).astype(np.int64)
+            su[~alive] = np.iinfo(np.int64).min
+            best_u = su.max()
+            ties = np.flatnonzero(su == best_u)
+            best = ties[np.argmin(nid[ties])]
+            chosen[r], scores[r] = best, s[best]
+            alive[best] = False
+            maxsim = np.maximum(maxsim, V @ V[best])
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(np.int64)[chosen],
+            "neighbor_id": nid[chosen],
+            "rnk": np.arange(1, kk + 1, dtype=np.int64),
+            "mmr_score": scores})
+
+    cand = _emb(sf_dir).map_batches(
+        as_tasks(PoolScore, queries_ref=queries_ref, m=m_pool),
+        batch_format="pyarrow", batch_size=4096)
+    return cand.groupby("query_id").map_groups(mmr_select,
+                                               batch_format="pandas")

@@ -655,3 +655,52 @@ def test_stream_dedup_index_shard_invariant(ray_session):
     d = one.to_pandas()
     assert (d["n_distinct"] <= d["n_rows"]).all()
     assert len(d) > 0
+
+
+def test_survival_curve_km_accounting(ray_session):
+    """Risk-set bookkeeping: at_risk(day0) == cohort size, at_risk is
+    the reverse-cumulative of removals, every signup user is accounted
+    exactly once (sum conv + sum cens == n signup users), and the
+    conversion count matches conversion_time_quantiles' n_users."""
+    from pg_walstream_ray.pipelines.analytics import (
+        conversion_time_quantiles, survival_curve)
+
+    t = _as_df(survival_curve(SF)).sort_values("day").reset_index(drop=True)
+    assert len(t) > 0
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    n_cohort = ev[ev.event_type == "signup"]["user_id"].nunique()
+    removed = (t["n_converted"] + t["n_censored"]).to_numpy()
+    assert t["n_at_risk"].iloc[0] == removed.sum() == n_cohort
+    # reverse-cumulative identity
+    expect = n_cohort - np.concatenate([[0], removed.cumsum()[:-1]])
+    assert (t["n_at_risk"].to_numpy() == expect).all()
+    assert (t["n_at_risk"] >= t["n_converted"] + t["n_censored"]).all()
+    q = _as_df(conversion_time_quantiles(SF))
+    assert int(t["n_converted"].sum()) == int(q["n_users"].iloc[0])
+
+
+def test_mmr_diverse_topk_invariants(ray_session):
+    """First pick == relevance argmax; lam=1 degenerates to the brute
+    top-k set; rows are rnk-contiguous per query; deterministic."""
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       mmr_diverse_topk)
+
+    m = _as_df(mmr_diverse_topk(SF)).sort_values(
+        ["query_id", "rnk"]).reset_index(drop=True)
+    bt = _as_df(ann_brute_topk(SF))
+    assert len(m) > 0
+    for qid, g in m.groupby("query_id"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert g["neighbor_id"].is_unique
+        top1 = bt[(bt.query_id == qid) & (bt.rnk == 1)]
+        assert int(g.iloc[0]["neighbor_id"]) == int(top1["neighbor_id"])
+        # greedy scores can only decrease weakly in rank
+        assert (np.diff(g["mmr_score"].to_numpy()) <= 1e-12).all()
+    m1 = _as_df(mmr_diverse_topk(SF, lam=1.0))
+    for qid in bt["query_id"].unique():
+        assert (set(m1[m1.query_id == qid]["neighbor_id"])
+                == set(bt[bt.query_id == qid]["neighbor_id"]))
+    again = _as_df(mmr_diverse_topk(SF)).sort_values(
+        ["query_id", "rnk"]).reset_index(drop=True)
+    assert m.equals(again)
