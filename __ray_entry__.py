@@ -128,6 +128,35 @@ def _cdc_conv_integrity(sf_dir: str) -> Any:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
 
+def _cdc_wap_publish(sf_dir: str) -> Any:
+    """Write-audit-publish replay: staged lake + distributed audit
+    (fragment/ledger agreement, lineage, key ownership, PK uniqueness)
+    gating an atomic publish.  Final published state must equal the plain
+    LWW replay — the WAP machinery is pure safety plumbing, so the
+    cdc_upsert_lww oracle applies verbatim.  Tamper scenarios (missing
+    fragment, orphan file, short watermark -> AuditError, no publish)
+    are pinned in tests."""
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.wap import wap_replay
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    root = tempfile.mkdtemp(prefix="pgwr_wap_")
+    lake_dir = os.path.join(root, "lake")
+    try:
+        report, published = wap_replay(wal_dir, lake_dir, num_partitions=8)
+        assert all(report["ok"].to_pylist())
+        snap = snapshot_table(published)
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return snap.select([c for c in cols if c in snap.column_names])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _cdc_watermark_report(sf_dir: str) -> Any:
     """CDC observability report: per WAL source, the post-replay safe
     feedback point (global min applied LSN across partitions — what the
@@ -1509,6 +1538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # observability: per-source safe feedback point + stream commit/row
     # counts (post-replay watermark == final commit LSN, SQL-predicted)
     q["cdc_watermark_report"] = _cdc_watermark_report
+    # write-audit-publish staged ingest: audit-gated atomic publish;
+    # published state == plain LWW replay (same oracle)
+    q["cdc_wap_publish"] = _cdc_wap_publish
     # conversation-template detection (role-sequence grouping over the
     # lake — structural dedup signal for scripted transcripts)
     q["cdc_conv_shapes"] = _cdc_conv_shapes
@@ -2212,6 +2244,9 @@ def oracle_sql() -> dict[str, str]:
     # repartition mid-stream is a pure physical re-keying + resume: final
     # state must equal the plain full replay
     sql["cdc_repartitioned"] = sql["cdc_upsert_lww"]
+    # WAP publish is pure safety plumbing around the same replay: final
+    # published table must equal the plain LWW state
+    sql["cdc_wap_publish"] = sql["cdc_upsert_lww"]
     from pg_walstream_ray.sources.events_cdc import TX_ROWS
     from pg_walstream_ray.sources.walgen import BASE_TS_US
 

@@ -704,3 +704,69 @@ def test_mmr_diverse_topk_invariants(ray_session):
     again = _as_df(mmr_diverse_topk(SF)).sort_values(
         ["query_id", "rnk"]).reset_index(drop=True)
     assert m.equals(again)
+
+
+def test_wap_audit_gates_publish(ray_session):
+    """WAP: green audit publishes atomically; tampered staging (missing
+    fragment / orphan file / short watermark) raises AuditError and the
+    target lake never appears."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pytest as _pt
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.wap import (AuditError, audit_lake,
+                                                wap_replay)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.state.manifest import (list_partitions,
+                                                 partition_dir,
+                                                 read_manifest)
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    root = _tf.mkdtemp(prefix="pgwr_wap_t_")
+    try:
+        # happy path: publish succeeds, staging is gone, audit all-green
+        lake = _os.path.join(root, "ok")
+        report, published = wap_replay(wal_dir, lake, num_partitions=4)
+        assert published == lake and _os.path.isdir(lake)
+        assert not _os.path.exists(lake + ".staging")
+        assert all(report["ok"].to_pylist())
+        assert report.num_rows == 4
+
+        # tamper 1: orphan parquet file -> audit red on that partition
+        pid0 = list_partitions(lake)[0]
+        orphan = _os.path.join(partition_dir(lake, pid0), "zz-orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"not a real fragment")
+        rep = audit_lake(lake)
+        row = rep.to_pandas().set_index("pid").loc[pid0]
+        assert not row["ok"] and row["orphans"] == 1
+        _os.remove(orphan)
+
+        # tamper 2: missing fragment -> red
+        m = read_manifest(lake, pid0)
+        frag = _os.path.join(partition_dir(lake, pid0), m.fragments[-1])
+        bak = frag + ".bak"
+        _os.rename(frag, bak)
+        rep = audit_lake(lake)
+        assert not rep.to_pandas().set_index("pid").loc[pid0]["ok"]
+        _os.rename(bak, frag)
+
+        # tamper 3: watermark gate — expecting an LSN beyond the replay
+        wm = {s: lsn + 10_000 for s, lsn in
+              ((s, m.applied_lsns[s]) for s in m.applied_lsns)}
+        rep = audit_lake(lake, expected_watermark=wm)
+        assert not any(rep["watermark_ok"].to_pylist())
+
+        # wap_replay itself refuses to publish a failing audit: target
+        # pre-existing is also rejected
+        with _pt.raises(ValueError):
+            wap_replay(wal_dir, lake, num_partitions=4)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
