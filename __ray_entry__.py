@@ -341,6 +341,28 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def _cdc_stream_retract(sf_dir: str) -> Any:
+    """Tumbling windows in UPSERT/RETRACT changelog mode (Beam-style
+    accumulating-and-retracting panes), sharded across 4 conv-routed
+    aggregator actors.  The driver oracles the CONSOLIDATED keyed state
+    (fold of each shard's changelog, then the exact disjoint-sum merge),
+    which must equal the plain tumbling window group-by for any batch
+    chunking; the changelog protocol itself (alternation, retraction
+    value equality, single final pane, replay == consolidation) is
+    pinned in tests."""
+    from pg_walstream_ray.pipelines.streaming import stream_window_changelog
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_window_changelog(wal_dir, STREAM_WINDOW_US,
+                                  n_sources=n_shards, n_actors=4)
+    return agg.result_table()
+
+
 def _cdc_stream_hopping(sf_dir: str) -> Any:
     """Streaming HOPPING windows over the CDC tap (width 2x slide —
     every event counted in two overlapping windows), sharded across 4
@@ -1592,6 +1614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_incremental_mv"] = _cdc_incremental_mv
     q["cdc_enriched_convs"] = _cdc_enriched_convs
     q["cdc_stream_windows"] = _cdc_stream_windows
+    # upsert/retract changelog panes (Beam accumulating-and-retracting);
+    # consolidated state == plain tumbling windows (same oracle shape)
+    q["cdc_stream_retract"] = _cdc_stream_retract
     q["cdc_stream_hopping"] = _cdc_stream_hopping
     q["cdc_stream_sessions"] = _cdc_stream_sessions
     # windowed stream-stream interval join (click -> purchase attribution)
@@ -2273,6 +2298,9 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
       FROM e GROUP BY 1
     """
+
+    # the retraction changelog consolidates to the identical window state
+    sql["cdc_stream_retract"] = sql["cdc_stream_windows"]
 
     sql["cdc_stream_hopping"] = f"""
       WITH base AS (

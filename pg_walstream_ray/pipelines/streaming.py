@@ -275,6 +275,133 @@ class HoppingWindowAggregator(TumblingWindowAggregator):
         self._ingest_starts(starts, np.tile(conv, m))
 
 
+class RetractingWindowAggregator(TumblingWindowAggregator):
+    """Tumbling windows emitting an UPSERT/RETRACT CHANGELOG (the
+    Beam/Flink accumulating-and-retracting pane mode): every batch
+    boundary fires SPECULATIVE upserts for open windows whose count
+    changed (each preceded by a retraction of that window's previous
+    emission), and the watermark-driven finalization fires the FINAL
+    pane the same way with ``is_final=True`` — the protocol a downstream
+    keyed sink needs to keep an always-correct materialized view of
+    still-open windows while late data can still revise them.
+
+    Changelog contract (pinned in tests):
+      - per window, emissions strictly alternate
+        upsert/retract(prev)/upsert/...; every retraction's value equals
+        the previous upsert's;
+      - exactly one ``is_final`` upsert per window, and it is that
+        window's last emission;
+      - replaying the changelog in ``seq`` order into a keyed store
+      	(upsert = put, retract = delete-if-equal) reproduces
+        ``consolidated_table()`` exactly, which in turn equals the plain
+        TumblingWindowAggregator's final result (the driver's SQL
+        oracle) for ANY batch chunking.
+
+    Deployment: same surface as the parent (single consumer, or N
+    conv-routed shard actors — conv-disjoint shards changelog their own
+    partial counts; per-actor consolidation then the usual disjoint-sum
+    merge is exact).  Speculative panes depend on batch boundaries by
+    design; only the consolidated state is chunking-invariant.
+    """
+
+    def __init__(self, width_us: int, sources: Iterable[int],
+                 lateness_us: int = 0, distinct_mode: str = "exact"):
+        super().__init__(width_us, sources, lateness_us, distinct_mode)
+        self.changelog: List[dict] = []
+        self._last: Dict[int, tuple] = {}      # w -> (n_events, n_convs)
+        self._touched: set = set()
+        self._seq = 0
+
+    def _ingest_starts(self, starts: np.ndarray,
+                       conv: np.ndarray) -> None:
+        super()._ingest_starts(starts, conv)
+        self._touched.update(np.unique(starts).tolist())
+
+    def _log(self, w: int, kind: str, n: int, nc: int,
+             is_final: bool = False) -> None:
+        self.changelog.append({
+            "seq": self._seq, "window_start_us": w, "kind": kind,
+            "n_events": n, "n_convs": nc, "is_final": is_final})
+        self._seq += 1
+
+    def _fire(self, w: int, n: int, nc: int, is_final: bool) -> None:
+        prev = self._last.get(w)
+        if prev == (n, nc) and not is_final:
+            return                      # unchanged speculative: no pane
+        if prev is not None:
+            self._log(w, "retract", prev[0], prev[1])
+        self._log(w, "upsert", n, nc, is_final)
+        self._last[w] = (n, nc)
+
+    def _advance(self) -> List[dict]:
+        out = super()._advance()        # pops + appends to self.emitted
+        for r in out:                   # final panes, watermark-ordered
+            w = r["window_start_us"]
+            self._fire(w, r["n_events"], r["n_convs"], is_final=True)
+            self._touched.discard(w)
+            self._last.pop(w, None)     # final: no further revisions
+        for w in sorted(self._touched):  # speculative panes
+            st = self.open.get(w)
+            if st is not None:
+                self._fire(w, st[0], self._n_convs(st[1]), is_final=False)
+        self._touched.clear()
+        return out
+
+    def flush(self) -> List[dict]:
+        out = super().flush()           # finalizes every open window
+        for r in out:
+            self._fire(r["window_start_us"], r["n_events"], r["n_convs"],
+                       is_final=True)
+            self._last.pop(r["window_start_us"], None)
+        self._touched.clear()
+        return out
+
+    def changelog_table(self) -> pa.Table:
+        rows = self.changelog
+        return pa.table({
+            "seq": pa.array([r["seq"] for r in rows], pa.int64()),
+            "window_start_us": pa.array(
+                [r["window_start_us"] for r in rows], pa.int64()),
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+            "n_convs": pa.array([r["n_convs"] for r in rows], pa.int64()),
+            "is_final": pa.array([r["is_final"] for r in rows], pa.bool_()),
+        })
+
+    def consolidated_table(self) -> pa.Table:
+        """Fold the changelog into the final keyed state — equals the
+        plain tumbling ``result_table()`` for any chunking."""
+        state: Dict[int, tuple] = {}
+        for r in self.changelog:        # seq order by construction
+            if r["kind"] == "upsert":
+                state[r["window_start_us"]] = (r["n_events"], r["n_convs"])
+            else:
+                state.pop(r["window_start_us"], None)
+        ws = sorted(state)
+        return pa.table({
+            "window_start_us": pa.array(ws, pa.int64()),
+            "n_events": pa.array([state[w][0] for w in ws], pa.int64()),
+            "n_convs": pa.array([state[w][1] for w in ws], pa.int64()),
+        })
+
+    def result_table(self) -> pa.Table:   # sharded finish() surface
+        return self.consolidated_table()
+
+    def state_dict(self) -> dict:
+        d = super().state_dict()
+        d["changelog"] = list(self.changelog)
+        d["last"] = {w: list(v) for w, v in self._last.items()}
+        d["seq"] = self._seq
+        return d
+
+    def load_state(self, state: dict) -> None:
+        super().load_state(state)
+        self.changelog = list(state["changelog"])
+        self._last = {int(w): tuple(v) for w, v in state["last"].items()}
+        self._touched = set()
+        self._seq = int(state["seq"])
+
+
 class WindowTopKAggregator:
     """Per-window TOP-K conversations by event count (windowed heavy
     hitters) — the same tumbling watermark/lateness machinery as
@@ -618,6 +745,8 @@ class ShardedAggResult:
 def _make_agg(kind: str, kw: dict):
     if kind == "windows":
         return TumblingWindowAggregator(**kw)
+    if kind == "retracting":
+        return RetractingWindowAggregator(**kw)
     if kind == "hopping":
         return HoppingWindowAggregator(**kw)
     if kind == "topk":
@@ -806,6 +935,29 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
     from .events import poll_envelopes
 
     agg = TumblingWindowAggregator(**kw)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg
+
+
+def stream_window_changelog(wal_dir: str, width_us: int, n_sources: int,
+                            lateness_us: int = 0, batch_size: int = 8192,
+                            n_actors: int = 0,
+                            distinct_mode: str = "exact"):
+    """Tumbling windows in UPSERT/RETRACT changelog mode (Beam-style
+    accumulating-and-retracting panes).  Single-consumer mode returns
+    the aggregator (``changelog_table()`` + ``consolidated_table()``);
+    sharded mode returns the conv-disjoint consolidated merge (each
+    shard folds its own changelog; partial counts then sum exactly)."""
+    kw = dict(width_us=width_us, sources=range(n_sources),
+              lateness_us=lateness_us, distinct_mode=distinct_mode)
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "retracting", kw, n_actors,
+                            _merge_windows)
+    from .events import poll_envelopes
+
+    agg = RetractingWindowAggregator(**kw)
     for batch in poll_envelopes(wal_dir, batch_size=batch_size):
         agg.ingest(batch)
     agg.flush()

@@ -770,3 +770,72 @@ def test_wap_audit_gates_publish(ray_session):
             wap_replay(wal_dir, lake, num_partitions=4)
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_retracting_changelog_protocol(ray_session):
+    """Upsert/retract pane protocol: per-window alternation with exact
+    retraction values, exactly one final pane (the last emission),
+    changelog replay == consolidated state == plain tumbling result,
+    for MULTIPLE batch chunkings; sharded consolidation matches too."""
+    import hashlib as _hl
+    import os as _os
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.streaming import (
+        stream_window_changelog, stream_windows)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    W = e.STREAM_WINDOW_US
+
+    plain = stream_windows(wal_dir, W, n_sources=2).result_table() \
+        .to_pandas().sort_values("window_start_us").reset_index(drop=True)
+
+    for bs in (64, 1024, 8192):
+        agg = stream_window_changelog(wal_dir, W, n_sources=2,
+                                      batch_size=bs)
+        log = agg.changelog_table().to_pandas()
+        assert len(log) > 0
+        assert (log["seq"].to_numpy() == np.arange(len(log))).all()
+        # per-window protocol
+        store = {}
+        for w, g in log.groupby("window_start_us"):
+            g = g.sort_values("seq")
+            kinds = list(g["kind"])
+            # alternation: upsert first, then retract/upsert pairs
+            assert kinds[0] == "upsert"
+            for i in range(1, len(kinds)):
+                assert kinds[i] != kinds[i - 1]
+            # each retraction carries the previous upsert's exact values
+            prev = None
+            for _, r in g.iterrows():
+                if r["kind"] == "retract":
+                    assert prev is not None
+                    assert (r["n_events"], r["n_convs"]) == prev
+                else:
+                    prev = (r["n_events"], r["n_convs"])
+            finals = g[g["is_final"]]
+            assert len(finals) == 1 and finals["kind"].iloc[0] == "upsert"
+            assert finals["seq"].iloc[0] == g["seq"].iloc[-1]
+        # replay == consolidation == plain tumbling
+        for _, r in log.sort_values("seq").iterrows():
+            if r["kind"] == "upsert":
+                store[r["window_start_us"]] = (r["n_events"], r["n_convs"])
+            else:
+                assert store.pop(r["window_start_us"]) == \
+                    (r["n_events"], r["n_convs"])
+        cons = agg.consolidated_table().to_pandas() \
+            .sort_values("window_start_us").reset_index(drop=True)
+        assert {w: (r, c) for w, (r, c) in store.items()} == {
+            int(r["window_start_us"]): (int(r["n_events"]),
+                                         int(r["n_convs"]))
+            for _, r in cons.iterrows()}
+        assert cons.equals(plain)
+
+    sharded = stream_window_changelog(wal_dir, W, n_sources=2,
+                                      n_actors=4).result_table() \
+        .to_pandas().sort_values("window_start_us").reset_index(drop=True)
+    assert sharded.equals(plain)
