@@ -1865,6 +1865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["vec_id"])
     # per-node triangle counts over the same pair graph (clique signal)
     q["dedup_triangles"] = dedup.dedup_triangles
+    # exact k-core coreness per node (h-index fixpoint on Pregel shards);
+    # iterative -> rows-only driver check, brute-peel equality in tests
+    q["dedup_kcore"] = dedup.dedup_kcore
     # exact Levenshtein verification of Jaccard near-dup candidates
     q["edit_distance_pairs"] = dedup.edit_distance_pairs
 

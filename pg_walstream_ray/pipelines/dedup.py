@@ -1422,3 +1422,171 @@ def edit_distance_pairs(sf_dir: str, threshold: float = 0.95):
     docs_b = _docs(sf_dir).map_batches(doc_side_b, batch_format="pyarrow")
     return (with_a.union(docs_b)
             .groupby("bpart").map_groups(score, batch_format="pandas"))
+
+
+class _CoreShard:
+    """One k-core graph shard (node-cut by ``node % K``), same ownership
+    contract as _PrShard: symmetrized input means every owned node's
+    edges live in this bucket, so degree (the h-index seed) is local.
+
+    Per superstep each shard sends, for every dst bucket, the
+    (dst_local_hint, src_value) pairs of its outgoing edges — O(|E|/K)
+    int32/int64 arrays per actor pair, point-to-point via
+    ``num_returns=K``, no Dataset shuffle and no driver relay — and
+    computes the new value of each owned node as the H-INDEX of its
+    received neighbor values (Lu et al. 2016: iterating value_i <-
+    H({value_j : j in N(i)}) from value_i = degree_i converges to the
+    exact coreness for every node; values are non-increasing, so
+    convergence is a zero-changes fixpoint).
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.nodes = np.zeros(0, np.int64)
+        self.deg = np.zeros(0, np.int64)
+        self.val = np.zeros(0, np.int64)
+        self._src_idx = []              # per dst bucket: local src index
+        self._dst_u = []                # per dst bucket: unique dst ids
+        self._dst_inv = []              # per dst bucket: compacted dst
+
+    def load(self, src: np.ndarray, dst: np.ndarray) -> int:
+        self.nodes, src_idx = np.unique(src, return_inverse=True)
+        self.deg = np.bincount(src_idx, minlength=len(self.nodes)) \
+            .astype(np.int64)
+        self.val = self.deg.copy()
+        db = dst % self.k
+        order = np.argsort(db, kind="stable")
+        dst_s, src_s = dst[order], src_idx[order]
+        bounds = np.searchsorted(db[order], np.arange(self.k + 1))
+        for t in range(self.k):
+            sl = slice(bounds[t], bounds[t + 1])
+            u, inv = np.unique(dst_s[sl], return_inverse=True)
+            self._src_idx.append(src_s[sl].astype(np.int32))
+            self._dst_u.append(u)
+            self._dst_inv.append(inv.astype(np.int32))
+        return len(self.nodes)
+
+    def scatter(self):
+        """Outgoing half: per dst bucket, (unique_dsts, dst_inv,
+        src_values) — the receiver h-indexes per compacted dst id."""
+        out = []
+        for t in range(self.k):
+            out.append((self._dst_u[t], self._dst_inv[t],
+                        self.val[self._src_idx[t]]))
+        return tuple(out) if self.k > 1 else out[0]
+
+    def gather(self, *parts) -> int:
+        """H-index each owned node over all received neighbor values;
+        returns the number of nodes whose value changed (the global
+        convergence counter is just the sum over shards)."""
+        if not len(self.nodes):
+            return 0
+        # concatenate (owned_idx, value) from every sender
+        idx_cat, val_cat = [], []
+        for u, inv, vals in parts:
+            if len(u):
+                owned = np.searchsorted(self.nodes, u)
+                idx_cat.append(owned[inv])
+                val_cat.append(vals)
+        if not idx_cat:
+            return 0
+        idx = np.concatenate(idx_cat)
+        vals = np.concatenate(val_cat)
+        # vectorized grouped h-index: sort (idx asc, value desc); within
+        # a group sorted desc, {i : v_i >= i+1} is a prefix, so
+        # h = count of positions with value >= in-group rank + 1
+        order = np.lexsort((-vals, idx))
+        idx_s, val_s = idx[order], vals[order]
+        starts = np.searchsorted(idx_s, np.arange(len(self.nodes)))
+        pos = np.arange(len(idx_s)) - starts[idx_s]
+        cond = val_s >= pos + 1
+        h = np.bincount(idx_s, weights=cond,
+                        minlength=len(self.nodes)).astype(np.int64)
+        new = np.minimum(self.val, h)   # monotone non-increasing
+        changed = int((new != self.val).sum())
+        self.val = new
+        return changed
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "coreness": pa.array(self.val, pa.int64())})
+
+
+def kcore_decomposition(pairs, npart: Optional[int] = None,
+                        max_rounds: int = 200):
+    """Exact CORENESS per node over an undirected pair Dataset
+    ``(vec_a, vec_b)`` -> ``(node, coreness)`` — the k-core number (max
+    k such that the node survives iterated removal of degree<k nodes),
+    the standard cohesion measure separating tight duplicate cliques
+    from loose chains (a template family is a high-core blob; a
+    transitive A~B~C chain is 1-core).
+
+    Architecture: the Pregel shard pattern (see ``pagerank``) running
+    the h-index fixpoint — adjacency loaded ONCE into K ``_CoreShard``
+    actors via a single edge shuffle; each round moves O(|E|) small ints
+    point-to-point and reduces a scalar changed-count; the driver loops
+    until sum(changed) == 0 (exact fixpoint = coreness for every node).
+    Iterative, so no SQL oracle; equality against brute-force peeling
+    plus core-subgraph invariants are pinned in tests.
+    """
+    import ray
+    import ray.data as rd
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "coreness": pa.array([],
+                                                            pa.int64())}))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    k = npart or max(2, min(ncpu, n_edges // 65536 + 2))
+
+    Shard = ray.remote(num_cpus=1)(_CoreShard)
+    actors = [Shard.remote(k) for _ in range(k)]
+
+    def route(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(s % k))
+
+    def load(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        n = ray.get(actors[b].load.remote(
+            np.ascontiguousarray(g["src"].to_numpy(zero_copy_only=False)),
+            np.ascontiguousarray(g["dst"].to_numpy(zero_copy_only=False))))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_nodes": pa.array([n], pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(load, batch_format="pyarrow") \
+        .materialize()
+
+    for _ in range(max_rounds):
+        outs = [a.scatter.options(num_returns=k).remote() if k > 1
+                else [a.scatter.remote()] for a in actors]
+        changed = sum(ray.get([actors[b].gather.remote(
+            *[outs[a][b] for a in range(k)]) for b in range(k)]))
+        if changed == 0:
+            break
+
+    return rd.from_arrow_refs([a.result.remote() for a in actors])
+
+
+def dedup_kcore(sf_dir: str, threshold: float = 0.35):
+    """Coreness of every node in the embedding near-dup pair graph —
+    (vec_id, coreness).  Same pair source as dedup_clusters /
+    dedup_pagerank; rows-only driver check (iterative), brute-force
+    peeling equality pinned in tests."""
+    from .similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold) \
+        .select_columns(["vec_a", "vec_b"])
+    return kcore_decomposition(pairs).map_batches(
+        lambda t: pa.table({"vec_id": t["node"],
+                            "coreness": t["coreness"]}),
+        batch_format="pyarrow")

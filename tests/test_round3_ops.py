@@ -839,3 +839,48 @@ def test_retracting_changelog_protocol(ray_session):
                                       n_actors=4).result_table() \
         .to_pandas().sort_values("window_start_us").reset_index(drop=True)
     assert sharded.equals(plain)
+
+
+def test_kcore_equals_brute_peeling(ray_session):
+    """Distributed h-index fixpoint == brute-force peeling coreness on
+    the corpus near-dup graph + a hand graph with known cores."""
+    import collections
+
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from pg_walstream_ray.pipelines.dedup import (dedup_kcore,
+                                                  kcore_decomposition)
+    from pg_walstream_ray.pipelines.similarity import embedding_near_dup
+
+    pairs = _rd.from_arrow(_pa.table({
+        "vec_a": _pa.array([0, 1, 2, 2, 10], _pa.int64()),
+        "vec_b": _pa.array([1, 2, 0, 3, 11], _pa.int64())}))
+    r = kcore_decomposition(pairs).to_pandas() \
+        .set_index("node")["coreness"].to_dict()
+    assert r == {0: 2, 1: 2, 2: 2, 3: 1, 10: 1, 11: 1}
+
+    out = _as_df(dedup_kcore(SF))
+    p = _as_df(embedding_near_dup(SF))
+    adj = collections.defaultdict(set)
+    for a, b in zip(p["vec_a"], p["vec_b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = {n: len(s) for n, s in adj.items()}
+    core, k = {}, 0
+    while alive:
+        k = max(k, min(alive.values()))
+        peel = [n for n, d in alive.items() if d <= k]
+        while peel:
+            n = peel.pop()
+            if n not in alive:
+                continue
+            core[n] = k
+            del alive[n]
+            for m in adj[n]:
+                if m in alive:
+                    alive[m] -= 1
+                    if alive[m] <= k:
+                        peel.append(m)
+    assert out.set_index("vec_id")["coreness"].to_dict() == core
+    assert len(out) == len(core) > 0
