@@ -320,3 +320,76 @@ def test_weighted_median_histogram_matches_bruteforce(cents):
         if 2 * run >= sum(cents):
             assert v == got
             break
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1),          # source
+                          st.integers(0, 999),        # commit ts
+                          st.integers(0, 15)),        # conv
+                min_size=1, max_size=200),
+       st.integers(1, 50))                            # chunk size
+def test_retracting_changelog_matches_bruteforce(rows, chunk):
+    """RetractingWindowAggregator over any PER-SOURCE-in-order stream,
+    ingested in arbitrary chunk sizes: the consolidated changelog equals
+    the brute-force per-window count/distinct, the protocol alternates
+    with exact retraction values, and every window's final pane is its
+    last emission."""
+    import pyarrow as pa
+
+    from pg_walstream_ray.pipelines.streaming import (
+        RetractingWindowAggregator)
+
+    # commit ts must be monotone PER SOURCE (WAL contract)
+    by_src = {0: [], 1: []}
+    for s, t, c in rows:
+        by_src[s].append((t, c))
+    for s in by_src:
+        by_src[s].sort()
+    merged = sorted([(t, s, c) for s in by_src for t, c in by_src[s]])
+
+    W = 100
+    agg = RetractingWindowAggregator(width_us=W, sources=[0, 1])
+    for i in range(0, len(merged), chunk):
+        part = merged[i:i + chunk]
+        tab = pa.table({
+            "source": pa.array([r[1] for r in part], pa.int32()),
+            "commit_ts_us": pa.array([r[0] for r in part], pa.int64()),
+            "op": pa.array(["insert"] * len(part), pa.string()),
+            "after_values": pa.array([[f"c{r[2]}"] for r in part],
+                                     pa.list_(pa.string())),
+            "before_values": pa.array([None] * len(part),
+                                      pa.list_(pa.string())),
+        })
+        agg.ingest(tab)
+    agg.flush()
+
+    want: dict = {}
+    for t, s, c in merged:
+        w = t - t % W
+        st_ = want.setdefault(w, [0, set()])
+        st_[0] += 1
+        st_[1].add(c)
+    cons = agg.consolidated_table().to_pandas()
+    got = {int(r["window_start_us"]): (int(r["n_events"]),
+                                       int(r["n_convs"]))
+           for _, r in cons.iterrows()}
+    assert got == {w: (n, len(cs)) for w, (n, cs) in want.items()}
+
+    log = agg.changelog_table().to_pandas()
+    assert (log["seq"].to_numpy()
+            == np.arange(len(log))).all()
+    for w, g in log.groupby("window_start_us"):
+        g = g.sort_values("seq")
+        kinds = list(g["kind"])
+        assert kinds[0] == "upsert"
+        assert all(kinds[i] != kinds[i - 1] for i in range(1, len(kinds)))
+        prev = None
+        for _, r in g.iterrows():
+            if r["kind"] == "retract":
+                assert (r["n_events"], r["n_convs"]) == prev
+            else:
+                prev = (r["n_events"], r["n_convs"])
+        finals = g[g["is_final"]]
+        assert len(finals) == 1
+        assert finals["seq"].iloc[0] == g["seq"].iloc[-1]
+    assert agg.late_dropped == 0
