@@ -363,6 +363,25 @@ def _cdc_stream_retract(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def _cdc_stream_quantiles(sf_dir: str) -> Any:
+    """EXACT streaming text-length quantiles per tumbling window
+    (bounded per-window length histogram -> exact quantile_disc p50/p95
+    — a sketchless streaming quantile), sharded across 4 conv-routed
+    aggregator actors emitting histogram partials (quantiles do not add
+    across shards; histograms do, so the merge sums then cuts once)."""
+    from pg_walstream_ray.pipelines.streaming import stream_window_quantiles
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_window_quantiles(wal_dir, STREAM_WINDOW_US,
+                                  n_sources=n_shards, n_actors=4)
+    return agg.result_table()
+
+
 def _cdc_stream_hopping(sf_dir: str) -> Any:
     """Streaming HOPPING windows over the CDC tap (width 2x slide —
     every event counted in two overlapping windows), sharded across 4
@@ -1617,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # upsert/retract changelog panes (Beam accumulating-and-retracting);
     # consolidated state == plain tumbling windows (same oracle shape)
     q["cdc_stream_retract"] = _cdc_stream_retract
+    # exact streaming quantiles (per-window bounded length histogram)
+    q["cdc_stream_quantiles"] = _cdc_stream_quantiles
     q["cdc_stream_hopping"] = _cdc_stream_hopping
     q["cdc_stream_sessions"] = _cdc_stream_sessions
     # windowed stream-stream interval join (click -> purchase attribution)
@@ -2304,6 +2325,33 @@ def oracle_sql() -> dict[str, str]:
 
     # the retraction changelog consolidates to the identical window state
     sql["cdc_stream_retract"] = sql["cdc_stream_windows"]
+
+    sql["cdc_stream_quantiles"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, props, event_type,
+               event_id * 4 + 4 AS lsn, user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT {BASE_TS_US} + c.commit_lsn AS cts,
+               LEAST(length('e' || CAST(r.event_id AS VARCHAR)
+                            || ':' || r.props), 8191) AS len
+        FROM r JOIN c USING (shard, tx)
+      )
+      SELECT CAST(cts - cts % {STREAM_WINDOW_US} AS BIGINT)
+               AS window_start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(quantile_disc(len, 0.5) AS BIGINT) AS p50_len,
+             CAST(quantile_disc(len, 0.95) AS BIGINT) AS p95_len
+      FROM e GROUP BY 1
+    """
 
     sql["cdc_stream_hopping"] = f"""
       WITH base AS (

@@ -402,6 +402,140 @@ class RetractingWindowAggregator(TumblingWindowAggregator):
         self._seq = int(state["seq"])
 
 
+class WindowQuantileAggregator(TumblingWindowAggregator):
+    """EXACT text-length quantiles per tumbling window: per-window state
+    is a bounded LENGTH HISTOGRAM (int64 counts over lengths clipped to
+    ``cap`` — the same bounded-domain trick the engine's exact
+    weighted-median and quantile-band operators use), so p50/p95 at
+    finalization are exact ``quantile_disc`` values, not sketches, while
+    state per open window stays O(cap) regardless of event volume.
+
+    Insert/update envelopes only (deletes carry no text).  Watermark /
+    lateness / eviction semantics are inherited unchanged.
+
+    ``emit='quantiles'`` (single consumer / driver oracle) finalizes
+    each window to (window_start_us, n_events, p50_len, p95_len);
+    ``emit='hist'`` (the SHARDED deployment) finalizes to the sparse
+    (window_start_us, len, n) histogram rows instead — quantiles do not
+    add across shards, histograms do, so the conv-routed actor merge
+    sums histograms by (window, len) and cuts the exact quantiles once
+    (``_merge_window_quantiles``).
+    """
+
+    def __init__(self, width_us: int, sources: Iterable[int],
+                 lateness_us: int = 0, cap: int = 8192,
+                 emit: str = "quantiles"):
+        if emit not in ("quantiles", "hist"):
+            raise ValueError(f"emit {emit!r}")
+        super().__init__(width_us, sources, lateness_us)
+        self.cap = int(cap)
+        self.emit = emit
+        self.open: Dict[int, np.ndarray] = {}    # w -> len histogram
+
+    def ingest(self, batch: pa.Table) -> List[dict]:
+        dml = batch.filter(pc.is_in(
+            batch["op"], value_set=pa.array(["insert", "update"],
+                                            pa.string())))
+        if dml.num_rows:
+            cts = dml["commit_ts_us"].to_numpy(zero_copy_only=False)
+            src = dml["source"].to_numpy(zero_copy_only=False)
+            after = dml["after_values"]
+            if isinstance(after, pa.ChunkedArray):
+                after = after.combine_chunks()
+            lens = pc.utf8_length(pc.list_element(after, 3)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            self.ingest_keyed(lens, cts, src)
+            self.observe_watermarks(_batch_watermarks(cts, src))
+        return self._advance()
+
+    def ingest_keyed(self, lens: np.ndarray, cts: np.ndarray,
+                     src: np.ndarray) -> None:
+        starts = cts - cts % self.width
+        lens = np.minimum(lens, self.cap - 1)
+        order = np.argsort(starts, kind="stable")
+        ss, ls = starts[order], lens[order]
+        uq, i0, cnt = np.unique(ss, return_index=True, return_counts=True)
+        for w, i, n in zip(uq.tolist(), i0.tolist(), cnt.tolist()):
+            if w + self.width - 1 <= self.closed_before:
+                self.late_dropped += n
+                continue
+            h = self.open.get(w)
+            if h is None:
+                h = self.open[w] = np.zeros(self.cap, np.int64)
+            h += np.bincount(ls[i:i + n], minlength=self.cap)
+
+    @staticmethod
+    def _cut(h: np.ndarray, q: float) -> int:
+        """quantile_disc over a histogram: value at position
+        ceil(q*n) (1-based) of the sorted multiset."""
+        cum = np.cumsum(h)
+        n = int(cum[-1])
+        target = max(int(np.ceil(q * n)), 1)
+        return int(np.searchsorted(cum, target))
+
+    def _finalize(self, w: int, h: np.ndarray) -> List[dict]:
+        if self.emit == "hist":
+            nz = np.flatnonzero(h)
+            return [{"window_start_us": w, "len": int(v),
+                     "n": int(h[v])} for v in nz]
+        return [{"window_start_us": w, "n_events": int(h.sum()),
+                 "p50_len": self._cut(h, 0.5),
+                 "p95_len": self._cut(h, 0.95)}]
+
+    def _advance(self) -> List[dict]:
+        gw = self._global_watermark()
+        out = []
+        for w in sorted(self.open):
+            if w + self.width + self.late <= gw:
+                h = self.open.pop(w)
+                out.extend(self._finalize(w, h))
+                self.closed_before = max(self.closed_before,
+                                         w + self.width - 1)
+        self.emitted.extend(out)
+        return out
+
+    def flush(self) -> List[dict]:
+        out = []
+        for w, h in sorted(self.open.items()):
+            out.extend(self._finalize(w, h))
+        self.open.clear()
+        self.emitted.extend(out)
+        return out
+
+    def result_table(self) -> pa.Table:
+        rows = sorted(self.emitted, key=lambda r: (r["window_start_us"],
+                                                   r.get("len", -1)))
+        if self.emit == "hist":
+            return pa.table({
+                "window_start_us": pa.array(
+                    [r["window_start_us"] for r in rows], pa.int64()),
+                "len": pa.array([r["len"] for r in rows], pa.int64()),
+                "n": pa.array([r["n"] for r in rows], pa.int64())})
+        return pa.table({
+            "window_start_us": pa.array(
+                [r["window_start_us"] for r in rows], pa.int64()),
+            "n_events": pa.array([r["n_events"] for r in rows],
+                                 pa.int64()),
+            "p50_len": pa.array([r["p50_len"] for r in rows], pa.int64()),
+            "p95_len": pa.array([r["p95_len"] for r in rows], pa.int64()),
+        })
+
+    def state_dict(self) -> dict:
+        return {"wm": dict(self.wm),
+                "open": {w: h.tobytes() for w, h in self.open.items()},
+                "closed_before": self.closed_before,
+                "late_dropped": self.late_dropped,
+                "emitted": list(self.emitted)}
+
+    def load_state(self, state: dict) -> None:
+        self.wm = {int(s): int(m) for s, m in state["wm"].items()}
+        self.open = {int(w): np.frombuffer(b, dtype=np.int64).copy()
+                     for w, b in state["open"].items()}
+        self.closed_before = int(state["closed_before"])
+        self.late_dropped = int(state["late_dropped"])
+        self.emitted = list(state["emitted"])
+
+
 class WindowTopKAggregator:
     """Per-window TOP-K conversations by event count (windowed heavy
     hitters) — the same tumbling watermark/lateness machinery as
@@ -751,6 +885,8 @@ def _make_agg(kind: str, kw: dict):
         return HoppingWindowAggregator(**kw)
     if kind == "topk":
         return WindowTopKAggregator(**kw)
+    if kind == "quantile":
+        return WindowQuantileAggregator(**kw)
     if kind == "join":
         return StreamJoiner(**kw)
     return StreamSessionizer(**kw)
@@ -771,9 +907,12 @@ class _AggActor:
 
     def ingest(self, slim: pa.Table, wm: Dict[int, int]) -> None:
         if slim.num_rows:
-            args = [slim["conv"].to_numpy(zero_copy_only=False),
-                    slim["cts"].to_numpy(zero_copy_only=False),
-                    slim["src"].to_numpy(zero_copy_only=False)]
+            if "lenv" in slim.column_names:      # quantile kind: lengths
+                args = [slim["lenv"].to_numpy(zero_copy_only=False)]
+            else:
+                args = [slim["conv"].to_numpy(zero_copy_only=False)]
+            args += [slim["cts"].to_numpy(zero_copy_only=False),
+                     slim["src"].to_numpy(zero_copy_only=False)]
             if "flag" in slim.column_names:      # join kind: probe/emit
                 args.append(slim["flag"].to_numpy(zero_copy_only=False))
             self.agg.ingest_keyed(*args)
@@ -787,7 +926,8 @@ class _AggActor:
 
 
 def _route_shard(segs: List[str], actors: list, n_actors: int,
-                 max_inflight: int = 64, with_role: bool = False) -> int:
+                 max_inflight: int = 64, with_role: bool = False,
+                 with_len: bool = False) -> int:
     """Decode ONE WAL source sequentially and route its key stream.
 
     Runs as a Ray task; per-source ordering is preserved end-to-end
@@ -806,14 +946,36 @@ def _route_shard(segs: List[str], actors: list, n_actors: int,
         dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
         if dml.num_rows == 0:
             continue
+        if with_len:
+            # quantile kind: lengths of insert/update text only (deletes
+            # carry no after-image), but watermarks still advance on the
+            # FULL dml batch so eviction never stalls behind deletes
+            conv_all, cts_all, src_all = _extract_keys(dml)
+            wm_full = _batch_watermarks(cts_all, src_all)
+            dml = dml.filter(pc.invert(pc.equal(dml["op"], "delete")))
+            if dml.num_rows == 0:
+                pending.extend(
+                    a.ingest.remote(pa.table(
+                        {"lenv": pa.array([], pa.int64()),
+                         "conv": pa.array([], pa.string()),
+                         "cts": pa.array([], pa.int64()),
+                         "src": pa.array([], pa.int32())}), wm_full)
+                    for a in actors)
+                continue
         conv, cts, src = _extract_keys(dml)
         routed += dml.num_rows
         key_arr = pa.chunked_array([pa.array(conv, pa.string())])
         h = stable_hash_strings(key_arr) % n_actors
-        wm = _batch_watermarks(cts, src)
+        wm = _batch_watermarks(cts, src) if not with_len else wm_full
         cols = {"conv": key_arr,
                 "cts": pa.array(cts, pa.int64()),
                 "src": pa.array(src, pa.int32())}
+        if with_len:
+            after = dml["after_values"]
+            if isinstance(after, pa.ChunkedArray):
+                after = after.combine_chunks()
+            cols["lenv"] = pc.cast(
+                pc.utf8_length(pc.list_element(after, 3)), pa.int64())
         if with_role:
             # probe/emit flag from the role cell (tuple column 2):
             # 0 = probe (user), 1 = emit (assistant), -1 = dropped
@@ -887,7 +1049,8 @@ def _merge_sessions(tables: List[pa.Table]) -> pa.Table:
 
 
 def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
-                 merge, with_role: bool = False) -> ShardedAggResult:
+                 merge, with_role: bool = False,
+                 with_len: bool = False) -> ShardedAggResult:
     import ray
 
     from .cdc import discover_shards
@@ -906,7 +1069,7 @@ def _run_sharded(wal_dir: str, kind: str, kw: dict, n_actors: int,
         # all routers finish -> all their ingests are acked -> finish()
         # observes every batch (actor task order is per-caller FIFO)
         ray.get([route_fn.remote(segs, actors, n_actors,
-                                 with_role=with_role)
+                                 with_role=with_role, with_len=with_len)
                  for segs in shard_paths])
         parts = ray.get([a.finish.remote() for a in actors])
     finally:
@@ -935,6 +1098,55 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
     from .events import poll_envelopes
 
     agg = TumblingWindowAggregator(**kw)
+    for batch in poll_envelopes(wal_dir, batch_size=batch_size):
+        agg.ingest(batch)
+    agg.flush()
+    return agg
+
+
+def _merge_window_quantiles(tables: List[pa.Table]) -> pa.Table:
+    """Sum per-actor (window, len, n) histogram partials, then cut the
+    exact quantile_disc values once per window — quantiles do not add,
+    histograms do."""
+    cat = pa.concat_tables(tables)
+    if cat.num_rows == 0:
+        return pa.table({"window_start_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "p50_len": pa.array([], pa.int64()),
+                         "p95_len": pa.array([], pa.int64())})
+    agg = cat.group_by(["window_start_us", "len"]).aggregate([("n", "sum")])
+    df = agg.to_pandas().sort_values(["window_start_us", "len"])
+    out = {"window_start_us": [], "n_events": [], "p50_len": [],
+           "p95_len": []}
+    for w, g in df.groupby("window_start_us", sort=True):
+        lens = g["len"].to_numpy(np.int64)
+        cnt = g["n_sum"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        out["window_start_us"].append(int(w))
+        out["n_events"].append(n)
+        for q, col in ((0.5, "p50_len"), (0.95, "p95_len")):
+            target = max(int(np.ceil(q * n)), 1)
+            out[col].append(int(lens[np.searchsorted(cum, target)]))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def stream_window_quantiles(wal_dir: str, width_us: int, n_sources: int,
+                            lateness_us: int = 0, batch_size: int = 8192,
+                            n_actors: int = 0, cap: int = 8192):
+    """Exact per-window text-length quantiles over the CDC tap (bounded
+    per-window length histogram; p50/p95 are exact quantile_disc cuts).
+    Single consumer (n_actors=0) or N sharded actors emitting histogram
+    partials merged exactly by ``_merge_window_quantiles``."""
+    kw = dict(width_us=width_us, sources=range(n_sources),
+              lateness_us=lateness_us, cap=cap)
+    if n_actors > 0:
+        return _run_sharded(wal_dir, "quantile", dict(kw, emit="hist"),
+                            n_actors, _merge_window_quantiles,
+                            with_len=True)
+    from .events import poll_envelopes
+
+    agg = WindowQuantileAggregator(**kw)
     for batch in poll_envelopes(wal_dir, batch_size=batch_size):
         agg.ingest(batch)
     agg.flush()

@@ -884,3 +884,66 @@ def test_kcore_equals_brute_peeling(ray_session):
                         peel.append(m)
     assert out.set_index("vec_id")["coreness"].to_dict() == core
     assert len(out) == len(core) > 0
+
+
+def test_stream_quantiles_exact_and_shard_invariant(ray_session):
+    """Windowed length-quantile aggregator: single-consumer == 4-actor
+    sharded (histogram-partial merge) == brute-force quantile_disc per
+    window over the raw envelope stream; checkpoint/restore round-trips."""
+    import hashlib as _hl
+    import os as _os
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.events import envelope_dataset
+    from pg_walstream_ray.pipelines.streaming import (
+        WindowQuantileAggregator, stream_window_quantiles)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    W = e.STREAM_WINDOW_US
+
+    single = _as_df(stream_window_quantiles(
+        wal_dir, W, n_sources=2).result_table()) \
+        .sort_values("window_start_us").reset_index(drop=True)
+    shard = _as_df(stream_window_quantiles(
+        wal_dir, W, n_sources=2, n_actors=4).result_table()) \
+        .sort_values("window_start_us").reset_index(drop=True)
+    assert single.equals(shard)
+    assert len(single) > 0
+
+    # brute force over the raw envelopes
+    env = envelope_dataset(wal_dir).to_pandas()
+    dml = env[env["op"].isin(["insert", "update"])]
+    lens = dml["after_values"].map(lambda v: len(v[3]))
+    w = dml["commit_ts_us"] - dml["commit_ts_us"] % W
+    df = pd.DataFrame({"w": w.to_numpy(), "len": lens.to_numpy()})
+
+    def qd(v, q):
+        v = np.sort(v.to_numpy())
+        return int(v[max(int(np.ceil(q * len(v))), 1) - 1])
+
+    brute = df.groupby("w")["len"].agg(
+        n_events="size", p50_len=lambda v: qd(v, 0.5),
+        p95_len=lambda v: qd(v, 0.95)).reset_index() \
+        .rename(columns={"w": "window_start_us"})
+    assert single.astype(np.int64).equals(brute.astype(np.int64))
+
+    # checkpoint/restore equivalence mid-stream
+    from pg_walstream_ray.pipelines.events import poll_envelopes
+    a1 = WindowQuantileAggregator(width_us=W, sources=[0, 1])
+    batches = list(poll_envelopes(wal_dir, batch_size=512))
+    half = len(batches) // 2
+    for b in batches[:half]:
+        a1.ingest(b)
+    snap = a1.state_dict()
+    a2 = WindowQuantileAggregator(width_us=W, sources=[0, 1])
+    a2.load_state(snap)
+    for b in batches[half:]:
+        a1.ingest(b)
+        a2.ingest(b)
+    a1.flush()
+    a2.flush()
+    assert _as_df(a1.result_table()).equals(_as_df(a2.result_table()))
