@@ -309,6 +309,51 @@ def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
     return out
 
 
+def bench_graph_tier(n_nodes: int = 1_000_000, avg_deg: int = 8) -> dict:
+    """Pregel-shard graph tier: PageRank (10 supersteps) and exact
+    k-core decomposition over a deterministic synthetic power-law-ish
+    graph (~n_nodes * avg_deg directed edges after symmetrization).
+    Reports edges/s per PageRank superstep and total k-core wall — the
+    throughput row for the iterative-graph engines, like the replay
+    tier's events/s.  Best-of-2 per engine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import (kcore_decomposition,
+                                                  pagerank)
+
+    n_edges = n_nodes * avg_deg // 2
+    rng = np.random.default_rng(20_260_820)        # deterministic
+    # preferential-attachment-ish: endpoint b drawn from sqrt-skewed ids
+    a_ids = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    b_ids = (rng.random(n_edges) ** 2 * n_nodes).astype(np.int64)
+    keep = a_ids != b_ids
+    pairs_tab = pa.table({"vec_a": pa.array(a_ids[keep]),
+                          "vec_b": pa.array(b_ids[keep])})
+    ne = pairs_tab.num_rows
+    out: dict = {"n_nodes": n_nodes, "n_edges": ne}
+    for name, fn in (
+            ("pagerank10", lambda: pagerank(
+                rd.from_arrow(pairs_tab), iters=10)),
+            ("kcore", lambda: kcore_decomposition(
+                rd.from_arrow(pairs_tab)))):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn().count()
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, rows)
+        out[f"sec_{name}"] = round(best[0], 3)
+        out[f"rows_{name}"] = best[1]
+    # 2x for symmetrization: each input pair is two directed edges/round
+    out["pagerank_edges_per_s_per_superstep"] = round(
+        2 * ne * 10 / out["sec_pagerank10"], 1)
+    out["sec"] = out["sec_pagerank10"]
+    return out
+
+
 def _consume(res) -> int:
     """Materialize a query result minimally; return row count."""
     import pandas as pd
@@ -396,6 +441,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             queries["stream_sessions_sharded"] = strm["sec"]
             wnd = bench_streaming_windows(4_000_000)
             queries["stream_hopping_sharded"] = wnd["sec"]
+            graph = bench_graph_tier()
+            queries["graph_pagerank_4m_edges"] = graph["sec"]
         return {
             "metric": "cdc_replay_wall_sec (events applied/sec in events_per_s)",
             "value": round(head["sec"], 3),
@@ -411,7 +458,8 @@ def run_suite(sf_dir: str, headline_only: bool,
                if syn else {}),
             **({"lake_maintenance": maint,
                 "streaming_sessions": strm,
-                "streaming_windows": wnd} if not headline_only else {}),
+                "streaming_windows": wnd,
+                "graph_tier": graph} if not headline_only else {}),
             "rows_out": extra,
         }
     finally:

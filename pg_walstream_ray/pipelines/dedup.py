@@ -1043,11 +1043,29 @@ class _PrShard:
         self._src_idx = []                       # per dst-bucket: local src
         self._dst_u = []                         # per dst-bucket: uniq dsts
         self._dst_inv = []                       # per dst-bucket: compact id
+        self._buf_src: list = []                 # pre-finalize push buffer
+        self._buf_dst: list = []
+
+    def load_part(self, src: np.ndarray, dst: np.ndarray) -> None:
+        """Buffer one pushed edge slice (streaming-router style: pushers
+        partition each batch by ``src % k`` and send slices straight to
+        the owning shard — no Dataset all-to-all sort)."""
+        self._buf_src.append(src)
+        self._buf_dst.append(dst)
 
     def load(self, src: np.ndarray, dst: np.ndarray) -> int:
-        """Ingest this bucket's directed edges (src % k == bucket).
-        Symmetrized input guarantees every dst also appears as a src in
-        its own bucket, so ownership below is total."""
+        self.load_part(src, dst)
+        return self.finalize()
+
+    def finalize(self) -> int:
+        """Compact the buffered edges (src % k == bucket) into local
+        index arrays.  Symmetrized input guarantees every dst also
+        appears as a src in its own bucket, so ownership is total."""
+        src = np.concatenate(self._buf_src) if self._buf_src \
+            else np.zeros(0, np.int64)
+        dst = np.concatenate(self._buf_dst) if self._buf_dst \
+            else np.zeros(0, np.int64)
+        self._buf_src, self._buf_dst = [], []
         self.nodes, src_idx = np.unique(src, return_inverse=True)
         self.deg = np.bincount(src_idx, minlength=len(self.nodes)) \
             .astype(np.int64)
@@ -1094,6 +1112,60 @@ class _PrShard:
                          "rank": pa.array(self.rank, pa.float64())})
 
 
+def _sym_edges(pairs):
+    """Symmetrize an undirected pair Dataset into directed (src, dst)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    return pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+
+def _graph_shard_count(n_edges: int) -> int:
+    """~one shard actor per 64k edges, capped at cluster CPUs (each
+    shard holds |E|/K compacted edges in RAM; on a real cluster K grows
+    with the node count via cluster_resources)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(ncpu, n_edges // 65536 + 2))
+
+
+def _load_graph_shards(edges, actors, k: int) -> int:
+    """Partition the edge stream into the K shard actors by direct
+    pushes (streaming-router style): each map task slices its batch by
+    ``src % k`` and sends the slices straight to the owning actors, then
+    a finalize() per actor compacts.  No Dataset all-to-all sort — the
+    exchange IS the route — and shard actors reserve fractional CPUs so
+    the pushing map tasks are never starved by the pool reservation.
+    Returns the global node count."""
+    import ray
+
+    def push(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        b = s % k
+        order = np.argsort(b, kind="stable")
+        ss, dd, bb = s[order], d[order], b[order]
+        bounds = np.searchsorted(bb, np.arange(k + 1))
+        refs = []
+        for i in range(k):
+            sl = slice(bounds[i], bounds[i + 1])
+            if sl.stop > sl.start:
+                refs.append(actors[i].load_part.remote(
+                    np.ascontiguousarray(ss[sl]),
+                    np.ascontiguousarray(dd[sl])))
+        ray.get(refs)                   # acked before the task returns
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    edges.map_batches(push, batch_format="pyarrow",
+                      batch_size=1 << 20).materialize()
+    return sum(ray.get([a.finalize.remote() for a in actors]))
+
+
 def pagerank(pairs, damping: float = 0.85, iters: int = 10,
              npart: Optional[int] = None):
     """Distributed PageRank over an undirected pair Dataset
@@ -1124,44 +1196,17 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
     import ray
     import ray.data as rd
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(np.concatenate([a, b])),
-                         "dst": pa.array(np.concatenate([b, a]))})
-
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    edges = _sym_edges(pairs)
     n_edges = edges.count()
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.float64())})
     if n_edges == 0:
         return rd.from_arrow(empty)
+    k = npart or _graph_shard_count(n_edges)
 
-    # shard count: ~one actor per 64k edges, capped at cluster CPUs
-    # (each shard holds |E|/K edges in RAM; on a real cluster K grows
-    # with the node count via cluster_resources)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    k = npart or max(2, min(ncpu, n_edges // 65536 + 2))
-
-    Shard = ray.remote(num_cpus=1)(_PrShard)
+    Shard = ray.remote(num_cpus=0.5)(_PrShard)
     actors = [Shard.remote(k) for _ in range(k)]
-
-    def route(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(s % k))
-
-    def load(g: pa.Table) -> pa.Table:
-        b = int(g["bucket"][0].as_py())
-        n = ray.get(actors[b].load.remote(
-            np.ascontiguousarray(g["src"].to_numpy(zero_copy_only=False)),
-            np.ascontiguousarray(g["dst"].to_numpy(zero_copy_only=False))))
-        return pa.table({"bucket": pa.array([b], pa.int64()),
-                         "n_nodes": pa.array([n], pa.int64())})
-
-    loaded = edges.map_batches(route, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(load, batch_format="pyarrow") \
-        .to_pandas()                              # K rows — bounded
-    n_nodes = int(loaded["n_nodes"].sum())
+    n_nodes = _load_graph_shards(edges, actors, k)
     base = (1.0 - damping) / n_nodes
     ray.get([a.init_rank.remote(1.0 / n_nodes) for a in actors])
 
@@ -1448,23 +1493,16 @@ class _CoreShard:
         self._src_idx = []              # per dst bucket: local src index
         self._dst_u = []                # per dst bucket: unique dst ids
         self._dst_inv = []              # per dst bucket: compacted dst
+        self._buf_src: list = []
+        self._buf_dst: list = []
 
-    def load(self, src: np.ndarray, dst: np.ndarray) -> int:
-        self.nodes, src_idx = np.unique(src, return_inverse=True)
-        self.deg = np.bincount(src_idx, minlength=len(self.nodes)) \
-            .astype(np.int64)
-        self.val = self.deg.copy()
-        db = dst % self.k
-        order = np.argsort(db, kind="stable")
-        dst_s, src_s = dst[order], src_idx[order]
-        bounds = np.searchsorted(db[order], np.arange(self.k + 1))
-        for t in range(self.k):
-            sl = slice(bounds[t], bounds[t + 1])
-            u, inv = np.unique(dst_s[sl], return_inverse=True)
-            self._src_idx.append(src_s[sl].astype(np.int32))
-            self._dst_u.append(u)
-            self._dst_inv.append(inv.astype(np.int32))
-        return len(self.nodes)
+    load_part = _PrShard.load_part
+    load = _PrShard.load
+
+    def finalize(self) -> int:
+        n = _PrShard.finalize(self)
+        self.val = self.deg.copy()      # h-index seed = degree
+        return n
 
     def scatter(self):
         """Outgoing half: per dst bucket, (unique_dsts, dst_inv,
@@ -1532,39 +1570,17 @@ def kcore_decomposition(pairs, npart: Optional[int] = None,
     import ray
     import ray.data as rd
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(np.concatenate([a, b])),
-                         "dst": pa.array(np.concatenate([b, a]))})
-
-    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    edges = _sym_edges(pairs)
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "coreness": pa.array([],
                                                             pa.int64())}))
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    k = npart or max(2, min(ncpu, n_edges // 65536 + 2))
+    k = npart or _graph_shard_count(n_edges)
 
-    Shard = ray.remote(num_cpus=1)(_CoreShard)
+    Shard = ray.remote(num_cpus=0.5)(_CoreShard)
     actors = [Shard.remote(k) for _ in range(k)]
-
-    def route(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(s % k))
-
-    def load(g: pa.Table) -> pa.Table:
-        b = int(g["bucket"][0].as_py())
-        n = ray.get(actors[b].load.remote(
-            np.ascontiguousarray(g["src"].to_numpy(zero_copy_only=False)),
-            np.ascontiguousarray(g["dst"].to_numpy(zero_copy_only=False))))
-        return pa.table({"bucket": pa.array([b], pa.int64()),
-                         "n_nodes": pa.array([n], pa.int64())})
-
-    edges.map_batches(route, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(load, batch_format="pyarrow") \
-        .materialize()
+    _load_graph_shards(edges, actors, k)
 
     for _ in range(max_rounds):
         outs = [a.scatter.options(num_returns=k).remote() if k > 1
