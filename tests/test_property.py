@@ -393,3 +393,56 @@ def test_retracting_changelog_matches_bruteforce(rows, chunk):
         assert len(finals) == 1
         assert finals["seq"].iloc[0] == g["seq"].iloc[-1]
     assert agg.late_dropped == 0
+
+
+@settings(max_examples=_EXAMPLES, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1),          # source
+                          st.integers(0, 999),        # commit ts
+                          st.integers(0, 40)),        # text length
+                min_size=1, max_size=200),
+       st.integers(1, 50))                            # chunk size
+def test_window_quantiles_match_bruteforce(rows, chunk):
+    """WindowQuantileAggregator over any per-source-in-order stream in
+    arbitrary chunkings equals brute-force quantile_disc per window."""
+    import pyarrow as pa
+
+    from pg_walstream_ray.pipelines.streaming import (
+        WindowQuantileAggregator)
+
+    by_src = {0: [], 1: []}
+    for s, t, ln in rows:
+        by_src[s].append((t, ln))
+    for s in by_src:
+        by_src[s].sort()
+    merged = sorted([(t, s, ln) for s in by_src for t, ln in by_src[s]])
+
+    W = 100
+    agg = WindowQuantileAggregator(width_us=W, sources=[0, 1])
+    for i in range(0, len(merged), chunk):
+        part = merged[i:i + chunk]
+        tab = pa.table({
+            "source": pa.array([r[1] for r in part], pa.int32()),
+            "commit_ts_us": pa.array([r[0] for r in part], pa.int64()),
+            "op": pa.array(["insert"] * len(part), pa.string()),
+            "after_values": pa.array(
+                [["c", "0", "user", "x" * r[2], "", ""] for r in part],
+                pa.list_(pa.string())),
+            "before_values": pa.array([None] * len(part),
+                                      pa.list_(pa.string())),
+        })
+        agg.ingest(tab)
+    agg.flush()
+    got = {int(r["window_start_us"]):
+           (int(r["n_events"]), int(r["p50_len"]), int(r["p95_len"]))
+           for r in agg.result_table().to_pylist()}
+
+    def qd(v, q):
+        v = sorted(v)
+        return v[max(int(np.ceil(q * len(v))), 1) - 1]
+
+    want: dict = {}
+    for t, s, ln in merged:
+        want.setdefault(t - t % W, []).append(ln)
+    assert got == {w: (len(v), qd(v, 0.5), qd(v, 0.95))
+                   for w, v in want.items()}
+    assert agg.late_dropped == 0
