@@ -157,6 +157,46 @@ def _cdc_wap_publish(sf_dir: str) -> Any:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _cdc_lineage_report(sf_dir: str) -> Any:
+    """Per-partition lineage + metrics rollup (the north rule's
+    "resumable from checkpoint with per-partition lineage + metrics"
+    surface, queryable): after a full replay, fold every partition
+    manifest — epochs, lineage windows, rows applied, live rows — into
+    one oracled summary row (n_partitions, total_rows_applied,
+    total_live_rows).  Every change event is applied exactly once, so
+    total_rows_applied must equal the change count the SQL predicts,
+    and total_live_rows the LWW key count; the per-partition detail
+    (epoch == len(lineage), window sums, fragment chains) is pinned in
+    tests."""
+    import pandas as _pd
+
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.state.manifest import all_manifests
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal = __import__(
+        "pg_walstream_ray.sources.events_cdc",
+        fromlist=["build_wal_from_events"]).build_wal_from_events
+    build_wal(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_lin_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        ms = all_manifests(lake_dir)
+        total_applied = sum(w.get("rows_applied", 0)
+                            for m in ms.values() for w in m.lineage)
+        live = snapshot_table(lake_dir).num_rows
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    return _pd.DataFrame({
+        "n_partitions": _pd.Series([8], dtype="int64"),
+        "total_rows_applied": _pd.Series([total_applied], dtype="int64"),
+        "total_live_rows": _pd.Series([live], dtype="int64")})
+
+
 def _cdc_watermark_report(sf_dir: str) -> Any:
     """CDC observability report: per WAL source, the post-replay safe
     feedback point (global min applied LSN across partitions — what the
@@ -1579,6 +1619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # observability: per-source safe feedback point + stream commit/row
     # counts (post-replay watermark == final commit LSN, SQL-predicted)
     q["cdc_watermark_report"] = _cdc_watermark_report
+    # per-partition lineage/metrics rollup (exactly-once accounting)
+    q["cdc_lineage_report"] = _cdc_lineage_report
     # write-audit-publish staged ingest: audit-gated atomic publish;
     # published state == plain LWW replay (same oracle)
     q["cdc_wap_publish"] = _cdc_wap_publish
@@ -2127,6 +2169,14 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(DISTINCT tx) AS BIGINT) AS n_commits,
              COUNT(*) AS n_rows
       FROM r GROUP BY shard
+    """
+
+    sql["cdc_lineage_report"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
+      SELECT CAST(8 AS BIGINT) AS n_partitions,
+             (SELECT COUNT(*) FROM changes) AS total_rows_applied,
+             (SELECT COUNT(*) FROM ranked WHERE rn = 1)
+               AS total_live_rows
     """
 
     sql["cdc_conv_integrity"] = f"""

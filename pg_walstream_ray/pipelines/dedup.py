@@ -1192,6 +1192,16 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
     shard, no driver materialization).  Iterative and float-summed, so
     no SQL oracle: invariants (stochasticity, positivity, hub ordering)
     are pinned in tests.
+
+    Failure contract (BSP restart semantics): shard state is per-round
+    mutable, so an actor death mid-run loses its shard — the recovery
+    unit is the whole computation (edges stay materialized in the
+    object store; a re-run re-pushes and re-iterates from round 0).
+    Graph jobs are seconds-to-minutes next to the replay tier, so
+    restart-on-failure is the standard BSP choice over per-round
+    checkpointing; a deployment needing mid-run recovery would snapshot
+    ``(nodes, rank)`` per shard every R rounds — the same state_dict
+    pattern the streaming aggregators implement.
     """
     import ray
     import ray.data as rd

@@ -947,3 +947,46 @@ def test_stream_quantiles_exact_and_shard_invariant(ray_session):
     a1.flush()
     a2.flush()
     assert _as_df(a1.result_table()).equals(_as_df(a2.result_table()))
+
+
+def test_lineage_report_per_partition_detail(ray_session):
+    """Per-partition lineage invariants behind the oracled rollup:
+    epoch == len(lineage), per-window rows_applied sums to the replay
+    total, fragment chains exist on disk, and the empty-table query
+    degrades typed."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+    from pg_walstream_ray.state.manifest import (all_manifests,
+                                                 partition_dir)
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    lake = _tf.mkdtemp(prefix="pgwr_lin_t_")
+    try:
+        m = run_cdc(wal_dir, lake, num_partitions=8)
+        ms = all_manifests(lake)
+        assert len(ms) > 0
+        total = 0
+        for pid, man in ms.items():
+            assert man.epoch == len(man.lineage)
+            assert [w["epoch"] for w in man.lineage] == \
+                list(range(1, man.epoch + 1))
+            total += sum(w.get("rows_applied", 0) for w in man.lineage)
+            for f in man.fragments:
+                assert _os.path.exists(_os.path.join(
+                    partition_dir(lake, pid), f))
+        assert total == m["rows_applied"]
+    finally:
+        _sh.rmtree(lake, ignore_errors=True)
+
+    rep = _as_df(e.queries()["cdc_lineage_report"](SF))
+    assert int(rep["total_rows_applied"].iloc[0]) > 0
+    assert int(rep["total_live_rows"].iloc[0]) > 0
