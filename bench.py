@@ -291,6 +291,10 @@ def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
             distinct_mode="approx"),
         "interval_join": lambda: _stream_join(
             wal, width // 4, n_actors=8),
+        "quantiles": lambda: __import__(
+            "pg_walstream_ray.pipelines.streaming",
+            fromlist=["stream_window_quantiles"])
+            .stream_window_quantiles(wal, width, n_sources=64, n_actors=8),
     }
     out: dict = {}
     for name, fn in configs.items():

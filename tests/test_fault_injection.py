@@ -74,3 +74,58 @@ def test_decode_actor_crash_recovers_exactly_once():
 
     assert os.path.exists(crash_flag), "the injected crash never fired"
     assert_lake_matches(lake, oracle_df(spec))
+
+
+def test_graph_shard_death_raises_then_rerun_succeeds(ray_session):
+    """Pregel graph shards follow BSP restart-on-failure: killing a
+    shard actor mid-computation surfaces a Ray actor error (no silent
+    wrong answer), and a fresh run over the same materialized pairs
+    succeeds with the exact same ranks."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import _PrShard
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2000, 8000, dtype=np.int64)
+    b = rng.integers(0, 2000, 8000, dtype=np.int64)
+    keep = a != b
+    tab = pa.table({"vec_a": pa.array(a[keep]), "vec_b": pa.array(b[keep])})
+
+    # manual run so we can kill a shard between supersteps
+    k = 4
+    Shard = ray.remote(num_cpus=0.25)(_PrShard)
+    actors = [Shard.remote(k) for _ in range(k)]
+    src = np.concatenate([a[keep], b[keep]])
+    dst = np.concatenate([b[keep], a[keep]])
+    n_nodes = sum(ray.get([actors[i].load.remote(
+        np.ascontiguousarray(src[src % k == i]),
+        np.ascontiguousarray(dst[src % k == i])) for i in range(k)]))
+    ray.get([x.init_rank.remote(1.0 / n_nodes) for x in actors])
+    for _ in range(2):
+        outs = [x.scatter.options(num_returns=k).remote() for x in actors]
+        ray.get([actors[bb].gather.remote(0.0375, 0.85,
+                                          *[outs[aa][bb]
+                                            for aa in range(k)])
+                 for bb in range(k)])
+    ray.kill(actors[1])
+    with pytest.raises((ray.exceptions.RayActorError,
+                        ray.exceptions.ActorDiedError,
+                        ray.exceptions.RayTaskError)):
+        outs = [x.scatter.options(num_returns=k).remote() for x in actors]
+        ray.get([actors[bb].gather.remote(0.0375, 0.85,
+                                          *[outs[aa][bb]
+                                            for aa in range(k)])
+                 for bb in range(k)])
+
+    # fresh run over the same pairs: deterministic, succeeds
+    from pg_walstream_ray.pipelines.dedup import pagerank
+    r1 = pagerank(rd.from_arrow(tab), iters=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    r2 = pagerank(rd.from_arrow(tab), iters=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert len(r1) > 0 and r1.equals(r2)
+    assert abs(r1["rank"].sum() - 1.0) < 1e-9
