@@ -769,6 +769,48 @@ def _cdc_export_conversations(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_export_resumable(sf_dir: str) -> Any:
+    """RESUMABLE partitioned corpus export (lake.export_corpus): replay,
+    export to one parquet dir per partition with atomic _DONE markers,
+    then read the exported files back — content must equal the
+    conversation-assembly oracle, and a second export call must skip
+    every finished partition (asserted here; torn-write resume is pinned
+    in tests)."""
+    import pyarrow.parquet as _pq
+
+    from pg_walstream_ray.lake import export_corpus
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    root = tempfile.mkdtemp(prefix="pgwr_export_res_")
+    lake = os.path.join(root, "lake")
+    out = os.path.join(root, "corpus")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        rep = export_corpus(lake, out)
+        again = export_corpus(lake, out)          # resumable: all skipped
+        assert again["written"] == 0
+        assert again["skipped"] == rep["partitions"]
+        tables = []
+        for name in sorted(os.listdir(out)):
+            f = os.path.join(out, name, "docs.parquet")
+            if os.path.exists(f):
+                t = _pq.read_table(f)
+                if t.num_rows:
+                    tables.append(t)
+        cols = [("conv_id", pa.string()), ("n_turns", pa.int64()),
+                ("doc", pa.string())]
+        if not tables:
+            return pa.table({c: pa.array([], t_) for c, t_ in cols})
+        return _select_or_empty(pa.concat_tables(tables), cols)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _cdc_corpus_quality(sf_dir: str) -> Any:
     """End-to-end 'transcripts lake -> training corpus' composite: replay
     the upsert WAL, assemble per-conversation documents from the lake
@@ -1642,6 +1684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_lake_merge"] = _cdc_lake_merge
     # training-corpus export: per-conversation document assembly
     q["cdc_export_conversations"] = _cdc_export_conversations
+    # resumable partitioned export (atomic _DONE markers, skip-finished)
+    q["cdc_export_resumable"] = _cdc_export_resumable
     # flagship CDC x corpus composite: lake -> conversation docs -> quality
     q["cdc_corpus_quality"] = _cdc_corpus_quality
     # response-latency profile (LAG gaps per conversation, zero shuffle)
@@ -2231,6 +2275,9 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY turn_idx) AS doc
       FROM final GROUP BY conv_id
     """
+
+    # resumable export writes the identical content per partition
+    sql["cdc_export_resumable"] = sql["cdc_export_conversations"]
 
     sql["cdc_corpus_quality"] = f"""
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),

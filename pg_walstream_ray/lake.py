@@ -437,6 +437,87 @@ def repartition_lake(lake_dir: str, out_dir: str, num_partitions: int,
                                    hot_keys=tuple(hot_keys), salt=salt)
 
 
+def _assemble_conversations(paths: List[str], sep: str) -> pa.Table:
+    """One partition's conversation docs (conv_id, n_turns, doc) —
+    Arrow-vectorized assembly over the merged, key-sorted state."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    t = _partition_state(paths, ("conv_id", "turn_idx"),
+                         columns=["role", "text"])
+    if "_lsn" in t.column_names:
+        t = t.drop(["_lsn"])
+    if not t.num_rows:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_turns": pa.array([], pa.int64()),
+                         "doc": pa.array([], pa.string())})
+    t = t.take(_pc.sort_indices(t, sort_keys=[
+        ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    lines = _pc.binary_join_element_wise(
+        _pc.cast(t["role"], pa.string()), ": ",
+        _pc.cast(t["text"], pa.string()), "",
+        null_handling="replace", null_replacement="")
+    conv = t["conv_id"].combine_chunks()
+    cv = conv.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(cv[1:] != cv[:-1]) + 1
+    offsets = np.concatenate([[0], change, [len(cv)]])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        lines.combine_chunks() if isinstance(lines, pa.ChunkedArray)
+        else lines)
+    docs = _pc.binary_join(lists, sep)
+    return pa.table({
+        "conv_id": pa.array(cv[offsets[:-1]], pa.string()),
+        "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+        "doc": docs})
+
+
+def _export_one_partition(lake_dir: str, pid: int, paths: List[str],
+                          out_dir: str, sep: str) -> dict:
+    """Write one partition's corpus docs under ``out_dir/part=NNNNN/``
+    with an atomic _DONE marker.  Idempotent and resumable: a finished
+    partition (marker present) is skipped; a torn write (crash before
+    the marker) leaves only a tmp file the rewrite replaces."""
+    import json as _json
+    import uuid as _uuid
+
+    d = os.path.join(out_dir, f"part={pid:05d}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return {"pid": pid, "skipped": True, **_json.load(f)}
+    os.makedirs(d, exist_ok=True)
+    t = _assemble_conversations(paths, sep)
+    tmp = os.path.join(d, f".docs.parquet.{_uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, "docs.parquet"))
+    mt = os.path.join(d, ".done.tmp")
+    with open(mt, "w") as f:
+        _json.dump({"rows": t.num_rows}, f)
+    os.replace(mt, marker)                  # marker LAST: crash-safe
+    return {"pid": pid, "skipped": False, "rows": t.num_rows}
+
+
+def export_corpus(lake_dir: str, out_dir: str, sep: str = "\n") -> dict:
+    """RESUMABLE partitioned corpus export (the brief's resumable-output
+    contract): one output directory per lake partition, each written
+    tmp+rename with an atomic ``_DONE`` marker LAST — a re-run after any
+    crash skips finished partitions and rewrites only the torn one.
+    One Ray task per partition (the compact_lake scheduling shape); the
+    driver only folds the per-partition {skipped, rows} reports."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)   # empty lake -> empty export dir
+    parts = live_fragments(lake_dir)
+    task = ray.remote(num_cpus=1)(_export_one_partition)
+    reports = ray.get([task.remote(lake_dir, pid, paths, out_dir, sep)
+                       for pid, paths in parts])
+    return {"partitions": len(reports),
+            "written": sum(1 for r in reports if not r["skipped"]),
+            "skipped": sum(1 for r in reports if r["skipped"]),
+            "rows": sum(r["rows"] for r in reports)}
+
+
 def export_conversations(lake_dir: str, sep: str = "\n"):
     """Training-corpus export: assemble each conversation's turns into one
     document string ``role: text`` joined by ``sep`` — the step that turns
@@ -449,8 +530,6 @@ def export_conversations(lake_dir: str, sep: str = "\n"):
     join itself is Arrow-vectorized (ListArray over the partition's
     sorted turn lines + one binary_join kernel), no per-row Python.
     """
-    import numpy as np
-    import pyarrow.compute as _pc
     import ray.data as rd
 
     parts = live_fragments(lake_dir)
@@ -459,32 +538,9 @@ def export_conversations(lake_dir: str, sep: str = "\n"):
 
     def assemble(batch: pa.Table):
         for row in batch.to_pylist():
-            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
-                                 columns=["role", "text"])
-            if "_lsn" in t.column_names:
-                t = t.drop(["_lsn"])
-            if not t.num_rows:
-                continue
-            t = t.take(_pc.sort_indices(t, sort_keys=[
-                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
-            lines = _pc.binary_join_element_wise(
-                _pc.cast(t["role"], pa.string()), ": ",
-                _pc.cast(t["text"], pa.string()), "",
-                null_handling="replace", null_replacement="")
-            conv = t["conv_id"].combine_chunks()
-            cv = conv.to_numpy(zero_copy_only=False)
-            # conversation boundaries over the sorted column
-            change = np.flatnonzero(cv[1:] != cv[:-1]) + 1
-            offsets = np.concatenate([[0], change, [len(cv)]])
-            lists = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()),
-                lines.combine_chunks() if isinstance(
-                    lines, pa.ChunkedArray) else lines)
-            docs = _pc.binary_join(lists, sep)
-            yield pa.table({
-                "conv_id": pa.array(cv[offsets[:-1]], pa.string()),
-                "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
-                "doc": docs})
+            t = _assemble_conversations(row["paths"], sep)
+            if t.num_rows:
+                yield t
 
     ds = rd.from_items([{"paths": paths} for _, paths in parts],
                        override_num_blocks=len(parts))

@@ -990,3 +990,54 @@ def test_lineage_report_per_partition_detail(ray_session):
     rep = _as_df(e.queries()["cdc_lineage_report"](SF))
     assert int(rep["total_rows_applied"].iloc[0]) > 0
     assert int(rep["total_live_rows"].iloc[0]) > 0
+
+
+def test_export_corpus_resumable_after_torn_write(ray_session):
+    """export_corpus: second run skips every finished partition; a torn
+    partition (marker removed, file half-gone) is rewritten alone —
+    other partitions' files untouched (mtime-stable) — and the rewritten
+    content equals the original."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.lake import export_corpus
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    root = _tf.mkdtemp(prefix="pgwr_exp_t_")
+    lake = _os.path.join(root, "lake")
+    out = _os.path.join(root, "corpus")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=4)
+        rep = export_corpus(lake, out)
+        assert rep["written"] == rep["partitions"] > 0
+        assert rep["rows"] > 0
+
+        parts = sorted(_os.listdir(out))
+        victim = _os.path.join(out, parts[0])
+        orig = pq.read_table(_os.path.join(victim, "docs.parquet"))
+        others = {p: _os.path.getmtime(_os.path.join(out, p,
+                                                     "docs.parquet"))
+                  for p in parts[1:]}
+
+        # torn write: marker gone, data file gone (crash mid-partition)
+        _os.remove(_os.path.join(victim, "_DONE"))
+        _os.remove(_os.path.join(victim, "docs.parquet"))
+        rep2 = export_corpus(lake, out)
+        assert rep2["written"] == 1
+        assert rep2["skipped"] == rep["partitions"] - 1
+        assert rep2["rows"] == rep["rows"]
+        redone = pq.read_table(_os.path.join(victim, "docs.parquet"))
+        assert redone.equals(orig)
+        for p, mt in others.items():
+            assert _os.path.getmtime(_os.path.join(out, p,
+                                                   "docs.parquet")) == mt
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
