@@ -157,6 +157,23 @@ def _cdc_wap_publish(sf_dir: str) -> Any:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _cdc_stream_enrich(sf_dir: str) -> Any:
+    """In-stream broadcast-dimension enrichment (events.enrich_with_
+    dimension): change envelopes annotated with the customer dimension
+    via a ray.put broadcast + vectorized searchsorted (no shuffle join),
+    reduced to per-segment stream stats.  Oracle: changes JOIN customer
+    GROUP BY segment."""
+    from pg_walstream_ray.pipelines.events import enrich_with_dimension
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    return enrich_with_dimension(wal_dir, sf_dir)
+
+
 def _cdc_lineage_report(sf_dir: str) -> Any:
     """Per-partition lineage + metrics rollup (the north rule's
     "resumable from checkpoint with per-partition lineage + metrics"
@@ -1663,6 +1680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_watermark_report"] = _cdc_watermark_report
     # per-partition lineage/metrics rollup (exactly-once accounting)
     q["cdc_lineage_report"] = _cdc_lineage_report
+    # in-stream broadcast-dimension enrichment (Flink broadcast join)
+    q["cdc_stream_enrich"] = _cdc_stream_enrich
     # write-audit-publish staged ingest: audit-gated atomic publish;
     # published state == plain LWW replay (same oracle)
     q["cdc_wap_publish"] = _cdc_wap_publish
@@ -2213,6 +2232,17 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(DISTINCT tx) AS BIGINT) AS n_commits,
              COUNT(*) AS n_rows
       FROM r GROUP BY shard
+    """
+
+    sql["cdc_stream_enrich"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES})
+      SELECT c.c_mktsegment AS mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT ch.conv_id) AS BIGINT) AS n_convs
+      FROM changes ch
+      JOIN customer c
+        ON ch.conv_id = 'c' || CAST(c.c_custkey AS VARCHAR)
+      GROUP BY 1
     """
 
     sql["cdc_lineage_report"] = f"""

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -397,3 +398,81 @@ def source_timeline(wal_dir: str, width_us: int):
             "n_events": pc.cast(t["n_events"], pa.int64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def enrich_with_dimension(wal_dir: str, sf_dir: str):
+    """In-stream BROADCAST-DIMENSION enrichment (the Flink broadcast-join
+    pattern): every change envelope is annotated with its customer's
+    market segment — dimension shipped ONCE via ray.put as sorted
+    parallel arrays, attached per batch with a vectorized searchsorted,
+    no shuffle join — then reduced to per-segment stream statistics.
+
+    Output: (mktsegment, n_events, n_convs) — exact distinct convs via
+    bounded (segment, conv) pair partials (|segments| x |convs| rows,
+    orders below the event count).
+
+    Scale shape: the dimension is the SMALL side (customers), the stream
+    is the big side; a shuffle join here would move every envelope —
+    the broadcast lookup moves only the dimension, once per actor.
+    """
+    import os as _os
+
+    import ray
+    import pyarrow.parquet as _pq
+
+    from ..stages.taskmode import as_tasks
+
+    cust = _pq.read_table(_os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    order = pc.sort_indices(cust["c_custkey"])
+    cust = cust.take(order).combine_chunks()
+    dim_ref = ray.put((
+        cust["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False),
+        cust["c_mktsegment"].combine_chunks()))
+
+    dml_ops = pa.array(["insert", "update", "delete"], pa.string())
+
+    class Enrich:
+        def __init__(self, ref):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.filter(pc.is_in(t["op"], value_set=dml_ops))
+            if d.num_rows == 0:
+                return pa.table({"mktsegment": pa.array([], pa.string()),
+                                 "conv": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            after = d["after_values"]
+            if isinstance(after, pa.ChunkedArray):
+                after = after.combine_chunks()
+            conv = pc.list_element(after, 0)
+            is_del = pc.equal(d["op"], "delete")
+            if pc.any(is_del).as_py():
+                before = d["before_values"]
+                if isinstance(before, pa.ChunkedArray):
+                    before = before.combine_chunks()
+                conv = pc.if_else(is_del, pc.list_element(before, 0), conv)
+            uid = pc.cast(pc.utf8_slice_codeunits(conv, 1, 32),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            idx = pa.array(np.searchsorted(self.keys, uid))
+            seg = self.segs.take(idx)
+            g = pa.table({"mktsegment": seg, "conv": conv}) \
+                .group_by(["mktsegment", "conv"]) \
+                .aggregate([("conv", "count")])
+            return pa.table({"mktsegment": g["mktsegment"],
+                             "conv": g["conv"],
+                             "n": pc.cast(g["conv_count"], pa.int64())})
+
+    def per_segment(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame({
+            "mktsegment": [g["mktsegment"].iloc[0]],
+            "n_events": [np.int64(g["n"].sum())],
+            "n_convs": [np.int64(g["conv"].nunique())]})
+
+    return envelope_dataset(wal_dir) \
+        .map_batches(as_tasks(Enrich, ref=dim_ref),
+                     batch_format="pyarrow") \
+        .groupby("mktsegment").map_groups(per_segment,
+                                          batch_format="pandas")
