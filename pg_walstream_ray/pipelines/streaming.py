@@ -1356,11 +1356,12 @@ def stream_dedup_index(wal_dir: str, n_actors: int = 4) -> pa.Table:
     finally:
         for a in actors:
             ray.kill(a)
-    cat = pa.concat_tables([t for t in parts if t.num_rows])
-    if cat.num_rows == 0:
+    live = [t for t in parts if t.num_rows]
+    if not live:                          # empty WAL: typed empty result
         return pa.table({"role": pa.array([], pa.string()),
                          "n_rows": pa.array([], pa.int64()),
                          "n_distinct": pa.array([], pa.int64())})
+    cat = pa.concat_tables(live)
     agg = cat.group_by("role").aggregate(
         [("n_rows", "sum"), ("n_distinct", "sum")])
     agg = agg.sort_by("role")
