@@ -2168,7 +2168,12 @@ _DRIVER_WINDOW_ORDER = [
     "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
     "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
     "cluster_balanced_sample", "pack_sequences", "media_features",
-    # CDC/analytics smoke set (all green in r01+r02) to round out the window
+    # round-3 late-session operators (never driver-checked; judge-checker
+    # green at sf0.001+sf0.01): 7 oracled + 2 rows-only
+    "cdc_wap_publish", "cdc_stream_retract", "cdc_stream_quantiles",
+    "cdc_stream_enrich", "cdc_lineage_report", "cdc_export_resumable",
+    "survival_curve", "mmr_diverse_topk", "dedup_kcore",
+    # CDC/analytics smoke set (all green in r01+r02) beyond the ~50 window
     "cdc_upsert_lww", "cdc_insert_only", "cdc_streamed_tx", "cdc_two_phase",
     "cdc_stream_windows", "cdc_stream_sessions", "q1_pricing_summary",
     "q5_local_supplier", "events_asof_join",
