@@ -272,6 +272,27 @@ def _cdc_watermark_report(sf_dir: str) -> Any:
         "n_rows": agg["n_rows"].to_numpy(_np.int64)})
 
 
+def _cdc_role_transitions(sf_dir: str) -> Any:
+    """Role-transition matrix over the lake (consecutive-turn role
+    bigrams per conversation, zero shuffle).  Oracle: LAG(role) OVER
+    (PARTITION BY conv ORDER BY turn) pair counts on the LWW state."""
+    from pg_walstream_ray.lake import role_transitions
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_rt_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        return role_transitions(lake_dir).to_pandas()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 def _cdc_conv_shapes(sf_dir: str) -> Any:
     """Conversation-template detection over the CDC lake: group
     conversations by role sequence (turn order) — boilerplate-shape
@@ -1688,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # conversation-template detection (role-sequence grouping over the
     # lake — structural dedup signal for scripted transcripts)
     q["cdc_conv_shapes"] = _cdc_conv_shapes
+    # role-transition matrix (turn-ordered role bigrams, zero shuffle)
+    q["cdc_role_transitions"] = _cdc_role_transitions
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
@@ -2207,6 +2230,18 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    sql["cdc_role_transitions"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      st AS (SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1),
+      p AS (SELECT LAG(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS from_role,
+                   role AS to_role
+            FROM st)
+      SELECT from_role, to_role, COUNT(*) AS n
+      FROM p WHERE from_role IS NOT NULL
+      GROUP BY 1, 2
     """
 
     sql["cdc_conv_shapes"] = f"""

@@ -603,6 +603,71 @@ def audit_conversations(lake_dir: str):
     return ds.map_batches(audit, batch_size=1, batch_format="pyarrow")
 
 
+def role_transitions(lake_dir: str):
+    """Role-transition matrix over the live lake: counts of
+    (from_role -> to_role) pairs between CONSECUTIVE turns of the same
+    conversation, in turn order — the transcript-structure signal that
+    separates well-formed user/assistant alternation from degenerate
+    runs (assistant->assistant) and tool-loop patterns.
+
+    Output: (from_role, to_role, n) — |roles|^2 rows at most.
+
+    Scale shape: per-partition ZERO-SHUFFLE (convs are partition-local;
+    one sorted pass + a numpy shift masks conversation boundaries), a
+    bounded per-partition combiner, then one tiny groupby over
+    |roles|^2 x |partitions| rows.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    parts = live_fragments(lake_dir)
+    empty = pa.table({"from_role": pa.array([], pa.string()),
+                      "to_role": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if not parts:
+        return rd.from_arrow(empty)
+
+    def pairs(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role"])
+            if t.num_rows < 2:
+                continue
+            t = t.take(_pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            same = cv[1:] == cv[:-1]          # mask conv boundaries
+            if not same.any():
+                continue
+            roles = pa.table({"r": t["role"]})["r"].combine_chunks()
+            g = pa.table({
+                "from_role": roles.slice(0, len(roles) - 1)
+                .filter(pa.array(same)),
+                "to_role": roles.slice(1).filter(pa.array(same)),
+            }).group_by(["from_role", "to_role"]) \
+                .aggregate([("to_role", "count")])
+            yield pa.table({"from_role": g["from_role"],
+                            "to_role": g["to_role"],
+                            "n": _pc.cast(g["to_role_count"],
+                                          pa.int64())})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    agg = ds.map_batches(pairs, batch_size=1, batch_format="pyarrow") \
+        .groupby(["from_role", "to_role"]).aggregate(
+            Sum("n", alias_name="n_sum"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"from_role": t["from_role"],
+                         "to_role": t["to_role"],
+                         "n": _pc.cast(t["n_sum"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def conv_shapes(lake_dir: str, k: int = 4):
     """Conversation-TEMPLATE detection over the live lake: group
     conversations by their OPENING role sequence (first ``k`` turns in

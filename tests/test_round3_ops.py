@@ -1041,3 +1041,23 @@ def test_export_corpus_resumable_after_torn_write(ray_session):
                                                    "docs.parquet")) == mt
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_role_transitions_brute_force(ray_session):
+    """Lake role-transition matrix equals a brute-force recompute from
+    the exported conversation state (pairs never cross conversations)."""
+    import collections
+
+    import __ray_entry__ as e
+
+    got = _as_df(e.queries()["cdc_role_transitions"](SF))
+    assert len(got) > 0
+    # brute force from the oracled export surface
+    exp = _as_df(e.queries()["cdc_export_conversations"](SF))
+    want: dict = collections.Counter()
+    for doc in exp["doc"]:
+        roles = [line.split(":", 1)[0] for line in doc.split("\n")]
+        for a, b in zip(roles, roles[1:]):
+            want[(a, b)] += 1
+    assert {(r["from_role"], r["to_role"]): r["n"]
+            for _, r in got.iterrows()} == dict(want)
