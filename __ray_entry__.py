@@ -441,6 +441,25 @@ def _cdc_stream_retract(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def _cdc_stream_retract_hopping(sf_dir: str) -> Any:
+    """HOPPING windows in upsert/retract changelog mode (width 2x slide;
+    the retraction pane protocol composed with overlapping window
+    assignment), sharded across 4 conv-routed actors; the consolidated
+    state must equal the plain hopping-window oracle."""
+    from pg_walstream_ray.pipelines.streaming import stream_window_changelog
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_window_changelog(wal_dir, 2 * STREAM_WINDOW_US,
+                                  n_sources=n_shards, n_actors=4,
+                                  slide_us=STREAM_WINDOW_US)
+    return agg.result_table()
+
+
 def _cdc_stream_quantiles(sf_dir: str) -> Any:
     """EXACT streaming text-length quantiles per tumbling window
     (bounded per-window length histogram -> exact quantile_disc p50/p95
@@ -1764,6 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # upsert/retract changelog panes (Beam accumulating-and-retracting);
     # consolidated state == plain tumbling windows (same oracle shape)
     q["cdc_stream_retract"] = _cdc_stream_retract
+    # hopping-window retraction changelog (overlap x pane protocol)
+    q["cdc_stream_retract_hopping"] = _cdc_stream_retract_hopping
     # exact streaming quantiles (per-window bounded length histogram)
     q["cdc_stream_quantiles"] = _cdc_stream_quantiles
     q["cdc_stream_hopping"] = _cdc_stream_hopping
@@ -2548,6 +2569,8 @@ def oracle_sql() -> dict[str, str]:
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
       FROM w GROUP BY 1
     """
+
+    sql["cdc_stream_retract_hopping"] = sql["cdc_stream_hopping"]
 
     sql["cdc_stream_topk"] = f"""
       WITH base AS (

@@ -402,6 +402,24 @@ class RetractingWindowAggregator(TumblingWindowAggregator):
         self._seq = int(state["seq"])
 
 
+class RetractingHoppingWindowAggregator(RetractingWindowAggregator):
+    """HOPPING windows in upsert/retract changelog mode — the hopping
+    window-assignment (every event in width//slide overlapping windows)
+    composed with the retraction pane protocol; both inherited
+    unchanged (the changelog hooks live in _ingest_starts/_advance,
+    which the hopping assignment already routes through)."""
+
+    def __init__(self, width_us: int, slide_us: int,
+                 sources: Iterable[int], lateness_us: int = 0,
+                 distinct_mode: str = "exact"):
+        if int(width_us) % int(slide_us):
+            raise ValueError("width_us must be a multiple of slide_us")
+        super().__init__(width_us, sources, lateness_us, distinct_mode)
+        self.slide = int(slide_us)
+
+    ingest_keyed = HoppingWindowAggregator.ingest_keyed
+
+
 class WindowQuantileAggregator(TumblingWindowAggregator):
     """EXACT text-length quantiles per tumbling window: per-window state
     is a bounded LENGTH HISTOGRAM (int64 counts over lengths clipped to
@@ -881,6 +899,8 @@ def _make_agg(kind: str, kw: dict):
         return TumblingWindowAggregator(**kw)
     if kind == "retracting":
         return RetractingWindowAggregator(**kw)
+    if kind == "retracting_hopping":
+        return RetractingHoppingWindowAggregator(**kw)
     if kind == "hopping":
         return HoppingWindowAggregator(**kw)
     if kind == "topk":
@@ -1156,7 +1176,8 @@ def stream_window_quantiles(wal_dir: str, width_us: int, n_sources: int,
 def stream_window_changelog(wal_dir: str, width_us: int, n_sources: int,
                             lateness_us: int = 0, batch_size: int = 8192,
                             n_actors: int = 0,
-                            distinct_mode: str = "exact"):
+                            distinct_mode: str = "exact",
+                            slide_us: Optional[int] = None):
     """Tumbling windows in UPSERT/RETRACT changelog mode (Beam-style
     accumulating-and-retracting panes).  Single-consumer mode returns
     the aggregator (``changelog_table()`` + ``consolidated_table()``);
@@ -1164,12 +1185,16 @@ def stream_window_changelog(wal_dir: str, width_us: int, n_sources: int,
     shard folds its own changelog; partial counts then sum exactly)."""
     kw = dict(width_us=width_us, sources=range(n_sources),
               lateness_us=lateness_us, distinct_mode=distinct_mode)
+    kind = "retracting"
+    if slide_us is not None:
+        kw["slide_us"] = slide_us
+        kind = "retracting_hopping"
     if n_actors > 0:
-        return _run_sharded(wal_dir, "retracting", kw, n_actors,
+        return _run_sharded(wal_dir, kind, kw, n_actors,
                             _merge_windows)
     from .events import poll_envelopes
 
-    agg = RetractingWindowAggregator(**kw)
+    agg = _make_agg(kind, kw)
     for batch in poll_envelopes(wal_dir, batch_size=batch_size):
         agg.ingest(batch)
     agg.flush()

@@ -1061,3 +1061,45 @@ def test_role_transitions_brute_force(ray_session):
             want[(a, b)] += 1
     assert {(r["from_role"], r["to_role"]): r["n"]
             for _, r in got.iterrows()} == dict(want)
+
+
+def test_retracting_hopping_consolidates_to_plain(ray_session):
+    """Hopping retraction changelog: consolidated state == plain hopping
+    windows for single-consumer and sharded deployments, and the pane
+    protocol (alternation, exact retraction values, final-last) holds
+    per overlapping window."""
+    import hashlib as _hl
+    import os as _os
+
+    import __ray_entry__ as e
+    from pg_walstream_ray.pipelines.streaming import (
+        stream_hopping_windows, stream_window_changelog)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = _hl.sha1(f"{_os.path.abspath(SF)}|upsert|2".encode()) \
+        .hexdigest()[:12]
+    wal_dir = _os.path.join(e._CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", wal_dir, n_shards=2)
+    W = e.STREAM_WINDOW_US
+
+    plain = _as_df(stream_hopping_windows(
+        wal_dir, 2 * W, W, n_sources=2).result_table()) \
+        .sort_values("window_start_us").reset_index(drop=True)
+    agg = stream_window_changelog(wal_dir, 2 * W, n_sources=2,
+                                  slide_us=W, batch_size=256)
+    cons = _as_df(agg.consolidated_table()) \
+        .sort_values("window_start_us").reset_index(drop=True)
+    assert cons.equals(plain) and len(plain) > 0
+    log = _as_df(agg.changelog_table())
+    for w, g in log.groupby("window_start_us"):
+        g = g.sort_values("seq")
+        kinds = list(g["kind"])
+        assert kinds[0] == "upsert"
+        assert all(kinds[i] != kinds[i - 1] for i in range(1, len(kinds)))
+        finals = g[g["is_final"]]
+        assert len(finals) == 1 and finals["seq"].iloc[0] == g["seq"].iloc[-1]
+    sharded = _as_df(stream_window_changelog(
+        wal_dir, 2 * W, n_sources=2, slide_us=W,
+        n_actors=4).result_table()) \
+        .sort_values("window_start_us").reset_index(drop=True)
+    assert sharded.equals(plain)
