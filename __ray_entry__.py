@@ -272,6 +272,27 @@ def _cdc_watermark_report(sf_dir: str) -> Any:
         "n_rows": agg["n_rows"].to_numpy(_np.int64)})
 
 
+def _cdc_tool_chains(sf_dir: str) -> Any:
+    """Tool-chain length distribution over the lake (maximal runs of
+    consecutive role='tool' turns per conversation — gaps-and-islands).
+    Oracle: ROW_NUMBER-difference island grouping over the LWW state."""
+    from pg_walstream_ray.lake import tool_chain_stats
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    lake_dir = tempfile.mkdtemp(prefix="pgwr_lake_tc_")
+    try:
+        run_cdc(wal_dir, lake_dir, num_partitions=8)
+        return tool_chain_stats(lake_dir).to_pandas()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
 def _cdc_role_transitions(sf_dir: str) -> Any:
     """Role-transition matrix over the lake (consecutive-turn role
     bigrams per conversation, zero shuffle).  Oracle: LAG(role) OVER
@@ -1730,6 +1751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_conv_shapes"] = _cdc_conv_shapes
     # role-transition matrix (turn-ordered role bigrams, zero shuffle)
     q["cdc_role_transitions"] = _cdc_role_transitions
+    # tool-chain (gaps-and-islands) length distribution
+    q["cdc_tool_chains"] = _cdc_tool_chains
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
@@ -2251,6 +2274,24 @@ def oracle_sql() -> dict[str, str]:
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
       SELECT conv_id, turn_idx, role, text, tool, ts
       FROM ranked WHERE rn = 1
+    """
+
+    sql["cdc_tool_chains"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      st AS (SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1),
+      r2 AS (SELECT conv_id, role,
+                    ROW_NUMBER() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS rn_all
+             FROM st),
+      t AS (SELECT conv_id, rn_all,
+                   rn_all - ROW_NUMBER() OVER (PARTITION BY conv_id
+                                               ORDER BY rn_all) AS grp
+            FROM r2 WHERE role = 'tool'),
+      runs AS (SELECT conv_id, grp, COUNT(*) AS chain_len
+               FROM t GROUP BY conv_id, grp)
+      SELECT CAST(chain_len AS BIGINT) AS chain_len,
+             COUNT(*) AS n_chains
+      FROM runs GROUP BY 1
     """
 
     sql["cdc_role_transitions"] = f"""

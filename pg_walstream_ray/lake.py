@@ -668,6 +668,73 @@ def role_transitions(lake_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def tool_chain_stats(lake_dir: str):
+    """Tool-chain length distribution over the live lake: maximal runs
+    of CONSECUTIVE role='tool' turns within each conversation (adjacent
+    rows in turn order — the gaps-and-islands shape), rolled up to
+    (chain_len, n_chains) corpus-wide.  Long chains are the
+    tool-loop/degenerate-agent signal a transcript curator caps.
+
+    Scale shape: per-partition ZERO-SHUFFLE (convs partition-local; one
+    sorted pass, run boundaries via numpy diff over the tool mask and
+    the conversation-change mask), bounded per-partition (len, n)
+    combiner, one tiny groupby.
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    parts = live_fragments(lake_dir)
+    empty = pa.table({"chain_len": pa.array([], pa.int64()),
+                      "n_chains": pa.array([], pa.int64())})
+    if not parts:
+        return rd.from_arrow(empty)
+
+    def chains(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_state(row["paths"], ("conv_id", "turn_idx"),
+                                 columns=["role"])
+            if not t.num_rows:
+                continue
+            t = t.take(_pc.sort_indices(t, sort_keys=[
+                ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+            cv = t["conv_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            tool = _pc.equal(t["role"], "tool").combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            n = len(tool)
+            # run starts: tool row whose predecessor is not a tool row
+            # of the SAME conversation
+            prev_tool = np.concatenate([[False], tool[:-1]])
+            same_conv = np.concatenate([[False], cv[1:] == cv[:-1]])
+            start = tool & ~(prev_tool & same_conv)
+            # run ends: tool row whose successor is not a same-conv tool
+            next_tool = np.concatenate([tool[1:], [False]])
+            next_same = np.concatenate([cv[1:] == cv[:-1], [False]])
+            end = tool & ~(next_tool & next_same)
+            s_idx = np.flatnonzero(start)
+            e_idx = np.flatnonzero(end)
+            if not len(s_idx):
+                continue
+            lens = e_idx - s_idx + 1
+            uq, cnt = np.unique(lens, return_counts=True)
+            yield pa.table({"chain_len": pa.array(uq.astype(np.int64)),
+                            "n": pa.array(cnt.astype(np.int64))})
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    agg = ds.map_batches(chains, batch_size=1, batch_format="pyarrow") \
+        .groupby("chain_len").aggregate(Sum("n", alias_name="n_sum"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "chain_len": pc.cast(t["chain_len"], pa.int64()),
+            "n_chains": pc.cast(t["n_sum"], pa.int64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def conv_shapes(lake_dir: str, k: int = 4):
     """Conversation-TEMPLATE detection over the live lake: group
     conversations by their OPENING role sequence (first ``k`` turns in

@@ -1103,3 +1103,27 @@ def test_retracting_hopping_consolidates_to_plain(ray_session):
         n_actors=4).result_table()) \
         .sort_values("window_start_us").reset_index(drop=True)
     assert sharded.equals(plain)
+
+
+def test_tool_chains_brute_force(ray_session):
+    """Tool-chain distribution equals a brute-force recompute from the
+    exported conversation state."""
+    import collections
+
+    import __ray_entry__ as e
+
+    got = _as_df(e.queries()["cdc_tool_chains"](SF))
+    assert len(got) > 0
+    exp = _as_df(e.queries()["cdc_export_conversations"](SF))
+    want: dict = collections.Counter()
+    for doc in exp["doc"]:
+        roles = [line.split(":", 1)[0] for line in doc.split("\n")]
+        run = 0
+        for r in roles + ["<end>"]:
+            if r == "tool":
+                run += 1
+            elif run:
+                want[run] += 1
+                run = 0
+    assert {int(r["chain_len"]): int(r["n_chains"])
+            for _, r in got.iterrows()} == dict(want)
