@@ -2050,6 +2050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # transitive duplicate clusters: distributed connected components
     # (MapReduce-CC min-label propagation) over the near-dup pair graph
     q["dedup_clusters"] = dedup.dedup_clusters
+    # duplicate-family size histogram (derived from the CC clusters)
+    q["dedup_cluster_sizes"] = dedup.dedup_cluster_sizes
     # duplicate-hub scoring: PageRank over the same pair graph —
     # iterative float sums, so rows-only driver check (invariants:
     # stochasticity/positivity/hub-ordering pinned in tests); ranks are
@@ -4885,6 +4887,13 @@ def oracle_sql() -> dict[str, str]:
              CAST(node = cluster_id AS INTEGER) AS keep
       FROM cc
     """
+
+    sql["dedup_cluster_sizes"] = f"""
+      WITH base AS ({{}})
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             COUNT(DISTINCT cluster_id) AS n_clusters
+      FROM base GROUP BY 1
+    """.format(sql["dedup_clusters"])
 
     sql["text_quality"] = f"""
       WITH b AS (

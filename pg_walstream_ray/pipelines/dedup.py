@@ -1231,6 +1231,31 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
         [a.ranks_table.remote() for a in actors])
 
 
+def dedup_cluster_sizes(sf_dir: str, threshold: float = 0.35):
+    """Duplicate-FAMILY size distribution: (cluster_size, n_clusters)
+    over the connected components of the near-dup pair graph — the
+    dedup-policy dashboard row (how much of the corpus sits in 2-dup
+    pairs vs 50-dup template families decides keep-one vs drop-all).
+
+    Scale shape: dedup_clusters' (node, cluster) output reduced twice —
+    per-cluster size (one grouped count over int pairs) then the
+    bounded size histogram; nothing touches text or embeddings again.
+    """
+    from ray.data.aggregate import Count
+
+    labels = dedup_clusters(sf_dir, threshold=threshold) \
+        .select_columns(["cluster_id"])
+    sizes = labels.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size"))
+    hist = sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters"))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+            "n_clusters": pc.cast(t["n_clusters"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def dedup_pagerank(sf_dir: str, threshold: float = 0.35,
                    iters: int = 10):
     """Duplicate-hub scoring: PageRank over the embedding near-dup pair
