@@ -2187,12 +2187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_features"] = lambda sf: multimodal.media_features(sf) \
         .select_columns(["doc_id", "argmax_bin"])
 
-    # The driver emits CORRECTNESS rows for roughly the FIRST 50 entries in
-    # dict order.  Rounds 1-2 spent that window on the (already-green)
-    # CDC+analytics block, leaving the dedup/text/media block without a
-    # driver row.  Lead with the queries that have never had one (31
-    # oracled + 10 rows-only), then a CDC/analytics smoke set, then the
-    # rest — every callable is unchanged, only the dict order moves.
+    # The driver emits CORRECTNESS rows for exactly the FIRST 50 entries
+    # in dict order (verified: CORRECTNESS_r03 == queries()[:50]).  The
+    # r01-r03 union covers 103/201 queries; lead with the never-checked
+    # oracled surface (50 this round, the remaining 35 + 13 rows-only
+    # ordered next for round 5), then the driver-green smoke set —
+    # every callable is unchanged, only the dict order moves.
     ordered = {k: q[k] for k in _DRIVER_WINDOW_ORDER if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
@@ -2200,49 +2200,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # First-50 window for the driver's correctness run (see queries()).
 _DRIVER_WINDOW_ORDER = [
-    # 31 oracled queries the driver has never checked (VERDICT r2 item #1)
-    "events_anomaly_days", "user_event_journey", "corpus_clean",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dup_span_stats", "dup_span_removal", "simhash_signatures",
-    "dedup_simhash", "ngram_jaccard_pairs", "dedup_clusters",
-    "ann_brute_topk", "embedding_near_dup", "token_heavy_hitters",
-    "text_quality", "text_normalize", "lang_id", "repetition_filter",
-    "quality_prune", "vocab_coverage", "tfidf_top_terms", "decontaminate",
-    "doc_fingerprint", "redact_terms", "source_mix_sample",
-    "stratified_sample", "doc_sample", "media_metadata",
-    "media_frame_sample", "media_resize",
-    # round-3 additions (no driver row yet)
-    "cdc_deadletter_repair", "cdc_gdpr_purge", "cdc_update_diffs",
-    "cdc_tool_stats", "cdc_context_windows", "cdc_lake_stats",
-    "cdc_turn_dedup", "cdc_stream_join", "cdc_router_atomic_cut",
-    "train_val_split", "cdc_stream_dedup", "cdc_conv_episodes",
-    "cdc_prefix_enrich", "cdc_key_churn", "cdc_source_timeline",
-    "q7_volume_shipping", "q10_returned_items",
-    "q13_customer_distribution", "q17_small_quantity",
-    "q18_large_orders", "q19_discounted_revenue", "q8_market_share",
-    "perplexity_prune", "q2_min_cost_supplier", "q9_product_profit",
+    # -- round-4 window: 50 oracled queries the driver has NEVER checked
+    # (CORRECTNESS_r01-r03 union = 103/201; VERDICT r3 item #1).  The
+    # driver emits rows for the first ~50 dict entries, so lead with the
+    # never-checked oracled surface: r3 lake showpieces, streaming
+    # retract/hopping/top-k, the 12 unchecked TPC-H shapes, then the
+    # temporal/textops tail the judge spot-verified green.
+    "cdc_scd2_history", "cdc_time_travel", "cdc_snapshot_diff",
+    "cdc_lake_merge", "cdc_repartitioned", "cdc_export_conversations",
+    "cdc_export_resumable", "cdc_wap_publish", "cdc_backfill_column",
+    "cdc_retention", "cdc_changefeed", "cdc_watermark_report",
+    "cdc_lineage_report",
+    "cdc_conv_integrity", "cdc_stream_enrich", "cdc_conv_shapes",
+    "cdc_role_transitions", "cdc_tool_chains", "cdc_corpus_quality",
+    "cdc_turn_latency", "cdc_conv_near_dup",
+    "cdc_stream_retract", "cdc_stream_retract_hopping",
+    "cdc_stream_quantiles", "cdc_stream_hopping", "cdc_stream_topk",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
-    "q16_supplier_cnt", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_global_sales", "ann_filtered_topk", "bm25_retrieval",
-    "cdc_stream_topk", "bigram_heavy_hitters", "chunk_documents",
-    "pmi_collocations", "psi_source_drift", "dedup_pagerank",
-    "cdc_scd2_history", "cdc_repartitioned", "cdc_time_travel",
-    "rrf_fusion", "embedding_pca", "events_streaks", "events_percent_rank",
-    "grouped_corr", "mode_per_group", "dedup_triangles",
-    "edit_distance_pairs", "temperature_mix", "event_transitions",
-    "ann_pq_topk", "key_skew_audit", "session_concurrency",
-    "arg_max_per_user", "winsorized_stats", "quality_percentile",
-    "audience_overlap", "source_top_tokens", "rolling_active_users",
-    # 10 approximate/rows-only queries, also never driver-checked
-    "approx_user_days", "approx_quantiles", "approx_heavy_hitters",
-    "ann_lsh_topk", "ann_ivf_topk", "embedding_kmeans", "semantic_dedup",
-    "cluster_balanced_sample", "pack_sequences", "media_features",
-    # round-3 late-session operators (never driver-checked; judge-checker
-    # green at sf0.001+sf0.01): 7 oracled + 2 rows-only
-    "cdc_wap_publish", "cdc_stream_retract", "cdc_stream_quantiles",
-    "cdc_stream_enrich", "cdc_lineage_report", "cdc_export_resumable",
-    "survival_curve", "mmr_diverse_topk", "dedup_kcore",
-    # CDC/analytics smoke set (all green in r01+r02) beyond the ~50 window
+    "q16_supplier_cnt", "q18_large_orders", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers", "q22_global_sales",
+    "rolling_active_users", "perplexity_prune", "bm25_retrieval",
+    "train_shuffle", "weighted_median", "survival_curve",
+    "dedup_cluster_sizes", "ngram_novelty", "funnel_windowed",
+    "cohort_ltv", "token_entropy", "lang_confusion",
+    # -- round-5 window: the remaining 35 never-checked oracled queries
+    "value_histogram", "band_lookup_join", "bloom_semi_join",
+    "session_type_lift", "pareto_frontier", "purchase_attribution",
+    "ks_drift", "events_debounce", "events_resample",
+    "conversion_time_quantiles", "winsorized_stats", "audience_overlap",
+    "grouped_corr", "mode_per_group", "key_skew_audit",
+    "arg_max_per_user", "decayed_user_value", "events_streaks",
+    "events_percent_rank", "event_transitions", "session_concurrency",
+    "corpus_filter_audit", "source_ngram_overlap", "dedup_triangles",
+    "edit_distance_pairs", "ann_filtered_topk", "rrf_fusion",
+    "source_top_tokens", "bigram_heavy_hitters", "chunk_documents",
+    "pmi_collocations", "psi_source_drift", "quality_percentile",
+    "temperature_mix", "weighted_sample",
+    # -- then the 13 never-checked rows-only (approximate/iterative) ops
+    "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
+    "dedup_pagerank", "dedup_kcore", "ann_pq_topk", "mmr_diverse_topk",
+    "embedding_kmeans", "semantic_dedup", "cluster_balanced_sample",
+    "embedding_pca", "pack_sequences", "media_features",
+    # -- CDC/analytics smoke set (driver-green in r01-r03) rounds out
     "cdc_upsert_lww", "cdc_insert_only", "cdc_streamed_tx", "cdc_two_phase",
     "cdc_stream_windows", "cdc_stream_sessions", "q1_pricing_summary",
     "q5_local_supplier", "events_asof_join",
