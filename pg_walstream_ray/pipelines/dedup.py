@@ -539,7 +539,8 @@ def connected_components(pairs, npart: Optional[int] = None,
                        f"{max_rounds} rounds")
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.35):
+def dedup_clusters(sf_dir: str, threshold: float = 0.35,
+                   pair_source: str = "auto"):
     """Duplicate-cluster assignment: connected components over the
     embedding near-dup pair graph (cosine >= ``threshold``), canonical
     cluster id = min vec_id per component.  The cluster view a dedup
@@ -552,18 +553,21 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.35):
     that appears in at least one near-dup pair; keep = 1 iff the node is
     its cluster's canonical (minimum) member.
 
-    Scale shape: pairs come from the exact block-pair scorer (two
-    object-store blocks per task, no full-corpus read or broadcast in the
-    lineage; at corpus scale swap in the LSH/banded pair generator — same
-    columns); CC shuffles
-    only integer triples (see connected_components); the final sizing
-    pass is ONE co-partitioned groupby by ``cluster_id % NPART`` (a
-    cluster's rows all land in one bucket, so the count is exact with no
-    second pass).
+    Scale shape: the pair source routes by corpus size
+    (similarity.near_dup_pairs) — the exact block-pair scorer under
+    NEAR_DUP_EXACT_MAX_ROWS rows (the oracle bridge; two object-store
+    blocks per task, no full-corpus read or broadcast, but O(n^2/2)
+    flops), the LSH-banded generator above it (in-bucket exact verify,
+    linear flops, recall pinned in tests) — same columns either way; CC
+    shuffles only integer triples (see connected_components); the final
+    sizing pass is ONE co-partitioned groupby by ``cluster_id % NPART``
+    (a cluster's rows all land in one bucket, so the count is exact with
+    no second pass).
     """
-    from .similarity import embedding_near_dup
+    from .similarity import near_dup_pairs
 
-    pairs = embedding_near_dup(sf_dir, threshold=threshold) \
+    pairs = near_dup_pairs(sf_dir, threshold=threshold,
+                           pair_source=pair_source) \
         .select_columns(["vec_a", "vec_b"])
     labels = connected_components(pairs)
     npart = max(1, min(coarse_npart(), labels.count() // 50_000 + 1))

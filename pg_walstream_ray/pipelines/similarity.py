@@ -227,6 +227,107 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35,
 
 
 # ---------------------------------------------------------------------------
+# LSH-banded near-dup pairs (the scale path for the pair graph)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_LSH_TABLES = 16
+NEAR_DUP_LSH_TARGET_BUCKET = 4096   # expected rows per bucket at auto bits
+NEAR_DUP_EXACT_MAX_ROWS = 2_000_000  # above this, dedup_clusters routes to
+                                     # the banded pair source by default
+
+
+def _probe_dim(sf_dir: str) -> int:
+    """Embedding width from the FIRST row of the first row group — a
+    bounded driver-side metadata read, not a dataset pass."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    if not pf.metadata.num_rows:
+        return 0
+    col = pf.read_row_group(0, columns=["embedding"])["embedding"]
+    return len(col[0])
+
+
+def lsh_near_dup_pairs(sf_dir: str, threshold: float = 0.35,
+                       bits: Optional[int] = None,
+                       tables: int = NEAR_DUP_LSH_TABLES):
+    """Near-dup pairs via sign-LSH banding: candidate pairs are generated
+    only WITHIN buckets (sign-pattern over seeded hyperplanes, ``tables``
+    independent tables), then verified with the EXACT chunked cosine
+    scorer — so precision is exact (every emitted pair truly has cosine
+    >= threshold) and only recall is approximate (a pair colliding in no
+    table is missed; recall vs the exact scorer is pinned in tests).
+
+    Output: (vec_a, vec_b, cos_sim) with vec_a < vec_b, each pair once.
+
+    Scale shape (the 100 TB default for ``dedup_clusters``): ``bits``
+    auto-scales with corpus size so the EXPECTED bucket is
+    ~NEAR_DUP_LSH_TARGET_BUCKET rows, making total verify work
+    O(n * bucket * tables) flops — linear in n, vs the exact scorer's
+    O(n^2/2).  The shuffle moves (bucket, vec_id, embedding) rows; the
+    cross-table dedupe moves int-triple pairs only.  A pathological
+    bucket (mass-duplicated embeddings) degrades to quadratic in THAT
+    duplicate set only, and the in-bucket scorer chunks its matmul so
+    task memory stays bounded regardless."""
+    import ray.data as rd
+
+    emb = _emb(sf_dir)
+    n = emb.count()
+    if not n:
+        return rd.from_arrow(_PAIR_SCHEMA.empty_table())
+    d = _probe_dim(sf_dir)
+    if bits is None:
+        bits = max(4, int(np.ceil(np.log2(max(
+            2.0, n / NEAR_DUP_LSH_TARGET_BUCKET)))))
+
+    bucketed = emb.map_batches(
+        as_tasks(LshBucketStage, d=d, bits=bits, tables=tables),
+        batch_format="pyarrow", batch_size=4096)
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        return _score_block_pair(g, None, threshold, same=True)
+
+    cand = bucketed.groupby("bucket").map_groups(score_bucket,
+                                                batch_format="pyarrow")
+
+    # one pair can collide in several tables -> dedupe on a coarse
+    # pair-hash partition (pairs are wholly contained in their partition,
+    # so per-group drop-dup is globally exact)
+    from ..functions.scale import coarse_npart
+    npart = coarse_npart()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False)
+        b = t["vec_b"].to_numpy(zero_copy_only=False)
+        part = (a * np.int64(1_000_003) + b) % npart
+        return t.append_column("part", pa.array(part))
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_a", "vec_b"]) \
+            .drop(columns=["part"])
+
+    return cand.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(drop_dup, batch_format="pandas")
+
+
+def near_dup_pairs(sf_dir: str, threshold: float = 0.35,
+                   pair_source: str = "auto"):
+    """Near-dup pair graph with scale-safe routing: the EXACT block-pair
+    scorer under ``NEAR_DUP_EXACT_MAX_ROWS`` rows (oracle-bridgeable,
+    O(n^2/2) flops), the LSH-banded generator above it (linear flops,
+    recall-tested).  ``pair_source`` in {'auto', 'exact', 'lsh'} forces a
+    path."""
+    if pair_source == "auto":
+        pair_source = ("exact" if _emb(sf_dir).count()
+                       <= NEAR_DUP_EXACT_MAX_ROWS else "lsh")
+    if pair_source == "exact":
+        return embedding_near_dup(sf_dir, threshold=threshold)
+    if pair_source == "lsh":
+        return lsh_near_dup_pairs(sf_dir, threshold=threshold)
+    raise ValueError(f"unknown pair_source: {pair_source!r}")
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed approximate top-k (the scale path)
 # ---------------------------------------------------------------------------
 
