@@ -1124,6 +1124,94 @@ def stream_windows(wal_dir: str, width_us: int, n_sources: int,
     return agg
 
 
+class FollowAggResult(ShardedAggResult):
+    """ShardedAggResult plus follow-loop observability: how many polls
+    ran and how many of them delivered new WAL (the 'windows advanced
+    across polls' evidence a continuous-tailing test asserts on)."""
+
+    def __init__(self, table: pa.Table, late_dropped: int, polls: int,
+                 data_polls: int):
+        super().__init__(table, late_dropped)
+        self.polls = polls
+        self.data_polls = data_polls
+
+
+def follow_stream_windows(wal_dir: str, width_us: int, n_sources: int,
+                          n_actors: int = 2, lateness_us: int = 0,
+                          poll_interval_s: float = 0.1,
+                          max_idle_polls: int = 5,
+                          stop=None, on_poll=None) -> FollowAggResult:
+    """CONTINUOUSLY-TAILING sharded window consumer: poll the WAL archive,
+    route only never-seen segments to the resident aggregator actors, and
+    keep polling until the archive goes quiet (``max_idle_polls`` empty
+    polls) — or, with ``stop`` given, until ``stop()`` returns True while
+    no new WAL is pending (the deterministic variant for fixtures that
+    append WAL mid-run).  The actors and their window/watermark state
+    LIVE ACROSS POLLS — this is the reference's continuously-running
+    consumer loop (stream.rs:1563-1582) on the sharded architecture, not
+    a sequence of batch jobs; per-poll results fold into the same state,
+    so the final windows equal the one-shot batch run for any append
+    chunking (the aggregator-chunking property tests).
+
+    ``on_poll(poll_idx, n_new_segments)`` is invoked after each
+    data-carrying poll finishes routing — the deterministic hook a
+    phased fixture uses to append its next batch only once the previous
+    one was consumed.
+
+    Scale shape: steady-state cost per poll is one directory listing plus
+    decode of NEW segments only; watermarks advance monotonically because
+    appended segments carry strictly later LSNs per source."""
+    import glob as _glob
+    import os
+    import time
+
+    import ray
+
+    kw = dict(width_us=width_us, sources=range(n_sources),
+              lateness_us=lateness_us, distinct_mode="exact")
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_actors = max(1, min(n_actors, cpus))
+    actor_cls = ray.remote(num_cpus=0.5)(_AggActor)
+    route_fn = ray.remote(num_cpus=0.5)(_route_shard)
+    actors = [actor_cls.remote("windows", kw) for _ in range(n_actors)]
+    fed: set = set()
+    polls = data_polls = idle = 0
+    try:
+        while True:
+            polls += 1
+            new = sorted(
+                p for p in _glob.glob(
+                    os.path.join(wal_dir, "shard=*", "wal*.parquet"))
+                if p not in fed)
+            if new:
+                data_polls += 1
+                idle = 0
+                by_shard: Dict[str, list] = {}
+                for p in new:
+                    by_shard.setdefault(os.path.dirname(p), []).append(p)
+                # per-source routers, ordered segments per source
+                ray.get([route_fn.remote(sorted(ps), actors, n_actors)
+                         for ps in by_shard.values()])
+                fed.update(new)
+                if on_poll is not None:     # acked AFTER routing: callers
+                    on_poll(polls, len(new))  # gate mid-run appends on it
+                continue
+            if stop is not None:
+                if stop():
+                    break
+            else:
+                idle += 1
+                if idle >= max_idle_polls:
+                    break
+            time.sleep(poll_interval_s)
+        parts = ray.get([a.finish.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return FollowAggResult(_merge_windows([t for t, _ in parts]),
+                           sum(l for _, l in parts), polls, data_polls)
+
+
 def _merge_window_quantiles(tables: List[pa.Table]) -> pa.Table:
     """Sum per-actor (window, len, n) histogram partials, then cut the
     exact quantile_disc values once per window — quantiles do not add,

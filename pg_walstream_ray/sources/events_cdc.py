@@ -237,3 +237,78 @@ def build_wal_from_events(sf_dir: str, mode: str, out_dir: str,
         write_logical_shard(part, spec, s, out_dir)
     with open(done, "w") as f:
         f.write("ok")
+
+
+def build_wal_from_events_phased(sf_dir: str, out_dir: str,
+                                 n_shards: int = 2,
+                                 phase_frac: float = 0.5):
+    """Continuous-tailing fixture: the SAME upsert WAL as
+    ``build_wal_from_events(mode='upsert')`` — identical logical rows,
+    xids and commit LSNs, so every upsert-mode oracle applies unchanged —
+    but split per shard at a TRANSACTION boundary into a phase-1 archive
+    written now and a phase-2 appender returned to the caller.  A
+    follower consuming ``out_dir`` sees phase 1, goes idle, then picks
+    up phase 2 when the caller appends it mid-run (segments are
+    self-describing, so the appended batch encodes identically).
+
+    Returns ``(append_phase2, stats)``: stats carries per-source phase-1
+    max frame LSNs (the watermark a fully-caught-up phase-1 lake must
+    reach) and per-phase DML row counts.  Not cached: phases mutate the
+    dir, so every caller gets a fresh build.
+    """
+    import shutil as _shutil
+
+    shutil_rmtree = _shutil.rmtree
+    if os.path.exists(out_dir):
+        shutil_rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    events = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"])
+    events = events.take(pc.sort_indices(
+        events, sort_keys=[("event_id", "ascending")]))
+    logical = derive_changes(events, "upsert")
+    user = events["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    spec = WalSpec(n_shards=n_shards)
+    dml = pa.array(["insert", "update", "delete"], pa.string())
+    phase2_parts: List[Tuple[int, pa.Table]] = []
+    stats = {"phase1_max_lsn": {}, "final_max_lsn": {},
+             "phase1_dml": 0, "phase2_dml": 0}
+    for s in range(n_shards):
+        part = logical.filter(pa.array(user % n_shards == s))
+        rank = np.arange(part.num_rows, dtype=np.int64)
+        tx_idx = rank // TX_ROWS
+        xid = (np.int64(s) << 24) + tx_idx + 1000
+        part = part.set_column(part.schema.get_field_index("xid"), "xid",
+                               pa.array(xid))
+        n_txs = int(tx_idx[-1]) + 1 if part.num_rows else 0
+        cut_tx = max(1, int(np.ceil(n_txs * phase_frac)))
+        mask = tx_idx < cut_tx
+        p1, p2 = part.filter(pa.array(mask)), part.filter(pa.array(~mask))
+        # one segment per phase: phase 1 now, phase 2 via the appender
+        write_logical_shard(p1, spec, s, out_dir,
+                            segment_frames=max(1, p1.num_rows))
+        phase2_parts.append((s, p2))
+        if p1.num_rows:
+            # phase-1 commit watermark = last commit lsn (max row lsn + 1,
+            # encode_shard_frames' commit_lsn rule)
+            stats["phase1_max_lsn"][s] = int(
+                pc.max(p1["lsn"]).as_py()) + 1
+        if part.num_rows:
+            stats["final_max_lsn"][s] = int(
+                pc.max(part["lsn"]).as_py()) + 1
+        n1 = int(pc.sum(pc.cast(pc.is_in(p1["op"], value_set=dml),
+                                pa.int64())).as_py() or 0)
+        n2 = int(pc.sum(pc.cast(pc.is_in(p2["op"], value_set=dml),
+                                pa.int64())).as_py() or 0)
+        stats["phase1_dml"] += n1
+        stats["phase2_dml"] += n2
+
+    def append_phase2() -> None:
+        for s, p2 in phase2_parts:
+            if p2.num_rows:
+                write_logical_shard(p2, spec, s, out_dir,
+                                    segment_frames=max(1, p2.num_rows),
+                                    segment_base=1)
+
+    return append_phase2, stats

@@ -579,14 +579,19 @@ def encode_shard_frames(logical: pa.Table, spec: WalSpec, shard: int,
 
 def write_logical_shard(logical: pa.Table, spec: WalSpec, shard: int,
                         out_dir: str,
-                        segment_frames: Optional[int] = None) -> dict:
+                        segment_frames: Optional[int] = None,
+                        segment_base: int = 0) -> dict:
     """Encode + write one shard of an arbitrary logical change table
     (LOGICAL_SCHEMA): ``out_dir/shard=NNNN/wal.parquet`` + schema sidecar.
 
     With ``segment_frames`` the stream is split into ordered segment files
     ``wal-0000.parquet, wal-0001.parquet, ...`` — the WAL-archive layout
     that lets resume prune fully-applied segments via footer LSN stats
-    without decoding them (pipelines/cdc.py).
+    without decoding them (pipelines/cdc.py).  ``segment_base`` offsets
+    the segment numbering — the append hook for continuous-tailing
+    fixtures that land later WAL into an archive a follower is already
+    consuming (segments are self-describing, so a later batch encodes
+    identically whether written up front or appended live).
     """
     import os
     import pyarrow.parquet as pq
@@ -604,7 +609,7 @@ def write_logical_shard(logical: pa.Table, spec: WalSpec, shard: int,
             if hi <= lo:
                 continue
             part = frames.slice(lo, hi - lo)
-            name = f"wal-{seg:04d}.parquet"
+            name = f"wal-{segment_base + seg:04d}.parquet"
             tmp = os.path.join(d, f".{name}.tmp")
             pq.write_table(part, tmp, compression="zstd")
             os.replace(tmp, os.path.join(d, name))
