@@ -56,6 +56,13 @@ from ..state.manifest import global_watermark, min_watermark
 from ..lake import read_lake_config, write_lake_config
 
 
+# Below this many worker CPUs, a LARGE replay's fused map side runs as a
+# fixed actor pool; at or above it, plain tasks win (see run_cdc's adaptive
+# execution mode comment for the measured A/B grid).  Crossover measured
+# between 8 and 16 cpus on the 16M-event replay.
+_MAP_TASKS_MIN_CPUS = 12
+
+
 def discover_shards(wal_dir: str) -> list:
     """Per shard: the ORDERED list of segment files (single-file shards
     yield a one-element list).  Segments are the WAL-archive unit: resume
@@ -70,10 +77,35 @@ def discover_shards(wal_dir: str) -> list:
     return out
 
 
+def _scan_shard_relations(segs: Sequence[str]) -> list:
+    """Control-plane pre-scan of ONE shard: decode its segments in order
+    with ``collect_dml=False`` (Relation/meta rows only — DML tuples are
+    never materialized) and return the relation ``meta`` JSON strings.
+    Runs as a Ray task, one per missing-sidecar shard, so a multi-TB
+    shard's registry scan never happens on the driver."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dec = PgOutputDecoder(collect_dml=False)
+    for p in segs:
+        pf = pq.ParquetFile(p)
+        for rg in range(pf.num_row_groups):
+            dec.feed_frames(pf.read_row_group(rg, columns=["frame"])
+                            ["frame"].to_pylist())
+    b = dec.take_batch()
+    if b is None:
+        return []
+    t = pa.Table.from_batches([b])
+    return t.filter(pc.equal(t["op"], "relation"))["meta"].to_pylist()
+
+
 def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
     """Schema registry from sidecars (fast path), else a control-plane
     pre-scan of the frames (decode with collect_dml=False — the stream is
-    self-describing via Relation messages, protocol.rs:1871-1879)."""
+    self-describing via Relation messages, protocol.rs:1871-1879).  The
+    no-sidecar scan fans out as one Ray task per shard and only the tiny
+    relation-meta rows return to the driver (a 1.5 TB shard costs the
+    cluster one sequential control-plane decode, the driver nothing)."""
     reg = SchemaRegistry()
     missing = []
     for segs in shard_paths:
@@ -83,18 +115,12 @@ def build_registry(wal_dir: str, shard_paths: Sequence[str]) -> SchemaRegistry:
                 reg.ingest_relation_rows(json.load(f))
         else:
             missing.append(segs)
-    for segs in missing:
-        import pyarrow.parquet as pq
+    if missing:
+        import ray
 
-        dec = PgOutputDecoder(collect_dml=False)
-        for p in segs:
-            pf = pq.ParquetFile(p)
-            for rg in range(pf.num_row_groups):
-                dec.feed_frames(pf.read_row_group(rg, columns=["frame"])
-                                ["frame"].to_pylist())
-        b = dec.take_batch()
-        if b is not None:
-            reg.ingest_envelope(pa.Table.from_batches([b]))
+        scan = ray.remote(num_cpus=1)(_scan_shard_relations)
+        for metas in ray.get([scan.remote(list(segs)) for segs in missing]):
+            reg.ingest_relation_rows(metas)
     return reg
 
 
@@ -543,23 +569,33 @@ def run_cdc(wal_dir: str, lake_dir: str, num_partitions: int = 16,
     # FUSED map side: decode -> typed projection -> partition routing run
     # inside ONE stage per segment (stages/fused.py) — the intermediate
     # envelope and typed tables never hit the object store (two ~2 GB hops
-    # saved on the 16M-event bench).  Adaptive execution mode:
-    #  - SMALL inputs (constant-overhead regime): plain TASKS — warm task
-    #    workers are reused across pipeline executions, while actor pools
-    #    cost ~2-3 s of spin-up per run (measured 5x wall on the sf0.1
-    #    headline).
-    #  - LARGE inputs (throughput regime): a FIXED actor pool — dedicated
-    #    pinned processes pipeline better under a saturated box, and under
-    #    CPU scarcity fixed pools avoid the autoscaling
-    #    pool-stuck-at-minimum pathology.
+    # saved on the 16M-event bench).  Adaptive execution mode (A/B-measured
+    # on the 16M-event replay, round 4):
+    #  - TASKS when the input is small (constant-overhead regime) OR the
+    #    worker has plenty of CPUs: warm task workers are reused across
+    #    pipeline executions (no per-run pool spin-up) and interleave
+    #    freely with the shuffle+apply stages — 16 cpus: 1.96M vs 1.76M
+    #    ev/s; 32 cpus: 3.51M vs 2.25M ev/s over the fixed pool.
+    #  - FIXED ACTOR POOL only for LARGE inputs on CPU-SCARCE workers
+    #    (< _MAP_TASKS_MIN_CPUS): under scarcity dedicated pinned
+    #    processes pipeline better (4 cpus: 657k vs 352k; 8 cpus: 1.20M
+    #    vs 921k ev/s) and avoid task-vs-reduce scheduling churn.
     # The pool gets at most 3/4 of the CPUs — a map side saturating every
     # CPU starves the concurrent shuffle+apply stages.
     from ..stages.fused import DecodeProjectRoute
 
     total_bytes = sum(os.path.getsize(it["wal_paths"][0])
                       for it in work_items)
-    small = total_bytes < 128 * 1024 * 1024
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # PGWR_MAP_MODE=tasks|actors overrides the adaptive choice (A/B knob;
+    # tasks reuse warm workers across runs, actors pin processes)
+    mode = os.environ.get("PGWR_MAP_MODE", "auto")
+    if mode == "auto":
+        use_tasks = (total_bytes < 128 * 1024 * 1024
+                     or ncpu >= _MAP_TASKS_MIN_CPUS)
+    else:
+        use_tasks = mode == "tasks"
+    small = use_tasks
     map_c = decode_concurrency or max(1, min(len(work_items),
                                              (3 * ncpu) // 4))
     fused_kw = dict(registry_ref=registry_ref, oid=oid,
