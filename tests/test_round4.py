@@ -1,0 +1,277 @@
+"""Round-4 surfaces: distributed registry pre-scan (no-sidecar fallback),
+LSH-banded near-dup pair source + scale-safe dedup_clusters routing."""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from .helpers import make_wal
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_build_registry_no_sidecar_fans_out(ray_session):
+    """A missing-sidecar multi-shard WAL must build its registry through
+    Ray tasks with NO driver-side frame decode: the driver module's
+    decoder symbol is replaced with a bomb, which only the driver process
+    sees (workers re-import the real module), so build_registry succeeds
+    iff every frame decode ran off-driver."""
+    from pg_walstream_ray.pipelines import cdc as cdcmod
+    from pg_walstream_ray.sources import walgen
+
+    spec = walgen.WalSpec(n_convs=40, turns_per_conv=6, n_shards=3,
+                          schema_change_at_frac=0.5, seed=7)
+    wal = make_wal(spec)
+    shards = cdcmod.discover_shards(wal)
+
+    expected = cdcmod.build_registry(wal, shards)          # sidecar path
+    for sc in glob.glob(os.path.join(wal, "shard=*", "relations.json")):
+        os.remove(sc)
+
+    class _DriverDecodeBomb:
+        def __init__(self, *a, **k):
+            raise AssertionError("driver-side frame decode in "
+                                 "build_registry fallback")
+
+    orig = cdcmod.PgOutputDecoder
+    cdcmod.PgOutputDecoder = _DriverDecodeBomb
+    try:
+        reg = cdcmod.build_registry(wal, shards)
+    finally:
+        cdcmod.PgOutputDecoder = orig
+
+    assert reg._versions.keys() == expected._versions.keys()
+    for key, rv in expected._versions.items():
+        got = reg._versions[key]
+        assert got.columns == rv.columns
+        assert got.name == rv.name
+        assert got.replica_identity == rv.replica_identity
+    # the evolved WAL really exercises multi-version state
+    assert any(ver > 1 for (_, ver) in reg._versions)
+
+
+def test_scan_shard_relations_empty_segments(ray_session):
+    """A shard whose segments carry no Relation message (e.g. keepalives
+    only) contributes nothing, without erroring."""
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from pg_walstream_ray.pipelines.cdc import _scan_shard_relations
+    from pg_walstream_ray.wire.frames import encode_keepalive
+
+    d = tempfile.mkdtemp(prefix="pgwr_emptyshard_")
+    p = os.path.join(d, "wal-000.parquet")
+    pq.write_table(
+        pa.table({"frame": pa.array([encode_keepalive(1000, 0, False)],
+                                    pa.binary())}), p)
+    assert _scan_shard_relations([p]) == []
+
+
+# ---------------------------------------------------------------------------
+# LSH-banded near-dup pair source (scale-safe dedup_clusters default)
+# ---------------------------------------------------------------------------
+
+
+def _pair_index(ds) -> dict:
+    df = ds.to_pandas()
+    return {(int(a), int(b)): float(s)
+            for a, b, s in zip(df["vec_a"], df["vec_b"], df["cos_sim"])}
+
+
+def test_lsh_near_dup_pairs_recall_and_exact_precision(ray_session):
+    """Banded pairs vs the exact scorer on the sf0.001 embeddings (an
+    ADVERSARIAL corpus for LSH: near-orthogonal vectors, all true pairs
+    at cosine 0.35-0.48).  Precision must be exact (in-bucket verify is
+    the exact scorer) and each pair emitted once; recall >= 0.9 at
+    tables=24."""
+    from pg_walstream_ray.pipelines.similarity import (embedding_near_dup,
+                                                       lsh_near_dup_pairs)
+
+    exact = _pair_index(embedding_near_dup(SF, threshold=0.35))
+    assert len(exact) > 100                      # fixture has real pairs
+
+    got_df = lsh_near_dup_pairs(SF, threshold=0.35, tables=24).to_pandas()
+    got = {(int(a), int(b)): float(s)
+           for a, b, s in zip(got_df["vec_a"], got_df["vec_b"],
+                              got_df["cos_sim"])}
+    assert len(got) == len(got_df)               # no duplicate pairs
+    for pair, sim in got.items():
+        assert pair in exact                     # exact precision
+        assert abs(sim - exact[pair]) < 1e-9     # same scorer, same value
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_dedup_clusters_lsh_path_invariants(ray_session):
+    """dedup_clusters over the banded pair source: valid cluster
+    structure (cluster_id = min member, exactly one keep per cluster,
+    sizes consistent) and node set == exact-path node set at >= 90%
+    Jaccard (recall loss only ever drops whole isolated pairs)."""
+    from pg_walstream_ray.pipelines.dedup import dedup_clusters
+
+    lsh = dedup_clusters(SF, pair_source="lsh").to_pandas()
+    exact = dedup_clusters(SF, pair_source="exact").to_pandas()
+
+    g = lsh.groupby("cluster_id")
+    assert (g["vec_id"].min() == g["vec_id"].min().index).all()
+    assert (g["keep"].sum() == 1).all()
+    sizes = g.size()
+    assert (lsh.set_index("vec_id")["cluster_size"]
+            == lsh.set_index("vec_id")["cluster_id"].map(sizes)).all()
+
+    a, b = set(lsh["vec_id"]), set(exact["vec_id"])
+    assert len(a & b) / len(a | b) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# round-4 SQL bridges for previously rows-only approximate ops
+# ---------------------------------------------------------------------------
+
+
+def test_ann_pq_rerank_exact_equals_brute(ray_session):
+    """With re-rank depth covering the corpus (k*adc_factor=640 >= 500),
+    the PQ pipeline's output must be rank-identical to brute force — the
+    property that lets the driver pin it to the brute SQL oracle."""
+    from pg_walstream_ray.pipelines.similarity import (ann_brute_topk,
+                                                       ann_pq_topk)
+
+    cols = ["query_id", "neighbor_id", "rnk"]
+    brute = ann_brute_topk(SF).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    pq_full = ann_pq_topk(SF, adc_factor=64).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(pq_full, brute)
+
+
+def test_dedup_pagerank_ranks_matches_unrolled_sql(ray_session):
+    """Nano-quantized Pregel ranks == the 10-step unrolled power-iteration
+    oracle (the driver bridge for the iterative graph computation)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["dedup_pagerank_ranks"](SF).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["dedup_pagerank_ranks"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    # ranks are a probability vector in nano-units
+    assert abs(mine["rank_nano"].sum() - 1_000_000_000) < 1000
+
+
+# ---------------------------------------------------------------------------
+# continuous tailing: phased WAL + live follow consumers
+# ---------------------------------------------------------------------------
+
+
+def test_phased_wal_replays_to_same_lake_as_standard(ray_session):
+    """Fully-appended phased WAL == standard upsert WAL: same final lake
+    (identical logical rows/xids/LSNs, only the segment layout differs)."""
+    import hashlib
+    import tempfile
+
+    from pg_walstream_ray.lake import snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import (
+        build_wal_from_events, build_wal_from_events_phased)
+
+    key = hashlib.sha1(f"{os.path.abspath(SF)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    std_wal = os.path.join("/tmp/pgwr_cdc", f"wal-upsert-{key}")
+    build_wal_from_events(SF, "upsert", std_wal, n_shards=2)
+    phased_wal = tempfile.mkdtemp(prefix="pgwr_phased_")
+    append, st = build_wal_from_events_phased(SF, phased_wal, n_shards=2)
+    assert st["phase1_dml"] > 0 and st["phase2_dml"] > 0
+    append()
+
+    def snap(wal):
+        lk = tempfile.mkdtemp(prefix="pgwr_lake_ph_")
+        try:
+            run_cdc(wal, lk, num_partitions=4)
+            df = snapshot_table(lk).to_pandas()
+            return df.sort_values(["conv_id", "turn_idx"]) \
+                .reset_index(drop=True)[sorted(df.columns)]
+        finally:
+            import shutil
+            shutil.rmtree(lk, ignore_errors=True)
+
+    pd.testing.assert_frame_equal(snap(phased_wal), snap(std_wal))
+
+
+def test_follow_stream_windows_across_live_appends(ray_session):
+    """The sharded follow consumer fed phase 1, with phase 2 appended
+    while it polls, must produce exactly the one-shot batch windows and
+    must have consumed >= 2 data polls (state advanced across polls)."""
+    import tempfile
+    import threading
+    import time
+
+    from pg_walstream_ray.pipelines.streaming import (follow_stream_windows,
+                                                      stream_windows)
+    from pg_walstream_ray.sources.events_cdc import (
+        build_wal_from_events_phased)
+
+    wal = tempfile.mkdtemp(prefix="pgwr_follow_")
+    append, st = build_wal_from_events_phased(SF, wal, n_shards=2)
+    phase1_routed = threading.Event()
+    appended = threading.Event()
+
+    def later():
+        assert phase1_routed.wait(timeout=120)
+        append()
+        appended.set()
+
+    t = threading.Thread(target=later)
+    t.start()
+    res = follow_stream_windows(
+        wal, 4096, n_sources=2, n_actors=3, poll_interval_s=0.05,
+        stop=appended.is_set,
+        on_poll=lambda _p, _n: phase1_routed.set())
+    t.join()
+    assert res.data_polls >= 2
+    assert res.late_dropped == 0
+    batch = stream_windows(wal, 4096, n_sources=2, n_actors=3)
+    pd.testing.assert_frame_equal(res.result_table().to_pandas(),
+                                  batch.result_table().to_pandas())
+
+
+def test_cdc_follow_live_query_matches_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    res = E.queries()["cdc_follow_live"](SF)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    mine = df[sorted(df.columns)].sort_values(
+        list(sorted(df.columns))).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    odf = con.execute(E.oracle_sql()["cdc_follow_live"]).df()
+    oracle = odf[sorted(odf.columns)].sort_values(
+        list(sorted(odf.columns))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_near_dup_pairs_auto_routes_by_corpus_size(ray_session, monkeypatch):
+    """Above NEAR_DUP_EXACT_MAX_ROWS the default pair source must be the
+    banded generator (VERDICT r3 #1: no O(N^2)-flop stage in the default
+    lineage at large N)."""
+    from pg_walstream_ray.pipelines import similarity as sim
+
+    calls = []
+    monkeypatch.setattr(
+        sim, "lsh_near_dup_pairs",
+        lambda *a, **k: calls.append("lsh") or sim.embedding_near_dup(SF))
+    monkeypatch.setattr(sim, "NEAR_DUP_EXACT_MAX_ROWS", 10)
+    sim.near_dup_pairs(SF)                       # 500 rows > 10 -> lsh
+    assert calls == ["lsh"]
+    monkeypatch.setattr(sim, "NEAR_DUP_EXACT_MAX_ROWS", 2_000_000)
+    out = sim.near_dup_pairs(SF)                 # 500 rows -> exact path
+    assert calls == ["lsh"]
+    assert {"vec_a", "vec_b", "cos_sim"} <= set(out.schema().names)
