@@ -1881,6 +1881,64 @@ def _pagerank_oracle_sql(threshold: float = 0.35, iters: int = 10,
     """
 
 
+def _mmr_oracle_sql(k: int = 10, m: int = 40, lam: float = 0.7,
+                    nq: int = 8) -> str:
+    """Unrolled-greedy MMR oracle: k plain CTE steps, each picking the
+    argmax of the NANO-QUANTIZED marginal score (the same 1e9 rounding
+    the Ray greedy applies before its argmax — the quantization margin
+    is what makes the two float paths agree exactly) with min-neighbor
+    tie-break, then folding the pick into the selected set.  Every step
+    CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each step
+    references its predecessor twice (max-sim join + NOT EXISTS), so an
+    uninlined form re-evaluates the whole prefix exponentially (and
+    re-opens the parquet scan enough times to exhaust the fd limit)."""
+    steps, prev = [], "selacc1"
+    for r in range(2, k + 1):
+        steps.append(f"""
+      , ms{r} AS MATERIALIZED (
+        SELECT p.qid, p.nid,
+               MAX(list_cosine_similarity(p.emb::DOUBLE[],
+                                          s.emb::DOUBLE[])) AS maxsim
+        FROM pool p JOIN {prev} s USING (qid)
+        GROUP BY p.qid, p.nid
+      ), sel{r} AS MATERIALIZED (
+        SELECT p.qid, p.nid, p.emb, {r} AS rnk
+        FROM pool p JOIN ms{r} m ON m.qid = p.qid AND m.nid = p.nid
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.qid = p.qid AND x.nid = p.nid)
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY p.qid
+          ORDER BY CAST(ROUND(({lam}*p.rel - {1 - lam:.1f}*m.maxsim)*1e9)
+                        AS BIGINT) DESC, p.nid) = 1
+      ), selacc{r} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL
+        SELECT qid, nid, emb, rnk FROM sel{r}
+      )""")
+        prev = f"selacc{r}"
+    return f"""
+      WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+      ), q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < {nq}
+      ), cand AS (
+        SELECT qid, e.vec_id AS nid,
+               list_cosine_similarity(qe::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS rel,
+               e.embedding AS emb
+        FROM q, emb e WHERE e.vec_id <> qid
+      ), pool AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rel DESC, nid) AS rn
+          FROM cand) WHERE rn <= {m}
+      ), sel1 AS MATERIALIZED (
+        SELECT qid, nid, emb, 1 AS rnk FROM pool WHERE rn = 1
+      ), selacc1 AS MATERIALIZED (SELECT * FROM sel1){''.join(steps)}
+      SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk
+      FROM {prev}
+    """
+
+
 def entry() -> Any:
     """Flagship: full CDC replay of the sf0.001 events-derived change stream
     into a transcript lake; returns the final table (pandas per the driver
@@ -2283,9 +2341,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_pq_rerank_exact"] = lambda sf: similarity.ann_pq_topk(
         sf, adc_factor=64).select_columns(["query_id", "neighbor_id",
                                            "rnk"])
+    # coverage-parameterized IVF: nprobe == n_centroids probes every
+    # inverted list, so the output equals brute top-k REGARDLESS of how
+    # the quantizer trained — the brute oracle pins the whole
+    # sample->train->assign->probe->score machinery; production keeps
+    # nprobe=6 (recall-tested)
+    q["ann_ivf_full_probe"] = lambda sf: similarity.ann_ivf_topk(
+        sf, nprobe=similarity.IVF_CENTROIDS) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
+    # coverage-parameterized LSH: bits=0 collapses each table to one
+    # bucket (every vector scored) -> rank-exact by construction; pins
+    # the bucketing/in-bucket-scoring/cross-table-dedupe/rank machinery
+    q["ann_lsh_full_bucket"] = lambda sf: similarity.ann_lsh_topk(
+        sf, bits=0, tables=2) \
+        .select_columns(["query_id", "neighbor_id", "rnk"])
     # MMR diverse retrieval (redundancy-penalized greedy over the brute
-    # candidate pool): greedy/float -> rows-only driver check; first-pick,
-    # lam=1-degeneracy and determinism invariants pinned in tests
+    # candidate pool).  SQL-bridged round 4: the greedy argmax runs over
+    # NANO-QUANTIZED marginal scores with a min-neighbor tie-break, so a
+    # k-step unrolled CTE greedy reproduces the selection exactly
+    # (_mmr_oracle_sql); first-pick, lam=1-degeneracy and determinism
+    # invariants stay pinned in tests
     q["mmr_diverse_topk"] = lambda sf: similarity.mmr_diverse_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])
     # k-means clustering: iterative (non-SQL-expressible) -> rows-only
@@ -2423,6 +2498,7 @@ _DRIVER_WINDOW_ORDER = [
     "cohort_ltv", "token_entropy",
     # -- round-5 window: the remaining never-checked oracled queries
     "lang_confusion", "dedup_pagerank_ranks", "ann_pq_rerank_exact",
+    "ann_ivf_full_probe", "ann_lsh_full_bucket",
     "value_histogram", "band_lookup_join", "bloom_semi_join",
     "session_type_lift", "pareto_frontier", "purchase_attribution",
     "ks_drift", "events_debounce", "events_resample",
@@ -5062,6 +5138,8 @@ def oracle_sql() -> dict[str, str]:
       FROM r WHERE rn <= 10
     """
     sql["ann_pq_rerank_exact"] = sql["ann_brute_topk"]
+    sql["ann_ivf_full_probe"] = sql["ann_brute_topk"]
+    sql["ann_lsh_full_bucket"] = sql["ann_brute_topk"]
 
     sql["embedding_near_dup"] = """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -5102,6 +5180,8 @@ def oracle_sql() -> dict[str, str]:
     """.format(sql["dedup_clusters"])
 
     sql["dedup_pagerank_ranks"] = _pagerank_oracle_sql()
+    # unrolled-greedy MMR (VERDICT r3 #6 class): previously rows-only
+    sql["mmr_diverse_topk"] = _mmr_oracle_sql()
 
     sql["text_quality"] = f"""
       WITH b AS (

@@ -146,6 +146,24 @@ def test_ann_pq_rerank_exact_equals_brute(ray_session):
     pd.testing.assert_frame_equal(pq_full, brute)
 
 
+def test_ann_full_coverage_variants_equal_brute(ray_session):
+    """Coverage-parameterized IVF (nprobe = all lists) and LSH (bits=0,
+    one bucket per table) must be rank-identical to brute force — true
+    REGARDLESS of quantizer training or hyperplane draw, which is what
+    makes them driver-oracle-able."""
+    from pg_walstream_ray.pipelines import similarity as sim
+
+    cols = ["query_id", "neighbor_id", "rnk"]
+    brute = sim.ann_brute_topk(SF).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    ivf = sim.ann_ivf_topk(SF, nprobe=sim.IVF_CENTROIDS).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    lsh = sim.ann_lsh_topk(SF, bits=0, tables=2).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(ivf, brute)
+    pd.testing.assert_frame_equal(lsh, brute)
+
+
 def test_dedup_pagerank_ranks_matches_unrolled_sql(ray_session):
     """Nano-quantized Pregel ranks == the 10-step unrolled power-iteration
     oracle (the driver bridge for the iterative graph computation)."""
