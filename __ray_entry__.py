@@ -1881,6 +1881,42 @@ def _pagerank_oracle_sql(threshold: float = 0.35, iters: int = 10,
     """
 
 
+def _kcore_oracle_sql(iters: int = 16, thr: float = 0.35) -> str:
+    """Unrolled h-index fixpoint oracle for exact coreness (Lu et al.:
+    seed = degree, c <- H(neighbor values), monotone non-increasing to
+    the exact coreness).  Pure INTEGER arithmetic — no float-drift risk
+    at all — and the fixture graphs converge in <= 9 iterations, so 16
+    unrolled MATERIALIZED steps carry ~2x margin.  Mirrors
+    pipelines/dedup.kcore_decomposition exactly."""
+    steps, prev = [], "c0"
+    for r in range(1, iters + 1):
+        steps.append(f"""
+      , c{r} AS MATERIALIZED (
+        SELECT src AS node, MAX(LEAST(v, rr)) AS v FROM (
+          SELECT e.src, t.v,
+                 ROW_NUMBER() OVER (PARTITION BY e.src
+                                    ORDER BY t.v DESC) AS rr
+          FROM edges e JOIN {prev} t ON t.node = e.dst)
+        GROUP BY src)""")
+        prev = f"c{r}"
+    return f"""
+      WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM emb a, emb b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= {thr}
+      ), edges AS MATERIALIZED (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION ALL SELECT vb, va FROM pairs
+      ), c0 AS MATERIALIZED (
+        SELECT src AS node, COUNT(*) AS v FROM edges GROUP BY src
+      ){''.join(steps)}
+      SELECT node AS vec_id, CAST(v AS BIGINT) AS coreness FROM {prev}
+    """
+
+
 def _mmr_oracle_sql(k: int = 10, m: int = 40, lam: float = 0.7,
                     nq: int = 8) -> str:
     """Unrolled-greedy MMR oracle: k plain CTE steps, each picking the
@@ -2306,7 +2342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per-node triangle counts over the same pair graph (clique signal)
     q["dedup_triangles"] = dedup.dedup_triangles
     # exact k-core coreness per node (h-index fixpoint on Pregel shards);
-    # iterative -> rows-only driver check, brute-peel equality in tests
+    # SQL-bridged round 4: coreness is INTEGER and the h-index iteration
+    # is monotone, so a fixed 16-step unrolled CTE reaches the same
+    # fixpoint (fixtures converge in <= 9); brute-peel equality in tests
     q["dedup_kcore"] = dedup.dedup_kcore
     # exact Levenshtein verification of Jaccard near-dup candidates
     q["edit_distance_pairs"] = dedup.edit_distance_pairs
@@ -2498,7 +2536,8 @@ _DRIVER_WINDOW_ORDER = [
     "cohort_ltv", "token_entropy",
     # -- round-5 window: the remaining never-checked oracled queries
     "lang_confusion", "dedup_pagerank_ranks", "ann_pq_rerank_exact",
-    "ann_ivf_full_probe", "ann_lsh_full_bucket",
+    "ann_ivf_full_probe", "ann_lsh_full_bucket", "mmr_diverse_topk",
+    "dedup_kcore",
     "value_histogram", "band_lookup_join", "bloom_semi_join",
     "session_type_lift", "pareto_frontier", "purchase_attribution",
     "ks_drift", "events_debounce", "events_resample",
@@ -2511,9 +2550,9 @@ _DRIVER_WINDOW_ORDER = [
     "source_top_tokens", "bigram_heavy_hitters", "chunk_documents",
     "pmi_collocations", "psi_source_drift", "quality_percentile",
     "temperature_mix", "weighted_sample",
-    # -- then the 13 never-checked rows-only (approximate/iterative) ops
+    # -- then the never-checked rows-only (approximate/iterative) ops
     "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
-    "dedup_pagerank", "dedup_kcore", "ann_pq_topk", "mmr_diverse_topk",
+    "dedup_pagerank", "ann_pq_topk",
     "embedding_kmeans", "semantic_dedup", "cluster_balanced_sample",
     "embedding_pca", "pack_sequences", "media_features",
     # -- CDC/analytics smoke set (driver-green in r01-r03) rounds out
@@ -5182,6 +5221,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_pagerank_ranks"] = _pagerank_oracle_sql()
     # unrolled-greedy MMR (VERDICT r3 #6 class): previously rows-only
     sql["mmr_diverse_topk"] = _mmr_oracle_sql()
+    # unrolled integer h-index fixpoint: exact coreness, zero float risk
+    sql["dedup_kcore"] = _kcore_oracle_sql()
 
     sql["text_quality"] = f"""
       WITH b AS (

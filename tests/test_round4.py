@@ -164,6 +164,40 @@ def test_ann_full_coverage_variants_equal_brute(ray_session):
     pd.testing.assert_frame_equal(lsh, brute)
 
 
+def test_dedup_kcore_matches_unrolled_hindex_sql(ray_session):
+    """Pregel coreness == the 16-step unrolled integer h-index oracle
+    (fixtures converge in <= 9 steps; pure ints, no float risk)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["dedup_kcore"](SF).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["dedup_kcore"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_mmr_diverse_topk_matches_unrolled_greedy_sql(ray_session):
+    """The nano-quantized greedy == the 10-step unrolled CTE greedy."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    cols = ["query_id", "neighbor_id", "rnk"]
+    mine = E.queries()["mmr_diverse_topk"](SF).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["mmr_diverse_topk"]).df()[cols] \
+        .sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
 def test_dedup_pagerank_ranks_matches_unrolled_sql(ray_session):
     """Nano-quantized Pregel ranks == the 10-step unrolled power-iteration
     oracle (the driver bridge for the iterative graph computation)."""
