@@ -2327,10 +2327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_clusters"] = dedup.dedup_clusters
     # duplicate-family size histogram (derived from the CC clusters)
     q["dedup_cluster_sizes"] = dedup.dedup_cluster_sizes
-    # duplicate-hub scoring: PageRank over the same pair graph —
-    # iterative float sums, so rows-only driver check (invariants:
-    # stochasticity/positivity/hub-ordering pinned in tests); ranks are
-    # floats -> expose only the node column to keep the check stable
+    # duplicate-hub scoring: PageRank over the same pair graph — the
+    # driver projection is the pair-graph NODE SET (SQL-oracled round
+    # 4); the rank VALUES are pinned by dedup_pagerank_ranks and the
+    # stochasticity/positivity/hub-ordering invariants in tests
     q["dedup_pagerank"] = lambda sf: dedup.dedup_pagerank(sf) \
         .select_columns(["vec_id"])
     # SQL-bridged PageRank (VERDICT r3 #6): the SAME Pregel computation,
@@ -2537,7 +2537,7 @@ _DRIVER_WINDOW_ORDER = [
     # -- round-5 window: the remaining never-checked oracled queries
     "lang_confusion", "dedup_pagerank_ranks", "ann_pq_rerank_exact",
     "ann_ivf_full_probe", "ann_lsh_full_bucket", "mmr_diverse_topk",
-    "dedup_kcore",
+    "dedup_kcore", "dedup_pagerank",
     "value_histogram", "band_lookup_join", "bloom_semi_join",
     "session_type_lift", "pareto_frontier", "purchase_attribution",
     "ks_drift", "events_debounce", "events_resample",
@@ -2552,7 +2552,7 @@ _DRIVER_WINDOW_ORDER = [
     "temperature_mix", "weighted_sample",
     # -- then the never-checked rows-only (approximate/iterative) ops
     "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
-    "dedup_pagerank", "ann_pq_topk",
+    "ann_pq_topk",
     "embedding_kmeans", "semantic_dedup", "cluster_balanced_sample",
     "embedding_pca", "pack_sequences", "media_features",
     # -- CDC/analytics smoke set (driver-green in r01-r03) rounds out
@@ -5223,6 +5223,22 @@ def oracle_sql() -> dict[str, str]:
     sql["mmr_diverse_topk"] = _mmr_oracle_sql()
     # unrolled integer h-index fixpoint: exact coreness, zero float risk
     sql["dedup_kcore"] = _kcore_oracle_sql()
+    # dedup_pagerank's driver projection is the NODE SET of the pair
+    # graph (one row per node in >= 1 near-dup pair) — exactly
+    # SQL-expressible even though the ranks are iterative floats (the
+    # ranks themselves are pinned by dedup_pagerank_ranks)
+    sql["dedup_pagerank"] = """
+      WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+      )
+      SELECT DISTINCT vec_id FROM (
+        SELECT va AS vec_id FROM pairs
+        UNION ALL SELECT vb FROM pairs)
+    """
 
     sql["text_quality"] = f"""
       WITH b AS (
