@@ -310,6 +310,47 @@ def test_cdc_follow_live_query_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
 
 
+def test_follow_windows_actor_death_raises_then_rerun_succeeds(
+        ray_session, monkeypatch):
+    """Failure contract of the follow consumer (same BSP restart
+    semantics as the graph shards): an aggregator actor process dying
+    mid-follow surfaces as an error — never a silent partial result —
+    and a fresh run over the same WAL produces the exact batch windows."""
+    import tempfile
+
+    import ray
+    from pg_walstream_ray.pipelines import streaming as st
+    from pg_walstream_ray.sources.events_cdc import (
+        build_wal_from_events_phased)
+
+    wal = tempfile.mkdtemp(prefix="pgwr_followfault_")
+    append, _ = build_wal_from_events_phased(SF, wal, n_shards=2)
+    append()
+    flag = os.path.join(tempfile.mkdtemp(prefix="flag_"), "crashed")
+
+    class CrashingAgg(st._AggActor):
+        def ingest(self, *a, **k):
+            try:
+                fd = os.open(flag, os.O_CREAT | os.O_EXCL)
+                os.close(fd)
+                os._exit(1)              # hard kill, no cleanup
+            except FileExistsError:
+                pass
+            return super().ingest(*a, **k)
+
+    monkeypatch.setattr(st, "_AggActor", CrashingAgg)
+    with pytest.raises(ray.exceptions.RayError):
+        st.follow_stream_windows(wal, 4096, n_sources=2, n_actors=2,
+                                 poll_interval_s=0.05, max_idle_polls=2)
+    monkeypatch.undo()
+
+    res = st.follow_stream_windows(wal, 4096, n_sources=2, n_actors=2,
+                                   poll_interval_s=0.05, max_idle_polls=2)
+    batch = st.stream_windows(wal, 4096, n_sources=2, n_actors=2)
+    pd.testing.assert_frame_equal(res.result_table().to_pandas(),
+                                  batch.result_table().to_pandas())
+
+
 def test_near_dup_pairs_auto_routes_by_corpus_size(ray_session, monkeypatch):
     """Above NEAR_DUP_EXACT_MAX_ROWS the default pair source must be the
     banded generator (VERDICT r3 #1: no O(N^2)-flop stage in the default
