@@ -2423,6 +2423,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- text analysis -----------------------------------------------------
     q["token_heavy_hitters"] = textops.token_heavy_hitters
+    # feature-hashing vectorizer (hashing trick): integer-exact signed
+    # bag-of-words vectors derived in-engine from text
+    q["hash_embed"] = textops.hash_embed
+    # retrieval over the hashed embeddings: integer dot-product top-k
+    # (rank AND score oracled — similarity search with no precomputed
+    # embedding column)
+    q["hash_embed_topk"] = textops.hash_embed_topk
     # grouped heavy hitters: per-source signature vocabulary
     q["source_top_tokens"] = textops.source_top_tokens
     # CCNet-style perplexity-proxy pruning (exact integer unigram LM:
@@ -2550,6 +2557,8 @@ _DRIVER_WINDOW_ORDER = [
     "source_top_tokens", "bigram_heavy_hitters", "chunk_documents",
     "pmi_collocations", "psi_source_drift", "quality_percentile",
     "temperature_mix", "weighted_sample",
+    # round-4 late additions (oracled, never checked)
+    "hash_embed", "hash_embed_topk",
     # -- then the never-checked rows-only (approximate/iterative) ops
     "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
     "ann_pq_topk",
@@ -3727,6 +3736,47 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n DESC, token ASC) AS rk
             FROM c)
       WHERE rk <= 10
+    """
+
+    # feature-hash CTE shared by the hash_embed oracles: mirror of
+    # textops.HashEmbedStage exactly — h60 = first 15 hex chars of
+    # md5(token) as a 60-bit int, dim = h60 % 16, sign from bit 4.
+    _HASH_FEAT = """
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+        FROM toks WHERE w <> ''
+      ), feat AS (
+        SELECT doc_id, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM h GROUP BY doc_id, dim
+      )
+    """
+
+    sql["hash_embed"] = f"""
+      WITH {_HASH_FEAT}
+      SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+             CAST(wt AS BIGINT) AS weight
+      FROM feat
+    """
+
+    sql["hash_embed_topk"] = f"""
+      WITH {_HASH_FEAT}, qv AS (
+        SELECT doc_id AS qid, dim, wt FROM feat WHERE doc_id < 4
+      ), dots AS (
+        SELECT q.qid, f.doc_id AS nid, SUM(q.wt * f.wt) AS dot
+        FROM qv q JOIN feat f ON f.dim = q.dim AND f.doc_id <> q.qid
+        GROUP BY q.qid, f.doc_id
+      )
+      SELECT qid AS query_id, nid AS neighbor_id,
+             CAST(rnk AS BIGINT) AS rnk, CAST(dot AS BIGINT) AS dot
+      FROM (SELECT qid, nid, dot,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, nid ASC) AS rnk
+            FROM dots)
+      WHERE rnk <= 10
     """
 
     sql["events_window_functions"] = """

@@ -2059,3 +2059,157 @@ def train_val_split(sf_dir: str, val_pct: int = 3):
             "leaky": pa.array(leaky)})
 
     return _docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing vectorizer (hashing trick) + hashed-embedding retrieval
+# ---------------------------------------------------------------------------
+
+HASH_EMBED_D = 16          # hashed dimensionality (mirrored in the oracle)
+HASH_EMBED_NQ = 4          # query docs: doc_id < NQ
+HASH_EMBED_K = 10
+
+
+class HashEmbedStage:
+    """documents batch -> signed bag-of-words feature-hash vectors (the
+    hashing trick: Weinberger et al. 2009 / sklearn HashingVectorizer
+    semantics): dim(w) = h60(w) % D, sign(w) = +1 iff bit 4 of h60 is 0.
+    Every component is an INTEGER (signed occurrence sum), so the DuckDB
+    oracle reproduces the vectors — and any integer similarity computed
+    from them — bit-for-bit.  The reference ships raw text through its
+    sinks (src/handlers); in-engine vectorization is part of the
+    training-data surface this engine adds (SURVEY §2.12).
+
+    Scale shape: the md5-per-DISTINCT-token cost is amortized by the
+    worker-process vocabulary cache (worker_token_hasher — survives
+    across batches/tasks like actor state); the per-occurrence work is
+    all numpy (repeat / modulo / scatter-add).  ZERO shuffle: each doc's
+    vector is a pure map.
+    """
+
+    def __init__(self, d: int = HASH_EMBED_D):
+        self.hasher = worker_token_hasher()
+        self.d = d
+
+    def dense(self, t: pa.Table):
+        """(doc_ids, dense int64 [n,d] weights, [n,d] occupancy counts).
+
+        Occupancy tracks which (doc, dim) cells saw at least one token:
+        the sparse output keeps a cell with weight 0 when +1/-1 signs
+        cancelled, exactly as the oracle's GROUP BY does.
+        """
+        n = t.num_rows
+        d = self.d
+        vecs = np.zeros((n, d), dtype=np.int64)
+        occ = np.zeros((n, d), dtype=np.int64)
+        if n:
+            offsets, tok = tokenize_column(t["text"], self.hasher)
+            h60 = self.hasher.h60_array[tok]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offsets))
+            empty_id = self.hasher._idx.get("")   # split('') artifacts are
+            if empty_id is not None:              # not tokens (oracle:
+                keep = tok != empty_id            # WHERE w <> '')
+                h60, doc_idx = h60[keep], doc_idx[keep]
+            dims = h60 % d
+            signs = 1 - 2 * ((h60 >> 4) & 1)
+            flat = doc_idx * d + dims
+            np.add.at(vecs.ravel(), flat, signs)
+            np.add.at(occ.ravel(), flat, 1)
+        return (t["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64), vecs, occ)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, vecs, occ = self.dense(t)
+        doc_r, dim_r = np.nonzero(occ)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_r], pa.int64()),
+            "dim": pa.array(dim_r.astype(np.int32)),
+            "weight": pa.array(vecs[doc_r, dim_r], pa.int64()),
+        })
+
+
+def hash_embed(sf_dir: str, d: int = HASH_EMBED_D):
+    """Sparse feature-hash embedding of every document.
+    Output: (doc_id, dim, weight) — one row per occupied (doc, dim) cell."""
+    return _docs(sf_dir).map_batches(as_tasks(HashEmbedStage, d=d),
+                                     batch_format="pyarrow")
+
+
+def hash_embed_topk(sf_dir: str, nq: int = HASH_EMBED_NQ,
+                    k: int = HASH_EMBED_K, d: int = HASH_EMBED_D):
+    """Hashed-embedding retrieval: integer dot-product top-k of every
+    document against the query docs (doc_id < nq), self excluded —
+    similarity search where the index vectors are derived IN-ENGINE from
+    text (no precomputed embedding column).  Ties break on neighbor_id;
+    integer scores make the ranking exact, so the oracle pins rank AND
+    score.  Output: (query_id, neighbor_id, rnk, dot).
+
+    Scale shape: query vectors are a [nq, d] int matrix broadcast once
+    (ray.put); each batch computes one [B, nq] int matmul and emits its
+    LOCAL top-k per query, so the final groupby(query_id) combine sees
+    only O(num_batches * nq * k) candidate rows.  The corpus is never
+    shuffled.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    qt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", nq)])
+    qids, qv, _ = HashEmbedStage(d=d).dense(qt)
+    if not len(qids):
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "dot": pa.array([], pa.int64())}))
+    q_ref = ray.put((qids, qv))
+
+    class _Scan:
+        def __init__(self):
+            self.stage = HashEmbedStage(d=d)
+            self.qids, self.qv = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, vecs, _ = self.stage.dense(t)
+            empty = pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64())})
+            if not len(ids):
+                return empty
+            dots = vecs @ self.qv.T               # [B, nq] int64 exact
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(self.qids):
+                keep = ids != qid                 # self excluded
+                cand_ids, s = ids[keep], dots[keep, j]
+                if not len(cand_ids):
+                    continue
+                kk = min(k, len(cand_ids))
+                # local top-k by (dot desc, doc_id asc)
+                order = np.lexsort((cand_ids, -s))[:kk]
+                out_q.append(np.full(kk, qid, np.int64))
+                out_n.append(cand_ids[order])
+                out_d.append(s[order])
+            if not out_q:
+                return empty
+            return pa.table({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "dot": np.concatenate(out_d)})
+
+    cand = _docs(sf_dir).map_batches(as_tasks(_Scan),
+                                     batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dot", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "dot": g["dot"].to_numpy()})
+
+    return cand.groupby("query_id").map_groups(combine,
+                                               batch_format="pandas")

@@ -368,3 +368,62 @@ def test_near_dup_pairs_auto_routes_by_corpus_size(ray_session, monkeypatch):
     out = sim.near_dup_pairs(SF)                 # 500 rows -> exact path
     assert calls == ["lsh"]
     assert {"vec_a", "vec_b", "cos_sim"} <= set(out.schema().names)
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing vectorizer + hashed-embedding retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_hash_embed_matches_sql_oracle(ray_session):
+    """Integer-exact hashing-trick vectors == the md5-nibble SQL mirror."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    cols = ["doc_id", "dim", "weight"]
+    mine = E.queries()["hash_embed"](SF).to_pandas()[cols] \
+        .sort_values(cols, ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(E.oracle_sql()["hash_embed"]).df()[cols] \
+        .sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    # signed sums are bounded by per-(doc,dim) occurrence counts
+    assert (mine["weight"].abs() <= mine.groupby("doc_id")["weight"]
+            .transform("size") * 64).all()
+
+
+def test_hash_embed_topk_matches_sql_and_brute(ray_session):
+    """Retrieval ranks/scores == oracle AND == a local dense brute force."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from pg_walstream_ray.pipelines.textops import (HASH_EMBED_D,
+                                                    HASH_EMBED_K,
+                                                    HASH_EMBED_NQ,
+                                                    HashEmbedStage)
+
+    cols = ["query_id", "neighbor_id", "rnk", "dot"]
+    mine = E.queries()["hash_embed_topk"](SF).to_pandas()[cols] \
+        .sort_values(["query_id", "rnk"], ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(E.oracle_sql()["hash_embed_topk"]).df()[cols] \
+        .sort_values(["query_id", "rnk"], ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+
+    # independent local brute force over the dense vectors
+    full = pa.parquet.read_table(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    ids, vecs, _ = HashEmbedStage(d=HASH_EMBED_D).dense(full)
+    for qid in range(HASH_EMBED_NQ):
+        q = vecs[ids == qid][0]
+        dots = vecs @ q
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -dots[keep]))[:HASH_EMBED_K]
+        expect = list(zip(ids[keep][order], dots[keep][order]))
+        got = mine[mine["query_id"] == qid].sort_values("rnk")
+        assert list(zip(got["neighbor_id"], got["dot"])) == expect
