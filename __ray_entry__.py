@@ -1917,6 +1917,103 @@ def _kcore_oracle_sql(iters: int = 16, thr: float = 0.35) -> str:
     """
 
 
+def _kmeans_seeded_oracle_sql(k: int = 8, iters: int = 2,
+                              d: int = 64) -> str:
+    """Unrolled Lloyd-iteration oracle for kmeans_assign_seeded: init =
+    normalized embeddings of vec_id < k; each iteration is assignment
+    (argmax cosine, ties to the lowest cluster id) + spherical centroid
+    update (normalized element-wise sum of the assigned unit vectors);
+    output = the final assignment.  Mirrors similarity._train_kmeans
+    with init=first-k / reseed=False arithmetic step for step."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+      , a{i} AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+          SELECT n.vec_id, c.cl,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY list_inner_product(n.u, c.c) DESC,
+                              c.cl ASC) AS r
+          FROM nv n, c{i} c) WHERE r = 1
+      ), s{i + 1} AS MATERIALIZED (
+        SELECT a.cl, t.d AS d, SUM(n.u[t.d + 1]) AS sv
+        FROM a{i} a JOIN nv n USING (vec_id), range({d}) t(d)
+        GROUP BY a.cl, t.d
+      ), cr{i + 1} AS MATERIALIZED (
+        SELECT cl, list(sv ORDER BY d) AS raw, sqrt(SUM(sv * sv)) AS nrm
+        FROM s{i + 1} GROUP BY cl
+      ), c{i + 1} AS MATERIALIZED (
+        SELECT cl, list_transform(raw, x -> x / nrm) AS c FROM cr{i + 1}
+      )""")
+    return f"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ), nv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                 AS u
+        FROM e
+      ), c0 AS MATERIALIZED (
+        SELECT vec_id AS cl, u AS c FROM nv WHERE vec_id < {k}
+      ){''.join(steps)}
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id FROM (
+        SELECT n.vec_id, c.cl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_inner_product(n.u, c.c) DESC,
+                            c.cl ASC) AS r
+        FROM nv n, c{iters} c) WHERE r = 1
+    """
+
+
+def _pca_power_oracle_sql(iters: int = 3, d: int = 64) -> str:
+    """Unrolled power-iteration oracle for pca_power_projection: the
+    covariance from the SAME formula as similarity._cov_stats
+    (cov = (X^T X - n mu mu^T) / (n-1)), `iters` normalize(cov @ w)
+    steps from w0 = e_0, then the centered projection in micro units."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+      , u{i + 1} AS MATERIALIZED (
+        SELECT d1 AS d, SUM(cov.c * w.w) AS u
+        FROM cov JOIN w{i} w ON w.d = cov.d2 GROUP BY d1
+      ), w{i + 1} AS MATERIALIZED (
+        SELECT d, u / sqrt((SELECT SUM(u * u) FROM u{i + 1})) AS w
+        FROM u{i + 1}
+      )""")
+    return f"""
+      WITH vals AS MATERIALIZED (
+        SELECT e.vec_id, t.d AS d,
+               CAST(e.embedding[t.d + 1] AS DOUBLE) AS x
+        FROM embeddings e, range({d}) t(d)
+      ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+      ), mu AS MATERIALIZED (
+        SELECT d, SUM(x) / (SELECT n FROM nn) AS m FROM vals GROUP BY d
+      ), cov AS MATERIALIZED (
+        SELECT a.d AS d1, b.d AS d2,
+               (SUM(a.x * b.x) - (SELECT n FROM nn) * m1.m * m2.m)
+                 / ((SELECT n FROM nn) - 1) AS c
+        FROM vals a
+        JOIN vals b USING (vec_id)
+        JOIN mu m1 ON m1.d = a.d
+        JOIN mu m2 ON m2.d = b.d
+        GROUP BY a.d, b.d, m1.m, m2.m
+      ), w0 AS (
+        SELECT t.d AS d, CASE WHEN t.d = 0 THEN 1.0 ELSE 0.0 END AS w
+        FROM range({d}) t(d)
+      ){''.join(steps)}
+      SELECT v.vec_id,
+             CAST(ROUND(SUM((v.x - mu.m) * w.w) * 1e6) AS BIGINT)
+               AS proj_micro
+      FROM vals v
+      JOIN mu ON mu.d = v.d
+      JOIN w{iters} w ON w.d = v.d
+      GROUP BY v.vec_id
+    """
+
+
 def _mmr_oracle_sql(k: int = 10, m: int = 40, lam: float = 0.7,
                     nq: int = 8) -> str:
     """Unrolled-greedy MMR oracle: k plain CTE steps, each picking the
@@ -2404,6 +2501,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # k-means clustering: iterative (non-SQL-expressible) -> rows-only
     # driver check; self-consistency + determinism pinned in tests
     q["embedding_kmeans"] = similarity.embedding_kmeans
+    # SQL-bridge form: SAME distributed Lloyd machinery, deterministic
+    # first-k init + no re-seed -> the 2-iteration loop unrolls into an
+    # exact CTE mirror (driver hash-checks the full iterative loop)
+    q["kmeans_assign_seeded"] = similarity.kmeans_assign_seeded
     # SemDeDup-shaped semantic dedup (kmeans buckets -> within-cluster
     # cosine prune): iterative clustering -> rows-only driver check;
     # keeper invariants + determinism pinned in tests
@@ -2417,6 +2518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # single-node-agreement pinned in tests
     q["embedding_pca"] = lambda sf: similarity.embedding_pca(sf) \
         .select_columns(["vec_id"])
+    # SQL-bridge form: SAME second-moment machinery, power iteration
+    # from e_0 instead of eigh -> unrolled-CTE mirror hash-checks the
+    # full spectral computation (micro-quantized projection)
+    q["pca_power_projection"] = similarity.pca_power_projection
     # hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine in
     # exact integer micro-units (fully oracled)
     q["rrf_fusion"] = similarity.rrf_fusion
@@ -2558,7 +2663,8 @@ _DRIVER_WINDOW_ORDER = [
     "pmi_collocations", "psi_source_drift", "quality_percentile",
     "temperature_mix", "weighted_sample",
     # round-4 late additions (oracled, never checked)
-    "hash_embed", "hash_embed_topk",
+    "hash_embed", "hash_embed_topk", "kmeans_assign_seeded",
+    "pca_power_projection",
     # -- then the never-checked rows-only (approximate/iterative) ops
     "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
     "ann_pq_topk",
@@ -5269,6 +5375,12 @@ def oracle_sql() -> dict[str, str]:
     """.format(sql["dedup_clusters"])
 
     sql["dedup_pagerank_ranks"] = _pagerank_oracle_sql()
+    # unrolled Lloyd loop: the full distributed k-means iteration
+    # hash-checked end-to-end (deterministic first-k init, no re-seed)
+    sql["kmeans_assign_seeded"] = _kmeans_seeded_oracle_sql()
+    # unrolled power iteration: the distributed second-moment pass +
+    # spectral direction + centered projection, micro-quantized
+    sql["pca_power_projection"] = _pca_power_oracle_sql()
     # unrolled-greedy MMR (VERDICT r3 #6 class): previously rows-only
     sql["mmr_diverse_topk"] = _mmr_oracle_sql()
     # unrolled integer h-index fixpoint: exact coreness, zero float risk

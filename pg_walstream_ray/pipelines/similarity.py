@@ -538,7 +538,9 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def _train_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
+def _train_kmeans(sf_dir: str, k: int, iters: int,
+                  init: np.ndarray | None = None,
+                  reseed: bool = True) -> np.ndarray:
     """Distributed Lloyd's k-means over the embedding column (cosine
     geometry: unit vectors, spherical centroid update) — the semantic
     bucketing primitive behind cluster-balanced sampling and
@@ -559,12 +561,20 @@ def _train_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
     """
     import ray
 
-    sm = _sample_matrix(sf_dir)
-    if len(sm) == 0:                # empty corpus: no centroids to train
-        return np.zeros((0, 0), np.float64)
-    rng = np.random.default_rng(IVF_SEED)
-    cent = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)] \
-        .copy()
+    if init is not None:
+        if len(init) == 0:
+            return np.zeros((0, 0), np.float64)
+        sm = init                   # re-seed pool == the provided init
+        cent = init.copy()
+        k = len(cent)
+    else:
+        sm = _sample_matrix(sf_dir)
+        if len(sm) == 0:            # empty corpus: no centroids to train
+            return np.zeros((0, 0), np.float64)
+        rng = np.random.default_rng(IVF_SEED)
+        cent = sm[rng.choice(len(sm), size=min(k, len(sm)),
+                             replace=False)].copy()
+        k = len(cent)
     d = cent.shape[1]
 
     for _ in range(iters):
@@ -597,19 +607,25 @@ def _train_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
             if counts[c_i]:
                 v = sums[c_i]
                 cent[c_i] = v / (np.linalg.norm(v) or 1.0)
-            else:                                  # re-seed empty cluster
+            elif reseed:                           # re-seed empty cluster
                 cent[c_i] = sm[rng.integers(0, len(sm))]
+            else:
+                # SQL-bridge mode: an empty cluster has no deterministic
+                # SQL analogue (the oracle simply keeps no centroid row).
+                # Fail loudly rather than silently diverge.
+                raise RuntimeError(
+                    f"kmeans cluster {c_i} emptied with reseed disabled")
 
     return cent
 
 
-def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
-                     iters: int = KMEANS_ITERS):
-    """Final k-means assignments (see _train_kmeans for the training
-    scale shape).  Output: (vec_id, cluster_id)."""
+def _assign_clusters(sf_dir: str, cent: np.ndarray):
+    """Streaming final-assignment pass against broadcast centroids.
+    Output: (vec_id, cluster_id); argmax ties break to the LOWEST
+    cluster id (np.argmax first-max == the oracle's ROW_NUMBER order)."""
     import ray
 
-    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
+    cent_ref = ray.put(cent)
 
     def label(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -624,6 +640,35 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
 
     return _emb(sf_dir).map_batches(label, batch_format="pyarrow",
                                     batch_size=8192)
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    """Final k-means assignments (see _train_kmeans for the training
+    scale shape).  Output: (vec_id, cluster_id)."""
+    return _assign_clusters(sf_dir, _train_kmeans(sf_dir, k, iters))
+
+
+def kmeans_assign_seeded(sf_dir: str, k: int = KMEANS_K, iters: int = 2):
+    """SQL-bridge form of the distributed Lloyd loop: the SAME streaming
+    partial-sum machinery as embedding_kmeans, but initialized from the
+    k lowest-vec_id embeddings (normalized) instead of the seeded random
+    sample, with empty-cluster re-seed disabled — every arithmetic step
+    (assign -> spherical centroid update, `iters` times -> final assign)
+    then has an exact unrolled-CTE mirror, so the driver hash-checks the
+    full iterative computation, not just invariants.
+    Output: (vec_id, cluster_id)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", k)])
+    t = t.sort_by("vec_id")
+    init = _batch_matrix(t)
+    if len(init):
+        init = init / np.linalg.norm(init, axis=1, keepdims=True)
+    cent = _train_kmeans(sf_dir, k, iters, init=init, reseed=False)
+    return _assign_clusters(sf_dir, cent)
 
 
 def semantic_dedup(sf_dir: str, threshold: float = 0.35,
@@ -882,6 +927,79 @@ def ann_filtered_topk(sf_dir: str, lang: str = "en",
 PCA_COMPONENTS = 16
 
 
+def _cov_stats(sf_dir: str):
+    """Distributed second-moment pass shared by embedding_pca and the
+    power-iteration bridge: one partial row (block_key, n, sum, X^T X)
+    per block, O(d^2) floats each, summed on the driver in block_key
+    order (deterministic reduction regardless of task completion order).
+    Returns (n, mean[d], cov[d,d]) or None when n < 2."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "block_key": pa.array([int(ids.min()) if len(ids) else -1],
+                                  pa.int64()),
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "sum": pa.array([m.sum(axis=0).tolist()],
+                            pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = _emb(sf_dir).map_batches(
+        moments, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if not len(parts) or int(parts["n"].sum()) < 2:
+        return None
+    parts = parts.sort_values("block_key")
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["sum"].to_numpy()), axis=0)
+    d = s.shape[0]
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
+def pca_power_projection(sf_dir: str, iters: int = 3):
+    """SQL-bridge form of the distributed PCA: the SAME second-moment
+    machinery (_cov_stats), then `iters` power-iteration steps from the
+    fixed start vector e_0 (w <- cov @ w / ||cov @ w||) instead of the
+    driver eigendecomposition, and a streaming projection of every
+    centered vector onto the resulting direction, published in micro
+    units — every arithmetic step has an exact unrolled-CTE mirror, so
+    the driver hash-checks the full spectral computation end to end.
+    Output: (vec_id, proj_micro)."""
+    import ray
+
+    stats = _cov_stats(sf_dir)
+    if stats is None:
+        return _emb(sf_dir).map_batches(
+            lambda t: pa.table({
+                "vec_id": t["vec_id"],
+                "proj_micro": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+    _, mean, cov = stats
+    w = np.zeros(cov.shape[0], np.float64)
+    w[0] = 1.0
+    for _ in range(iters):
+        u = cov @ w
+        w = u / np.linalg.norm(u)
+    proj_ref = ray.put((mean, w))
+
+    def project(t: pa.Table, _ref=proj_ref) -> pa.Table:
+        mu, wv = ray.get(_ref)
+        m = _batch_matrix(t)
+        y = (m - mu) @ wv
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "proj_micro": pa.array(np.round(y * 1e6).astype(np.int64)),
+        })
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow",
+                                    batch_size=8192)
+
+
 def embedding_pca(sf_dir: str, n_components: int = PCA_COMPONENTS):
     """Distributed PCA of the embedding column via mergeable second-moment
     partials — the covariance never sees more than O(d^2) floats per block.
@@ -907,35 +1025,15 @@ def embedding_pca(sf_dir: str, n_components: int = PCA_COMPONENTS):
     """
     import ray
 
-    def moments(t: pa.Table) -> pa.Table:
-        m = _batch_matrix(t)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "block_key": pa.array([int(ids.min()) if len(ids) else -1],
-                                  pa.int64()),
-            "n": pa.array([m.shape[0]], pa.int64()),
-            "sum": pa.array([m.sum(axis=0).tolist()],
-                            pa.list_(pa.float64())),
-            "ss": pa.array([(m.T @ m).ravel().tolist()],
-                           pa.list_(pa.float64())),
-        })
-
-    parts = _emb(sf_dir).map_batches(
-        moments, batch_format="pyarrow", batch_size=8192).to_pandas()
-    if not len(parts) or int(parts["n"].sum()) < 2:
+    stats = _cov_stats(sf_dir)
+    if stats is None:
         return _emb(sf_dir).map_batches(
             lambda t: pa.table({
                 "vec_id": t["vec_id"],
                 "component": pa.array([[]] * t.num_rows,
                                       pa.list_(pa.float64()))}),
             batch_format="pyarrow")
-    parts = parts.sort_values("block_key")
-    n = int(parts["n"].sum())
-    s = np.sum(np.stack(parts["sum"].to_numpy()), axis=0)
-    d = s.shape[0]
-    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    n, mean, cov = stats
     evals, evecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(-evals)[:n_components]
     comps = evecs[:, order]                     # [d, k]

@@ -427,3 +427,48 @@ def test_hash_embed_topk_matches_sql_and_brute(ray_session):
         expect = list(zip(ids[keep][order], dots[keep][order]))
         got = mine[mine["query_id"] == qid].sort_values("rnk")
         assert list(zip(got["neighbor_id"], got["dot"])) == expect
+
+
+# ---------------------------------------------------------------------------
+# unrolled-SQL bridges for the iterative embedding ops (kmeans / PCA)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_seeded_matches_unrolled_lloyd_sql(ray_session):
+    """The distributed Lloyd loop (deterministic first-k init, no
+    re-seed) == the 2-iteration unrolled-CTE oracle, assignment for
+    assignment."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["kmeans_assign_seeded"](SF).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["kmeans_assign_seeded"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    assert mine["cluster_id"].between(0, 7).all()
+    assert mine["cluster_id"].nunique() > 1      # clusters actually split
+
+
+def test_pca_power_projection_matches_unrolled_sql(ray_session):
+    """Second-moment pass + 3 power-iteration steps + centered projection
+    == the unrolled oracle, micro-unit for micro-unit."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["pca_power_projection"](SF).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["pca_power_projection"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    # centered projection: mean ~ 0 in micro units, non-degenerate spread
+    assert abs(mine["proj_micro"].mean()) < 1000
+    assert mine["proj_micro"].std() > 1000
