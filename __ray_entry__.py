@@ -1917,14 +1917,15 @@ def _kcore_oracle_sql(iters: int = 16, thr: float = 0.35) -> str:
     """
 
 
-def _kmeans_seeded_oracle_sql(k: int = 8, iters: int = 2,
-                              d: int = 64) -> str:
-    """Unrolled Lloyd-iteration oracle for kmeans_assign_seeded: init =
-    normalized embeddings of vec_id < k; each iteration is assignment
-    (argmax cosine, ties to the lowest cluster id) + spherical centroid
-    update (normalized element-wise sum of the assigned unit vectors);
-    output = the final assignment.  Mirrors similarity._train_kmeans
-    with init=first-k / reseed=False arithmetic step for step."""
+def _kmeans_seeded_cte(k: int = 8, iters: int = 2, d: int = 64) -> str:
+    """Unrolled Lloyd-iteration CTE prefix shared by the seeded-kmeans
+    bridge oracles: init = normalized embeddings of vec_id < k; each
+    iteration is assignment (argmax cosine, ties to the lowest cluster
+    id) + spherical centroid update (normalized element-wise sum of the
+    assigned unit vectors).  Ends with ``af`` = the final assignment
+    (vec_id, cl) and keeps ``nv`` (unit vectors) visible for composers.
+    Mirrors similarity._train_kmeans(init=first-k, reseed=False)
+    arithmetic step for step."""
     steps = []
     for i in range(iters):
         steps.append(f"""
@@ -1956,14 +1957,56 @@ def _kmeans_seeded_oracle_sql(k: int = 8, iters: int = 2,
         FROM e
       ), c0 AS MATERIALIZED (
         SELECT vec_id AS cl, u AS c FROM nv WHERE vec_id < {k}
-      ){''.join(steps)}
-      SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id FROM (
-        SELECT n.vec_id, c.cl,
-               ROW_NUMBER() OVER (
-                   PARTITION BY n.vec_id
-                   ORDER BY list_inner_product(n.u, c.c) DESC,
-                            c.cl ASC) AS r
-        FROM nv n, c{iters} c) WHERE r = 1
+      ){''.join(steps)}, af AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+          SELECT n.vec_id, c.cl,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY n.vec_id
+                     ORDER BY list_inner_product(n.u, c.c) DESC,
+                              c.cl ASC) AS r
+          FROM nv n, c{iters} c) WHERE r = 1
+      )"""
+
+
+def _kmeans_seeded_oracle_sql() -> str:
+    return f"""{_kmeans_seeded_cte()}
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id FROM af
+    """
+
+
+def _cluster_near_dup_oracle_sql(thr: float = 0.35) -> str:
+    """Seeded-kmeans buckets + order-free within-cluster near-dup flag
+    (dup iff cosine >= thr vs ANY lower-id same-cluster vector; dup_of =
+    the lowest such id) — pins the full clustered-dedup pipeline."""
+    return f"""{_kmeans_seeded_cte()}
+      , j AS (
+        SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of
+        FROM af a
+        JOIN af b ON b.cl = a.cl AND b.vec_id < a.vec_id
+        JOIN nv na ON na.vec_id = a.vec_id
+        JOIN nv nb ON nb.vec_id = b.vec_id
+        WHERE list_inner_product(na.u, nb.u) >= {thr}
+        GROUP BY a.vec_id
+      )
+      SELECT af.vec_id, CAST(af.cl AS BIGINT) AS cluster_id,
+             CAST(CASE WHEN j.dup_of IS NULL THEN 0 ELSE 1 END
+                  AS INTEGER) AS dup,
+             CAST(j.dup_of AS BIGINT) AS dup_of
+      FROM af LEFT JOIN j ON j.vid = af.vec_id
+    """
+
+
+def _balanced_sample_seeded_oracle_sql(per_cluster: int = 40) -> str:
+    """Per-cluster quota selection (lowest vec_id first) over the seeded
+    Lloyd assignment."""
+    return f"""{_kmeans_seeded_cte()}
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id,
+             CAST(rk AS BIGINT) AS rk
+      FROM (SELECT vec_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY cl
+                                      ORDER BY vec_id ASC) AS rk
+            FROM af)
+      WHERE rk <= {per_cluster}
     """
 
 
@@ -2513,6 +2556,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cluster-balanced sampling (kmeans quota): iterative clustering ->
     # rows-only driver check; quota/determinism invariants in tests
     q["cluster_balanced_sample"] = similarity.cluster_balanced_sample
+    # SQL-bridge forms over the SEEDED Lloyd loop: order-free
+    # within-cluster near-dup flag and per-cluster quota selection —
+    # together with kmeans_assign_seeded the driver hash-checks the
+    # whole clustered-dedup/sampling pipeline end to end
+    q["cluster_near_dup_flags"] = similarity.cluster_near_dup_flags
+    q["balanced_sample_seeded"] = lambda sf: \
+        similarity.cluster_balanced_sample(sf, init_mode="seeded")
     # distributed PCA (mergeable second-moment partials, driver eigh):
     # spectral -> rows-only driver check; orthonormality/variance/
     # single-node-agreement pinned in tests
@@ -2664,7 +2714,8 @@ _DRIVER_WINDOW_ORDER = [
     "temperature_mix", "weighted_sample",
     # round-4 late additions (oracled, never checked)
     "hash_embed", "hash_embed_topk", "kmeans_assign_seeded",
-    "pca_power_projection",
+    "pca_power_projection", "cluster_near_dup_flags",
+    "balanced_sample_seeded",
     # -- then the never-checked rows-only (approximate/iterative) ops
     "approx_quantiles", "approx_heavy_hitters", "approx_group_distinct",
     "ann_pq_topk",
@@ -5381,6 +5432,9 @@ def oracle_sql() -> dict[str, str]:
     # unrolled power iteration: the distributed second-moment pass +
     # spectral direction + centered projection, micro-quantized
     sql["pca_power_projection"] = _pca_power_oracle_sql()
+    # seeded-Lloyd composites: clustered near-dup flag + quota sampling
+    sql["cluster_near_dup_flags"] = _cluster_near_dup_oracle_sql()
+    sql["balanced_sample_seeded"] = _balanced_sample_seeded_oracle_sql()
     # unrolled-greedy MMR (VERDICT r3 #6 class): previously rows-only
     sql["mmr_diverse_topk"] = _mmr_oracle_sql()
     # unrolled integer h-index fixpoint: exact coreness, zero float risk

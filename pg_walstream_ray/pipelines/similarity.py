@@ -658,16 +658,8 @@ def kmeans_assign_seeded(sf_dir: str, k: int = KMEANS_K, iters: int = 2):
     then has an exact unrolled-CTE mirror, so the driver hash-checks the
     full iterative computation, not just invariants.
     Output: (vec_id, cluster_id)."""
-    import pyarrow.parquet as pq_
-
-    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", k)])
-    t = t.sort_by("vec_id")
-    init = _batch_matrix(t)
-    if len(init):
-        init = init / np.linalg.norm(init, axis=1, keepdims=True)
-    cent = _train_kmeans(sf_dir, k, iters, init=init, reseed=False)
+    cent = _train_kmeans(sf_dir, k, iters, init=_seeded_init(sf_dir, k),
+                         reseed=False)
     return _assign_clusters(sf_dir, cent)
 
 
@@ -761,8 +753,93 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
                                           num_cpus=1)
 
 
+def cluster_near_dup_flags(sf_dir: str, threshold: float = 0.35,
+                           k: int = KMEANS_K, iters: int = 2):
+    """SQL-bridge near-dup flagging over the SEEDED k-means buckets: a
+    vector is a dup iff cosine >= threshold against ANY lower-id vector
+    in the same cluster (the order-free variant of semantic_dedup's
+    greedy keeper rule — greedy is sequential by definition; this rule
+    joins, so the oracle can pin the whole clustered-dedup pipeline:
+    Lloyd loop, routing AND flagging).  dup_of = the LOWEST qualifying
+    lower id.  Output: (vec_id, cluster_id, dup:int32,
+    dup_of: nullable int64).
+
+    Scale shape: identical to semantic_dedup — ONE cluster-routed
+    shuffle, per-cluster lower-triangle matmul (O(sum n_c^2) flops,
+    k scales with corpus size)."""
+    import ray
+
+    init = _seeded_init(sf_dir, k)
+    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters,
+                                     init=init, reseed=False))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        if t.num_rows == 0 or len(c) == 0:
+            return pa.table({"vec_id": t["vec_id"].slice(0, 0),
+                             "embedding": t["embedding"].slice(0, 0),
+                             "cluster_id": pa.array([], pa.int64())})
+        m = _batch_matrix(t)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": t["embedding"],
+                         "cluster_id": pa.array(
+                             np.argmax(m @ c.T, axis=1).astype(np.int64))})
+
+    def flag_cluster(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g["vec_id"]))
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n = len(ids)
+        hit = np.zeros(n, bool)
+        first = np.full(n, -1, np.int64)
+        chunk = 1024
+        for lo in range(1, n, chunk):       # row 0 has no lower ids
+            hi = min(lo + chunk, n)
+            sims = m[lo:hi] @ m[:hi].T      # [b, hi]
+            # strictly-lower-id mask within the chunk rows
+            q = sims >= threshold
+            cols = np.arange(hi)
+            q &= cols[None, :] < np.arange(lo, hi)[:, None]
+            h = q.any(axis=1)
+            hit[lo:hi] = h
+            f = q.argmax(axis=1)            # first True == lowest id
+            first[lo:hi] = np.where(h, ids[f], -1)
+        dup_of = pc.if_else(pa.array(hit), pa.array(first, pa.int64()),
+                            pa.scalar(None, pa.int64()))
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster_id": pa.array(cl),
+            "dup": pa.array(hit.astype(np.int32)),
+            "dup_of": dup_of,
+        })
+
+    return _emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=8192) \
+        .groupby("cluster_id") \
+        .map_groups(flag_cluster, batch_format="pyarrow", num_cpus=1)
+
+
+def _seeded_init(sf_dir: str, k: int) -> np.ndarray:
+    """Normalized embeddings of the k lowest vec_ids — the deterministic
+    SQL-mirrorable centroid init shared by the bridge queries."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", k)])
+    t = t.sort_by("vec_id")
+    init = _batch_matrix(t)
+    if len(init):
+        init = init / np.linalg.norm(init, axis=1, keepdims=True)
+    return init
+
+
 def cluster_balanced_sample(sf_dir: str, per_cluster: int = 40,
-                            k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+                            k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                            init_mode: str = "sample"):
     """Cluster-balanced corpus sampling: up to ``per_cluster`` vectors per
     k-means cluster, chosen deterministically (lowest vec_id first) — the
     diversity-preserving subsampling move (uniform sampling over a skewed
@@ -776,10 +853,19 @@ def cluster_balanced_sample(sf_dir: str, per_cluster: int = 40,
     quota is enforced with a per-batch top-N combiner + one small
     cluster-keyed reduction (ships <= per_cluster rows per cluster per
     block, same pattern as stratified_sample).
+
+    ``init_mode='seeded'`` is the SQL-bridge form: first-k deterministic
+    init + no re-seed + iters=2 (see kmeans_assign_seeded) — the driver
+    hash-checks quota selection on top of the unrolled Lloyd loop.
     """
     import ray
 
-    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
+    if init_mode == "seeded":
+        cent = _train_kmeans(sf_dir, k, 2,
+                             init=_seeded_init(sf_dir, k), reseed=False)
+    else:
+        cent = _train_kmeans(sf_dir, k, iters)
+    cent_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)

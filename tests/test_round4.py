@@ -472,3 +472,46 @@ def test_pca_power_projection_matches_unrolled_sql(ray_session):
     # centered projection: mean ~ 0 in micro units, non-degenerate spread
     assert abs(mine["proj_micro"].mean()) < 1000
     assert mine["proj_micro"].std() > 1000
+
+
+def test_cluster_near_dup_flags_matches_sql_and_semantics(ray_session):
+    """Seeded-Lloyd buckets + order-free near-dup flag == the composed
+    oracle; dup_of always a lower id in the same cluster."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["cluster_near_dup_flags"](SF).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["cluster_near_dup_flags"]).df() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    dups = mine[mine["dup"] == 1]
+    assert (dups["dup_of"] < dups["vec_id"]).all()
+    by_cluster = mine.set_index("vec_id")["cluster_id"]
+    assert (dups["dup_of"].map(by_cluster).to_numpy()
+            == dups["cluster_id"].to_numpy()).all()
+
+
+def test_balanced_sample_seeded_matches_sql(ray_session):
+    """Per-cluster quota over the seeded assignment == oracle; quota and
+    rank contiguity hold."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    mine = E.queries()["balanced_sample_seeded"](SF).to_pandas() \
+        .sort_values(["cluster_id", "rk"], ignore_index=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(E.oracle_sql()["balanced_sample_seeded"]).df() \
+        .sort_values(["cluster_id", "rk"], ignore_index=True)
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False)
+    assert mine.groupby("cluster_id")["rk"].max().le(40).all()
+    assert (mine.groupby("cluster_id")["rk"].apply(
+        lambda s: (s.sort_values().to_numpy()
+                   == np.arange(1, len(s) + 1)).all())).all()
