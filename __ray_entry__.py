@@ -613,6 +613,44 @@ def _cdc_stream_dedup(sf_dir: str) -> Any:
     return stream_dedup_index(wal_dir, n_actors=4)
 
 
+LIVE_ANN_NQ = 4               # query docs: doc_id < NQ (hash_embed family)
+LIVE_ANN_K = 10
+LIVE_ANN_D = 16
+
+
+def _cdc_live_ann(sf_dir: str) -> Any:
+    """CDC -> LIVE ANN INDEX -> top-k: the upsert_delete change stream
+    maintains a sharded mutable vector index (hashed text embeddings, LWW
+    upsert/delete by LSN) and the broadcast query matrix — the first
+    ``LIVE_ANN_NQ`` documents, hash-embedded — is answered from INDEX
+    STATE, never from a lake snapshot.  Integer dot products make the
+    ranking exact, so the oracle recomputes it from the SQL LWW state +
+    the md5 feature-hash bridge (rank AND score pinned).
+
+    Composes the whole retrieval-side story: exactly the state a
+    training-data service needs to serve "find transcripts like this
+    document" while the replication stream is still flowing."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from pg_walstream_ray.pipelines.streaming import stream_ann_index
+    from pg_walstream_ray.pipelines.textops import HashEmbedStage
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir,
+                          n_shards=n_shards)
+    qt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", LIVE_ANN_NQ)])
+    qids, qv, _ = HashEmbedStage(d=LIVE_ANN_D).dense(qt)
+    return stream_ann_index(wal_dir, qids, qv, k=LIVE_ANN_K,
+                            d=LIVE_ANN_D, n_actors=4)
+
+
 STREAM_TOPK = 5               # per-window heavy-hitter cut
 
 
@@ -2231,6 +2269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_stream_join"] = _cdc_stream_join
     # streaming exact-dedup index (sharded shared mutable index)
     q["cdc_stream_dedup"] = _cdc_stream_dedup
+    # CDC -> live sharded ANN index (LWW upsert/delete of hashed text
+    # embeddings by LSN) queried from index state, rank+score oracled
+    q["cdc_live_ann"] = _cdc_live_ann
     # as-of-LSN prefix-state enrichment of the change stream
     q["cdc_prefix_enrich"] = _cdc_prefix_enrich
     # per-source commit-window ingest timeline (slot lag dashboard)
@@ -3305,6 +3346,67 @@ def oracle_sql() -> dict[str, str]:
     # lake merge: two per-shard regional lakes consolidated == the plain
     # full replay (shards own disjoint conversations: user_id % 2)
     sql["cdc_lake_merge"] = sql["cdc_upsert_delete"]
+
+    # live ANN index over the change stream: the LWW upsert_delete state,
+    # feature-hashed with the md5 bridge (textops.hash_embed_texts), dotted
+    # against the first LIVE_ANN_NQ documents' query vectors — rank AND
+    # integer score pinned, ties (dot desc, conv asc, turn asc)
+    sql["cdc_live_ann"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text
+        FROM ({_UPSERT_CHANGES})
+      ), ranked AS ({_LWW}),
+      state AS (
+        SELECT conv_id, turn_idx, text
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+      ), toks AS (
+        SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS w
+        FROM state
+      ), h AS (
+        SELECT conv_id, turn_idx,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+        FROM toks WHERE w <> ''
+      ), feat AS (
+        SELECT conv_id, turn_idx, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM h GROUP BY conv_id, turn_idx, dim
+      ), qtoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 4
+      ), qh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+        FROM qtoks WHERE w <> ''
+      ), qfeat AS (
+        SELECT doc_id, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM qh GROUP BY doc_id, dim
+      ), dots AS (
+        SELECT q.doc_id AS qid, f.conv_id, f.turn_idx,
+               SUM(q.wt * f.wt) AS dot
+        FROM qfeat q JOIN feat f ON f.dim = q.dim
+        GROUP BY q.doc_id, f.conv_id, f.turn_idx
+      ), allpairs AS (
+        -- the dense matmul scores EVERY live key for every query: pairs
+        -- with no occupied-dim overlap score 0, not "absent"
+        SELECT q.doc_id AS qid, s.conv_id, s.turn_idx,
+               COALESCE(d.dot, 0) AS dot
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 4) q
+        CROSS JOIN state s
+        LEFT JOIN dots d ON d.qid = q.doc_id AND d.conv_id = s.conv_id
+                        AND d.turn_idx = s.turn_idx
+      )
+      SELECT qid AS query_id, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+             CAST(rnk AS BIGINT) AS rnk, CAST(dot AS BIGINT) AS dot
+      FROM (SELECT qid, conv_id, turn_idx, dot,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, conv_id ASC,
+                                               turn_idx ASC) AS rnk
+            FROM allpairs)
+      WHERE rnk <= 10
+    """
 
     # SCD2 history: every change is a version row; valid_to = the next
     # change's lsn for the key (deletes close intervals, emit no row)

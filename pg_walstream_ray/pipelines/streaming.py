@@ -1482,3 +1482,210 @@ def stream_dedup_index(wal_dir: str, n_actors: int = 4) -> pa.Table:
                      "n_rows": pc.cast(agg["n_rows_sum"], pa.int64()),
                      "n_distinct": pc.cast(agg["n_distinct_sum"],
                                            pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Live ANN index maintained from the change stream (CDC -> vector search)
+# ---------------------------------------------------------------------------
+
+_ANN_EMPTY = {
+    "query_id": pa.int64(), "conv_id": pa.string(),
+    "turn_idx": pa.int32(), "rnk": pa.int64(), "dot": pa.int64()}
+
+
+def _ann_empty() -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in _ANN_EMPTY.items()})
+
+
+class _AnnIndexActor:
+    """One shard of a LIVE vector index maintained directly from the CDC
+    change stream — the retrieval-side mirror of the exactly-once lake:
+    every insert/update upserts the row's hashed text embedding under its
+    ``(conv_id, turn_idx)`` key, every delete removes it, LWW by LSN, so
+    the index always answers over the CURRENT replicated state without a
+    lake round-trip (the reference only ships changes to passive sinks,
+    src/handlers; a queryable incremental index is this engine's
+    training-data extension).
+
+    State is an append log of slim columnar batches, COMPACTED (vectorized
+    max-LSN-per-key resolution, no per-row Python) whenever the buffer
+    exceeds ``compact_rows`` — LWW resolution is idempotent and
+    associative, so compact(log_prefix) + tail resolves identically.
+    Memory is therefore O(live keys in shard + compact_rows), not
+    O(stream length).  At 100 TB the per-shard dict swaps for a disk-
+    backed ANN segment (IVF/HNSW); hash-range key ownership — a key's
+    every version lands on the same shard — is the contract that matters.
+    """
+
+    def __init__(self, d: int, compact_rows: int = 65536):
+        self.d = d
+        self.compact_rows = compact_rows
+        self.log: List[pa.Table] = []
+        self.buffered = 0
+
+    def ingest(self, slim: pa.Table) -> None:
+        if slim.num_rows:
+            self.log.append(slim)
+            self.buffered += slim.num_rows
+            if self.buffered > self.compact_rows:
+                self._compact()
+
+    def _compact(self) -> None:
+        cat = pa.concat_tables(self.log).combine_chunks()
+        convs = cat["conv"].to_numpy(zero_copy_only=False)
+        turns = cat["turn"].to_numpy(zero_copy_only=False)
+        lsns = cat["lsn"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays([convs, turns]), sort=False)
+        # winner per key = max lsn: stable argsort by lsn, last wins
+        order = np.argsort(lsns, kind="stable")
+        winner_row = np.empty(codes.max() + 1, dtype=np.int64)
+        winner_row[codes[order]] = order      # later (higher-lsn) writes win
+        self.log = [cat.take(pa.array(np.sort(winner_row)))]
+        self.buffered = self.log[0].num_rows
+
+    def query(self, qpack, k: int) -> pa.Table:
+        """Local top-k per query over the shard's LIVE vectors (integer
+        dot; ties conv asc, turn asc).  Merged exactly across shards
+        because key ownership is hash-disjoint.  ``qpack`` arrives as an
+        ObjectRef argument — Ray materializes the broadcast (qids, qv)
+        from the object store without re-shipping per call."""
+        qids, qv = qpack
+        if not self.log:
+            return _ann_empty()
+        self._compact()
+        cat = self.log[0]
+        live = cat.filter(pc.invert(cat["is_del"]))
+        if live.num_rows == 0:
+            return _ann_empty()
+        convs = live["conv"].to_numpy(zero_copy_only=False)
+        turns = live["turn"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(live["vec"].combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)
+                         ).reshape(-1, self.d)
+        dots = mat @ qv.T                     # [n, nq] int64 exact
+        out_q, out_c, out_t, out_d = [], [], [], []
+        for j, qid in enumerate(qids):
+            s = dots[:, j]
+            kk = min(k, len(s))
+            order = np.lexsort((turns, convs, -s))[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_c.append(convs[order])
+            out_t.append(turns[order])
+            out_d.append(s[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "conv_id": pa.array(np.concatenate(out_c), pa.string()),
+            "turn_idx": pa.array(np.concatenate(out_t), pa.int32()),
+            "dot": pa.array(np.concatenate(out_d), pa.int64())})
+
+
+def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
+                     d: int, max_inflight: int = 64) -> int:
+    """Decode one WAL source and route slim (key, lsn, is_del, vec) rows
+    to the index shard OWNING each key (hash(conv#turn) % N).  The text
+    is hash-embedded IN THE ROUTER (vectorized md5-bridge semantics,
+    worker-cached vocabulary) so only d int64s per change cross to the
+    index — raw text never enters index state."""
+    import ray
+
+    from ..functions.hashing import fast_hash64, worker_token_hasher
+    from ..stages.decode import DecodeShard
+    from .textops import hash_embed_texts
+
+    hasher = worker_token_hasher()
+    batch = pa.table({"wal_paths": [segs]})
+    pending: list = []
+    routed = 0
+    for env in DecodeShard()(batch):
+        dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
+        if dml.num_rows == 0:
+            continue
+        after = dml["after_values"].combine_chunks()
+        before = dml["before_values"].combine_chunks()
+        is_del = pc.equal(dml["op"], "delete")
+        conv = pc.if_else(is_del, pc.list_element(before, 0),
+                          pc.list_element(after, 0))
+        turn = pc.cast(pc.if_else(is_del, pc.list_element(before, 1),
+                                  pc.list_element(after, 1)), pa.int32())
+        text = pc.fill_null(pc.list_element(after, 3), "")
+        vecs, _ = hash_embed_texts(text, hasher, d)
+        del_np = is_del.to_numpy(zero_copy_only=False)
+        vecs[del_np] = 0                      # deletes carry no payload
+        routed += dml.num_rows
+        key = pc.binary_join_element_wise(
+            conv, pc.cast(turn, pa.string()), "\x00")
+        owner = (fast_hash64(pa.chunked_array([key])) % n_actors
+                 ).astype(np.int64)
+        slim = pa.table({
+            "conv": conv, "turn": turn, "lsn": dml["lsn"],
+            "is_del": is_del,
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.int64()), d)})
+        for i in range(n_actors):
+            sub = slim.filter(pa.array(owner == i))
+            if sub.num_rows:
+                pending.append(actors[i].ingest.remote(sub))
+        if len(pending) > max_inflight:
+            done, pending = ray.wait(pending,
+                                     num_returns=len(pending) // 2)
+            ray.get(list(done))
+    ray.get(pending)
+    return routed
+
+
+def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
+                     k: int = 10, d: int = 16,
+                     n_actors: int = 4) -> pa.Table:
+    """CDC -> live ANN index -> top-k: replay a WAL dir into a sharded
+    mutable vector index (LWW upsert/delete by LSN over hashed text
+    embeddings) and answer integer-exact top-k for the broadcast query
+    matrix from INDEX STATE — never from a lake snapshot.
+
+    Output: (query_id, conv_id, turn_idx, rnk, dot), rnk 1..k per query,
+    ties (dot desc, conv asc, turn asc).
+
+    Scale shape: routers decode shards in parallel and ship d ints per
+    change; shards hold compacted live vectors only; the query matrix is
+    put once in the object store; the merge re-ranks n_actors * nq * k
+    candidate rows on the driver (bounded, independent of corpus size).
+    """
+    import ray
+
+    from .cdc import discover_shards
+
+    shard_paths = discover_shards(wal_dir)
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_actors = max(1, min(n_actors, cpus))
+    actor_cls = ray.remote(num_cpus=0.5)(_AnnIndexActor)
+    route_fn = ray.remote(num_cpus=0.5)(_route_ann_shard)
+    actors = [actor_cls.remote(d) for _ in range(n_actors)]
+    try:
+        ray.get([route_fn.remote(segs, actors, n_actors, d)
+                 for segs in shard_paths])
+        if len(qids) == 0:
+            return _ann_empty()
+        qref = ray.put((np.asarray(qids), np.ascontiguousarray(qv)))
+        parts = ray.get([a.query.remote(qref, k) for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    cat = pa.concat_tables(
+        [_ann_empty().drop_columns(["rnk"]),
+         *[p.drop_columns(["rnk"]) if "rnk" in p.column_names else p
+           for p in parts]])
+    if cat.num_rows == 0:
+        return _ann_empty()
+    import pandas as pd
+    df = cat.to_pandas().sort_values(
+        ["query_id", "dot", "conv_id", "turn_idx"],
+        ascending=[True, False, True, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k)
+    rnk = df.groupby("query_id", sort=False).cumcount() + 1
+    return pa.table({
+        "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+        "conv_id": pa.array(df["conv_id"].astype(str)),
+        "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int32)),
+        "rnk": pa.array(rnk.to_numpy(np.int64)),
+        "dot": pa.array(df["dot"].to_numpy(np.int64))})

@@ -2070,6 +2070,37 @@ HASH_EMBED_NQ = 4          # query docs: doc_id < NQ
 HASH_EMBED_K = 10
 
 
+def hash_embed_texts(texts, hasher, d: int = HASH_EMBED_D):
+    """Dense signed-occurrence feature-hash matrices for a text column.
+
+    Returns (vecs [n,d] int64, occ [n,d] int64) — the HashEmbedStage
+    semantics factored out so any pipeline with a text column (e.g. the
+    live CDC change stream) can derive the same md5-bridge-exact integer
+    vectors: dim(w) = h60(w) % d, sign(w) = +1 iff bit 4 of h60 is 0,
+    weight = signed occurrence sum, empty split('') artifacts dropped.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    vecs = np.zeros((n, d), dtype=np.int64)
+    occ = np.zeros((n, d), dtype=np.int64)
+    if n:
+        offsets, tok = tokenize_column(texts, hasher)
+        h60 = hasher.h60_array[tok]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offsets))
+        empty_id = hasher._idx.get("")        # split('') artifacts are
+        if empty_id is not None:              # not tokens (oracle:
+            keep = tok != empty_id            # WHERE w <> '')
+            h60, doc_idx = h60[keep], doc_idx[keep]
+        dims = h60 % d
+        signs = 1 - 2 * ((h60 >> 4) & 1)
+        flat = doc_idx * d + dims
+        np.add.at(vecs.ravel(), flat, signs)
+        np.add.at(occ.ravel(), flat, 1)
+    return vecs, occ
+
+
 class HashEmbedStage:
     """documents batch -> signed bag-of-words feature-hash vectors (the
     hashing trick: Weinberger et al. 2009 / sklearn HashingVectorizer
@@ -2098,24 +2129,9 @@ class HashEmbedStage:
         the sparse output keeps a cell with weight 0 when +1/-1 signs
         cancelled, exactly as the oracle's GROUP BY does.
         """
-        n = t.num_rows
-        d = self.d
-        vecs = np.zeros((n, d), dtype=np.int64)
-        occ = np.zeros((n, d), dtype=np.int64)
-        if n:
-            offsets, tok = tokenize_column(t["text"], self.hasher)
-            h60 = self.hasher.h60_array[tok]
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
-                                np.diff(offsets))
-            empty_id = self.hasher._idx.get("")   # split('') artifacts are
-            if empty_id is not None:              # not tokens (oracle:
-                keep = tok != empty_id            # WHERE w <> '')
-                h60, doc_idx = h60[keep], doc_idx[keep]
-            dims = h60 % d
-            signs = 1 - 2 * ((h60 >> 4) & 1)
-            flat = doc_idx * d + dims
-            np.add.at(vecs.ravel(), flat, signs)
-            np.add.at(occ.ravel(), flat, 1)
+        vecs, occ = hash_embed_texts(t["text"] if t.num_rows else
+                                     pa.array([], pa.string()),
+                                     self.hasher, self.d)
         return (t["doc_id"].to_numpy(zero_copy_only=False)
                 .astype(np.int64), vecs, occ)
 

@@ -515,3 +515,60 @@ def test_balanced_sample_seeded_matches_sql(ray_session):
     assert (mine.groupby("cluster_id")["rk"].apply(
         lambda s: (s.sort_values().to_numpy()
                    == np.arange(1, len(s) + 1)).all())).all()
+
+
+def test_ann_index_actor_lww_delete_reinsert():
+    """Live-ANN index shard: LWW by LSN — a delete removes the key, a
+    later re-insert resurrects it with the NEW vector; compaction keeps
+    state bounded and never changes answers (idempotent/associative)."""
+    from pg_walstream_ray.pipelines.streaming import _AnnIndexActor
+
+    d = 4
+
+    def slim(rows):
+        convs, turns, lsns, dels, vecs = zip(*rows)
+        flat = np.concatenate([np.asarray(v, np.int64) for v in vecs])
+        return pa.table({
+            "conv": pa.array(convs, pa.string()),
+            "turn": pa.array(turns, pa.int32()),
+            "lsn": pa.array(lsns, pa.int64()),
+            "is_del": pa.array(dels, pa.bool_()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.int64()), d)})
+
+    a = _AnnIndexActor(d, compact_rows=4)
+    a.ingest(slim([("c1", 0, 10, False, [1, 0, 0, 0]),
+                   ("c2", 0, 11, False, [0, 2, 0, 0])]))
+    a.ingest(slim([("c1", 0, 20, True, [0, 0, 0, 0]),      # delete c1
+                   ("c3", 1, 12, False, [0, 0, 3, 0])]))
+    a.ingest(slim([("c1", 0, 30, False, [5, 5, 0, 0])]))   # re-insert c1
+    qids = np.array([7], np.int64)
+    qv = np.array([[1, 1, 1, 1]], np.int64)
+    out = a.query((qids, qv), k=10).to_pandas()
+    got = {(r.conv_id, r.turn_idx): r.dot for r in out.itertuples()}
+    assert got == {("c1", 0): 10, ("c2", 0): 2, ("c3", 1): 3}
+    # compaction collapsed the log to live keys only
+    assert len(a.log) == 1 and a.log[0].num_rows == 3
+
+    # out-of-order late arrival below the winning LSN must lose
+    a.ingest(slim([("c1", 0, 25, True, [0, 0, 0, 0])]))    # stale delete
+    out2 = a.query((qids, qv), k=10).to_pandas()
+    assert {(r.conv_id, r.turn_idx): r.dot
+            for r in out2.itertuples()}[("c1", 0)] == 10
+
+
+def test_ann_index_actor_empty_and_all_deleted():
+    from pg_walstream_ray.pipelines.streaming import _AnnIndexActor
+
+    a = _AnnIndexActor(4)
+    qids = np.array([0], np.int64)
+    qv = np.zeros((1, 4), np.int64)
+    assert a.query((qids, qv), 5).num_rows == 0
+    a.ingest(pa.table({
+        "conv": pa.array(["x"], pa.string()),
+        "turn": pa.array([0], pa.int32()),
+        "lsn": pa.array([1], pa.int64()),
+        "is_del": pa.array([True], pa.bool_()),
+        "vec": pa.FixedSizeListArray.from_arrays(
+            pa.array([0, 0, 0, 0], pa.int64()), 4)}))
+    assert a.query((qids, qv), 5).num_rows == 0
