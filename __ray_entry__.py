@@ -2048,6 +2048,59 @@ def _balanced_sample_seeded_oracle_sql(per_cluster: int = 40) -> str:
     """
 
 
+def _bpe_merges_oracle_sql(k: int = 8) -> str:
+    """Unrolled-SQL mirror of the distributed BPE trainer
+    (pipelines/tokenizer.py): symbols are literally characters (merged
+    symbol i = chr(0xE000 + i)), so round i's state is ``replace(word,
+    l_i || r_i, chr(...))`` over round i-1's words, pair statistics are
+    overlap-counted substr bigrams weighted by word count, and the merge
+    rule ORDER BY n DESC, l ASC, r ASC is the engine's (count DESC,
+    codepoint ASC, codepoint ASC).  Expanded left/right texts replay the
+    placeholder substitutions highest-first (a placeholder's pair can
+    only contain lower placeholders)."""
+    parts = ["""
+      WITH wc AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+      ), it0 AS (SELECT word, cnt FROM wc)"""]
+    for i in range(k):
+        parts.append(f"""
+      , p{i} AS (
+        SELECT substr(word, gs, 1) AS l, substr(word, gs + 1, 1) AS r,
+               SUM(cnt) AS n
+        FROM (SELECT word, cnt, unnest(range(1, length(word))) AS gs
+              FROM it{i})
+        GROUP BY l, r
+      ), m{i} AS (
+        SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+      )""")
+        if i < k - 1:
+            parts.append(f"""
+      , it{i + 1} AS (
+        SELECT replace(word, (SELECT l || r FROM m{i}),
+                       chr({0xE000 + i})) AS word, cnt
+        FROM it{i}
+      )""")
+
+    def expand(expr: str, upto: int) -> str:
+        # substitute placeholders highest-first: chr(0xE000+j) -> l_j||r_j
+        for j in range(upto - 1, -1, -1):
+            expr = (f"replace({expr}, chr({0xE000 + j}), "
+                    f"(SELECT l || r FROM m{j}))")
+        return expr
+
+    selects = []
+    for i in range(k):
+        l_e, r_e = expand("l", i), expand("r", i)
+        selects.append(f"""
+      SELECT CAST({i + 1} AS BIGINT) AS rnk, {l_e} AS "left",
+             {r_e} AS "right", {l_e} || {r_e} AS pair,
+             CAST(n AS BIGINT) AS n
+      FROM m{i}""")
+    return "".join(parts) + " UNION ALL ".join(selects)
+
+
 def _pca_power_oracle_sql(iters: int = 3, d: int = 64) -> str:
     """Unrolled power-iteration oracle for pca_power_projection: the
     covariance from the SAME formula as similarity._cov_stats
@@ -2480,7 +2533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- training-data ops: dedup ------------------------------------------
     from pg_walstream_ray.pipelines import dedup, similarity, textops
-    from pg_walstream_ray.pipelines import multimodal
+    from pg_walstream_ray.pipelines import multimodal, tokenizer
 
     q["dedup_exact"] = lambda sf: dedup.exact_dedup(sf, hash_mode="md5")
     q["dedup_incremental"] = lambda sf: dedup.incremental_dedup(
@@ -2618,6 +2671,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rrf_fusion"] = similarity.rrf_fusion
 
     # -- text analysis -----------------------------------------------------
+    # distributed BPE tokenizer training: word-sharded symbol actors, K
+    # merge supersteps; the whole K-round train is unrolled-SQL-oracled
+    # (symbols-as-codepoints contract, tokenizer.py module docstring)
+    q["bpe_pair_counts"] = tokenizer.bpe_pair_counts
+    q["bpe_train_merges"] = tokenizer.bpe_train_merges
     q["token_heavy_hitters"] = textops.token_heavy_hitters
     # feature-hashing vectorizer (hashing trick): integer-exact signed
     # bag-of-words vectors derived in-engine from text
@@ -5530,6 +5588,22 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_pagerank_ranks"] = _pagerank_oracle_sql()
     # unrolled Lloyd loop: the full distributed k-means iteration
     # hash-checked end-to-end (deterministic first-k init, no re-seed)
+    # BPE tokenizer training: round-1 pair stats + the full K-round
+    # unrolled merge train (symbols-as-codepoints replace() contract)
+    sql["bpe_pair_counts"] = """
+      WITH wc AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+      )
+      SELECT substr(word, gs, 1) AS "left",
+             substr(word, gs + 1, 1) AS "right",
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (SELECT word, cnt, unnest(range(1, length(word))) AS gs
+            FROM wc)
+      GROUP BY "left", "right"
+    """
+    sql["bpe_train_merges"] = _bpe_merges_oracle_sql()
     sql["kmeans_assign_seeded"] = _kmeans_seeded_oracle_sql()
     # unrolled power iteration: the distributed second-moment pass +
     # spectral direction + centered projection, micro-quantized

@@ -572,3 +572,61 @@ def test_ann_index_actor_empty_and_all_deleted():
         "vec": pa.FixedSizeListArray.from_arrays(
             pa.array([0, 0, 0, 0], pa.int64()), 4)}))
     assert a.query((qids, qv), 5).num_rows == 0
+
+
+def _ref_bpe(word_cnts, k):
+    """Plain single-process reference BPE with the engine's contract:
+    overlap-counted pair stats, winner (count desc, l asc, r asc),
+    str.replace application, placeholder chars 0xE000+i."""
+    words = dict(word_cnts)
+    merges = []
+    txt = {}
+    for i in range(k):
+        counts = {}
+        for w, c in words.items():
+            for j in range(len(w) - 1):
+                counts[(w[j], w[j + 1])] = counts.get(
+                    (w[j], w[j + 1]), 0) + c
+        if not counts:
+            break
+        n = max(counts.values())
+        l, r = min(p for p, c in counts.items() if c == n)
+        ph = chr(0xE000 + i)
+        words = {w.replace(l + r, ph): c for w, c in words.items()}
+        lt = txt.get(l, l)
+        rt = txt.get(r, r)
+        txt[ph] = lt + rt
+        merges.append((i + 1, lt, rt, lt + rt, n))
+    return merges
+
+
+def test_bpe_train_matches_reference_with_overlaps(ray_session):
+    """Sharded BPE == single-process reference on a corpus engineered to
+    hit the a==b run-parity case ('aaaa' -> leftmost non-overlapping) and
+    placeholder-adjacent merges in later rounds."""
+    import ray
+
+    from pg_walstream_ray.pipelines.tokenizer import train_bpe
+
+    wc = [("aaaa", 7), ("aaab", 5), ("banana", 4), ("bandana", 3),
+          ("aa", 11), ("nan", 2), ("abab", 6)]
+    ds = ray.data.from_arrow(pa.table({
+        "word": pa.array([w for w, _ in wc], pa.string()),
+        "cnt": pa.array([c for _, c in wc], pa.int64())}))
+    got = train_bpe(ds, n_merges=6, n_shards=3).to_pandas()
+    want = pd.DataFrame(_ref_bpe(wc, 6),
+                        columns=["rnk", "left", "right", "pair", "n"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bpe_train_empty_corpus(ray_session):
+    import ray
+
+    from pg_walstream_ray.pipelines.tokenizer import train_bpe
+
+    ds = ray.data.from_arrow(pa.table({
+        "word": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64())}))
+    out = train_bpe(ds, n_merges=4)
+    assert out.num_rows == 0
+    assert out.column_names == ["rnk", "left", "right", "pair", "n"]
