@@ -2048,16 +2048,9 @@ def _balanced_sample_seeded_oracle_sql(per_cluster: int = 40) -> str:
     """
 
 
-def _bpe_merges_oracle_sql(k: int = 8) -> str:
-    """Unrolled-SQL mirror of the distributed BPE trainer
-    (pipelines/tokenizer.py): symbols are literally characters (merged
-    symbol i = chr(0xE000 + i)), so round i's state is ``replace(word,
-    l_i || r_i, chr(...))`` over round i-1's words, pair statistics are
-    overlap-counted substr bigrams weighted by word count, and the merge
-    rule ORDER BY n DESC, l ASC, r ASC is the engine's (count DESC,
-    codepoint ASC, codepoint ASC).  Expanded left/right texts replay the
-    placeholder substitutions highest-first (a placeholder's pair can
-    only contain lower placeholders)."""
+def _bpe_train_cte(k: int = 8) -> str:
+    """Shared WITH-body for the BPE oracles: word counts + K unrolled
+    (pair-stats, winner, replace) rounds — m{i} holds round i's merge."""
     parts = ["""
       WITH wc AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2082,6 +2075,40 @@ def _bpe_merges_oracle_sql(k: int = 8) -> str:
                        chr({0xE000 + i})) AS word, cnt
         FROM it{i}
       )""")
+    return "".join(parts)
+
+
+def _bpe_encode_oracle_sql(k: int = 8) -> str:
+    """Per-doc token counts under the trained merges: every corpus token
+    run through the rank-ordered replace chain, symbols == characters, so
+    token count == length(); docs with no tokens keep a 0 row."""
+    chain = "w"
+    for i in range(k):
+        chain = (f"replace({chain}, (SELECT l || r FROM m{i}), "
+                 f"chr({0xE000 + i}))")
+    return f"""{_bpe_train_cte(k)}
+      , toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), enc AS (
+        SELECT doc_id, SUM(length({chain})) AS ntok
+        FROM toks WHERE w <> '' GROUP BY doc_id
+      )
+      SELECT d.doc_id, CAST(COALESCE(e.ntok, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN enc e USING (doc_id)
+    """
+
+
+def _bpe_merges_oracle_sql(k: int = 8) -> str:
+    """Unrolled-SQL mirror of the distributed BPE trainer
+    (pipelines/tokenizer.py): symbols are literally characters (merged
+    symbol i = chr(0xE000 + i)), so round i's state is ``replace(word,
+    l_i || r_i, chr(...))`` over round i-1's words, pair statistics are
+    overlap-counted substr bigrams weighted by word count, and the merge
+    rule ORDER BY n DESC, l ASC, r ASC is the engine's (count DESC,
+    codepoint ASC, codepoint ASC).  Expanded left/right texts replay the
+    placeholder substitutions highest-first (a placeholder's pair can
+    only contain lower placeholders)."""
+    parts = [_bpe_train_cte(k)]
 
     def expand(expr: str, upto: int) -> str:
         # substitute placeholders highest-first: chr(0xE000+j) -> l_j||r_j
@@ -2676,6 +2703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (symbols-as-codepoints contract, tokenizer.py module docstring)
     q["bpe_pair_counts"] = tokenizer.bpe_pair_counts
     q["bpe_train_merges"] = tokenizer.bpe_train_merges
+    # corpus tokenization under the learned merges: per-doc token counts
+    # (token-budget accounting), zero-shuffle encode with broadcast merges
+    q["bpe_encode_counts"] = tokenizer.bpe_encode_counts
     q["token_heavy_hitters"] = textops.token_heavy_hitters
     # feature-hashing vectorizer (hashing trick): integer-exact signed
     # bag-of-words vectors derived in-engine from text
@@ -5604,6 +5634,7 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY "left", "right"
     """
     sql["bpe_train_merges"] = _bpe_merges_oracle_sql()
+    sql["bpe_encode_counts"] = _bpe_encode_oracle_sql()
     sql["kmeans_assign_seeded"] = _kmeans_seeded_oracle_sql()
     # unrolled power iteration: the distributed second-moment pass +
     # spectral direction + centered projection, micro-quantized

@@ -170,12 +170,14 @@ class _BpeShard:
 
 
 def train_bpe(word_counts_ds, n_merges: int = BPE_MERGES,
-              n_shards: int = 4) -> pa.Table:
+              n_shards: int = 4, return_ids: bool = False):
     """Run K BPE merge supersteps over word-sharded actors.
 
     Returns (rnk, left, right, pair, n): rank 1..K, the merged pair's
     EXPANDED left/right texts, their concatenation, and the (overlap-
-    counted) weighted pair count that won the round.
+    counted) weighted pair count that won the round.  With
+    ``return_ids=True`` also returns the raw [(a_id, b_id, new_id)]
+    merge list — the broadcastable form an encoder applies.
     """
     import ray
 
@@ -207,15 +209,14 @@ def train_bpe(word_counts_ds, n_merges: int = BPE_MERGES,
         ray.get(refs)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
+    txt = {}                                  # id -> expanded text
+    rows: list = []
+    id_merges: list = []                      # (a_id, b_id, new_id)
     try:
         word_counts_ds.map_batches(push, batch_format="pyarrow",
                                    batch_size=1 << 18).materialize()
         n_words = sum(ray.get([a.finalize.remote() for a in actors]))
-        if n_words == 0:
-            return empty
-        txt = {}                              # id -> expanded text
-        rows = []
-        for i in range(n_merges):
+        for i in range(n_merges if n_words else 0):
             parts = ray.get([a.pair_counts.remote() for a in actors])
             keys = np.concatenate([p[0] for p in parts])
             cnts = np.concatenate([p[1] for p in parts])
@@ -237,17 +238,20 @@ def train_bpe(word_counts_ds, n_merges: int = BPE_MERGES,
             r_txt = txt.get(b_id, chr(b_id))
             txt[new_id] = l_txt + r_txt
             rows.append((i + 1, l_txt, r_txt, l_txt + r_txt, n_best))
+            id_merges.append((a_id, b_id, new_id))
     finally:
         for a in actors:
             ray.kill(a)
-    if not rows:
-        return empty
-    rnk, left, right, pair, n = zip(*rows)
-    return pa.table({"rnk": pa.array(rnk, pa.int64()),
-                     "left": pa.array(left, pa.string()),
-                     "right": pa.array(right, pa.string()),
-                     "pair": pa.array(pair, pa.string()),
-                     "n": pa.array(n, pa.int64())})
+    if rows:
+        rnk, left, right, pair, n = zip(*rows)
+        out = pa.table({"rnk": pa.array(rnk, pa.int64()),
+                        "left": pa.array(left, pa.string()),
+                        "right": pa.array(right, pa.string()),
+                        "pair": pa.array(pair, pa.string()),
+                        "n": pa.array(n, pa.int64())})
+    else:
+        out = empty
+    return (out, id_merges) if return_ids else out
 
 
 def bpe_pair_counts(sf_dir: str):
@@ -285,3 +289,80 @@ def bpe_train_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
     """Full distributed BPE training: K merge rounds over the corpus
     word model.  See train_bpe for the output columns."""
     return train_bpe(_word_counts(sf_dir), n_merges=n_merges)
+
+
+def _apply_merges_lengths(words: list, id_merges: list) -> np.ndarray:
+    """Token count per word after applying the merge list — the same
+    flat-array kernel the training shards run, over a batch vocabulary."""
+    shard = _BpeShard()
+    shard.load_part(words, np.ones(len(words), np.int64))
+    shard.finalize()
+    for a_id, b_id, new_id in id_merges:
+        shard.apply_merge(a_id, b_id, new_id)
+    return shard.lengths.copy()
+
+
+class _BpeEncodeStage:
+    """Actor/worker stage: documents batch -> per-doc token counts under
+    a broadcast merge list.  The merge kernel runs once per DISTINCT word
+    (dictionary-encode first), and a worker-lifetime cache carries
+    word -> token-count across batches — the actor-state pattern the
+    token hasher uses."""
+
+    def __init__(self, merges_ref):
+        import ray
+        self.merges = ray.get(merges_ref) if not isinstance(
+            merges_ref, list) else merges_ref
+        self.cache: dict = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = t.num_rows
+        ntok = np.zeros(n, np.int64)
+        if n:
+            split = pc.split_pattern(text, " ")
+            offsets = split.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            offsets = offsets - offsets[0]
+            denc = pc.dictionary_encode(split.flatten())
+            vocab = denc.dictionary.to_pylist()
+            missing = [w for w in vocab
+                       if w and w not in self.cache]
+            if missing:
+                lens = _apply_merges_lengths(missing, self.merges)
+                self.cache.update(zip(missing, lens))
+            per_word = np.fromiter(
+                (self.cache.get(w, 0) for w in vocab), np.int64,
+                len(vocab))                    # '' artifacts count 0
+            idx = denc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offsets))
+            ntok = np.bincount(doc_idx, weights=per_word[idx],
+                               minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64())})
+
+
+def bpe_encode_counts(sf_dir: str, n_merges: int = BPE_MERGES):
+    """Tokenize the corpus with the BPE tokenizer trained ON that corpus
+    and report per-document token counts — the token-budget accounting
+    pass every training-data pipeline runs before packing.
+
+    Scale shape: train_bpe's merge list (K int triples) broadcasts via
+    ray.put; encoding is a zero-shuffle map with the per-distinct-word
+    kernel + worker cache.  Output: (doc_id, n_tokens), one row per
+    document (empty text -> 0)."""
+    import ray
+
+    from .textops import _docs
+
+    _, id_merges = train_bpe(_word_counts(sf_dir), n_merges=n_merges,
+                             return_ids=True)
+    mref = ray.put(id_merges)
+    return _docs(sf_dir).map_batches(
+        _BpeEncodeStage, fn_constructor_args=(mref,),
+        batch_format="pyarrow", concurrency=(1, 8))
