@@ -2392,6 +2392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = analytics.hourly_event_stats
     # fixed-width histogram (width_bucket primitive), combiner-first
     q["value_histogram"] = analytics.value_histogram
+    # Z-order (Morton) multi-column layout profile: per-zbucket extents,
+    # the pruning index of a Delta/Iceberg-style OPTIMIZE ZORDER rewrite
+    q["zorder_profile"] = analytics.zorder_profile
     # broadcast range-lookup join (value cents -> named tier bands)
     q["band_lookup_join"] = analytics.value_band_lookup
     # Bloom-prefiltered exact semi-join (broadcast bitmap prunes the
@@ -5315,6 +5318,29 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY l_returnflag
     """
 
+    # Morton interleave unrolled term-by-term (analytics._morton16):
+    # user bit at the odd position, day bit at the even one
+    _morton_terms = " + ".join(
+        f"((ub // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((db // {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(8))
+    sql["zorder_profile"] = f"""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+               user_id % 256 AS ub,
+               (epoch_us(ts) // 86400000000) % 256 AS db
+        FROM events
+      ), z AS (
+        SELECT u, d, ({_morton_terms}) // 256 AS zbucket FROM b
+      )
+      SELECT CAST(zbucket AS BIGINT) AS zbucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(u) AS BIGINT) AS u_min,
+             CAST(MAX(u) AS BIGINT) AS u_max,
+             CAST(MIN(d) AS BIGINT) AS d_min,
+             CAST(MAX(d) AS BIGINT) AS d_max
+      FROM z GROUP BY zbucket
+    """
     sql["value_histogram"] = """
       SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
              COUNT(*) AS n_events

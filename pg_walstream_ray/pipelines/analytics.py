@@ -4023,3 +4023,88 @@ def arg_max_per_user(sf_dir: str):
             .groupby("bucket").map_groups(reduce_bucket,
                                           batch_format="pandas",
                                           num_cpus=1))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-column layout
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8          # low bits interleaved per dimension
+ZORDER_BUCKET_SHIFT = 8  # zbucket = top 8 morton bits -> 256 buckets
+
+
+def _morton16(ub: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """Interleave the low ZORDER_BITS of two uint dimensions (user bit at
+    the odd position) — vectorized; mirrored term-by-term in the SQL
+    oracle."""
+    z = np.zeros(len(ub), np.int64)
+    for i in range(ZORDER_BITS):
+        z |= ((ub >> i) & 1) << (2 * i + 1)
+        z |= ((db >> i) & 1) << (2 * i)
+    return z
+
+
+def zorder_profile(sf_dir: str):
+    """Z-ORDER LAYOUT profile of the events table: every row mapped to a
+    Morton bucket over (user_id % 256, epoch-day % 256) and per-bucket
+    extents reported — (zbucket, n_rows, u_min, u_max, d_min, d_max).
+
+    This is the clustering step of a multi-column data-layout rewrite
+    (Delta/Iceberg OPTIMIZE ZORDER BY): rows co-located by interleaved
+    bits of BOTH predicates, so one clustered file covers a small
+    (user x day) rectangle and a two-column range scan prunes most
+    buckets by their min/max footer stats — single-column partitioning
+    can only prune one of the two.  The profile IS the pruning index;
+    the rewrite itself is the lake repartition machinery
+    (lake.repartition_lake) keyed by zbucket instead of hash.
+
+    Scale shape: zero-shuffle per-batch bucket partials (bit-op numpy +
+    one local group_by), then a 256-row groupby combine — the only
+    exchange carries O(buckets) rows per block.  All-integer, fully
+    SQL-oracled.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    empty = pa.table({
+        "zbucket": pa.array([], pa.int64()),
+        "n_rows": pa.array([], pa.int64()),
+        "u_min": pa.array([], pa.int64()),
+        "u_max": pa.array([], pa.int64()),
+        "d_min": pa.array([], pa.int64()),
+        "d_max": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        z = _morton16(u % 256, d % 256) >> ZORDER_BUCKET_SHIFT
+        loc = pa.table({"zbucket": pa.array(z), "u": pa.array(u),
+                        "d": pa.array(d)})
+        g = loc.group_by("zbucket").aggregate([
+            ("u", "count"), ("u", "min"), ("u", "max"),
+            ("d", "min"), ("d", "max")])
+        return pa.table({
+            "zbucket": g["zbucket"],
+            "n_rows": pc.cast(g["u_count"], pa.int64()),
+            "u_min": g["u_min"], "u_max": g["u_max"],
+            "d_min": g["d_min"], "d_max": g["d_max"]})
+
+    return _read(sf_dir, "events", columns=["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=262144) \
+        .groupby("zbucket").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("u_min", alias_name="u_min"),
+            Max("u_max", alias_name="u_max"),
+            Min("d_min", alias_name="d_min"),
+            Max("d_max", alias_name="d_max")) \
+        .map_batches(lambda t: pa.table({
+            "zbucket": pc.cast(t["zbucket"], pa.int64()),
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "u_min": pc.cast(t["u_min"], pa.int64()),
+            "u_max": pc.cast(t["u_max"], pa.int64()),
+            "d_min": pc.cast(t["d_min"], pa.int64()),
+            "d_max": pc.cast(t["d_max"], pa.int64())}),
+            batch_format="pyarrow")

@@ -630,3 +630,22 @@ def test_bpe_train_empty_corpus(ray_session):
     out = train_bpe(ds, n_merges=4)
     assert out.num_rows == 0
     assert out.column_names == ["rnk", "left", "right", "pair", "n"]
+
+
+def test_zorder_bucket_locality():
+    """Every Morton bucket (top 8 interleaved bits) covers at most a
+    16 x 16 rectangle of the (user %% 256, day %% 256) grid — the
+    property that lets a two-column range predicate prune buckets by
+    min/max stats alone."""
+    from pg_walstream_ray.pipelines.analytics import _morton16
+
+    ub, db = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    ub, db = ub.ravel().astype(np.int64), db.ravel().astype(np.int64)
+    z = _morton16(ub, db) >> 8
+    assert z.min() == 0 and z.max() == 255
+    for arr in (ub, db):
+        spans = (np.array([arr[z == b].max() - arr[z == b].min()
+                           for b in range(256)]))
+        assert (spans <= 15).all()
+    # every bucket holds exactly 256 cells (bijection on the grid)
+    assert (np.bincount(z, minlength=256) == 256).all()
