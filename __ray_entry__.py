@@ -1919,6 +1919,50 @@ def _pagerank_oracle_sql(threshold: float = 0.35, iters: int = 10,
     """
 
 
+def _ppr_oracle_sql(threshold: float = 0.35, iters: int = 10,
+                    damping: float = 0.85, n_seeds: int = 8) -> str:
+    """Unrolled personalized-PageRank oracle (dedup.personalized_pagerank):
+    restart mass 1/|S| on the n_seeds smallest graph nodes, per-node base
+    term (1-d)*p_v instead of the uniform (1-d)/N."""
+    steps, prev = [], "pr0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+      , pr{k} AS (
+        SELECT e.dst AS node,
+               (CASE WHEN e.dst IN (SELECT src FROM seeds)
+                     THEN {1 - damping}/(SELECT n FROM ns) ELSE 0 END)
+               + {damping}*SUM(p.rank/dg.d) AS rank
+        FROM {prev} p JOIN edges e ON e.src = p.node
+        JOIN deg dg ON dg.src = p.node
+        GROUP BY e.dst)""")
+        prev = f"pr{k}"
+    return f"""
+      WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= {threshold}
+      ), edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION ALL SELECT vb, va FROM pairs
+      ), deg AS (
+        SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src
+      ), seeds AS (
+        SELECT src FROM deg ORDER BY src LIMIT {n_seeds}
+      ), ns AS (
+        SELECT COUNT(*)::DOUBLE AS n FROM seeds
+      ), pr0 AS (
+        SELECT src AS node,
+               CASE WHEN src IN (SELECT src FROM seeds)
+                    THEN 1.0/(SELECT n FROM ns) ELSE 0 END AS rank
+        FROM deg
+      ){''.join(steps)}
+      SELECT node AS vec_id, CAST(ROUND(rank*1e9) AS BIGINT) AS rank_nano
+      FROM {prev}
+    """
+
+
 def _kcore_oracle_sql(iters: int = 16, thr: float = 0.35) -> str:
     """Unrolled h-index fixpoint oracle for exact coreness (Lu et al.:
     seed = degree, c <- H(neighbor values), monotone non-increasing to
@@ -2603,6 +2647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per rank, 9 orders below the quantum, so the hash check is stable;
     # the oracle unrolls the 10 power iterations as plain CTEs
     q["dedup_pagerank_ranks"] = _dedup_pagerank_ranks
+    # personalized PageRank (random walk with restart) from the
+    # smallest-id seed nodes: guilt-by-association seed expansion over
+    # the near-dup graph; same nano-quantized unrolled-CTE bridge
+    q["dedup_ppr_seeded"] = dedup.dedup_ppr_seeded
     # per-node triangle counts over the same pair graph (clique signal)
     q["dedup_triangles"] = dedup.dedup_triangles
     # exact k-core coreness per node (h-index fixpoint on Pregel shards);
@@ -5642,6 +5690,7 @@ def oracle_sql() -> dict[str, str]:
     """.format(sql["dedup_clusters"])
 
     sql["dedup_pagerank_ranks"] = _pagerank_oracle_sql()
+    sql["dedup_ppr_seeded"] = _ppr_oracle_sql()
     # unrolled Lloyd loop: the full distributed k-means iteration
     # hash-checked end-to-end (deterministic first-k init, no re-seed)
     # BPE tokenizer training: round-1 pair stats + the full K-round

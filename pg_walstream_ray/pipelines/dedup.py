@@ -1088,6 +1088,20 @@ class _PrShard:
 
     def init_rank(self, r0: float) -> None:
         self.rank = np.full(len(self.nodes), r0, np.float64)
+        self.base_vec: Optional[np.ndarray] = None
+
+    def smallest_nodes(self, m: int) -> np.ndarray:
+        """This shard's m smallest owned node ids (nodes are sorted)."""
+        return self.nodes[:m]
+
+    def init_personal(self, seed_ids: np.ndarray, damping: float) -> None:
+        """Personalized teleport: restart mass concentrated on the seed
+        set instead of uniform — rank_v = (1-d)*p_v + d*sum, with
+        p_v = 1/|S| on seeds, 0 elsewhere."""
+        p = np.isin(self.nodes, seed_ids).astype(np.float64) \
+            / max(len(seed_ids), 1)
+        self.base_vec = (1.0 - damping) * p
+        self.rank = p.copy()
 
     def scatter(self):
         """One superstep's outgoing half: per dst-bucket pre-aggregated
@@ -1109,7 +1123,9 @@ class _PrShard:
         for u, part in parts:
             if len(u):
                 s[np.searchsorted(self.nodes, u)] += part
-        self.rank = base + damping * s
+        base_term = self.base_vec if getattr(self, "base_vec", None) \
+            is not None else base
+        self.rank = base_term + damping * s
 
     def ranks_table(self) -> pa.Table:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
@@ -1233,6 +1249,76 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
 
     return rd.from_arrow_refs(
         [a.ranks_table.remote() for a in actors])
+
+
+PPR_SEEDS = 8        # personalized restart set: the m smallest graph nodes
+
+
+def personalized_pagerank(pairs, damping: float = 0.85, iters: int = 10,
+                          n_seeds: int = PPR_SEEDS,
+                          npart: Optional[int] = None):
+    """Personalized PageRank (random walk with restart) over an
+    undirected pair Dataset — restart mass concentrated on a SEED set
+    instead of uniform, so high-rank nodes are the graph neighborhood of
+    the seeds.  The corpus-curation use: seed with known-bad/known-dup
+    documents and expand to everything the near-dup graph connects to
+    them (guilt-by-association sweep), far cheaper than re-scoring the
+    corpus.
+
+    The seed set is the ``n_seeds`` smallest node ids in the graph —
+    deterministic and total (nonempty whenever the graph is), which is
+    what makes the unrolled-SQL bridge possible.  Same Pregel shard
+    engine as ``pagerank``: only the init vector and the per-node base
+    term differ; per superstep only pre-aggregated bucket sums travel.
+    """
+    import ray
+    import ray.data as rd
+
+    edges = _sym_edges(pairs)
+    n_edges = edges.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    k = npart or _graph_shard_count(n_edges)
+
+    Shard = ray.remote(num_cpus=0.5)(_PrShard)
+    actors = [Shard.remote(k) for _ in range(k)]
+    _load_graph_shards(edges, actors, k)
+    mins = ray.get([a.smallest_nodes.remote(n_seeds) for a in actors])
+    seed_ids = np.sort(np.concatenate(mins))[:n_seeds]
+    ray.get([a.init_personal.remote(seed_ids, damping) for a in actors])
+
+    for _ in range(iters):
+        outs = [a.scatter.options(num_returns=k).remote() if k > 1
+                else [a.scatter.remote()] for a in actors]
+        ray.get([actors[b].gather.remote(
+            0.0, damping, *[outs[a][b] for a in range(k)])
+            for b in range(k)])
+
+    return rd.from_arrow_refs(
+        [a.ranks_table.remote() for a in actors])
+
+
+def dedup_ppr_seeded(sf_dir: str, threshold: float = 0.35,
+                     iters: int = 10):
+    """Seed-expansion over the embedding near-dup graph: personalized
+    PageRank from the smallest-id seed nodes, ranks as nano-unit ints
+    (the deterministic reduced form the driver hash-checks).
+    Output: (vec_id, rank_nano)."""
+    from .similarity import embedding_near_dup
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold) \
+        .select_columns(["vec_a", "vec_b"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": t["node"],
+            "rank_nano": pa.array(np.round(r * 1e9).astype(np.int64))})
+
+    return personalized_pagerank(pairs, iters=iters).map_batches(
+        quantize, batch_format="pyarrow")
 
 
 def dedup_cluster_sizes(sf_dir: str, threshold: float = 0.35):

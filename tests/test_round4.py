@@ -649,3 +649,30 @@ def test_zorder_bucket_locality():
         assert (spans <= 15).all()
     # every bucket holds exactly 256 cells (bijection on the grid)
     assert (np.bincount(z, minlength=256) == 256).all()
+
+
+def test_personalized_pagerank_seed_locality(ray_session):
+    """PPR invariants on a planted two-component graph: restart mass
+    stays in the seed component (the other component's ranks are exactly
+    0), seeds rank positive, and total mass is <= 1 and concentrated
+    near the seeds."""
+    import ray
+
+    from pg_walstream_ray.pipelines.dedup import personalized_pagerank
+
+    # component A: path 0-1-2-3-4 (seeds live here: smallest ids)
+    # component B: clique 100-101-102 (no seed -> rank must be 0)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4),
+             (100, 101), (101, 102), (100, 102)]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "vec_b": pa.array([b for _, b in pairs], pa.int64())}))
+    out = personalized_pagerank(ds, n_seeds=3, iters=20).to_pandas() \
+        .set_index("node")["rank"]
+    assert set(out.index) == {0, 1, 2, 3, 4, 100, 101, 102}
+    assert (out.loc[[100, 101, 102]] == 0.0).all()
+    assert (out.loc[[0, 1, 2]] > 0).all()          # the 3 seeds
+    assert out.loc[[0, 1, 2, 3, 4]].sum() <= 1.0 + 1e-9
+    # restart pull: seed 1 (center of the seed set) outranks the far
+    # non-seed tail node 4
+    assert out.loc[1] > out.loc[4]
