@@ -269,6 +269,36 @@ def bench_streaming_sessions(n_events: int = 4_000_000) -> dict:
     return out
 
 
+def bench_live_ann(n_events: int = 4_000_000) -> dict:
+    """CDC-fed live ANN index tier: replay the synthetic WAL into the
+    sharded mutable vector index (decode + hash-embed + route + LWW
+    ingest) and answer a broadcast top-k from index state.  4 vs 8
+    shards, best-of-2."""
+    import numpy as np
+
+    from pg_walstream_ray.pipelines.streaming import stream_ann_index
+
+    wal = _synthetic_wal(n_events)
+    qids = np.arange(4, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    qv = rng.integers(-3, 4, size=(4, 16)).astype(np.int64)
+    out: dict = {}
+    for n in (4, 8):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = stream_ann_index(wal, qids, qv, k=10, n_actors=n,
+                                   hash_mode="fast")
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, res.num_rows)
+        out[f"sec_shards{n}"] = round(best[0], 3)
+        out[f"events_per_s_shards{n}"] = round(n_events / best[0], 1)
+        out["topk_rows"] = best[1]
+    out["sec"] = out["sec_shards8"]
+    return out
+
+
 def bench_streaming_windows(n_events: int = 4_000_000) -> dict:
     """Windowed streaming tier over the same synthetic WAL, 8 conv-routed
     aggregator actors: tumbling (exact distinct), hopping 2x overlap
@@ -445,6 +475,8 @@ def run_suite(sf_dir: str, headline_only: bool,
             queries["stream_sessions_sharded"] = strm["sec"]
             wnd = bench_streaming_windows(4_000_000)
             queries["stream_hopping_sharded"] = wnd["sec"]
+            lann = bench_live_ann(4_000_000)
+            queries["live_ann_indexed"] = lann["sec"]
             graph = bench_graph_tier()
             queries["graph_pagerank_4m_edges"] = graph["sec"]
         return {
@@ -463,6 +495,7 @@ def run_suite(sf_dir: str, headline_only: bool,
             **({"lake_maintenance": maint,
                 "streaming_sessions": strm,
                 "streaming_windows": wnd,
+                "live_ann": lann,
                 "graph_tier": graph} if not headline_only else {}),
             "rows_out": extra,
         }

@@ -1522,12 +1522,17 @@ class _AnnIndexActor:
         self.compact_rows = compact_rows
         self.log: List[pa.Table] = []
         self.buffered = 0
+        self._compacted = 0       # rows surviving the last compaction
 
     def ingest(self, slim: pa.Table) -> None:
         if slim.num_rows:
             self.log.append(slim)
             self.buffered += slim.num_rows
-            if self.buffered > self.compact_rows:
+            # doubling rule: compact when the log has grown past twice
+            # the last compacted size (amortized O(1) per row even when
+            # live keys >> compact_rows; a fixed threshold would re-scan
+            # the whole live set on every ingest batch)
+            if self.buffered > max(self.compact_rows, 2 * self._compacted):
                 self._compact()
 
     def _compact(self) -> None:
@@ -1544,6 +1549,7 @@ class _AnnIndexActor:
         winner_row[codes[order]] = order      # later (higher-lsn) writes win
         self.log = [cat.take(pa.array(np.sort(winner_row)))]
         self.buffered = self.log[0].num_rows
+        self._compacted = self.buffered
 
     def query(self, qpack, k: int) -> pa.Table:
         """Local top-k per query over the shard's LIVE vectors (integer
@@ -1582,19 +1588,21 @@ class _AnnIndexActor:
 
 
 def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
-                     d: int, max_inflight: int = 64) -> int:
+                     d: int, hash_mode: str = "md5",
+                     max_inflight: int = 64) -> int:
     """Decode one WAL source and route slim (key, lsn, is_del, vec) rows
     to the index shard OWNING each key (hash(conv#turn) % N).  The text
-    is hash-embedded IN THE ROUTER (vectorized md5-bridge semantics,
-    worker-cached vocabulary) so only d int64s per change cross to the
-    index — raw text never enters index state."""
+    is hash-embedded IN THE ROUTER (md5-bridge semantics for oracle
+    runs, the vectorized xxhash kernel in production mode) so only d
+    int64s per change cross to the index — raw text never enters index
+    state."""
     import ray
 
     from ..functions.hashing import fast_hash64, worker_token_hasher
+    from .textops import hash_embed_texts, hash_embed_texts_fast
     from ..stages.decode import DecodeShard
-    from .textops import hash_embed_texts
 
-    hasher = worker_token_hasher()
+    hasher = worker_token_hasher() if hash_mode == "md5" else None
     batch = pa.table({"wal_paths": [segs]})
     pending: list = []
     routed = 0
@@ -1610,7 +1618,10 @@ def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
         turn = pc.cast(pc.if_else(is_del, pc.list_element(before, 1),
                                   pc.list_element(after, 1)), pa.int32())
         text = pc.fill_null(pc.list_element(after, 3), "")
-        vecs, _ = hash_embed_texts(text, hasher, d)
+        if hash_mode == "md5":
+            vecs, _ = hash_embed_texts(text, hasher, d)
+        else:
+            vecs = hash_embed_texts_fast(text, d)
         del_np = is_del.to_numpy(zero_copy_only=False)
         vecs[del_np] = 0                      # deletes carry no payload
         routed += dml.num_rows
@@ -1637,7 +1648,8 @@ def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
 
 def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
                      k: int = 10, d: int = 16,
-                     n_actors: int = 4) -> pa.Table:
+                     n_actors: int = 4,
+                     hash_mode: str = "md5") -> pa.Table:
     """CDC -> live ANN index -> top-k: replay a WAL dir into a sharded
     mutable vector index (LWW upsert/delete by LSN over hashed text
     embeddings) and answer integer-exact top-k for the broadcast query
@@ -1662,7 +1674,8 @@ def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
     route_fn = ray.remote(num_cpus=0.5)(_route_ann_shard)
     actors = [actor_cls.remote(d) for _ in range(n_actors)]
     try:
-        ray.get([route_fn.remote(segs, actors, n_actors, d)
+        ray.get([route_fn.remote(segs, actors, n_actors, d,
+                                 hash_mode=hash_mode)
                  for segs in shard_paths])
         if len(qids) == 0:
             return _ann_empty()

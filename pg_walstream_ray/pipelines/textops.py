@@ -2101,6 +2101,37 @@ def hash_embed_texts(texts, hasher, d: int = HASH_EMBED_D):
     return vecs, occ
 
 
+def hash_embed_texts_fast(texts, d: int = HASH_EMBED_D) -> np.ndarray:
+    """Production-mode twin of hash_embed_texts: same signed
+    feature-hash construction but over the vectorized xxhash kernel
+    (fast_hash64) — no per-token Python, no vocabulary cache, ~2 orders
+    faster on unique-heavy token streams.  NOT SQL-bridgeable (DuckDB
+    can't reproduce xxhash); the md5 path stays the oracle mode, the
+    same hash_mode split every content-hash operator documents.
+    Returns the dense [n, d] int64 weight matrix."""
+    from ..functions.hashing import fast_hash64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    vecs = np.zeros((n, d), dtype=np.int64)
+    if n:
+        split = pc.split_pattern(texts, " ")
+        offsets = split.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = offsets - offsets[0]
+        flat = split.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        h = fast_hash64(flat)[keep]
+        doc_idx = doc_idx[keep]
+        dims = (h % d).astype(np.int64)
+        signs = 1 - 2 * ((h >> 4) & 1).astype(np.int64)
+        np.add.at(vecs.ravel(), doc_idx * d + dims, signs)
+    return vecs
+
+
 class HashEmbedStage:
     """documents batch -> signed bag-of-words feature-hash vectors (the
     hashing trick: Weinberger et al. 2009 / sklearn HashingVectorizer
