@@ -2612,6 +2612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_exact"] = lambda sf: dedup.exact_dedup(sf, hash_mode="md5")
     q["dedup_incremental"] = lambda sf: dedup.incremental_dedup(
         sf, hash_mode="md5")
+    # near-dup the new crawl against the lake: LSH band collisions vs
+    # base corpus or earlier increment docs (fuzzy incremental gate)
+    q["dedup_incremental_minhash"] = dedup.incremental_minhash_dedup
     q["dedup_minhash_lsh"] = dedup.minhash_dedup
     # exact-substring dedup signal (Lee et al. 2021): duplicated k-token
     # shingle positions per doc, corpus-wide
@@ -5540,6 +5543,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE source IN ({_inc}) GROUP BY h
       )
       SELECT doc_id FROM inc WHERE h NOT IN (SELECT h FROM base)
+    """
+
+    # fuzzy incremental gate: same signature/band CTEs with the source
+    # partition carried through; per band (has_base, min new id), per new
+    # doc OR over its bands
+    sql["dedup_incremental_minhash"] = f"""
+      WITH w AS (
+        SELECT doc_id, source IN ({_inc}) AS is_new,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), h AS (
+        SELECT doc_id, is_new,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {H_PRIME} AS hp
+        FROM w
+      ), params(i, a, b) AS {minhash_params_sql()},
+      sig AS (
+        SELECT doc_id, is_new, i, MIN((a * hp + b) % {H_PRIME}) AS s
+        FROM h CROSS JOIN params GROUP BY doc_id, is_new, i
+      ), bands AS (
+        SELECT doc_id, is_new,
+               (i // 4)::VARCHAR || ':' ||
+                 string_agg(s::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, is_new, i // 4
+      ), bstat AS (
+        SELECT bkey,
+               MAX(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS has_base,
+               MIN(CASE WHEN is_new THEN doc_id END) AS mnew
+        FROM bands GROUP BY bkey
+      )
+      SELECT b.doc_id,
+             BOOL_OR(s.has_base = 1 OR s.mnew < b.doc_id) AS is_dup
+      FROM bands b JOIN bstat s USING (bkey)
+      WHERE b.is_new GROUP BY b.doc_id
     """
 
     sql["dedup_minhash_lsh"] = f"""

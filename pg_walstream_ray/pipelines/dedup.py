@@ -386,6 +386,71 @@ def incremental_dedup(sf_dir: str, new_sources=INCREMENT_SOURCES,
         .groupby("part").map_groups(dedup_part, batch_format="pandas")
 
 
+def incremental_minhash_dedup(sf_dir: str,
+                              new_sources=INCREMENT_SOURCES):
+    """Incremental NEAR-dup: documents arriving from ``new_sources`` are
+    flagged when any of their MinHash LSH bands collides with a
+    base-corpus doc (near-dup of something already in the lake) or with
+    an earlier increment doc — the fuzzy sibling of incremental_dedup,
+    the gate a continuously-crawled corpus runs before admitting a new
+    shard.  Output: (doc_id, is_dup) over the increment only.
+
+    Scale shape: same as minhash_dedup — the shuffles move
+    (band_key, doc_id, is_new) rows, never text; bucket verdicts reduce
+    per band then OR per doc, candidate pairs never materialize.
+    """
+    npart = coarse_npart()
+    new_set = pa.array(sorted(set(new_sources)))
+
+    class _Buckets:
+        def __init__(self):
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            offsets, tok = tokenize_column(t["text"], self.hasher)
+            sigs = doc_minhash(offsets, tok, self.hasher)
+            keys = minhash_band_keys(sigs)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            is_new = pc.is_in(t["source"], value_set=new_set) \
+                .to_numpy(zero_copy_only=False).astype(np.int8)
+            return pa.table({
+                "bucket": keys,
+                "doc_id": pa.array(np.tile(doc_ids, MINHASH_BANDS),
+                                   pa.int64()),
+                "is_new": pa.array(np.tile(is_new, MINHASH_BANDS))})
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        part = (fast_hash64(t["bucket"]) % np.uint64(npart)) \
+            .astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def bucket_verdict_part(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("bucket")
+        has_base = grp["is_new"].transform("min") == 0
+        mnew = g.assign(
+            nid=g["doc_id"].where(g["is_new"] == 1)) \
+            .groupby("bucket")["nid"].transform("min")
+        new = g["is_new"] == 1
+        flag = (has_base | (mnew < g["doc_id"]))[new].astype(np.int8)
+        df = pd.DataFrame({"doc_id": g.loc[new, "doc_id"], "f": flag})
+        df["part"] = df["doc_id"] % npart
+        return df
+
+    def doc_or_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)["f"].max()
+        return pd.DataFrame({"doc_id": agg["doc_id"],
+                             "is_dup": agg["f"] > 0})
+
+    return (_docs(sf_dir, columns=("doc_id", "text", "source"))
+            .map_batches(as_tasks(_Buckets), batch_format="pyarrow",
+                         batch_size=4096)
+            .map_batches(add_bpart, batch_format="pyarrow")
+            .groupby("part").map_groups(bucket_verdict_part,
+                                        batch_format="pandas")
+            .groupby("part").map_groups(doc_or_part,
+                                        batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster assignment: distributed connected components
 # ---------------------------------------------------------------------------
