@@ -2823,6 +2823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (histogram range-partition rank; content-stable across runs)
     q["train_shuffle"] = lambda sf: textops.train_shuffle(
         sf, hash_mode="md5")
+    # curriculum ordering: exact global rank by ascending quality via a
+    # bounded score-space histogram range partition (no global sort op)
+    q["corpus_curriculum"] = textops.corpus_curriculum
     # weighted sampling without replacement (A-ES exponential keys,
     # integer nano-units; per-batch top-k combiner)
     q["weighted_sample"] = lambda sf: textops.weighted_sample(
@@ -3792,6 +3795,28 @@ def oracle_sql() -> dict[str, str]:
                         doc_id) - 1 AS pos,
              doc_id
       FROM documents
+    """
+
+    sql["corpus_curriculum"] = """
+      WITH b AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               length(replace(text, ' ', '')) AS n_chars
+        FROM documents
+      ), qq AS (
+        SELECT doc_id,
+               FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                      + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens)
+                                         / 8.0))
+                     * 10000)::BIGINT AS quality_q
+        FROM b
+      )
+      SELECT ROW_NUMBER() OVER (ORDER BY quality_q ASC, doc_id ASC) - 1
+               AS pos,
+             doc_id, quality_q
+      FROM qq
     """
 
     from pg_walstream_ray.pipelines.textops import (ENTROPY_HI_MICRO,

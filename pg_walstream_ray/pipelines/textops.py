@@ -2260,3 +2260,51 @@ def hash_embed_topk(sf_dir: str, nq: int = HASH_EMBED_NQ,
 
     return cand.groupby("query_id").map_groups(combine,
                                                batch_format="pandas")
+
+
+def corpus_curriculum(sf_dir: str):
+    """CURRICULUM ordering: exact global training positions by ascending
+    quality (easy-first scheduling's deterministic cousin — order the
+    corpus by a difficulty/quality signal instead of a hash).  Output:
+    (pos, doc_id, quality_q) with pos = rank by (quality_q ASC, doc_id
+    ASC), 0-based and contiguous.
+
+    Scale shape (no global sort operator — train_shuffle's histogram
+    range partition specialized to a BOUNDED score space): quality_q is
+    basis points, so the "histogram" is a direct 10001-bin bincount (one
+    bounded groupby, <= 80 KiB of driver state); the second pass routes
+    rows by their exact score and each score-bucket only sorts doc_ids
+    locally and adds its prefix offset.  One all-to-all of (quality_q,
+    doc_id) int pairs; text is read once for scoring and never moves.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    stats = text_quality(sf_dir).select_columns(["doc_id", "quality_q"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        q = t["quality_q"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(q, minlength=10001)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    rows = (stats.map_batches(hist, batch_format="pyarrow",
+                              batch_size=262144)
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .take_all())                   # bounded: <= 10001 rows
+    counts = np.zeros(10001, np.int64)
+    for r in rows:
+        counts[int(r["bucket"])] = int(r["n"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        base = offsets[int(g["quality_q"].iloc[0])]
+        return pd.DataFrame({
+            "pos": base + np.arange(len(g), dtype=np.int64),
+            "doc_id": ids,
+            "quality_q": g["quality_q"].iloc[0]})
+
+    return stats.groupby("quality_q").map_groups(rank_bucket,
+                                                 batch_format="pandas")
