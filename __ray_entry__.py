@@ -651,6 +651,49 @@ def _cdc_live_ann(sf_dir: str) -> Any:
                             d=LIVE_ANN_D, n_actors=4)
 
 
+def _cdc_token_budget(sf_dir: str) -> Any:
+    """Three-tier composite: CDC replay -> conversation assembly -> BPE
+    tokenization with merges TRAINED on the document corpus — per
+    conversation, the token count a packing/budgeting step charges it.
+    Chains the exactly-once lake, the corpus tokenizer trainer and the
+    broadcast encoder in one streamed pipeline; fully SQL-oracled (LWW
+    state + STRING_AGG assembly + the unrolled train/replace-chain
+    CTEs).  Output: (conv_id, n_tokens)."""
+    import ray
+    import ray as _ray
+
+    from pg_walstream_ray.lake import export_conversations
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.pipelines.tokenizer import (_BpeEncodeStage,
+                                                      _word_counts,
+                                                      train_bpe)
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_budget_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        _, id_merges = train_bpe(_word_counts(sf_dir), return_ids=True)
+        mref = ray.put(id_merges)
+        convs = export_conversations(lake)
+        out = convs.map_batches(
+            _BpeEncodeStage,
+            fn_constructor_args=(mref, "conv_id", "doc"),
+            batch_format="pyarrow", concurrency=(1, 8))
+        tables = [t for t in _ray.get(out.to_arrow_refs())
+                  if t.num_rows]
+        cols = [("conv_id", pa.string()), ("n_tokens", pa.int64())]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return pa.concat_tables(
+            [t.select([c for c, _ in cols]) for t in tables])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 STREAM_TOPK = 5               # per-window heavy-hitter cut
 
 
@@ -2344,6 +2387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_export_resumable"] = _cdc_export_resumable
     # flagship CDC x corpus composite: lake -> conversation docs -> quality
     q["cdc_corpus_quality"] = _cdc_corpus_quality
+    # three-tier composite: lake -> conversation docs -> BPE token budget
+    # (merges trained on the document corpus, broadcast encode)
+    q["cdc_token_budget"] = _cdc_token_budget
     # response-latency profile (LAG gaps per conversation, zero shuffle)
     q["cdc_turn_latency"] = _cdc_turn_latency
     # episode segmentation (timestamp-gap islands per conversation)
@@ -3077,6 +3123,31 @@ def oracle_sql() -> dict[str, str]:
 
     # resumable export writes the identical content per partition
     sql["cdc_export_resumable"] = sql["cdc_export_conversations"]
+
+    # three-tier token budget: BPE merges trained on documents (the
+    # unrolled m{i} CTEs) applied to the assembled LWW conversations
+    _budget_chain = "w"
+    for _i in range(8):
+        _budget_chain = (f"replace({_budget_chain}, "
+                         f"(SELECT l || r FROM m{_i}), chr({0xE000 + _i}))")
+    sql["cdc_token_budget"] = f"""{_bpe_train_cte(8)}
+      , changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (
+        SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1
+      ), conv AS (
+        SELECT conv_id,
+               STRING_AGG(role || ': ' || text, chr(10)
+                          ORDER BY turn_idx) AS doc
+        FROM final GROUP BY conv_id
+      ), ctoks AS (
+        SELECT conv_id, unnest(string_split(doc, ' ')) AS w FROM conv
+      ), cenc AS (
+        SELECT conv_id, SUM(length({_budget_chain})) AS ntok
+        FROM ctoks WHERE w <> '' GROUP BY conv_id
+      )
+      SELECT c.conv_id, CAST(COALESCE(e.ntok, 0) AS BIGINT) AS n_tokens
+      FROM conv c LEFT JOIN cenc e USING (conv_id)
+    """
 
     sql["cdc_corpus_quality"] = f"""
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),

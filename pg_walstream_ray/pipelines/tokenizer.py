@@ -309,14 +309,17 @@ class _BpeEncodeStage:
     word -> token-count across batches — the actor-state pattern the
     token hasher uses."""
 
-    def __init__(self, merges_ref):
+    def __init__(self, merges_ref, key_col: str = "doc_id",
+                 text_col: str = "text"):
         import ray
         self.merges = ray.get(merges_ref) if not isinstance(
             merges_ref, list) else merges_ref
+        self.key_col = key_col
+        self.text_col = text_col
         self.cache: dict = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        text = t["text"]
+        text = t[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         n = t.num_rows
@@ -342,8 +345,11 @@ class _BpeEncodeStage:
                                 np.diff(offsets))
             ntok = np.bincount(doc_idx, weights=per_word[idx],
                                minlength=n).astype(np.int64)
+        key = t[self.key_col]
+        if pa.types.is_integer(key.type):
+            key = pc.cast(key, pa.int64())
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            self.key_col: key,
             "n_tokens": pa.array(ntok, pa.int64())})
 
 
