@@ -2485,6 +2485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Z-order (Morton) multi-column layout profile: per-zbucket extents,
     # the pruning index of a Delta/Iceberg-style OPTIMIZE ZORDER rewrite
     q["zorder_profile"] = analytics.zorder_profile
+    # two-column range scan over the Z-ordered layout (bucket candidacy
+    # from the Morton construction; results layout-invariant)
+    q["zorder_pruned_scan"] = analytics.zorder_pruned_scan
     # broadcast range-lookup join (value cents -> named tier bands)
     q["band_lookup_join"] = analytics.value_band_lookup
     # Bloom-prefiltered exact semi-join (broadcast bitmap prunes the
@@ -5487,6 +5490,14 @@ def oracle_sql() -> dict[str, str]:
              CAST(MIN(d) AS BIGINT) AS d_min,
              CAST(MAX(d) AS BIGINT) AS d_max
       FROM z GROUP BY zbucket
+    """
+    sql["zorder_pruned_scan"] = """
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(user_id AS BIGINT) AS user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events
+      WHERE user_id BETWEEN 3 AND 9
+        AND epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19737
     """
     sql["value_histogram"] = """
       SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,

@@ -55,10 +55,14 @@ def sized_read_parquet(path, columns=None, target_block_bytes: int = 4 << 20,
     import ray
     import ray.data as rd
 
-    try:
-        size = _os.path.getsize(path) if _os.path.isfile(path) else sum(
+    def _bytes_of(p):
+        return _os.path.getsize(p) if _os.path.isfile(p) else sum(
             _os.path.getsize(_os.path.join(r, f))
-            for r, _d, fs in _os.walk(path) for f in fs)
+            for r, _d, fs in _os.walk(p) for f in fs)
+
+    try:
+        size = sum(_bytes_of(p) for p in path) \
+            if isinstance(path, (list, tuple)) else _bytes_of(path)
         ncpu = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         nb = max(min_blocks, -(-size // target_block_bytes))

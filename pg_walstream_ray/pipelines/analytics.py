@@ -4108,3 +4108,102 @@ def zorder_profile(sf_dir: str):
             "d_min": pc.cast(t["d_min"], pa.int64()),
             "d_max": pc.cast(t["d_max"], pa.int64())}),
             batch_format="pyarrow")
+
+
+_ZORDER_CACHE = "/tmp/pgwr_zorder"
+
+
+def _zorder_layout(sf_dir: str) -> str:
+    """Write (once per sf_dir) the events table CLUSTERED by Morton
+    bucket: one parquet directory per zbucket — the OPTIMIZE ZORDER
+    rewrite whose per-file (user, day) extents zorder_profile reports.
+    One groupby(zbucket) co-location shuffle; each bucket writes its own
+    directory (resumable layout: a re-run skips via the _DONE marker)."""
+    import hashlib as _hl
+
+    key = _hl.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_ZORDER_CACHE, f"events-{key}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        z = _morton16(u % 256, d % 256) >> ZORDER_BUCKET_SHIFT
+        return t.append_column("zbucket", pa.array(z))
+
+    def write_bucket(g) -> "pa.Table":
+        import pyarrow.parquet as pq_
+        zb = int(g["zbucket"].iloc[0])
+        bdir = os.path.join(out, f"zb={zb}")
+        os.makedirs(bdir, exist_ok=True)
+        pq_.write_table(pa.Table.from_pandas(
+            g.drop(columns=["zbucket"]), preserve_index=False),
+            os.path.join(bdir, "part.parquet"))
+        return pa.table({"zbucket": pa.array([zb], pa.int64()),
+                         "n": pa.array([len(g)], pa.int64())})
+
+    _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("zbucket") \
+        .map_groups(write_bucket, batch_format="pandas") \
+        .materialize()
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+ZORDER_Q_USER = (3, 9)          # fixed driver-query rectangle
+ZORDER_Q_DAY = (19730, 19737)   # mirrored in the SQL oracle
+
+
+def zorder_pruned_scan(sf_dir: str, u_range=ZORDER_Q_USER,
+                       d_range=ZORDER_Q_DAY):
+    """Two-column range scan over the Z-ordered layout: only buckets
+    whose interleaved-bit cell rectangle intersects the query rectangle
+    are READ (bucket candidacy computed driver-side from the Morton
+    construction — 65536 cells max, microseconds), then the exact
+    predicate filters inside.  Results are layout-invariant, so the
+    oracle is the plain WHERE over the raw table; the pruning win
+    (files read << total) is pinned by test.
+
+    Output: (event_id, user_id, d).
+    """
+    import ray.data as rd
+
+    from ..functions.scale import sized_read_parquet
+
+    out = _zorder_layout(sf_dir)
+    ulo, uhi = u_range
+    dlo, dhi = d_range
+    ubs = np.unique(np.arange(ulo, uhi + 1, dtype=np.int64) % 256) \
+        if uhi - ulo < 256 else np.arange(256, dtype=np.int64)
+    dbs = np.unique(np.arange(dlo, dhi + 1, dtype=np.int64) % 256) \
+        if dhi - dlo < 256 else np.arange(256, dtype=np.int64)
+    uu, dd = np.meshgrid(ubs, dbs, indexing="ij")
+    cand = np.unique(_morton16(uu.ravel(), dd.ravel())
+                     >> ZORDER_BUCKET_SHIFT)
+    paths = [os.path.join(out, f"zb={b}") for b in cand]
+    paths = [p for p in paths if os.path.isdir(p)]
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})
+    if not paths:
+        return rd.from_arrow(empty)
+
+    def scan(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        keep = (u >= ulo) & (u <= uhi) & (d >= dlo) & (d <= dhi)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64())
+            .filter(pa.array(keep)),
+            "user_id": pa.array(u[keep]),
+            "d": pa.array(d[keep])})
+
+    return sized_read_parquet(paths) \
+        .map_batches(scan, batch_format="pyarrow")

@@ -676,3 +676,45 @@ def test_personalized_pagerank_seed_locality(ray_session):
     # restart pull: seed 1 (center of the seed set) outranks the far
     # non-seed tail node 4
     assert out.loc[1] > out.loc[4]
+
+
+def test_zorder_pruned_scan_reads_fraction(ray_session):
+    """The Z-ordered layout answers the fixed two-column range query
+    reading only the candidate Morton buckets — a strict subset of the
+    written buckets at sf0.01 — and returns exactly the raw-table WHERE
+    result."""
+    import os
+
+    import duckdb
+
+    from pg_walstream_ray.pipelines.analytics import (ZORDER_Q_DAY,
+                                                      ZORDER_Q_USER,
+                                                      _morton16,
+                                                      _zorder_layout,
+                                                      zorder_pruned_scan)
+
+    sf = "/root/testdata/sf0.01"
+    out = _zorder_layout(sf)
+    total = len([x for x in os.listdir(out) if x.startswith("zb=")])
+    ulo, uhi = ZORDER_Q_USER
+    dlo, dhi = ZORDER_Q_DAY
+    ubs = np.arange(ulo, uhi + 1) % 256
+    dbs = np.arange(dlo, dhi + 1) % 256
+    uu, dd = np.meshgrid(np.unique(ubs), np.unique(dbs), indexing="ij")
+    cand = np.unique(_morton16(uu.ravel().astype(np.int64),
+                               dd.ravel().astype(np.int64)) >> 8)
+    read = len([b for b in cand
+                if os.path.isdir(os.path.join(out, f"zb={b}"))])
+    assert total >= 20            # enough buckets for pruning to mean much
+    assert read <= max(2, total // 5)   # reads a small fraction
+    got = zorder_pruned_scan(sf).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    want = duckdb.sql(f"""
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM '{sf}/events.parquet'
+        WHERE user_id BETWEEN {ulo} AND {uhi}
+          AND epoch_us(ts) // 86400000000 BETWEEN {dlo} AND {dhi}
+        ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
