@@ -2875,6 +2875,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # curriculum ordering: exact global rank by ascending quality via a
     # bounded score-space histogram range partition (no global sort op)
     q["corpus_curriculum"] = textops.corpus_curriculum
+    # Naive Bayes domain classifier (train on corpus, classify corpus):
+    # micro-floored log-likelihoods make prediction AND score SQL-exact
+    q["nb_source_classify"] = textops.nb_source_classify
     # weighted sampling without replacement (A-ES exponential keys,
     # integer nano-units; per-batch top-k combiner)
     q["weighted_sample"] = lambda sf: textops.weighted_sample(
@@ -3869,6 +3872,56 @@ def oracle_sql() -> dict[str, str]:
                         doc_id) - 1 AS pos,
              doc_id
       FROM documents
+    """
+
+    sql["nb_source_classify"] = """
+      WITH tk AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE w <> ''
+      ), tok2 AS (
+        SELECT t.doc_id, d.source, t.w
+        FROM tk t JOIN documents d USING (doc_id)
+      ), counts AS (
+        SELECT source, w, COUNT(*)::BIGINT AS n
+        FROM tok2 GROUP BY source, w
+      ), tot AS (
+        SELECT source, COUNT(*)::BIGINT AS n FROM tok2 GROUP BY source
+      ), vocab AS (
+        SELECT COUNT(DISTINCT w)::BIGINT AS v FROM tk
+      ), priors AS (
+        SELECT source, COUNT(*)::BIGINT AS nd
+        FROM documents GROUP BY source
+      ), ndocs AS (
+        SELECT COUNT(*)::BIGINT AS n FROM documents
+      ), tok_sc AS (
+        SELECT t.doc_id, s.source,
+               SUM(FLOOR(1e6 * ln((COALESCE(c.n, 0) + 1)::DOUBLE
+                                  / (tt.n + v.v)))::BIGINT) AS sc
+        FROM tk t
+        CROSS JOIN (SELECT DISTINCT source FROM documents) s
+        JOIN tot tt ON tt.source = s.source
+        CROSS JOIN vocab v
+        LEFT JOIN counts c ON c.source = s.source AND c.w = t.w
+        GROUP BY t.doc_id, s.source
+      ), full_sc AS (
+        SELECT d.doc_id, p.source,
+               COALESCE(ts.sc, 0)
+                 + FLOOR(1e6 * ln(p.nd::DOUBLE / nd.n))::BIGINT AS score
+        FROM documents d
+        CROSS JOIN priors p
+        CROSS JOIN ndocs nd
+        LEFT JOIN tok_sc ts ON ts.doc_id = d.doc_id
+                           AND ts.source = p.source
+      )
+      SELECT doc_id, source AS pred_source,
+             CAST(score AS BIGINT) AS score_micro
+      FROM (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, source ASC) AS rk
+            FROM full_sc)
+      WHERE rk = 1
     """
 
     sql["corpus_curriculum"] = """

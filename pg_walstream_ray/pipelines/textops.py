@@ -2308,3 +2308,116 @@ def corpus_curriculum(sf_dir: str):
 
     return stats.groupby("quality_q").map_groups(rank_bucket,
                                                  batch_format="pandas")
+
+
+NB_MICRO = 1_000_000
+
+
+def nb_source_classify(sf_dir: str):
+    """Multinomial Naive Bayes DOMAIN CLASSIFIER trained on the corpus
+    itself: per-source token counts with Laplace smoothing, then every
+    document scored against every source and assigned the argmax — the
+    fasttext-style source/quality classifier a filtering pipeline trains
+    to score new crawls (predicting the held-in corpus's own labels is
+    the standard self-test).  Log-probabilities are FLOOR-microunit
+    integers per token occurrence (the bm25/pmi convention), so the sum
+    is order-independent and the DuckDB oracle pins prediction AND score.
+
+    Output: (doc_id, pred_source, score_micro).
+
+    Scale shape: training is ONE (source, token)-count shuffle bounded
+    by |vocab| x |sources| (at 100 TB the vocab caps by document
+    frequency, the same cutoff the TF-IDF family uses); the model
+    broadcasts once via ray.put (the [V, S] micro-log matrix) and
+    scoring is a zero-shuffle vectorized map (searchsorted + one
+    scatter-add per batch).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def count(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        hasher = worker_token_hasher()
+        offsets, tok = tokenize_column(t["text"], hasher)
+        h60 = hasher.h60_array[tok]
+        empty_id = hasher._idx.get("")
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        if empty_id is not None:
+            keep = tok != empty_id
+            h60, doc_idx = h60[keep], doc_idx[keep]
+        src = t["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[doc_idx], "h60": h60, "n": 1})
+        agg = df.groupby(["source", "h60"], as_index=False,
+                         sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    model = ds.map_batches(count, batch_format="pyarrow",
+                           batch_size=4096) \
+        .groupby(["source", "h60"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()                    # bounded: |vocab| x |sources|
+    pri = ds.map_batches(
+        lambda t: pa.table({"source": t["source"]}),
+        batch_format="pyarrow") \
+        .groupby("source").count().to_pandas()   # |sources| rows
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pred_source": pa.array([], pa.string()),
+                      "score_micro": pa.array([], pa.int64())})
+    if not len(model):
+        import ray.data as rd
+        return rd.from_arrow(empty)
+
+    sources = np.array(sorted(pri["source"]), dtype=object)
+    s_idx = {s: i for i, s in enumerate(sources)}
+    nd = pri.set_index("source")["count()"].astype(np.int64)
+    ndocs = int(nd.sum())
+    vocab = np.sort(model["h60"].unique().astype(np.int64))
+    V = len(vocab)
+    S = len(sources)
+    cnt = np.zeros((V, S), np.int64)
+    vi = np.searchsorted(vocab, model["h60"].to_numpy(np.int64))
+    si = np.fromiter((s_idx[s] for s in model["source"]), np.int64,
+                     len(model))
+    cnt[vi, si] = model["n"].to_numpy(np.int64)
+    tot = cnt.sum(axis=0)
+    # micro-floored per-occurrence log-likelihoods, exactly the oracle's
+    # FLOOR(1e6 * ln((c+1)/(tot_s + V)))
+    L = np.floor(NB_MICRO * np.log(
+        (cnt + 1).astype(np.float64) / (tot + V))).astype(np.int64)
+    prior = np.floor(NB_MICRO * np.log(
+        nd.loc[sources].to_numpy(np.float64) / ndocs)).astype(np.int64)
+    mref = ray.put((vocab, L, prior, sources))
+
+    class _Score:
+        def __init__(self):
+            self.vocab, self.L, self.prior, self.sources = ray.get(mref)
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return empty
+            offsets, tok = tokenize_column(t["text"], self.hasher)
+            h60 = self.hasher.h60_array[tok]
+            empty_id = self.hasher._idx.get("")
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offsets))
+            if empty_id is not None:
+                keep = tok != empty_id
+                h60, doc_idx = h60[keep], doc_idx[keep]
+            rows = np.searchsorted(self.vocab, h60)
+            scores = np.tile(self.prior, (n, 1))
+            np.add.at(scores, doc_idx, self.L[rows])
+            best = np.argmax(scores, axis=1)    # first max = source ASC
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "pred_source": pa.array(self.sources[best], pa.string()),
+                "score_micro": pa.array(
+                    scores[np.arange(n), best], pa.int64())})
+
+    return ds.map_batches(as_tasks(_Score), batch_format="pyarrow",
+                          batch_size=4096)
