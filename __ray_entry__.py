@@ -651,6 +651,36 @@ def _cdc_live_ann(sf_dir: str) -> Any:
                             d=LIVE_ANN_D, n_actors=4)
 
 
+def _cdc_rlhf_pairs(sf_dir: str) -> Any:
+    """Prompt/response pair extraction (lake.extract_prompt_pairs):
+    adjacent user->assistant turns in the live transcript state — the SFT
+    / preference-data starting rows.  Zero shuffle (convs are
+    partition-local); oracle: LEAD window over the SQL LWW state."""
+    import ray as _ray
+
+    from pg_walstream_ray.lake import extract_prompt_pairs
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_pairs_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        tables = [t for t in _ray.get(
+            extract_prompt_pairs(lake).to_arrow_refs()) if t.num_rows]
+        cols = [("conv_id", pa.string()), ("prompt_turn", pa.int32()),
+                ("prompt", pa.string()), ("response", pa.string())]
+        if not tables:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        return pa.concat_tables(
+            [t.select([c for c, _ in cols]) for t in tables])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_token_budget(sf_dir: str) -> Any:
     """Three-tier composite: CDC replay -> conversation assembly -> BPE
     tokenization with merges TRAINED on the document corpus — per
@@ -2390,6 +2420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # three-tier composite: lake -> conversation docs -> BPE token budget
     # (merges trained on the document corpus, broadcast encode)
     q["cdc_token_budget"] = _cdc_token_budget
+    # SFT/preference training pairs: adjacent user->assistant turns
+    q["cdc_rlhf_pairs"] = _cdc_rlhf_pairs
     # response-latency profile (LAG gaps per conversation, zero shuffle)
     q["cdc_turn_latency"] = _cdc_turn_latency
     # episode segmentation (timestamp-gap islands per conversation)
@@ -3129,6 +3161,23 @@ def oracle_sql() -> dict[str, str]:
 
     # resumable export writes the identical content per partition
     sql["cdc_export_resumable"] = sql["cdc_export_conversations"]
+
+    sql["cdc_rlhf_pairs"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),
+      final AS (
+        SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1
+      ), nxt AS (
+        SELECT conv_id, turn_idx AS prompt_turn, role, text AS prompt,
+               LEAD(role) OVER w AS r2, LEAD(text) OVER w AS response,
+               LEAD(turn_idx) OVER w AS t2
+        FROM final WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+      )
+      SELECT conv_id, CAST(prompt_turn AS INTEGER) AS prompt_turn,
+             prompt, response
+      FROM nxt
+      WHERE role = 'user' AND r2 = 'assistant'
+        AND t2 = prompt_turn + 1
+    """
 
     # three-tier token budget: BPE merges trained on documents (the
     # unrolled m{i} CTEs) applied to the assembled LWW conversations

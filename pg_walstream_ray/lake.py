@@ -1757,3 +1757,71 @@ def key_churn(lake_dir: str,
     ds = rd.from_items([{"paths": paths} for _, paths in parts],
                        override_num_blocks=len(parts))
     return ds.map_batches(churn, batch_size=1, batch_format="pyarrow")
+
+
+def _partition_prompt_pairs(paths: List[str]) -> pa.Table:
+    """One partition's adjacent user->assistant training pairs over the
+    merged, key-sorted live state — vectorized shift compare, no per-row
+    Python."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "prompt_turn": pa.array([], pa.int32()),
+                      "prompt": pa.array([], pa.string()),
+                      "response": pa.array([], pa.string())})
+    t = _partition_state(paths, ("conv_id", "turn_idx"),
+                         columns=["role", "text"])
+    if not t.num_rows:
+        return empty
+    t = t.take(_pc.sort_indices(t, sort_keys=[
+        ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    cv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(cv) < 2:
+        return empty
+    same_conv = cv[:-1] == cv[1:]
+    adjacent = turn[1:] == turn[:-1] + 1          # no missing turn between
+    is_pair = same_conv & adjacent & (role[:-1] == "user") \
+        & (role[1:] == "assistant")
+    p = np.flatnonzero(is_pair)
+    if not len(p):
+        return empty
+    text = t["text"].combine_chunks()
+    return pa.table({
+        "conv_id": pa.array(cv[p], pa.string()),
+        "prompt_turn": pa.array(turn[p].astype(np.int32)),
+        "prompt": text.take(pa.array(p)),
+        "response": text.take(pa.array(p + 1))})
+
+
+def extract_prompt_pairs(lake_dir: str):
+    """RLHF-style training-pair extraction: every adjacent
+    (user turn i, assistant turn i+1) pair in the live transcript state —
+    the prompt/response rows a preference or SFT pipeline starts from.
+
+    Output: (conv_id, prompt_turn, prompt, response) as a streaming
+    Dataset.
+
+    Scale shape: conversations are partition-local (the lake routing
+    invariant), so pair extraction is a per-partition map with ZERO
+    shuffle; the adjacency test is one vectorized shift-compare over the
+    key-sorted state.
+    """
+    import ray.data as rd
+
+    parts = live_fragments(lake_dir)
+    if not parts:
+        return rd.from_items([])
+
+    def pairs(batch: pa.Table):
+        for row in batch.to_pylist():
+            t = _partition_prompt_pairs(row["paths"])
+            if t.num_rows:
+                yield t
+
+    ds = rd.from_items([{"paths": paths} for _, paths in parts],
+                       override_num_blocks=len(parts))
+    return ds.map_batches(pairs, batch_size=1, batch_format="pyarrow")
