@@ -651,6 +651,39 @@ def _cdc_live_ann(sf_dir: str) -> Any:
                             d=LIVE_ANN_D, n_actors=4)
 
 
+TOOL_INDEX_VALUE = "tool3"
+
+
+def _cdc_tool_index_lookup(sf_dir: str) -> Any:
+    """Secondary-index lookup (lake.refresh_index/index_lookup): an
+    epoch-incremental inverted index on the ``tool`` column, then every
+    turn that used TOOL_INDEX_VALUE fetched THROUGH the index (sorted
+    parts -> parquet row-group pushdown), never by scanning the lake.
+    Oracle: the plain WHERE over the SQL LWW state — index answers must
+    be scan-equivalent."""
+    from pg_walstream_ray.lake import index_lookup, refresh_index
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    root = tempfile.mkdtemp(prefix="pgwr_idx_")
+    lake = os.path.join(root, "lake")
+    idx = os.path.join(root, "idx")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        rep = refresh_index(lake, idx, column="tool")
+        assert rep["refreshed"] > 0 or rep["partitions"] == 0
+        # second refresh must be a no-op (epoch skip)
+        rep2 = refresh_index(lake, idx, column="tool")
+        assert rep2["refreshed"] == 0
+        return index_lookup(idx, "tool", TOOL_INDEX_VALUE)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _cdc_rlhf_pairs(sf_dir: str) -> Any:
     """Prompt/response pair extraction (lake.extract_prompt_pairs):
     adjacent user->assistant turns in the live transcript state — the SFT
@@ -2422,6 +2455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_token_budget"] = _cdc_token_budget
     # SFT/preference training pairs: adjacent user->assistant turns
     q["cdc_rlhf_pairs"] = _cdc_rlhf_pairs
+    # secondary-index lookup on a non-key column (epoch-incremental
+    # inverted index; index answers == lake scan)
+    q["cdc_tool_index_lookup"] = _cdc_tool_index_lookup
     # response-latency profile (LAG gaps per conversation, zero shuffle)
     q["cdc_turn_latency"] = _cdc_turn_latency
     # episode segmentation (timestamp-gap islands per conversation)
@@ -3161,6 +3197,12 @@ def oracle_sql() -> dict[str, str]:
 
     # resumable export writes the identical content per partition
     sql["cdc_export_resumable"] = sql["cdc_export_conversations"]
+
+    sql["cdc_tool_index_lookup"] = f"""
+      WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW})
+      SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, tool
+      FROM ranked WHERE rn = 1 AND tool = '{TOOL_INDEX_VALUE}'
+    """
 
     sql["cdc_rlhf_pairs"] = f"""
       WITH changes AS ({_UPSERT_CHANGES}), ranked AS ({_LWW}),

@@ -1825,3 +1825,106 @@ def extract_prompt_pairs(lake_dir: str):
     ds = rd.from_items([{"paths": paths} for _, paths in parts],
                        override_num_blocks=len(parts))
     return ds.map_batches(pairs, batch_size=1, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Secondary index (inverted index on a non-key column, epoch-incremental)
+# ---------------------------------------------------------------------------
+
+def _index_refresh_one_partition(lake_dir: str, idx_dir: str, pid: int,
+                                 fragments: List[str],
+                                 column: str) -> None:
+    """Recompute one partition's index part (atomic tmp+rename): the
+    partition's live ``column`` values with their primary keys, SORTED by
+    the indexed column so parquet row-group min/max stats make the value
+    lookup a pushdown skip."""
+    d = partition_dir(lake_dir, pid)
+    t = _partition_state([os.path.join(d, f) for f in fragments],
+                         ("conv_id", "turn_idx"),
+                         columns=[column])
+    if t.num_rows:
+        t = t.filter(pc.is_valid(t[column]))
+    if t.num_rows:
+        out = pa.table({
+            column: t[column],
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32())})
+        out = out.take(pc.sort_indices(out, sort_keys=[
+            (column, "ascending"), ("conv_id", "ascending"),
+            ("turn_idx", "ascending")]))
+    else:
+        out = pa.table({column: pa.array([], pa.string()),
+                        "conv_id": pa.array([], pa.string()),
+                        "turn_idx": pa.array([], pa.int32())})
+    part_file = os.path.join(idx_dir, f"idx-part-{pid:05d}.parquet")
+    tmp = part_file + ".tmp"
+    pq.write_table(out, tmp, compression="zstd",
+                   row_group_size=4096)
+    os.replace(tmp, part_file)
+
+
+def refresh_index(lake_dir: str, idx_dir: str,
+                  column: str = "tool") -> dict:
+    """Incrementally maintain a SECONDARY INDEX on a non-key column —
+    the lookup structure for "find every turn that used tool X" without
+    scanning the lake.  Same epoch contract as refresh_mv: partitions
+    whose manifest epoch is unchanged are skipped entirely, so an index
+    refresh after a small change window costs O(changed partitions);
+    part files are atomic (tmp+rename), the index manifest is written
+    last, and a crashed refresh re-runs the same stale set."""
+    import ray
+
+    os.makedirs(idx_dir, exist_ok=True)
+    state_p = os.path.join(idx_dir, "idx_manifest.json")
+    prev: dict = {}
+    if os.path.exists(state_p):
+        with open(state_p) as f:
+            prev = json.load(f)
+    total = 0
+    work: List[Tuple[int, int, List[str]]] = []
+    for pid, m in sorted(all_manifests(lake_dir).items()):
+        if not m.fragments:
+            continue
+        total += 1
+        part_file = os.path.join(idx_dir, f"idx-part-{pid:05d}.parquet")
+        if prev.get(str(pid)) == m.epoch and os.path.exists(part_file):
+            continue
+        work.append((pid, m.epoch, list(m.fragments)))
+    if ray.is_initialized() and len(work) > 1:
+        fn = ray.remote(num_cpus=1)(_index_refresh_one_partition)
+        ray.get([fn.remote(lake_dir, idx_dir, pid, frs, column)
+                 for pid, _, frs in work])
+    else:
+        for pid, _, frs in work:
+            _index_refresh_one_partition(lake_dir, idx_dir, pid, frs,
+                                         column)
+    for pid, epoch, _ in work:
+        prev[str(pid)] = epoch
+    tmp = state_p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prev, f)
+    os.replace(tmp, state_p)
+    return {"partitions": total, "refreshed": len(work)}
+
+
+def index_lookup(idx_dir: str, column: str, value) -> pa.Table:
+    """Point lookup through the secondary index: parquet dictionary/
+    row-group stats prune non-matching groups (the index is sorted by
+    the indexed column), so the read touches only the value's groups.
+    Output: (conv_id, turn_idx, <column>)."""
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(idx_dir, "idx-part-*.parquet")))
+    hits = []
+    for p in parts:
+        t = pq.read_table(p, filters=[(column, "==", value)])
+        if t.num_rows:
+            hits.append(pa.table({
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                column: t[column]}))
+    if not hits:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         column: pa.array([], pa.string())})
+    return pa.concat_tables(hits)

@@ -718,3 +718,44 @@ def test_zorder_pruned_scan_reads_fraction(ray_session):
           AND epoch_us(ts) // 86400000000 BETWEEN {dlo} AND {dhi}
         ORDER BY event_id""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_secondary_index_partition_incremental(ray_session, tmp_path):
+    """refresh_index recomputes ONLY epoch-advanced partitions after a
+    second change window, and index lookups equal a snapshot filter for
+    every distinct indexed value."""
+    from pg_walstream_ray.lake import (index_lookup, refresh_index,
+                                       snapshot_table)
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import (WalSpec,
+                                                 shard_logical_changes,
+                                                 write_wal_lake)
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    spec = WalSpec(n_convs=40, turns_per_conv=5, n_shards=2, tx_rows=5,
+                   update_frac=0.0, delete_frac=0.0)
+    write_wal_lake(spec, wal, parallel=False)
+    lsns = np.concatenate([
+        shard_logical_changes(spec, s)["lsn"].to_numpy(
+            zero_copy_only=False) for s in range(2)])
+    mid = int(np.quantile(lsns, 0.85))
+    run_cdc(wal, lake, num_partitions=32, stop_at_lsn=mid)
+    r1 = refresh_index(lake, idx, column="tool")
+    assert r1["refreshed"] == r1["partitions"] > 0
+    assert refresh_index(lake, idx, column="tool")["refreshed"] == 0
+    run_cdc(wal, lake, num_partitions=32)
+    r3 = refresh_index(lake, idx, column="tool")
+    assert 0 < r3["refreshed"] < r3["partitions"]
+
+    snap = snapshot_table(lake).to_pandas()
+    tools = sorted(snap["tool"].dropna().unique())
+    assert tools
+    for tool in tools:
+        got = index_lookup(idx, "tool", tool).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        want = snap.loc[snap["tool"] == tool,
+                        ["conv_id", "turn_idx", "tool"]] \
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
+        pd.testing.assert_frame_equal(got, want)
