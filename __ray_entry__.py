@@ -2791,6 +2791,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["vec_a", "vec_b"])
     # hybrid (metadata-filtered) exact ANN: eligibility co-partition, no
     # documents broadcast; rank-exact vs the oracle
+    # contrastive hard negatives: nearest neighbors with a DIFFERENT
+    # label (rank-exact; label inequality subsumes self-exclusion)
+    q["ann_hard_negatives"] = lambda sf: similarity.ann_hard_negatives(
+        sf).map_batches(
+        lambda t: t.select(["query_id", "neighbor_id", "rnk"]),
+        batch_format="pyarrow")
     q["ann_filtered_topk"] = lambda sf: similarity.ann_filtered_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])
     q["ann_lsh_topk"] = lambda sf: similarity.ann_lsh_topk(sf) \
@@ -5925,6 +5931,24 @@ def oracle_sql() -> dict[str, str]:
                list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[])
                  AS sim
         FROM q, embeddings e WHERE e.vec_id <> qid
+      ), r AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM s
+      )
+      SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk
+      FROM r WHERE rn <= 10
+    """
+    sql["ann_hard_negatives"] = """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id < 8
+      ), s AS (
+        SELECT qid, e.vec_id AS nid,
+               list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[])
+                 AS sim
+        FROM q, embeddings e WHERE e.label <> q.ql
       ), r AS (
         SELECT qid, nid,
                ROW_NUMBER() OVER (PARTITION BY qid

@@ -1515,3 +1515,73 @@ def mmr_diverse_topk(sf_dir: str, nq: int = DEFAULT_NQ, k: int = DEFAULT_K,
         batch_format="pyarrow", batch_size=4096)
     return cand.groupby("query_id").map_groups(mmr_select,
                                                batch_format="pandas")
+
+
+def ann_hard_negatives(sf_dir: str, nq: int = DEFAULT_NQ,
+                       k: int = DEFAULT_K):
+    """Contrastive HARD-NEGATIVE mining: for each query vector, the k
+    nearest neighbors with a DIFFERENT label — the pairs a contrastive /
+    metric-learning trainer wants most (similar embedding, wrong class).
+    Rank-exact vs the SQL oracle (label inequality subsumes
+    self-exclusion).  Output: (query_id, neighbor_id, rnk, cos_sim).
+
+    Scale shape: identical to ann_brute_topk — queries (ids, labels,
+    unit matrix) broadcast once; per-batch masked matmul + partial
+    top-k; the corpus never shuffles."""
+    import pyarrow.dataset as pads
+    import ray
+
+    tab = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding", "label"],
+                  filter=pads.field("vec_id") < nq)
+    tab = tab.take(pc.sort_indices(tab["vec_id"]))
+    qm = _batch_matrix(tab)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if not qm.shape[0]:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64())}))
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qref = ray.put((tab["vec_id"].to_numpy(zero_copy_only=False),
+                    tab["label"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64), qm))
+
+    class _HardNeg:
+        def __init__(self):
+            self.qids, self.qlabels, self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t)
+            if not m.shape[0]:
+                return empty
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.q.T
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            labels = t["label"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                idx = np.flatnonzero(labels != self.qlabels[j])
+                if not len(idx):
+                    continue
+                s = sims[:, j]
+                kk = min(k, len(idx))
+                top = idx[np.argpartition(-s[idx], kk - 1)[:kk]]
+                out_q.append(np.full(kk, qid, np.int64))
+                out_n.append(vec_ids[top])
+                out_s.append(s[top])
+            if not out_q:
+                return empty
+            return pa.table({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
+
+    cand = _emb(sf_dir, columns=("vec_id", "embedding", "label")) \
+        .map_batches(as_tasks(_HardNeg), batch_format="pyarrow",
+                     batch_size=4096)
+    return _final_topk(cand, k)
