@@ -2895,6 +2895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_top_tokens"] = textops.source_top_tokens
     # CCNet-style perplexity-proxy pruning (exact integer unigram LM:
     # bounded vocab broadcast, zero-shuffle scoring, histogram quantile)
+    # bigram LM perplexity scoring (KenLM shape; milli-floored exact)
+    q["bigram_lm_score"] = textops.bigram_lm_score
     q["perplexity_prune"] = textops.perplexity_prune
     # BM25 sparse retrieval (bounded df/length reduce, zero-shuffle
     # scoring, per-batch top-k; integer micro-unit scores)
@@ -4554,6 +4556,41 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_quantity BETWEEN 10 AND 20)
          OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
              AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+    sql["bigram_lm_score"] = """
+      WITH fl AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents
+      ), pr AS (
+        SELECT doc_id, l[gs] AS w1, l[gs + 1] AS w2
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS gs FROM fl)
+      ), bc AS (
+        SELECT w1, w2, COUNT(*)::BIGINT AS n FROM pr GROUP BY w1, w2
+      ), cx AS (
+        SELECT w1, SUM(n)::BIGINT AS n FROM bc GROUP BY w1
+      ), vv AS (
+        SELECT COUNT(DISTINCT w)::BIGINT AS v
+        FROM (SELECT unnest(l) AS w FROM fl)
+      ), sc AS (
+        SELECT p.doc_id,
+               SUM(FLOOR(LN((b.n + 1)::DOUBLE / (c.n + v.v))
+                         * 10000)::BIGINT) AS sum_lp,
+               COUNT(*)::BIGINT AS n_pairs
+        FROM pr p
+        JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
+        JOIN cx c ON c.w1 = p.w1
+        CROSS JOIN vv v
+        GROUP BY p.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(s.sum_lp, 0) AS BIGINT) AS sum_lp,
+             CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(CASE WHEN s.n_pairs IS NULL THEN 0
+                  ELSE FLOOR(s.sum_lp::DOUBLE / s.n_pairs) END
+                  AS BIGINT) AS avg_lp
+      FROM documents d LEFT JOIN sc s USING (doc_id)
     """
 
     sql["perplexity_prune"] = """

@@ -2421,3 +2421,133 @@ def nb_source_classify(sf_dir: str):
 
     return ds.map_batches(as_tasks(_Score), batch_format="pyarrow",
                           batch_size=4096)
+
+
+def bigram_lm_score(sf_dir: str):
+    """Bigram LM perplexity scoring (KenLM-shape, one order above the
+    CCNet-style unigram filter): train add-one-smoothed bigram
+    probabilities on the corpus itself, then score every document by its
+    summed/mean bigram log-probability — lp(w2|w1) =
+    ln((c(w1,w2)+1)/(c(w1)+V)), milli-floored ints so distributed sums
+    are exact and the oracle pins every value.
+
+    Output: (doc_id, sum_lp, n_pairs, avg_lp) — docs with < 2 tokens
+    carry zeros.
+
+    Scale shape: ONE (w1, w2)-count shuffle bounded by the bigram
+    vocabulary (at 100 TB the model caps by count cutoff, the standard
+    LM pruning); the packed-key model broadcasts once; scoring is a
+    zero-shuffle map (dense-id pack + searchsorted + scatter-add).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def _doc_pairs(t: pa.Table, hasher):
+        """(doc_idx, h1, h2) adjacent FILTERED-token pairs per doc."""
+        offsets, tok = tokenize_column(t["text"], hasher)
+        h60 = hasher.h60_array[tok]
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        empty_id = hasher._idx.get("")
+        if empty_id is not None:
+            keep = tok != empty_id
+            h60, doc_idx = h60[keep], doc_idx[keep]
+        if len(h60) < 2:
+            z = np.empty(0, np.int64)
+            return z, z, z, h60, doc_idx
+        same = doc_idx[:-1] == doc_idx[1:]
+        return (doc_idx[:-1][same], h60[:-1][same], h60[1:][same],
+                h60, doc_idx)
+
+    def count(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        hasher = worker_token_hasher()
+        _, h1, h2, _, _ = _doc_pairs(t, hasher)
+        df = pd.DataFrame({"h1": h1, "h2": h2, "n": 1})
+        agg = df.groupby(["h1", "h2"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    model = ds.map_batches(count, batch_format="pyarrow",
+                           batch_size=4096) \
+        .groupby(["h1", "h2"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()                  # bounded: bigram vocabulary
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        hasher = worker_token_hasher()
+        _, _, _, h60, _ = _doc_pairs(t, hasher)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"h60": np.unique(h60)}), preserve_index=False)
+
+    n_vocab = ds.map_batches(toks, batch_format="pyarrow",
+                             batch_size=4096) \
+        .groupby("h60").count().count()          # distinct tokens
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sum_lp": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "avg_lp": pa.array([], pa.int64())})
+    if not len(model) or n_vocab == 0:
+        def zeros(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            z = np.zeros(n, np.int64)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "sum_lp": pa.array(z), "n_pairs": pa.array(z),
+                "avg_lp": pa.array(z)})
+        return ds.map_batches(zeros, batch_format="pyarrow")
+
+    h1 = model["h1"].to_numpy(np.int64)
+    h2 = model["h2"].to_numpy(np.int64)
+    bn = model["n"].to_numpy(np.int64)
+    vocab_h = np.unique(np.concatenate([h1, h2]))
+    Vd = len(vocab_h)
+    id1 = np.searchsorted(vocab_h, h1)
+    id2 = np.searchsorted(vocab_h, h2)
+    pk = id1 * Vd + id2
+    order = np.argsort(pk)
+    pk, bn_s = pk[order], bn[order]
+    ctx = np.zeros(Vd, np.int64)
+    np.add.at(ctx, id1, bn)
+    mref = ray.put((vocab_h, pk, bn_s, ctx, int(n_vocab)))
+
+    class _Score:
+        def __init__(self):
+            (self.vocab_h, self.pk, self.bn, self.ctx,
+             self.V) = ray.get(mref)
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return empty
+            didx, h1, h2, _, _ = _doc_pairs(t, self.hasher)
+            sums = np.zeros(n, np.int64)
+            cnts = np.zeros(n, np.int64)
+            if len(h1):
+                i1 = np.searchsorted(self.vocab_h, h1)
+                i2 = np.searchsorted(self.vocab_h, h2)
+                key = i1 * len(self.vocab_h) + i2
+                pos = np.searchsorted(self.pk, key)
+                pos = np.minimum(pos, len(self.pk) - 1)
+                c12 = np.where(self.pk[pos] == key, self.bn[pos], 0)
+                lp = np.floor(np.log(
+                    (c12 + 1).astype(np.float64)
+                    / (self.ctx[i1] + self.V)) * 10000).astype(np.int64)
+                np.add.at(sums, didx, lp)
+                np.add.at(cnts, didx, 1)
+            avg = np.zeros(n, np.int64)
+            nz = cnts > 0
+            avg[nz] = np.floor(sums[nz].astype(np.float64)
+                               / cnts[nz]).astype(np.int64)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "sum_lp": pa.array(sums), "n_pairs": pa.array(cnts),
+                "avg_lp": pa.array(avg)})
+
+    return ds.map_batches(as_tasks(_Score), batch_format="pyarrow",
+                          batch_size=4096)
