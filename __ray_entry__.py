@@ -440,6 +440,52 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def _cdc_stream_anomaly(sf_dir: str) -> Any:
+    """Streaming volume-anomaly monitor: the tumbling window stream
+    (same sharded consumer as cdc_stream_windows) post-processed into
+    per-window two-sigma flags against all PRIOR windows — the live
+    ingest-rate alert a replication operator watches.  The sigma test is
+    EXACT integer arithmetic on expanding (count, sum, sumsq) prefixes:
+    flag iff (n*k - s)^2 > 4*k*(k*ss - s^2) with no floats anywhere
+    (events_anomaly_days' trick applied to the stream), so the oracle
+    pins every flag.  Windows with < 2 predecessors report flag 0.
+    Output: (window_start_us, n_events, flag)."""
+    import numpy as np
+
+    from pg_walstream_ray.pipelines.streaming import stream_windows
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    agg = stream_windows(wal_dir, STREAM_WINDOW_US, n_sources=n_shards,
+                         n_actors=4)
+    t = agg.result_table()
+    if t.num_rows == 0:
+        return pa.table({"window_start_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "flag": pa.array([], pa.int64())})
+    t = t.sort_by("window_start_us")
+    n = t["n_events"].to_numpy(zero_copy_only=False).astype(object)
+    # python-int prefix sums: (k*ss - s^2) products outgrow int64
+    k = np.arange(len(n), dtype=object)
+    s = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(object)
+    ss = np.concatenate([[0], np.cumsum(n * n)[:-1]]).astype(object)
+    flag = np.zeros(len(n), np.int64)
+    for i in range(len(n)):
+        kk, si, ssi = int(k[i]), int(s[i]), int(ss[i])
+        if kk >= 2:
+            dev = int(n[i]) * kk - si
+            if dev * dev > 4 * kk * (kk * ssi - si * si):
+                flag[i] = 1
+    return pa.table({
+        "window_start_us": t["window_start_us"],
+        "n_events": t["n_events"],
+        "flag": pa.array(flag)})
+
+
 def _cdc_stream_retract(sf_dir: str) -> Any:
     """Tumbling windows in UPSERT/RETRACT changelog mode (Beam-style
     accumulating-and-retracting panes), sharded across 4 conv-routed
@@ -2497,6 +2543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # upsert/retract changelog panes (Beam accumulating-and-retracting);
     # consolidated state == plain tumbling windows (same oracle shape)
     q["cdc_stream_retract"] = _cdc_stream_retract
+    # streaming volume-anomaly monitor (exact-integer expanding 2-sigma
+    # flags over the tumbling window stream)
+    q["cdc_stream_anomaly"] = _cdc_stream_anomaly
     # hopping-window retraction changelog (overlap x pane protocol)
     q["cdc_stream_retract_hopping"] = _cdc_stream_retract_hopping
     # exact streaming quantiles (per-window bounded length histogram)
@@ -3397,6 +3446,44 @@ def oracle_sql() -> dict[str, str]:
 
     # the retraction changelog consolidates to the identical window state
     sql["cdc_stream_retract"] = sql["cdc_stream_windows"]
+
+    sql["cdc_stream_anomaly"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id, event_id * 4 + 4 AS lsn,
+               user_id % 2 AS shard
+        FROM events
+      ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY event_id) - 1)
+                  // {TX_ROWS} AS tx
+        FROM base
+      ), c AS (
+        SELECT shard, tx, MAX(lsn) + 1 AS commit_lsn
+        FROM r GROUP BY shard, tx
+      ), e AS (
+        SELECT r.user_id, {BASE_TS_US} + c.commit_lsn AS cts
+        FROM r JOIN c USING (shard, tx)
+      ), w AS (
+        SELECT CAST(cts - cts % {STREAM_WINDOW_US} AS BIGINT)
+                 AS window_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1
+      ), pfx AS (
+        SELECT window_start_us, n_events,
+               COUNT(*) OVER w2 AS k,
+               COALESCE(SUM(n_events) OVER w2, 0) AS s,
+               COALESCE(SUM(n_events * n_events) OVER w2, 0) AS ss
+        FROM w
+        WINDOW w2 AS (ORDER BY window_start_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT window_start_us, n_events,
+             CAST(CASE WHEN k >= 2
+                        AND (n_events * k - s) * (n_events * k - s)
+                            > 4 * k * (k * ss - s * s)
+                       THEN 1 ELSE 0 END AS BIGINT) AS flag
+      FROM pfx
+    """
     # identical logical content by construction (build_wal_from_events_phased
     # splits the same upsert WAL at a tx boundary), so the one-shot batch
     # window oracle pins the live-tailed result
