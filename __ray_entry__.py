@@ -3003,6 +3003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Naive Bayes domain classifier (train on corpus, classify corpus):
     # micro-floored log-likelihoods make prediction AND score SQL-exact
     q["nb_source_classify"] = textops.nb_source_classify
+    # classifier calibration: (true x predicted) confusion counts
+    q["nb_confusion"] = textops.nb_confusion
     # weighted sampling without replacement (A-ES exponential keys,
     # integer nano-units; per-batch top-k combiner)
     q["weighted_sample"] = lambda sf: textops.weighted_sample(
@@ -4108,6 +4110,15 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score DESC, source ASC) AS rk
             FROM full_sc)
       WHERE rk = 1
+    """
+
+    sql["nb_confusion"] = """
+      WITH pred AS (
+        """ + sql["nb_source_classify"] + """
+      )
+      SELECT d.source, p.pred_source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred p JOIN documents d USING (doc_id)
+      GROUP BY d.source, p.pred_source
     """
 
     sql["corpus_curriculum"] = """

@@ -2314,6 +2314,14 @@ NB_MICRO = 1_000_000
 
 
 def nb_source_classify(sf_dir: str):
+    """Public face of the NB domain classifier: (doc_id, pred_source,
+    score_micro) — see _nb_scored_with_source for the machinery."""
+    return _nb_scored_with_source(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "pred_source", "score_micro"]),
+        batch_format="pyarrow")
+
+
+def _nb_scored_with_source(sf_dir: str):
     """Multinomial Naive Bayes DOMAIN CLASSIFIER trained on the corpus
     itself: per-source token counts with Laplace smoothing, then every
     document scored against every source and assigned the argmax — the
@@ -2415,12 +2423,29 @@ def nb_source_classify(sf_dir: str):
             best = np.argmax(scores, axis=1)    # first max = source ASC
             return pa.table({
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
                 "pred_source": pa.array(self.sources[best], pa.string()),
                 "score_micro": pa.array(
                     scores[np.arange(n), best], pa.int64())})
 
     return ds.map_batches(as_tasks(_Score), batch_format="pyarrow",
                           batch_size=4096)
+
+
+def nb_confusion(sf_dir: str):
+    """Classifier calibration report: the (true source x predicted
+    source) confusion counts of nb_source_classify — the per-domain
+    precision/leakage dashboard a filtering pipeline reviews before
+    trusting the classifier.  Output: (source, pred_source, n), a
+    |S|^2-bounded reduce."""
+    from ray.data.aggregate import Count
+
+    full = _nb_scored_with_source(sf_dir)
+    agg = full.groupby(["source", "pred_source"]).aggregate(
+        Count(alias_name="n"))
+    return agg.map_batches(lambda t: pa.table({
+        "source": t["source"], "pred_source": t["pred_source"],
+        "n": pc.cast(t["n"], pa.int64())}), batch_format="pyarrow")
 
 
 def bigram_lm_score(sf_dir: str):
