@@ -2736,6 +2736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # daily-volume anomaly flags (exact-integer two-sigma test)
     q["events_anomaly_days"] = temporal.events_anomaly_days
     # ordered string_agg / collect surface (per-user event journey)
+    # MATCH_RECOGNIZE-lite: regex over per-user event-initial strings
+    q["event_pattern_match"] = temporal.event_pattern_match
     q["user_event_journey"] = temporal.user_event_journey
     # gaps-and-islands: maximal consecutive-active-day streaks per user
     q["events_streaks"] = temporal.events_streaks
@@ -5505,6 +5507,19 @@ def oracle_sql() -> dict[str, str]:
              CAST(NTILE(4) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS BIGINT) AS tile
       FROM events
+    """
+
+    sql["event_pattern_match"] = """
+      WITH s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               STRING_AGG(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+      )
+      SELECT user_id, n_events,
+             CAST(length(regexp_extract_all(seq, 'v+cp')) AS BIGINT)
+               AS n_matches
+      FROM s
     """
 
     sql["user_event_journey"] = """

@@ -1153,3 +1153,52 @@ def session_concurrency(sf_dir: str):
                          "at_micro": pa.array([], pa.int64())})
     return pa.table({"max_concurrent": pa.array([best], pa.int64()),
                      "at_micro": pa.array([best_at], pa.int64())})
+
+
+EVENT_PATTERN = "v+cp"        # views then click then purchase
+
+
+def event_pattern_match(sf_dir: str, pattern: str = EVENT_PATTERN):
+    """MATCH_RECOGNIZE-lite sequence pattern mining: each user's
+    time-ordered event types compressed to an initials string
+    (signup->s, view->v, click->c, purchase->p, error->e) and scanned
+    for non-overlapping REGEX occurrences — 'v+cp' = "one or more views,
+    then a click, then a purchase", the row-pattern-matching shape SQL
+    standard MATCH_RECOGNIZE covers and most engines lack.
+
+    Output: (user_id, n_events, n_matches).
+
+    Scale shape: one user-bucket shuffle (the ordered-collect machinery
+    of user_event_journey), then a vectorized per-bucket pass — the
+    regex runs ONCE per user string via Arrow's RE2 kernel
+    (count_substring_regex), never per event.  Both engines are RE2, so
+    leftmost non-overlapping counts agree exactly with the oracle's
+    regexp_extract_all.
+    """
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                  "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        ini = pc.utf8_slice_codeunits(t["event_type"], 0, 1)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "ini": ini,
+                         "bucket": b})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["ini"] \
+            .agg(n_events="size", s="".join)
+        n_matches = pc.count_substring_regex(
+            pa.array(agg["s"].to_numpy(object), pa.string()), pattern)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "n_matches": np.asarray(n_matches).astype(np.int64),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas",
+                                          num_cpus=1))
