@@ -2955,6 +2955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bigram n-gram statistics (same combiner discipline as unigrams)
     q["bigram_heavy_hitters"] = textops.bigram_heavy_hitters
     # context-window chunking (overlapping char chunks, one-gather explode)
+    # passage-level near-dup: chunk explode -> MinHash+LSH flags
+    q["chunk_near_dup"] = textops.chunk_near_dup
     q["chunk_documents"] = lambda sf: textops.chunk_documents(
         sf, hash_mode="md5")
     # PMI collocation mining (two token-keyed co-partition joins)
@@ -5983,6 +5985,43 @@ def oracle_sql() -> dict[str, str]:
              BOOL_OR(s.has_base = 1 OR s.mnew < b.doc_id) AS is_dup
       FROM bands b JOIN bstat s USING (bkey)
       WHERE b.is_new GROUP BY b.doc_id
+    """
+
+    sql["chunk_near_dup"] = f"""
+      WITH cdocs AS (
+        SELECT doc_id * 4096 + i AS cid,
+               substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS ctext
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(
+                       0, (length(text) + 149) // 150 - 1)) AS i
+              FROM documents WHERE length(text) > 0)
+      )
+      , w AS (
+        SELECT cid AS doc_id, unnest(string_split(ctext, ' ')) AS w
+        FROM cdocs
+      ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {H_PRIME} AS hp
+        FROM w
+      ), params(i, a, b) AS {minhash_params_sql()},
+      sig AS (
+        SELECT doc_id, i, MIN((a * hp + b) % {H_PRIME}) AS s
+        FROM h CROSS JOIN params GROUP BY doc_id, i
+      ), bands AS (
+        SELECT doc_id,
+               (i // 4)::VARCHAR || ':' ||
+                 string_agg(s::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4
+      ), bmin AS (
+        SELECT bkey, MIN(doc_id) AS m FROM bands GROUP BY bkey
+      ), flags AS (
+        SELECT b.doc_id, MIN(bm.m) AS mm
+        FROM bands b JOIN bmin bm USING (bkey) GROUP BY b.doc_id
+      )
+      SELECT CAST(doc_id // 4096 AS BIGINT) AS doc_id,
+             CAST(doc_id % 4096 AS BIGINT) AS chunk_idx,
+             (mm < doc_id) AS is_dup
+      FROM flags
     """
 
     sql["dedup_minhash_lsh"] = f"""

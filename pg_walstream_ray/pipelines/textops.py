@@ -2576,3 +2576,71 @@ def bigram_lm_score(sf_dir: str):
 
     return ds.map_batches(as_tasks(_Score), batch_format="pyarrow",
                           batch_size=4096)
+
+
+CHUNK_ID_STRIDE = 4096       # cid = doc_id * STRIDE + chunk_idx
+
+
+def chunk_near_dup(sf_dir: str, chunk: int = CHUNK_CHARS,
+                   stride: int = CHUNK_STRIDE):
+    """PASSAGE-level near-dup: every document chunk (the
+    chunk_documents geometry) MinHash+LSH-flagged against every other
+    chunk corpus-wide — the dedup granularity below the document (two
+    long docs sharing one boilerplate passage are caught here and missed
+    by whole-doc signatures).  Output: (doc_id, chunk_idx, is_dup).
+
+    Scale shape: the chunk explode is the same zero-shuffle flat-buffer
+    gather as chunk_documents; minhash_flags_for then moves only
+    (band_key, cid) pairs.  cid = doc_id * 4096 + chunk_idx keeps the
+    flag machinery int-keyed (chunk counts are bounded by doc length /
+    stride, far under 4096).
+    """
+    from .dedup import minhash_flags_for
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        off = np.frombuffer(text.buffers()[1], np.int32,
+                            count=len(text) + 1 + text.offset) \
+            [text.offset:].astype(np.int64)
+        flatbuf = np.frombuffer(text.buffers()[2], np.uint8)
+        doc_start = off[:-1]
+        n_chars = off[1:] - doc_start
+        n_chunks = np.maximum((n_chars + stride - 1) // stride, 0)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            n_chunks)
+        if not len(doc_idx):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        starts_in_doc = np.arange(len(doc_idx), dtype=np.int64) - \
+            first[doc_idx]
+        chunk_start = starts_in_doc * stride
+        chunk_len = np.minimum(chunk, n_chars[doc_idx] - chunk_start)
+        out_off = np.concatenate([[0], np.cumsum(chunk_len)])
+        intra = np.arange(int(out_off[-1]), dtype=np.int64) - \
+            np.repeat(out_off[:-1], chunk_len)
+        base = np.repeat(doc_start[doc_idx] + chunk_start, chunk_len)
+        bodies = pa.StringArray.from_buffers(
+            len(chunk_len),
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(flatbuf[base + intra].tobytes()))
+        did = pc.cast(t["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table({
+            "doc_id": pa.array(did * CHUNK_ID_STRIDE + starts_in_doc),
+            "text": bodies})
+
+    chunks = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        explode, batch_format="pyarrow", batch_size=65536)
+
+    def decode(t: pa.Table) -> pa.Table:
+        cid = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(cid // CHUNK_ID_STRIDE, pa.int64()),
+            "chunk_idx": pa.array(cid % CHUNK_ID_STRIDE, pa.int64()),
+            "is_dup": t["is_dup"]})
+
+    return minhash_flags_for(chunks).map_batches(
+        decode, batch_format="pyarrow")
