@@ -2736,6 +2736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # daily-volume anomaly flags (exact-integer two-sigma test)
     q["events_anomaly_days"] = temporal.events_anomaly_days
     # ordered string_agg / collect surface (per-user event journey)
+    # common-path mining: top-k contiguous 3-event paths by user support
+    q["journey_trigram_paths"] = temporal.journey_trigram_paths
     # MATCH_RECOGNIZE-lite: regex over per-user event-initial strings
     q["event_pattern_match"] = temporal.event_pattern_match
     q["user_event_journey"] = temporal.user_event_journey
@@ -5509,6 +5511,28 @@ def oracle_sql() -> dict[str, str]:
              CAST(NTILE(4) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS BIGINT) AS tile
       FROM events
+    """
+
+    sql["journey_trigram_paths"] = """
+      WITH s AS (
+        SELECT user_id,
+               STRING_AGG(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+      ), tri AS (
+        SELECT DISTINCT user_id, substr(seq, gs, 3) AS path
+        FROM (SELECT user_id, seq, unnest(range(1, length(seq) - 1)) AS gs
+              FROM s WHERE length(seq) >= 3)
+      ), c AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM tri GROUP BY path
+      )
+      SELECT path, n_users, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT path, n_users,
+                   ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC)
+                     AS rk
+            FROM c)
+      WHERE rk <= 20
     """
 
     sql["event_pattern_match"] = """

@@ -1202,3 +1202,64 @@ def event_pattern_match(sf_dir: str, pattern: str = EVENT_PATTERN):
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas",
                                           num_cpus=1))
+
+
+PATH_TOPK = 20
+
+
+def journey_trigram_paths(sf_dir: str, k: int = PATH_TOPK):
+    """Common-path mining (PrefixSpan-lite): the top-k contiguous
+    3-event paths by DISTINCT-user support over time-ordered journeys —
+    the product-analytics "what do people actually do" table.  Output:
+    (path, n_users, rk), path = three event-type initials, ties broken
+    path ASC.
+
+    Scale shape: per-user journey strings assemble in the user-bucket
+    pass (one shuffle, same machinery as user_event_journey); each
+    bucket emits its DISTINCT (path, user) pairs pre-deduped, so the
+    final groupby counts |paths| x bucket rows; paths are a bounded
+    |event_types|^3 domain.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                  "event_type"))
+    npart = coarse_npart()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], npart - 1), pa.int64())
+        ini = pc.utf8_slice_codeunits(t["event_type"], 0, 1)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "ini": ini,
+                         "bucket": b})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["ini"].agg("".join)
+        paths = set()
+        rows_p, rows_n = [], []
+        for uid, s in agg.items():
+            tri = {s[i:i + 3] for i in range(len(s) - 2)}
+            for p in tri:
+                rows_p.append(p)
+                rows_n.append(1)
+        return pd.DataFrame({"path": rows_p, "n": rows_n})
+
+    counts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas",
+                                            num_cpus=1)
+              .groupby("path").aggregate(Sum("n", alias_name="n_users")))
+
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas().sort_values(["n_users", "path"],
+                                       ascending=[False, True]).head(k)
+        return pa.table({
+            "path": pa.array(df["path"].astype(str)),
+            "n_users": pa.array(df["n_users"].to_numpy(np.int64)),
+            "rk": pa.array(np.arange(1, len(df) + 1, dtype=np.int64))})
+
+    # bounded domain (|event_types|^3): a single final cut is exact
+    return counts.repartition(1).map_batches(topk,
+                                             batch_format="pyarrow")
