@@ -760,6 +760,57 @@ def _cdc_rlhf_pairs(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_follow_ann_live(sf_dir: str) -> Any:
+    """CONTINUOUS TAILING x LIVE ANN: the phased WAL fixture appends its
+    second half mid-run while the sharded ANN index is live — the index
+    serves a mid-run probe from phase-1 state (asserted), consumes
+    phase 2 in a later poll (data_polls >= 2 asserted), and the final
+    top-k (served from index state, never a lake) is oracled by the
+    full-WAL LWW state + the md5 feature-hash bridge.  The retrieval
+    twin of cdc_follow_live."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from pg_walstream_ray.pipelines.streaming import follow_stream_ann
+    from pg_walstream_ray.pipelines.textops import HashEmbedStage
+    from pg_walstream_ray.sources.events_cdc import (
+        build_wal_from_events_phased)
+
+    wal_dir = tempfile.mkdtemp(prefix="pgwr_wal_fann_")
+    try:
+        append_phase2, st = build_wal_from_events_phased(
+            sf_dir, wal_dir, n_shards=2)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "rnk": pa.array([], pa.int64()),
+            "dot": pa.array([], pa.int64())})
+        if st["phase1_dml"] + st["phase2_dml"] == 0:
+            return empty
+        qt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "<", LIVE_ANN_NQ)])
+        qids, qv, _ = HashEmbedStage(d=LIVE_ANN_D).dense(qt)
+
+        appended = {"done": False}
+
+        def on_poll(_p, _n):
+            if not appended["done"]:
+                appended["done"] = True
+                append_phase2()          # phase 2 lands AFTER phase 1 routed
+
+        tbl, stats = follow_stream_ann(
+            wal_dir, qids, qv, k=LIVE_ANN_K, d=LIVE_ANN_D, n_actors=4,
+            on_poll=on_poll)
+        if len(qids):
+            assert stats["data_polls"] >= 2, stats   # phase 2 tailed live
+            assert stats["probe_rows"] >= 0          # mid-run probe served
+        return tbl
+    finally:
+        shutil.rmtree(wal_dir, ignore_errors=True)
+
+
 def _cdc_token_budget(sf_dir: str) -> Any:
     """Three-tier composite: CDC replay -> conversation assembly -> BPE
     tokenization with merges TRAINED on the document corpus — per
@@ -2540,6 +2591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # watermark); windows/watermark advancement asserted in-query, final
     # windows oracled by the same SQL as cdc_stream_windows
     q["cdc_follow_live"] = _cdc_follow_live
+    # continuous tailing x live ANN: mid-run probe + phase-2 tail, final
+    # top-k oracled against the full-WAL LWW state
+    q["cdc_follow_ann_live"] = _cdc_follow_ann_live
     # upsert/retract changelog panes (Beam accumulating-and-retracting);
     # consolidated state == plain tumbling windows (same oracle shape)
     q["cdc_stream_retract"] = _cdc_stream_retract
@@ -3767,6 +3821,60 @@ def oracle_sql() -> dict[str, str]:
     # feature-hashed with the md5 bridge (textops.hash_embed_texts), dotted
     # against the first LIVE_ANN_NQ documents' query vectors — rank AND
     # integer score pinned, ties (dot desc, conv asc, turn asc)
+    sql["cdc_follow_ann_live"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx, op, text
+        FROM ({_UPSERT_CHANGES})
+      ), ranked AS ({_LWW}),
+      state AS (
+        SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1
+      ), toks AS (
+        SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS w
+        FROM state
+      ), h AS (
+        SELECT conv_id, turn_idx,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+        FROM toks WHERE w <> ''
+      ), feat AS (
+        SELECT conv_id, turn_idx, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM h GROUP BY conv_id, turn_idx, dim
+      ), qtoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 4
+      ), qh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+        FROM qtoks WHERE w <> ''
+      ), qfeat AS (
+        SELECT doc_id, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM qh GROUP BY doc_id, dim
+      ), dots AS (
+        SELECT q.doc_id AS qid, f.conv_id, f.turn_idx,
+               SUM(q.wt * f.wt) AS dot
+        FROM qfeat q JOIN feat f ON f.dim = q.dim
+        GROUP BY q.doc_id, f.conv_id, f.turn_idx
+      ), allpairs AS (
+        -- the dense matmul scores EVERY live key for every query: pairs
+        -- with no occupied-dim overlap score 0, not "absent"
+        SELECT q.doc_id AS qid, s.conv_id, s.turn_idx,
+               COALESCE(d.dot, 0) AS dot
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 4) q
+        CROSS JOIN state s
+        LEFT JOIN dots d ON d.qid = q.doc_id AND d.conv_id = s.conv_id
+                        AND d.turn_idx = s.turn_idx
+      )
+      SELECT qid AS query_id, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+             CAST(rnk AS BIGINT) AS rnk, CAST(dot AS BIGINT) AS dot
+      FROM (SELECT qid, conv_id, turn_idx, dot,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, conv_id ASC,
+                                               turn_idx ASC) AS rnk
+            FROM allpairs)
+      WHERE rnk <= 10
+    """
+
     sql["cdc_live_ann"] = f"""
       WITH changes AS (
         SELECT lsn, conv_id, turn_idx,

@@ -1684,13 +1684,20 @@ def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
     finally:
         for a in actors:
             ray.kill(a)
+    return _ann_merge_topk(parts, k)
+
+
+def _ann_merge_topk(parts, k: int) -> pa.Table:
+    """Merge per-shard candidate tables into the exact global top-k
+    (key ownership is hash-disjoint, so concat + re-rank is exact)."""
+    import pandas as pd
+
     cat = pa.concat_tables(
         [_ann_empty().drop_columns(["rnk"]),
          *[p.drop_columns(["rnk"]) if "rnk" in p.column_names else p
            for p in parts]])
     if cat.num_rows == 0:
         return _ann_empty()
-    import pandas as pd
     df = cat.to_pandas().sort_values(
         ["query_id", "dot", "conv_id", "turn_idx"],
         ascending=[True, False, True, True], kind="mergesort")
@@ -1702,3 +1709,76 @@ def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
         "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int32)),
         "rnk": pa.array(rnk.to_numpy(np.int64)),
         "dot": pa.array(df["dot"].to_numpy(np.int64))})
+
+
+def follow_stream_ann(wal_dir: str, qids, qv, k: int = 10, d: int = 16,
+                      n_actors: int = 4, hash_mode: str = "md5",
+                      poll_interval_s: float = 0.05,
+                      max_idle_polls: int = 5, on_poll=None):
+    """CONTINUOUSLY-TAILING live ANN index: poll the WAL archive, route
+    only never-seen segments into the resident index shards (state lives
+    across polls), and keep the index answerable THROUGHOUT — after the
+    first data poll a mid-run probe query is served from phase-in-flight
+    state, and the final top-k reflects everything appended before the
+    archive went quiet.  The follow twin of stream_ann_index, built on
+    the follow_stream_windows loop contract (``on_poll`` acked after
+    routing, so phased fixtures can gate mid-run appends on it).
+
+    Returns (final_topk_table, stats) with stats carrying polls,
+    data_polls and the mid-run probe's row count."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    n_actors = max(1, min(n_actors, cpus))
+    actor_cls = ray.remote(num_cpus=0.5)(_AnnIndexActor)
+    route_fn = ray.remote(num_cpus=0.5)(_route_ann_shard)
+    actors = [actor_cls.remote(d) for _ in range(n_actors)]
+    qref = ray.put((np.asarray(qids), np.ascontiguousarray(qv)))         if len(qids) else None
+    fed: set = set()
+    polls = data_polls = idle = 0
+    probe_rows = -1
+    try:
+        while True:
+            polls += 1
+            new = sorted(
+                p for p in _glob.glob(
+                    _os.path.join(wal_dir, "shard=*", "wal*.parquet"))
+                if p not in fed)
+            if new:
+                data_polls += 1
+                idle = 0
+                by_shard: Dict[str, list] = {}
+                for p in new:
+                    by_shard.setdefault(_os.path.dirname(p), []).append(p)
+                ray.get([route_fn.remote(sorted(ps), actors, n_actors, d,
+                                         hash_mode=hash_mode)
+                         for ps in by_shard.values()])
+                fed.update(new)
+                if probe_rows < 0 and qref is not None:
+                    # mid-run probe: the index answers while tailing
+                    probe = _ann_merge_topk(
+                        ray.get([a.query.remote(qref, k)
+                                 for a in actors]), k)
+                    probe_rows = probe.num_rows
+                if on_poll is not None:
+                    on_poll(polls, len(new))
+                continue
+            idle += 1
+            if idle >= max_idle_polls:
+                break
+            _time.sleep(poll_interval_s)
+        if qref is None:
+            return _ann_empty(), {"polls": polls,
+                                  "data_polls": data_polls,
+                                  "probe_rows": 0}
+        parts = ray.get([a.query.remote(qref, k) for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return _ann_merge_topk(parts, k), {
+        "polls": polls, "data_polls": data_polls,
+        "probe_rows": probe_rows}
