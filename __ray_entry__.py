@@ -2832,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- training-data ops: dedup ------------------------------------------
     from pg_walstream_ray.pipelines import dedup, similarity, textops
     from pg_walstream_ray.pipelines import multimodal, tokenizer
+    from pg_walstream_ray.sources import textfiles
 
     q["dedup_exact"] = lambda sf: dedup.exact_dedup(sf, hash_mode="md5")
     q["dedup_incremental"] = lambda sf: dedup.incremental_dedup(
@@ -3026,6 +3027,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textops.lang_id
     # declared-label vs predicted-language confusion matrix
     q["lang_confusion"] = textops.lang_confusion
+    # JSONL ingestion round-trip: aggregates computed FROM the JSONL
+    # source must equal the parquet oracle (wire-format fidelity)
+    q["jsonl_corpus_stats"] = textfiles.jsonl_corpus_stats
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
@@ -4153,6 +4157,15 @@ def oracle_sql() -> dict[str, str]:
       FROM documents d JOIN p USING (lang)
       WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
                  AS BIGINT) % 1000 < p.permille
+    """
+
+    sql["jsonl_corpus_stats"] = """
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+                      % 2147483648) AS BIGINT) AS h_sum
+      FROM documents GROUP BY lang, source
     """
 
     sql["doc_sample"] = """
