@@ -3030,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # JSONL ingestion round-trip: aggregates computed FROM the JSONL
     # source must equal the parquet oracle (wire-format fidelity)
     q["jsonl_corpus_stats"] = textfiles.jsonl_corpus_stats
+    q["csv_events_stats"] = textfiles.csv_events_stats
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
     q["stratified_sample"] = lambda sf: textops.stratified_sample(
         sf, hash_mode="md5")
@@ -4166,6 +4167,15 @@ def oracle_sql() -> dict[str, str]:
              CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
                       % 2147483648) AS BIGINT) AS h_sum
       FROM documents GROUP BY lang, source
+    """
+
+    sql["csv_events_stats"] = """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(SUM(user_id % 1000003) AS BIGINT) AS uid_mod
+      FROM events GROUP BY event_type
     """
 
     sql["doc_sample"] = """

@@ -121,3 +121,68 @@ def pa_md5_int60(texts):
     vals = texts.to_pylist() if not isinstance(texts, list) else texts
     return np.array([int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
                      for v in vals], dtype=object)
+
+
+_CSV_CACHE = "/tmp/pgwr_csv"
+
+
+def export_events_csv(sf_dir: str, shards: int = 4) -> str:
+    """Write (once) the events table as sharded CSV (ts in ISO micros) —
+    the other ubiquitous wire format."""
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CSV_CACHE, f"events-{key}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    import pyarrow.csv as pacsv
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = t.num_rows
+    per = max(1, -(-n // shards))
+    for s in range(shards):
+        pacsv.write_csv(t.slice(s * per, per),
+                        os.path.join(out, f"part-{s:03d}.csv"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def csv_events_stats(sf_dir: str):
+    """CSV ingestion round-trip: per-event-type counts, value-cent sums
+    and user XOR-free modular id sums computed FROM the CSV shards
+    (ray.data.read_csv, file-parallel) — equal to the parquet oracle."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = export_events_csv(sf_dir)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".csv"))
+    ds = rd.read_csv(files)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1, "cents": cents,
+            "uid_mod": t["user_id"].to_numpy(zero_copy_only=False)
+            % 1_000_003,
+        })
+        agg = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("cents", alias_name="cents"),
+            Sum("uid_mod", alias_name="uid_mod")) \
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "uid_mod": pc.cast(t["uid_mod"], pa.int64())}),
+            batch_format="pyarrow")
