@@ -1551,6 +1551,32 @@ class _AnnIndexActor:
         self.buffered = self.log[0].num_rows
         self._compacted = self.buffered
 
+    def state_dict(self) -> dict:
+        """Serializable CHECKPOINT of the shard (the same Flink-style
+        snapshot contract the window aggregators carry): the compacted
+        LWW log as one Arrow IPC buffer.  ``load_state`` on a fresh
+        shard reproduces the uninterrupted index exactly — LWW
+        resolution is idempotent/associative, so checkpoint + replayed
+        tail == never-interrupted run (pinned in tests)."""
+        import io
+
+        buf = io.BytesIO()
+        if self.log:
+            self._compact()
+            with pa.ipc.new_stream(buf, self.log[0].schema) as w:
+                w.write_table(self.log[0])
+        return {"d": self.d, "ipc": buf.getvalue()}
+
+    def load_state(self, state: dict) -> None:
+        self.d = int(state["d"])
+        if state["ipc"]:
+            t = pa.ipc.open_stream(state["ipc"]).read_all()
+            self.log = [t]
+            self.buffered = t.num_rows
+            self._compacted = t.num_rows
+        else:
+            self.log, self.buffered, self._compacted = [], 0, 0
+
     def query(self, qpack, k: int) -> pa.Table:
         """Local top-k per query over the shard's LIVE vectors (integer
         dot; ties conv asc, turn asc).  Merged exactly across shards

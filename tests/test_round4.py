@@ -759,3 +759,46 @@ def test_secondary_index_partition_incremental(ray_session, tmp_path):
             .sort_values(["conv_id", "turn_idx"], ignore_index=True)
         got["turn_idx"] = got["turn_idx"].astype(want["turn_idx"].dtype)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_ann_index_checkpoint_restore_equivalence():
+    """Checkpoint mid-stream + restore on a fresh shard + replay the
+    tail == the uninterrupted run (LWW idempotence), including deletes
+    arriving after the checkpoint."""
+    from pg_walstream_ray.pipelines.streaming import _AnnIndexActor
+
+    d = 4
+
+    def slim(rows):
+        convs, turns, lsns, dels, vecs = zip(*rows)
+        flat = np.concatenate([np.asarray(v, np.int64) for v in vecs])
+        return pa.table({
+            "conv": pa.array(convs, pa.string()),
+            "turn": pa.array(turns, pa.int32()),
+            "lsn": pa.array(lsns, pa.int64()),
+            "is_del": pa.array(dels, pa.bool_()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.int64()), d)})
+
+    head = [("c1", 0, 10, False, [1, 0, 0, 0]),
+            ("c2", 0, 11, False, [0, 2, 0, 0]),
+            ("c3", 0, 12, False, [0, 0, 3, 0])]
+    tail = [("c2", 0, 20, True, [0, 0, 0, 0]),      # delete post-ckpt
+            ("c4", 1, 21, False, [4, 4, 0, 0]),
+            ("c1", 0, 22, False, [9, 0, 0, 0])]     # update post-ckpt
+
+    a = _AnnIndexActor(d)
+    a.ingest(slim(head))
+    ckpt = a.state_dict()
+    a.ingest(slim(tail))
+
+    b = _AnnIndexActor(d)
+    b.load_state(ckpt)
+    b.ingest(slim(tail))
+
+    qp = (np.array([1], np.int64), np.ones((1, d), np.int64))
+    ta = a.query(qp, 10).to_pandas()
+    tb = b.query(qp, 10).to_pandas()
+    pd.testing.assert_frame_equal(ta, tb)
+    got = {(r.conv_id, r.turn_idx): r.dot for r in tb.itertuples()}
+    assert got == {("c1", 0): 9, ("c3", 0): 3, ("c4", 1): 8}
