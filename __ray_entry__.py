@@ -3029,6 +3029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_confusion"] = textops.lang_confusion
     # JSONL ingestion round-trip: aggregates computed FROM the JSONL
     # source must equal the parquet oracle (wire-format fidelity)
+    # dataset card: one-row corpus release summary
+    q["corpus_report"] = textops.corpus_report
     q["jsonl_corpus_stats"] = textfiles.jsonl_corpus_stats
     q["csv_events_stats"] = textfiles.csv_events_stats
     q["doc_sample"] = lambda sf: textops.doc_sample(sf, hash_mode="md5")
@@ -4158,6 +4160,42 @@ def oracle_sql() -> dict[str, str]:
       FROM documents d JOIN p USING (lang)
       WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
                  AS BIGINT) % 1000 < p.permille
+    """
+
+    sql["corpus_report"] = """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      dup AS (
+        SELECT COUNT(*) AS survivors FROM (
+          SELECT MIN(doc_id) FROM (
+            SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h)
+      ), q AS (
+        SELECT SUM(FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+                          + 0.3 * (n_distinct::DOUBLE / n_tokens)
+                          + 0.3 * LEAST(1.0, (n_chars::DOUBLE / n_tokens)
+                                             / 8.0)) * 10000)::BIGINT)
+                 AS sq
+        FROM (SELECT len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' ')))
+                       AS n_distinct,
+                     length(replace(text, ' ', '')) AS n_chars
+              FROM documents)
+      )
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT COUNT(*) FROM tk) AS BIGINT) AS n_tokens,
+             CAST((SELECT SUM(length(replace(text, ' ', '')))
+                   FROM documents) AS BIGINT) AS n_chars,
+             CAST((SELECT COUNT(DISTINCT lang) FROM documents)
+                  AS BIGINT) AS n_langs,
+             CAST((SELECT COUNT(DISTINCT source) FROM documents)
+                  AS BIGINT) AS n_sources,
+             CAST(((SELECT COUNT(*) FROM documents)
+                   - (SELECT survivors FROM dup)) * 10000
+                  // (SELECT COUNT(*) FROM documents) AS BIGINT) AS dup_bp,
+             CAST((SELECT sq FROM q)
+                  // (SELECT COUNT(*) FROM documents) AS BIGINT)
+               AS mean_quality_bp
     """
 
     sql["jsonl_corpus_stats"] = """

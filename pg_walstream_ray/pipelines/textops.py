@@ -2644,3 +2644,63 @@ def chunk_near_dup(sf_dir: str, chunk: int = CHUNK_CHARS,
 
     return minhash_flags_for(chunks).map_batches(
         decode, batch_format="pyarrow")
+
+
+def corpus_report(sf_dir: str):
+    """DATASET CARD: the one-row corpus summary a release ships —
+    document/token/char volumes, language and source cardinalities,
+    exact-duplicate rate in basis points, mean quality in basis points.
+    Composes the existing streamed aggregates; each input streams once
+    and only scalars reach the driver.
+
+    Output: one row (n_docs, n_tokens, n_chars, n_langs, n_sources,
+    dup_bp, mean_quality_bp)."""
+    from .dedup import exact_dedup
+
+    def vol(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array([len(toks)], pa.int64()),
+            "n_chars": pa.array([int(pc.sum(
+                pc.utf8_length(pc.replace_substring(
+                    t["text"], " ", ""))).as_py() or 0)], pa.int64())})
+
+    vols = _docs(sf_dir, columns=("text",)) \
+        .map_batches(vol, batch_format="pyarrow", batch_size=262144) \
+        .to_pandas()                       # O(blocks) scalar rows
+    n_docs = int(vols["n_docs"].sum())
+    empty = pa.table({c: pa.array([], pa.int64()) for c in
+                      ("n_docs", "n_tokens", "n_chars", "n_langs",
+                       "n_sources", "dup_bp", "mean_quality_bp")})
+    if n_docs == 0:
+        return empty
+    n_tokens = int(vols["n_tokens"].sum())
+    n_chars = int(vols["n_chars"].sum())
+
+    card = _docs(sf_dir, columns=("lang", "source")) \
+        .map_batches(lambda t: pa.table({
+            "lang": t["lang"], "source": t["source"]}),
+            batch_format="pyarrow")
+    n_langs = card.groupby("lang").count().count()
+    n_sources = card.groupby("source").count().count()
+
+    survivors = exact_dedup(sf_dir, hash_mode="md5").count()
+    dup_bp = ((n_docs - survivors) * 10000) // n_docs
+
+    q = text_quality(sf_dir).select_columns(["quality_q"]) \
+        .map_batches(lambda t: pa.table({
+            "s": pa.array([int(pc.sum(t["quality_q"]).as_py() or 0)],
+                          pa.int64())}), batch_format="pyarrow") \
+        .to_pandas()
+    mean_q = int(q["s"].sum()) // n_docs
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_chars": pa.array([n_chars], pa.int64()),
+        "n_langs": pa.array([int(n_langs)], pa.int64()),
+        "n_sources": pa.array([int(n_sources)], pa.int64()),
+        "dup_bp": pa.array([dup_bp], pa.int64()),
+        "mean_quality_bp": pa.array([mean_q], pa.int64())})
