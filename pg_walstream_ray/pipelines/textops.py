@@ -2670,7 +2670,7 @@ def corpus_report(sf_dir: str):
     vols = _docs(sf_dir, columns=("text",)) \
         .map_batches(vol, batch_format="pyarrow", batch_size=262144) \
         .to_pandas()                       # O(blocks) scalar rows
-    n_docs = int(vols["n_docs"].sum())
+    n_docs = int(vols["n_docs"].sum()) if "n_docs" in vols.columns else 0
     empty = pa.table({c: pa.array([], pa.int64()) for c in
                       ("n_docs", "n_tokens", "n_chars", "n_langs",
                        "n_sources", "dup_bp", "mean_quality_bp")})
