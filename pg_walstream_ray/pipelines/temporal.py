@@ -1234,16 +1234,25 @@ def journey_trigram_paths(sf_dir: str, k: int = PATH_TOPK):
                          "bucket": b})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        agg = g.groupby("user_id", sort=False)["ini"].agg("".join)
-        paths = set()
-        rows_p, rows_n = [], []
-        for uid, s in agg.items():
-            tri = {s[i:i + 3] for i in range(len(s) - 2)}
-            for p in tri:
-                rows_p.append(p)
-                rows_n.append(1)
-        return pd.DataFrame({"path": rows_p, "n": rows_n})
+        # fully vectorized: sort (user, ts, event_id), pack each
+        # within-user char trigram into an int, distinct (user, tri)
+        # via np.unique — users are bucket-complete, so per-bucket
+        # distinct counts sum exactly
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        c = np.frombuffer("".join(g["ini"]).encode("utf-32-le"),
+                          dtype="<u4").astype(np.int64)
+        if len(c) < 3:
+            return pd.DataFrame({"path": [], "n": []})
+        same = (u[:-2] == u[1:-1]) & (u[:-2] == u[2:])
+        tri = (c[:-2] << 16) | (c[1:-1] << 8) | c[2:]
+        key = np.unique(u[:-2][same] * (1 << 24) + tri[same])
+        tri_u, cnt = np.unique(key % (1 << 24), return_counts=True)
+        paths = ["".join(chr(int(x)) for x in
+                         ((t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF))
+                 for t in tri_u]
+        return pd.DataFrame({"path": paths, "n": cnt.astype(np.int64)})
 
     counts = (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("bucket").map_groups(per_bucket,
