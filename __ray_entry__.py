@@ -998,6 +998,35 @@ def _cdc_scd2_history(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_version_prune(sf_dir: str) -> Any:
+    """History-lake VERSION RETENTION (lake.prune_history_versions):
+    keep each key's 2 newest change rows, drop the older tail, and read
+    the pruned history back — intervals recompute from the survivors, so
+    the oracle is the SCD2 derivation window-filtered to the newest 2
+    changes per key (Delta/Iceberg-style old-version VACUUM)."""
+    from pg_walstream_ray.lake import (history_table,
+                                       prune_history_versions)
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert_delete|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert_delete-{key}")
+    build_wal_from_events(sf_dir, "upsert_delete", wal_dir, n_shards=2)
+    lake = tempfile.mkdtemp(prefix="pgwr_vprune_lake_")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8, sink="history")
+        prune_history_versions(lake, keep=2)
+        # idempotent: a second prune drops nothing
+        assert prune_history_versions(lake, keep=2)["rows_dropped"] == 0
+        return _select_or_empty(
+            history_table(lake),
+            [*_TRANSCRIPT_COLS, ("valid_from", pa.int64()),
+             ("valid_to", pa.int64()), ("is_current", pa.bool_())])
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def _cdc_time_travel(sf_dir: str) -> Any:
     """Time travel over the SCD2 history lake (lake.history_as_of): the
     table state AS OF the WAL's midpoint LSN must equal a bounded LWW
@@ -2531,6 +2560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SCD type-2 history sink: every key version retained with validity
     # intervals (valid_from/valid_to/is_current); deletes close versions
     q["cdc_scd2_history"] = _cdc_scd2_history
+    # history version retention: newest-2-changes-per-key VACUUM
+    q["cdc_version_prune"] = _cdc_version_prune
     # lake repartitioning mid-stream: half replay at P=4 -> re-key to
     # P=10 (true _lsn + watermarks carried) -> resume -> full-replay state
     q["cdc_repartitioned"] = _cdc_repartitioned
@@ -3941,6 +3972,33 @@ def oracle_sql() -> dict[str, str]:
 
     # SCD2 history: every change is a version row; valid_to = the next
     # change's lsn for the key (deletes close intervals, emit no row)
+    sql["cdc_version_prune"] = f"""
+      WITH changes AS (
+        SELECT lsn, conv_id, turn_idx,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE op END AS op,
+               CASE WHEN event_type = 'error' THEN NULL ELSE role END AS role,
+               CASE WHEN event_type = 'error' THEN NULL ELSE text END AS text,
+               CASE WHEN event_type = 'error' THEN NULL ELSE tool END AS tool,
+               ts
+        FROM ({_UPSERT_CHANGES})
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY lsn DESC) AS r
+        FROM changes
+      ), surv AS (
+        SELECT * FROM rk WHERE r <= 2
+      ), v AS (
+        SELECT *, LEAD(lsn) OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY lsn) AS nxt
+        FROM surv
+      )
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+             CAST(lsn AS BIGINT) AS valid_from,
+             CAST(nxt AS BIGINT) AS valid_to,
+             (nxt IS NULL) AS is_current
+      FROM v WHERE op <> 'delete'
+    """
+
     sql["cdc_scd2_history"] = f"""
       WITH changes AS (
         SELECT lsn, conv_id, turn_idx,

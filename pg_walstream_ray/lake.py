@@ -1928,3 +1928,89 @@ def index_lookup(idx_dir: str, column: str, value) -> pa.Table:
                          "turn_idx": pa.array([], pa.int32()),
                          column: pa.array([], pa.string())})
     return pa.concat_tables(hits)
+
+
+# ---------------------------------------------------------------------------
+# History-lake version retention (keep newest K changes per key)
+# ---------------------------------------------------------------------------
+
+def _prune_versions_one_partition(lake_dir: str, pid: int, keep: int,
+                                  key_cols: Tuple[str, ...]) -> int:
+    """Rewrite one history partition keeping only each key's ``keep``
+    newest change rows (atomic tmp+rename + manifest epoch bump, the
+    compaction contract).  Returns rows dropped."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    from .state.manifest import read_manifest, write_manifest_atomic
+
+    m = read_manifest(lake_dir, pid)
+    if not m.fragments:
+        return 0
+    d = partition_dir(lake_dir, pid)
+    raw = _unify([pq.read_table(os.path.join(d, f))
+                  for f in m.fragments])
+    if not raw.num_rows:
+        return 0
+    import pandas as pd
+
+    keys = pd.MultiIndex.from_arrays(
+        [raw[c].to_numpy(zero_copy_only=False) for c in key_cols])
+    codes, _ = pd.factorize(keys, sort=False)
+    lsn = raw["lsn"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-lsn, codes))            # per key, newest first
+    rank = np.empty(len(codes), np.int64)
+    seq = np.arange(len(codes))
+    starts = np.concatenate([[0], np.flatnonzero(
+        np.diff(codes[order]) != 0) + 1])
+    rank[order] = seq - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(codes)]])))
+    kept = raw.filter(pa.array(rank < keep))
+    dropped = raw.num_rows - kept.num_rows
+    if dropped == 0:
+        return 0
+    frag = f"fragment-{m.epoch + 1:06d}-vprune.parquet"
+    tmp = os.path.join(d, f".{frag}.{_uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(kept, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(d, frag))
+    old = list(m.fragments)
+    m.fragments = [frag]
+    m.row_count = kept.num_rows
+    m.epoch += 1
+    m.lineage.append({"epoch": m.epoch, "version_pruned": True,
+                      "rows_applied": 0})
+    write_manifest_atomic(lake_dir, m)
+    for dead in old:
+        try:
+            os.remove(os.path.join(d, dead))
+        except OSError:
+            pass
+    return dropped
+
+
+def prune_history_versions(lake_dir: str, keep: int = 2,
+                           key_cols: Tuple[str, ...] = ("conv_id",
+                                                        "turn_idx")
+                           ) -> dict:
+    """VERSION RETENTION on an SCD2 history lake: keep each key's
+    ``keep`` newest change rows and drop the older tail — the
+    storage-cost / compliance knob of every versioned lakehouse
+    (Delta/Iceberg VACUUM of old versions).  Interval semantics are
+    recomputed from the survivors on read, so the pruned history equals
+    the full history window-filtered to the newest ``keep`` changes per
+    key.  One Ray task per partition (private manifest + fragments,
+    atomic rewrite); re-runnable; replay-safe (a resumed run re-applies
+    only at-or-after the watermark, which prunes never move)."""
+    import ray
+
+    pids = [pid for pid, _ in live_fragments(lake_dir)]
+    if ray.is_initialized() and len(pids) > 1:
+        fn = ray.remote(num_cpus=1)(_prune_versions_one_partition)
+        dropped = sum(ray.get([fn.remote(lake_dir, pid, keep, key_cols)
+                               for pid in pids]))
+    else:
+        dropped = sum(_prune_versions_one_partition(lake_dir, pid, keep,
+                                                    key_cols)
+                      for pid in pids)
+    return {"partitions": len(pids), "rows_dropped": dropped}
