@@ -998,6 +998,45 @@ def _cdc_scd2_history(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_lake_clone(sf_dir: str) -> Any:
+    """Shallow-clone fork-and-resume (lake.clone_lake): replay HALF the
+    WAL, zero-copy clone the lake (hardlinked fragments + copied
+    manifests), resume the SAME WAL into the CLONE — the clone must
+    equal the full replay (exactly-once through cloned watermarks) while
+    the source stays frozen at the bounded state (divergence isolation,
+    asserted in-query).  Oracle: the plain LWW full-replay state."""
+    import numpy as np
+
+    from pg_walstream_ray.lake import clone_lake, snapshot_table
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import (BOUNDED_STOP_EVENT,
+                                                     build_wal_from_events)
+
+    n_shards = 2
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|{n_shards}"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=n_shards)
+    root = tempfile.mkdtemp(prefix="pgwr_clone_")
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "clone")
+    try:
+        half = run_cdc(wal_dir, src, num_partitions=8,
+                       stop_at_lsn=BOUNDED_STOP_EVENT * 4 + 5)
+        clone_lake(src, dst)
+        before = snapshot_table(src)
+        run_cdc(wal_dir, dst, num_partitions=8)   # resume INTO the clone
+        after_src = snapshot_table(src)
+        # divergence isolation: the source is untouched by the resume
+        assert before.num_rows == after_src.num_rows
+        assert before.equals(after_src)
+        snap = snapshot_table(dst)
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return snap.select([c for c in cols if c in snap.column_names])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _cdc_version_prune(sf_dir: str) -> Any:
     """History-lake VERSION RETENTION (lake.prune_history_versions):
     keep each key's 2 newest change rows, drop the older tail, and read
@@ -2536,6 +2575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_schema_evolution"] = lambda sf: _cdc_run(
         sf, "evolve", extra_cols=("score",))
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
+    # zero-copy shallow clone fork-and-resume (divergence isolation)
+    q["cdc_lake_clone"] = _cdc_lake_clone
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
     # transcript integrity audit over the live lake (turn-index coverage:
     # missing-turn counts + contiguity verdict), zero-shuffle per-partition
@@ -3854,6 +3895,9 @@ def oracle_sql() -> dict[str, str]:
     # lake merge: two per-shard regional lakes consolidated == the plain
     # full replay (shards own disjoint conversations: user_id % 2)
     sql["cdc_lake_merge"] = sql["cdc_upsert_delete"]
+
+    # clone fork-and-resume ends at the plain full-replay LWW state
+    sql["cdc_lake_clone"] = sql["cdc_upsert_lww"]
 
     # live ANN index over the change stream: the LWW upsert_delete state,
     # feature-hashed with the md5 bridge (textops.hash_embed_texts), dotted

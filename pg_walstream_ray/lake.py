@@ -2014,3 +2014,41 @@ def prune_history_versions(lake_dir: str, keep: int = 2,
                                                     key_cols)
                       for pid in pids)
     return {"partitions": len(pids), "rows_dropped": dropped}
+
+
+def clone_lake(src_dir: str, dst_dir: str) -> dict:
+    """ZERO-COPY shallow clone: copy config + manifests, HARDLINK the
+    fragment files — the Delta/Iceberg SHALLOW CLONE that forks a lake
+    for experiments without duplicating data.  Fragments are immutable
+    by contract (compaction and pruning write NEW files and unlink the
+    old names, which only drops this directory's link), so divergent
+    writes in either lake never touch the other's bytes; manifests carry
+    the per-source watermarks, so a ``run_cdc`` against the clone
+    RESUMES exactly where the source stood (exactly-once inherited).
+
+    Dev/test fallback: os.link EXDEV (cross-device) degrades to copy."""
+    import shutil as _sh
+
+    cfg = read_lake_config(src_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no lake config at {src_dir}")
+    if os.path.exists(dst_dir) and os.listdir(dst_dir):
+        raise FileExistsError(f"{dst_dir} is not empty")
+    os.makedirs(dst_dir, exist_ok=True)
+    _sh.copy2(os.path.join(src_dir, "config.json"),
+              os.path.join(dst_dir, "config.json"))
+    n_linked = 0
+    for pid, m in sorted(all_manifests(src_dir).items()):
+        sd = partition_dir(src_dir, pid)
+        dd = partition_dir(dst_dir, pid)
+        os.makedirs(dd, exist_ok=True)
+        for f in m.fragments:
+            try:
+                os.link(os.path.join(sd, f), os.path.join(dd, f))
+            except OSError:
+                _sh.copy2(os.path.join(sd, f), os.path.join(dd, f))
+            n_linked += 1
+        _sh.copy2(os.path.join(sd, "manifest.json"),
+                  os.path.join(dd, "manifest.json"))
+    return {"partitions": len(all_manifests(src_dir)),
+            "fragments_linked": n_linked}
