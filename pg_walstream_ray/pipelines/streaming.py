@@ -1536,18 +1536,28 @@ class _AnnIndexActor:
                 self._compact()
 
     def _compact(self) -> None:
+        # Arrow C++ sort by (key, lsn) + vectorized boundary compare —
+        # winner per key is the last row of its (conv, turn) run.  No
+        # pandas MultiIndex factorize (string-keyed factorize was the
+        # ingest bottleneck at millions of keys per shard).
         cat = pa.concat_tables(self.log).combine_chunks()
-        convs = cat["conv"].to_numpy(zero_copy_only=False)
-        turns = cat["turn"].to_numpy(zero_copy_only=False)
-        lsns = cat["lsn"].to_numpy(zero_copy_only=False)
-        import pandas as pd
-        codes, _ = pd.factorize(
-            pd.MultiIndex.from_arrays([convs, turns]), sort=False)
-        # winner per key = max lsn: stable argsort by lsn, last wins
-        order = np.argsort(lsns, kind="stable")
-        winner_row = np.empty(codes.max() + 1, dtype=np.int64)
-        winner_row[codes[order]] = order      # later (higher-lsn) writes win
-        self.log = [cat.take(pa.array(np.sort(winner_row)))]
+        idx = pc.sort_indices(
+            pa.table({"conv": cat["conv"], "turn": cat["turn"],
+                      "lsn": cat["lsn"]}),
+            sort_keys=[("conv", "ascending"), ("turn", "ascending"),
+                       ("lsn", "ascending")])
+        s = cat.take(idx).combine_chunks()
+        n = s.num_rows
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            conv, turn = s["conv"].combine_chunks(), \
+                s["turn"].combine_chunks()
+            same = pc.and_(
+                pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+                pc.equal(turn.slice(1), turn.slice(0, n - 1)))
+            last[:-1] = np.invert(
+                same.to_numpy(zero_copy_only=False))
+        self.log = [s.filter(pa.array(last))]
         self.buffered = self.log[0].num_rows
         self._compacted = self.buffered
 
@@ -1651,10 +1661,13 @@ def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
         del_np = is_del.to_numpy(zero_copy_only=False)
         vecs[del_np] = 0                      # deletes carry no payload
         routed += dml.num_rows
-        key = pc.binary_join_element_wise(
-            conv, pc.cast(turn, pa.string()), "\x00")
-        owner = (fast_hash64(pa.chunked_array([key])) % n_actors
-                 ).astype(np.int64)
+        # ownership hash: conv string hashed once, turn mixed in
+        # arithmetically (golden-ratio odd constant) — no per-row string
+        # build; determinism is all that matters (self-contained scheme)
+        hconv = fast_hash64(pa.chunked_array([conv]))
+        tmix = (turn.to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
+        owner = ((hconv ^ tmix) % np.uint64(n_actors)).astype(np.int64)
         slim = pa.table({
             "conv": conv, "turn": turn, "lsn": dml["lsn"],
             "is_del": is_del,
