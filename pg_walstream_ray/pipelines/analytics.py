@@ -4128,27 +4128,37 @@ def _zorder_layout(sf_dir: str) -> str:
         return out
     os.makedirs(out, exist_ok=True)
 
+    # sub-sharding bounds the per-task group: at 100 TB one Morton
+    # bucket holds ~1/256 of the table, far beyond one worker's heap —
+    # (zbucket, sub) groups keep each write task at bucket/NSUB rows
+    # and the layout stays prunable by the zb= directory alone
+    nsub = 4
+
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
              // 86_400_000_000)
         z = _morton16(u % 256, d % 256) >> ZORDER_BUCKET_SHIFT
-        return t.append_column("zbucket", pa.array(z))
+        sub = (t["event_id"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) % nsub)
+        return t.append_column("zbucket", pa.array(z)) \
+            .append_column("sub", pa.array(sub))
 
     def write_bucket(g) -> "pa.Table":
         import pyarrow.parquet as pq_
         zb = int(g["zbucket"].iloc[0])
+        sub = int(g["sub"].iloc[0])
         bdir = os.path.join(out, f"zb={zb}")
         os.makedirs(bdir, exist_ok=True)
         pq_.write_table(pa.Table.from_pandas(
-            g.drop(columns=["zbucket"]), preserve_index=False),
-            os.path.join(bdir, "part.parquet"))
+            g.drop(columns=["zbucket", "sub"]), preserve_index=False),
+            os.path.join(bdir, f"part-{sub:02d}.parquet"))
         return pa.table({"zbucket": pa.array([zb], pa.int64()),
                          "n": pa.array([len(g)], pa.int64())})
 
     _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("zbucket") \
+        .groupby(["zbucket", "sub"]) \
         .map_groups(write_bucket, batch_format="pandas") \
         .materialize()
     with open(done, "w") as f:
