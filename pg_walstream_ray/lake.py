@@ -2026,7 +2026,11 @@ def clone_lake(src_dir: str, dst_dir: str) -> dict:
     the per-source watermarks, so a ``run_cdc`` against the clone
     RESUMES exactly where the source stood (exactly-once inherited).
 
-    Dev/test fallback: os.link EXDEV (cross-device) degrades to copy."""
+    Dev/test fallback: os.link EXDEV (cross-device) degrades to copy.
+    Metadata-only (no row data moves); at very large partition counts
+    the per-partition link loop fans out as one task per partition the
+    same way compact_lake does — the loop below is the driver-side
+    fallback shape."""
     import shutil as _sh
 
     cfg = read_lake_config(src_dir)
