@@ -802,3 +802,39 @@ def test_ann_index_checkpoint_restore_equivalence():
     pd.testing.assert_frame_equal(ta, tb)
     got = {(r.conv_id, r.turn_idx): r.dot for r in tb.itertuples()}
     assert got == {("c1", 0): 9, ("c3", 0): 3, ("c4", 1): 8}
+
+
+def test_ann_index_actor_death_raises_then_rerun_succeeds(
+        ray_session, monkeypatch):
+    """Failure contract of the live ANN tier (BSP restart semantics): an
+    index shard dying mid-replay surfaces as an error, and a fresh run
+    over the same WAL produces the exact top-k."""
+    import tempfile
+
+    import ray
+    from pg_walstream_ray.pipelines import streaming as st
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    wal = os.path.join(tempfile.mkdtemp(prefix="pgwr_annfault_"), "wal")
+    build_wal_from_events(SF, "upsert_delete", wal, n_shards=2)
+    qids = np.arange(2, dtype=np.int64)
+    qv = np.ones((2, 16), np.int64)
+    want = st.stream_ann_index(wal, qids, qv, k=5, n_actors=2)
+    flag = os.path.join(tempfile.mkdtemp(prefix="flag_"), "crashed")
+
+    class CrashingShard(st._AnnIndexActor):
+        def ingest(self, *a, **k):
+            try:
+                fd = os.open(flag, os.O_CREAT | os.O_EXCL)
+                os.close(fd)
+                os._exit(1)
+            except FileExistsError:
+                pass
+            return super().ingest(*a, **k)
+
+    monkeypatch.setattr(st, "_AnnIndexActor", CrashingShard)
+    with pytest.raises(ray.exceptions.RayError):
+        st.stream_ann_index(wal, qids, qv, k=5, n_actors=2)
+    monkeypatch.undo()
+    got = st.stream_ann_index(wal, qids, qv, k=5, n_actors=2)
+    assert got.equals(want)
