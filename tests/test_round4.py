@@ -838,3 +838,51 @@ def test_ann_index_actor_death_raises_then_rerun_succeeds(
     monkeypatch.undo()
     got = st.stream_ann_index(wal, qids, qv, k=5, n_actors=2)
     assert got.equals(want)
+
+
+def test_ann_index_order_and_chunking_independent():
+    """LWW by LSN makes index state independent of arrival order and
+    batch chunking: any permutation, any chunking, same answers."""
+    from pg_walstream_ray.pipelines.streaming import _AnnIndexActor
+
+    d = 4
+    rng = np.random.default_rng(11)
+    rows = []
+    lsn = 1
+    for i in range(200):
+        conv = f"c{rng.integers(0, 25)}"
+        turn = int(rng.integers(0, 4))
+        is_del = bool(rng.integers(0, 5) == 0)
+        vec = rng.integers(-2, 3, size=d)
+        rows.append((conv, turn, lsn, is_del,
+                     np.zeros(d, np.int64) if is_del else vec))
+        lsn += 1
+
+    def slim(rs):
+        convs, turns, lsns, dels, vecs = zip(*rs)
+        flat = np.concatenate([np.asarray(v, np.int64) for v in vecs])
+        return pa.table({
+            "conv": pa.array(convs, pa.string()),
+            "turn": pa.array(turns, pa.int32()),
+            "lsn": pa.array(lsns, pa.int64()),
+            "is_del": pa.array(dels, pa.bool_()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.int64()), d)})
+
+    qp = (np.array([0], np.int64),
+          rng.integers(-3, 4, size=(1, d)).astype(np.int64))
+
+    def run(order, chunks, compact_rows):
+        a = _AnnIndexActor(d, compact_rows=compact_rows)
+        rs = [rows[i] for i in order]
+        bounds = np.linspace(0, len(rs), chunks + 1).astype(int)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi > lo:
+                a.ingest(slim(rs[lo:hi]))
+        return a.query(qp, 10).to_pandas()
+
+    base = run(np.arange(len(rows)), 1, 65536)
+    for seed, chunks, cr in ((1, 7, 16), (2, 3, 65536), (3, 40, 8)):
+        perm = np.random.default_rng(seed).permutation(len(rows))
+        got = run(perm, chunks, cr)
+        pd.testing.assert_frame_equal(got, base)
