@@ -998,6 +998,54 @@ def _cdc_scd2_history(sf_dir: str) -> Any:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def _cdc_export_jsonl(sf_dir: str) -> Any:
+    """Wire-format sink round-trip (lake.export_snapshot_jsonl): replay
+    the upsert WAL, export the LWW state as per-partition JSONL shards
+    (resumable: atomic per-file + _DONE), READ THE EXPORT BACK with
+    ray.data.read_json and restore types — the reread rows must equal
+    the plain replay (the cdc_upsert_lww oracle verbatim)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pg_walstream_ray.lake import export_snapshot_jsonl
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.events_cdc import build_wal_from_events
+
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|upsert|2"
+                       .encode()).hexdigest()[:12]
+    wal_dir = os.path.join(_CDC_TMP_ROOT, f"wal-upsert-{key}")
+    build_wal_from_events(sf_dir, "upsert", wal_dir, n_shards=2)
+    root = tempfile.mkdtemp(prefix="pgwr_jexp_")
+    lake = os.path.join(root, "lake")
+    out = os.path.join(root, "jsonl")
+    try:
+        run_cdc(wal_dir, lake, num_partitions=8)
+        rep = export_snapshot_jsonl(lake, out)
+        files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        cols = [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", pa.timestamp("us"))]
+        if not files or rep["rows"] == 0:
+            return pa.table({c: pa.array([], ty) for c, ty in cols})
+        back = rd.read_json(files).map_batches(
+            lambda t: pa.table({
+                "conv_id": pc.cast(t["conv_id"], pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "role": pc.cast(t["role"], pa.string()),
+                "text": pc.cast(t["text"], pa.string()),
+                "tool": pc.cast(t["tool"], pa.string()),
+                "ts": pc.cast(t["ts"], pa.timestamp("us"))}),
+            batch_format="pyarrow")
+        import ray as _ray
+        tables = [t for t in _ray.get(back.to_arrow_refs())
+                  if t.num_rows]
+        return pa.concat_tables(tables) if tables else \
+            pa.table({c: pa.array([], ty) for c, ty in cols})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _cdc_lake_clone(sf_dir: str) -> Any:
     """Shallow-clone fork-and-resume (lake.clone_lake): replay HALF the
     WAL, zero-copy clone the lake (hardlinked fragments + copied
@@ -2577,6 +2625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cdc_snapshot_bootstrap"] = _cdc_snapshot_bootstrap
     # zero-copy shallow clone fork-and-resume (divergence isolation)
     q["cdc_lake_clone"] = _cdc_lake_clone
+    # JSONL wire-format SINK round-trip (export -> reread == replay)
+    q["cdc_export_jsonl"] = _cdc_export_jsonl
     q["cdc_upsert_compacted"] = _cdc_upsert_compacted
     # transcript integrity audit over the live lake (turn-index coverage:
     # missing-turn counts + contiguity verdict), zero-shuffle per-partition
@@ -3898,6 +3948,8 @@ def oracle_sql() -> dict[str, str]:
 
     # clone fork-and-resume ends at the plain full-replay LWW state
     sql["cdc_lake_clone"] = sql["cdc_upsert_lww"]
+    # the reread JSONL export is the same state
+    sql["cdc_export_jsonl"] = sql["cdc_upsert_lww"]
 
     # live ANN index over the change stream: the LWW upsert_delete state,
     # feature-hashed with the md5 bridge (textops.hash_embed_texts), dotted

@@ -2056,3 +2056,44 @@ def clone_lake(src_dir: str, dst_dir: str) -> dict:
                   os.path.join(dd, "manifest.json"))
     return {"partitions": len(all_manifests(src_dir)),
             "fragments_linked": n_linked}
+
+
+def export_snapshot_jsonl(lake_dir: str, out_dir: str) -> dict:
+    """Wire-format SINK: export the live LWW state as per-partition
+    JSONL shards (the complement of the JSONL source) — one Ray task
+    per partition, atomic tmp+rename per file plus a final _DONE marker,
+    so a re-run skips finished shards (the resumable-export contract of
+    export_corpus).  ``ts`` serializes as epoch micros (lossless int);
+    the reader restores the timestamp type."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, "_DONE")
+    parts = live_fragments(lake_dir)
+
+    def one(pid: int, paths: List[str]) -> int:
+        p = os.path.join(out_dir, f"part-{pid:05d}.jsonl")
+        if os.path.exists(p):
+            return 0
+        t = _partition_state(paths, ("conv_id", "turn_idx"))
+        if "_lsn" in t.column_names:
+            t = t.drop(["_lsn"])
+        if "ts" in t.column_names:
+            t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                             pc.cast(t["ts"], pa.int64()))
+        df = t.to_pandas()
+        tmp = p + ".tmp"
+        df.to_json(tmp, orient="records", lines=True,
+                   force_ascii=False)
+        os.replace(tmp, p)
+        return t.num_rows
+
+    if ray.is_initialized() and len(parts) > 1:
+        fn = ray.remote(num_cpus=1)(one)
+        rows = sum(ray.get([fn.remote(pid, paths)
+                            for pid, paths in parts]))
+    else:
+        rows = sum(one(pid, paths) for pid, paths in parts)
+    with open(done, "w") as f:
+        f.write("ok")
+    return {"partitions": len(parts), "rows": rows}
