@@ -886,3 +886,32 @@ def test_ann_index_order_and_chunking_independent():
         perm = np.random.default_rng(seed).permutation(len(rows))
         got = run(perm, chunks, cr)
         pd.testing.assert_frame_equal(got, base)
+
+
+def test_export_jsonl_resumable(ray_session, tmp_path):
+    """JSONL export skips finished shards on re-run and rebuilds only
+    deleted ones — the _DONE/atomic-per-file resume contract."""
+    from pg_walstream_ray.lake import export_snapshot_jsonl
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal"); lake = str(tmp_path / "lake")
+    out = str(tmp_path / "jsonl")
+    spec = WalSpec(n_convs=24, turns_per_conv=4, n_shards=2, tx_rows=6)
+    write_wal_lake(spec, wal, parallel=False)
+    run_cdc(wal, lake, num_partitions=6)
+    r1 = export_snapshot_jsonl(lake, out)
+    assert r1["rows"] > 0
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".jsonl"))
+    mt = {p: os.path.getmtime(os.path.join(out, p)) for p in parts}
+    r2 = export_snapshot_jsonl(lake, out)       # full skip
+    assert r2["rows"] == 0
+    assert all(os.path.getmtime(os.path.join(out, p)) == mt[p]
+               for p in parts)
+    victim = parts[0]
+    os.remove(os.path.join(out, victim))
+    r3 = export_snapshot_jsonl(lake, out)       # rebuilds only the victim
+    assert os.path.exists(os.path.join(out, victim))
+    assert all(os.path.getmtime(os.path.join(out, p)) == mt[p]
+               for p in parts[1:])
+    assert r3["rows"] > 0
