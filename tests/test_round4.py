@@ -915,3 +915,28 @@ def test_export_jsonl_resumable(ray_session, tmp_path):
     assert all(os.path.getmtime(os.path.join(out, p)) == mt[p]
                for p in parts[1:])
     assert r3["rows"] > 0
+
+
+def test_clone_survives_source_compaction(ray_session, tmp_path):
+    """Copy-on-write isolation both ways: compacting (rewriting) the
+    SOURCE after a shallow clone must not disturb the clone — hardlinks
+    keep the clone's fragment bytes alive after the source unlinks its
+    names — and vice versa."""
+    from pg_walstream_ray.lake import (clone_lake, compact_lake,
+                                       snapshot_table)
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal"); src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    spec = WalSpec(n_convs=30, turns_per_conv=4, n_shards=2, tx_rows=6,
+                   update_frac=0.4, delete_frac=0.1)
+    write_wal_lake(spec, wal, parallel=False)
+    run_cdc(wal, src, num_partitions=6)
+    clone_lake(src, dst)
+    before = snapshot_table(dst)
+    compact_lake(src)                      # source rewrites + unlinks
+    after = snapshot_table(dst)
+    assert before.equals(after)
+    # and the source still equals its own pre-compaction state
+    assert snapshot_table(src).equals(before)
