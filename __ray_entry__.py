@@ -2984,6 +2984,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (MapReduce-CC min-label propagation) over the near-dup pair graph
     q["dedup_clusters"] = dedup.dedup_clusters
     # duplicate-family size histogram (derived from the CC clusters)
+    # incremental cluster maintenance: base CC + folded new pairs ==
+    # from-scratch CC over the full graph (the daily-crawl invariant)
+    q["dedup_clusters_incremental"] = dedup.dedup_clusters_incremental
     q["dedup_cluster_sizes"] = dedup.dedup_cluster_sizes
     # duplicate-hub scoring: PageRank over the same pair graph — the
     # driver projection is the pair-graph NODE SET (SQL-oracled round
@@ -6527,6 +6530,26 @@ def oracle_sql() -> dict[str, str]:
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
              CAST(node = cluster_id AS INTEGER) AS keep
       FROM cc
+    """
+
+    # incremental CC ends at the same full-graph labeling
+    sql["dedup_clusters_incremental"] = """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+      ), edges AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION ALL SELECT vb, va FROM pairs
+      ), reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+      )
+      SELECT node AS vec_id, MIN(lbl) AS cluster_id
+      FROM reach GROUP BY node
     """
 
     sql["dedup_cluster_sizes"] = f"""

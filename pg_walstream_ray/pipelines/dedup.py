@@ -1796,3 +1796,140 @@ def dedup_kcore(sf_dir: str, threshold: float = 0.35):
         lambda t: pa.table({"vec_id": t["node"],
                             "coreness": t["coreness"]}),
         batch_format="pyarrow")
+
+
+def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
+    """INCREMENTAL connected components: fold a NEW batch of undirected
+    pairs into an existing (node, lbl) labeling — the daily-crawl path
+    where yesterday's duplicate clusters absorb today's near-dup pairs
+    WITHOUT re-running CC over the historical edge set.
+
+    Algorithm (contraction): (1) one co-partitioned pass looks up the
+    new pairs' endpoint labels (absent endpoints are fresh nodes
+    labeling themselves); (2) each new pair CONTRACTS to an edge between
+    component labels; (3) CC runs on the contracted graph — bounded by
+    the new-pair count, orders of magnitude below the full graph;
+    (4) the resulting (old_lbl -> merged min) remap broadcasts and
+    rewrites the label set in one map, plus fresh-node rows.  Canonical
+    min-labels survive: the merged component's new label is the min over
+    member mins and fresh ids, which is the true min of the union.
+
+    ``labels``: Dataset (node, lbl).  ``new_pairs``: Dataset
+    (vec_a, vec_b).  Returns Dataset (node, lbl).
+    """
+    import ray
+    import ray.data as rd
+
+    np_ = coarse_npart() if npart is None else npart
+
+    ends_tbl = new_pairs.map_batches(
+        lambda t: pa.table({"node": np.unique(np.concatenate(
+            [t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+             t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+             ]))}),
+        batch_format="pyarrow")
+
+    def tag(t: pa.Table, is_lbl: int) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            if is_lbl else n
+        return pa.table({"part": pa.array(n % np_), "node": pa.array(n),
+                         "lbl": pa.array(lbl),
+                         "is_lbl": pa.array(
+                             np.full(len(n), is_lbl, np.int8))})
+
+    def endpoint_labels(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["is_lbl"] == 1].drop_duplicates("node") \
+            .set_index("node")["lbl"]
+        want = g.loc[g["is_lbl"] == 0, "node"].drop_duplicates()
+        mapped = want.map(lab)
+        fresh = mapped.isna()
+        out = mapped.fillna(want.astype("float64"))
+        return pd.DataFrame({"node": want.to_numpy(np.int64),
+                             "lbl": out.to_numpy("float64")
+                             .astype(np.int64),
+                             "fresh": fresh.to_numpy(bool)})
+
+    end_lbls = (labels.map_batches(lambda t: tag(t, 1),
+                                   batch_format="pyarrow")
+                .union(ends_tbl.map_batches(lambda t: tag(t, 0),
+                                            batch_format="pyarrow"))
+                .groupby("part").map_groups(endpoint_labels,
+                                            batch_format="pandas")
+                .to_pandas())      # bounded by the new batch's endpoints
+    lookup = dict(zip(end_lbls["node"].to_numpy(np.int64),
+                      end_lbls["lbl"].to_numpy(np.int64)))
+    lref = ray.put(lookup)
+
+    def contract(t: pa.Table) -> pa.Table:
+        lk = ray.get(lref)
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = np.fromiter((lk[x] for x in a), np.int64, len(a))
+        lb = np.fromiter((lk[x] for x in b), np.int64, len(b))
+        keep = la != lb
+        lo = np.minimum(la, lb)[keep]
+        hi = np.maximum(la, lb)[keep]
+        return pa.table({"vec_a": pa.array(lo), "vec_b": pa.array(hi)})
+
+    contracted = new_pairs.map_batches(contract,
+                                       batch_format="pyarrow")
+    merged = connected_components(contracted).to_pandas()
+    remap = dict(zip(merged["node"].to_numpy(np.int64),
+                     merged["lbl"].to_numpy(np.int64)))
+    rref = ray.put(remap)
+
+    def apply_remap(t: pa.Table) -> pa.Table:
+        rm = ray.get(rref)
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.fromiter((rm.get(x, x) for x in l), np.int64, len(l))
+        return pa.table({"node": pa.array(n), "lbl": pa.array(out)})
+
+    # fresh nodes: endpoints with NO matching label row (flagged in the
+    # lookup pass — never a full-label-set materialization)
+    fresh = [int(n) for n in end_lbls.loc[end_lbls["fresh"], "node"]
+             .to_numpy(np.int64)]
+    fresh_tbl = pa.table({
+        "node": pa.array(fresh, pa.int64()),
+        "lbl": pa.array([remap.get(lookup[n], lookup[n])
+                         for n in fresh], pa.int64())})
+    out = labels.map_batches(apply_remap, batch_format="pyarrow")
+    if fresh_tbl.num_rows:
+        out = out.union(rd.from_arrow(fresh_tbl))
+    return out
+
+
+def dedup_clusters_incremental(sf_dir: str, threshold: float = 0.35,
+                               split_frac: float = 0.75):
+    """Incremental duplicate-cluster maintenance, end to end: CC over
+    the "historical" 3/4 of the near-dup pair graph, then the remaining
+    pairs folded in via ``incremental_cc`` — the final labeling must
+    equal from-scratch CC over the FULL graph (the driver oracle), which
+    is exactly the invariant a daily-crawl cluster store relies on.
+    Output: (vec_id, cluster_id)."""
+    import pyarrow.parquet as pq_
+
+    from .similarity import near_dup_pairs
+
+    n = pq_.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    cut = int(n * split_frac)
+    pairs = near_dup_pairs(sf_dir, threshold=threshold) \
+        .select_columns(["vec_a", "vec_b"]).materialize()
+
+    def half(keep_base: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t["vec_b"], cut) if keep_base else \
+                pc.greater_equal(t["vec_b"], cut)
+            return t.filter(m)
+        return f
+
+    base = pairs.map_batches(half(True), batch_format="pyarrow")
+    incr = pairs.map_batches(half(False), batch_format="pyarrow")
+    labels = connected_components(base)
+    out = incremental_cc(labels, incr)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["node"],
+                            "cluster_id": t["lbl"]}),
+        batch_format="pyarrow")

@@ -940,3 +940,34 @@ def test_clone_survives_source_compaction(ray_session, tmp_path):
     assert before.equals(after)
     # and the source still equals its own pre-compaction state
     assert snapshot_table(src).equals(before)
+
+
+def test_incremental_cc_merges_and_fresh_nodes(ray_session):
+    """Planted incremental-CC scenarios: a new pair bridging two old
+    components relabels BOTH to the global min; fresh-node chains attach
+    and stand alone; untouched components keep their labels."""
+    import ray
+
+    from pg_walstream_ray.pipelines.dedup import (connected_components,
+                                                  incremental_cc)
+
+    def pairs_ds(ps):
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([a for a, _ in ps], pa.int64()),
+            "vec_b": pa.array([b for _, b in ps], pa.int64())}))
+
+    # base: components {1,2,3}, {10,11}, {20,21} (untouched)
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    labels = connected_components(pairs_ds(base))
+    # incr: bridge 3-10 (merge), fresh chain 30-31-32, fresh 40 attached
+    # to old 20's component
+    incr = [(3, 10), (30, 31), (31, 32), (20, 40)]
+    out = incremental_cc(labels, pairs_ds(incr)).to_pandas() \
+        .set_index("node")["lbl"]
+    assert {out[n] for n in (1, 2, 3, 10, 11)} == {1}
+    assert {out[n] for n in (30, 31, 32)} == {30}
+    assert {out[n] for n in (20, 21, 40)} == {20}
+    # must equal from-scratch CC on the union
+    full = connected_components(pairs_ds(base + incr)).to_pandas() \
+        .set_index("node")["lbl"]
+    assert dict(out.sort_index()) == dict(full.sort_index())
