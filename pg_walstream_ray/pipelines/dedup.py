@@ -1857,6 +1857,8 @@ def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
                 .groupby("part").map_groups(endpoint_labels,
                                             batch_format="pandas")
                 .to_pandas())      # bounded by the new batch's endpoints
+    if "node" not in end_lbls.columns:      # empty new batch: no-op fold
+        return labels
     lookup = dict(zip(end_lbls["node"].to_numpy(np.int64),
                       end_lbls["lbl"].to_numpy(np.int64)))
     lref = ray.put(lookup)
