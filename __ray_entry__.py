@@ -3030,6 +3030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf).map_batches(
         lambda t: t.select(["query_id", "neighbor_id", "rnk"]),
         batch_format="pyarrow")
+    # range (radius) similarity search: the top-k API's k-free dual
+    q["ann_range_query"] = similarity.ann_range_query
     q["ann_filtered_topk"] = lambda sf: similarity.ann_filtered_topk(sf) \
         .select_columns(["query_id", "neighbor_id", "rnk"])
     q["ann_lsh_topk"] = lambda sf: similarity.ann_lsh_topk(sf) \
@@ -6478,6 +6480,17 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk
       FROM r WHERE rn <= 10
+    """
+    sql["ann_range_query"] = """
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 8
+      )
+      SELECT qid AS query_id, e.vec_id AS neighbor_id
+      FROM q, embeddings e
+      WHERE e.vec_id <> qid
+        AND list_cosine_similarity(qe::DOUBLE[],
+                                   e.embedding::DOUBLE[]) >= 0.35
     """
     sql["ann_hard_negatives"] = """
       WITH q AS (

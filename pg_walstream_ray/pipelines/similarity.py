@@ -1585,3 +1585,41 @@ def ann_hard_negatives(sf_dir: str, nq: int = DEFAULT_NQ,
         .map_batches(as_tasks(_HardNeg), batch_format="pyarrow",
                      batch_size=4096)
     return _final_topk(cand, k)
+
+
+RANGE_QUERY_THR = 0.35
+
+
+def ann_range_query(sf_dir: str, nq: int = DEFAULT_NQ,
+                    threshold: float = RANGE_QUERY_THR):
+    """RANGE similarity search — the top-k API's dual: for each query
+    vector, EVERY neighbor with cosine >= threshold (the radius-query
+    shape dedup sweeps and recall audits use; k-free, so no rank
+    tie-break is involved at all).  Output: (query_id, neighbor_id),
+    self excluded; cosine floats never leave the workers.
+
+    Scale shape: identical to ann_brute_topk — broadcast query matrix,
+    per-batch masked matmul, but each batch emits its MATCHES instead
+    of a local top-k; output size is the true result size."""
+    import ray
+
+    queries_ref = ray.put(_load_queries(sf_dir, nq))
+
+    def scan(t: pa.Table) -> pa.Table:
+        qids, q = ray.get(queries_ref)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64())})
+        m = _batch_matrix(t)
+        if not m.shape[0] or not len(qids):
+            return empty
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q.T                        # [n, nq]
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = vec_ids[rows] != qids[cols]    # self excluded
+        return pa.table({
+            "query_id": pa.array(qids[cols][keep], pa.int64()),
+            "neighbor_id": pa.array(vec_ids[rows][keep], pa.int64())})
+
+    return _emb(sf_dir).map_batches(scan, batch_format="pyarrow",
+                                    batch_size=4096)
