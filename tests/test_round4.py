@@ -971,3 +971,34 @@ def test_incremental_cc_merges_and_fresh_nodes(ray_session):
     full = connected_components(pairs_ds(base + incr)).to_pandas() \
         .set_index("node")["lbl"]
     assert dict(out.sort_index()) == dict(full.sort_index())
+
+
+def test_bpe_random_wordsets_match_reference(ray_session):
+    """Randomized property check: sharded BPE == the single-process
+    reference on arbitrary word/count sets (letter runs force the
+    run-parity path; random counts force count-vs-codepoint
+    tie-breaks)."""
+    import ray
+
+    from pg_walstream_ray.pipelines.tokenizer import train_bpe
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        n_words = int(rng.integers(3, 30))
+        words = []
+        for _ in range(n_words):
+            ln = int(rng.integers(1, 9))
+            words.append("".join(
+                rng.choice(list("abcde"), size=ln)))
+        wc = [(w, int(rng.integers(1, 9)))
+              for w in dict.fromkeys(words)]
+        ds = ray.data.from_arrow(pa.table({
+            "word": pa.array([w for w, _ in wc], pa.string()),
+            "cnt": pa.array([c for _, c in wc], pa.int64())}))
+        k = int(rng.integers(1, 7))
+        got = train_bpe(ds, n_merges=k, n_shards=2).to_pandas()
+        want = pd.DataFrame(
+            _ref_bpe(wc, k),
+            columns=["rnk", "left", "right", "pair", "n"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), \
+            (trial, wc)
