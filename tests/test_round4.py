@@ -1002,3 +1002,42 @@ def test_bpe_random_wordsets_match_reference(ray_session):
             columns=["rnk", "left", "right", "pair", "n"])
         pd.testing.assert_frame_equal(got, want, check_dtype=False), \
             (trial, wc)
+
+
+def test_incremental_cc_random_graphs(ray_session):
+    """Randomized property check: for random pair sets and random
+    base/increment splits, the incremental fold equals from-scratch CC
+    over the union."""
+    import ray
+
+    from pg_walstream_ray.pipelines.dedup import (connected_components,
+                                                  incremental_cc)
+
+    def pairs_ds(ps):
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([a for a, _ in ps], pa.int64()),
+            "vec_b": pa.array([b for _, b in ps], pa.int64())}))
+
+    rng = np.random.default_rng(37)
+    for trial in range(4):
+        n_nodes = int(rng.integers(8, 60))
+        n_pairs = int(rng.integers(4, 80))
+        ps = set()
+        while len(ps) < n_pairs:
+            a, b = rng.integers(0, n_nodes, size=2)
+            if a != b:
+                ps.add((int(min(a, b)), int(max(a, b))))
+        ps = sorted(ps)
+        cut = int(rng.integers(0, len(ps)))
+        base, incr = ps[:cut], ps[cut:]
+        if not incr:
+            continue
+        labels = connected_components(pairs_ds(base)) if base else \
+            ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "lbl": pa.array([], pa.int64())}))
+        got = incremental_cc(labels, pairs_ds(incr)).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        want = connected_components(pairs_ds(ps)).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        pd.testing.assert_frame_equal(got, want), (trial, ps, cut)
