@@ -1875,10 +1875,16 @@ def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
         return pa.table({"vec_a": pa.array(lo), "vec_b": pa.array(hi)})
 
     contracted = new_pairs.map_batches(contract,
-                                       batch_format="pyarrow")
-    merged = connected_components(contracted).to_pandas()
-    remap = dict(zip(merged["node"].to_numpy(np.int64),
-                     merged["lbl"].to_numpy(np.int64)))
+                                       batch_format="pyarrow") \
+        .materialize()
+    if contracted.count():
+        merged = connected_components(contracted).to_pandas()
+        remap = dict(zip(merged["node"].to_numpy(np.int64),
+                         merged["lbl"].to_numpy(np.int64)))
+    else:
+        # every new pair lands inside an existing component (or repeats
+        # a fresh self-label): nothing merges, only fresh rows append
+        remap = {}
     rref = ray.put(remap)
 
     def apply_remap(t: pa.Table) -> pa.Table:
