@@ -440,13 +440,38 @@ def _cdc_stream_windows(sf_dir: str) -> Any:
     return agg.result_table()
 
 
+def expanding_two_sigma_flags(n) -> "np.ndarray":
+    """Exact-integer expanding two-sigma test over an ordered count
+    series: element i is flagged iff it has k >= 2 predecessors and
+    (n_i - mean)^2 > 4 * var over those predecessors (population
+    variance).  Multiplying through by k^2 gives the all-integer form
+    (n_i*k - s)^2 > 4*(k*ss - s^2) — python-int arithmetic because the
+    products outgrow int64.  Unit-tested against a float reference."""
+    import numpy as np
+
+    n = np.asarray(n).astype(object)
+    k = np.arange(len(n), dtype=object)
+    s = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(object) \
+        if len(n) else n
+    ss = np.concatenate([[0], np.cumsum(n * n)[:-1]]).astype(object) \
+        if len(n) else n
+    flag = np.zeros(len(n), np.int64)
+    for i in range(len(n)):
+        kk, si, ssi = int(k[i]), int(s[i]), int(ss[i])
+        if kk >= 2:
+            dev = int(n[i]) * kk - si
+            if dev * dev > 4 * (kk * ssi - si * si):
+                flag[i] = 1
+    return flag
+
+
 def _cdc_stream_anomaly(sf_dir: str) -> Any:
     """Streaming volume-anomaly monitor: the tumbling window stream
     (same sharded consumer as cdc_stream_windows) post-processed into
     per-window two-sigma flags against all PRIOR windows — the live
     ingest-rate alert a replication operator watches.  The sigma test is
     EXACT integer arithmetic on expanding (count, sum, sumsq) prefixes:
-    flag iff (n*k - s)^2 > 4*k*(k*ss - s^2) with no floats anywhere
+    flag iff (n*k - s)^2 > 4*(k*ss - s^2) with no floats anywhere
     (events_anomaly_days' trick applied to the stream), so the oracle
     pins every flag.  Windows with < 2 predecessors report flag 0.
     Output: (window_start_us, n_events, flag)."""
@@ -468,18 +493,8 @@ def _cdc_stream_anomaly(sf_dir: str) -> Any:
                          "n_events": pa.array([], pa.int64()),
                          "flag": pa.array([], pa.int64())})
     t = t.sort_by("window_start_us")
-    n = t["n_events"].to_numpy(zero_copy_only=False).astype(object)
-    # python-int prefix sums: (k*ss - s^2) products outgrow int64
-    k = np.arange(len(n), dtype=object)
-    s = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(object)
-    ss = np.concatenate([[0], np.cumsum(n * n)[:-1]]).astype(object)
-    flag = np.zeros(len(n), np.int64)
-    for i in range(len(n)):
-        kk, si, ssi = int(k[i]), int(s[i]), int(ss[i])
-        if kk >= 2:
-            dev = int(n[i]) * kk - si
-            if dev * dev > 4 * kk * (kk * ssi - si * si):
-                flag[i] = 1
+    flag = expanding_two_sigma_flags(
+        t["n_events"].to_numpy(zero_copy_only=False))
     return pa.table({
         "window_start_us": t["window_start_us"],
         "n_events": t["n_events"],
@@ -3676,7 +3691,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT window_start_us, n_events,
              CAST(CASE WHEN k >= 2
                         AND (n_events * k - s) * (n_events * k - s)
-                            > 4 * k * (k * ss - s * s)
+                            > 4 * (k * ss - s * s)
                        THEN 1 ELSE 0 END AS BIGINT) AS flag
       FROM pfx
     """

@@ -1798,6 +1798,29 @@ def dedup_kcore(sf_dir: str, threshold: float = 0.35):
         batch_format="pyarrow")
 
 
+def _sorted_int_map(keys: np.ndarray, vals: np.ndarray):
+    """(keys, vals) int64 pairs -> key-sorted arrays for vectorized
+    searchsorted lookup (the broadcast-friendly form of a small dict)."""
+    order = np.argsort(keys)
+    return np.ascontiguousarray(keys[order]), \
+        np.ascontiguousarray(vals[order])
+
+
+def _map_or_identity(x: np.ndarray, keys: np.ndarray,
+                     vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``map.get(v, v)`` over an int64 array: searchsorted
+    against the sorted key array — no Python per-element loop, so a
+    tiny remap applied to the FULL historical label set stays C-speed
+    (the round-4 review's weak item #1)."""
+    if len(keys) == 0:
+        return x
+    pos = np.minimum(np.searchsorted(keys, x), len(keys) - 1)
+    hit = keys[pos] == x
+    out = x.copy()
+    out[hit] = vals[pos[hit]]
+    return out
+
+
 def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
     """INCREMENTAL connected components: fold a NEW batch of undirected
     pairs into an existing (node, lbl) labeling — the daily-crawl path
@@ -1839,16 +1862,23 @@ def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
                              np.full(len(n), is_lbl, np.int8))})
 
     def endpoint_labels(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["is_lbl"] == 1].drop_duplicates("node") \
-            .set_index("node")["lbl"]
-        want = g.loc[g["is_lbl"] == 0, "node"].drop_duplicates()
-        mapped = want.map(lab)
-        fresh = mapped.isna()
-        out = mapped.fillna(want.astype("float64"))
-        return pd.DataFrame({"node": want.to_numpy(np.int64),
-                             "lbl": out.to_numpy("float64")
-                             .astype(np.int64),
-                             "fresh": fresh.to_numpy(bool)})
+        # int64-exact searchsorted lookup end-to-end: a pandas
+        # map/fillna pass routes through float64 and silently corrupts
+        # node ids above 2^53
+        lab = g[g["is_lbl"] == 1].drop_duplicates("node")
+        want = g.loc[g["is_lbl"] == 0, "node"].drop_duplicates() \
+            .to_numpy(np.int64)
+        k, v = _sorted_int_map(lab["node"].to_numpy(np.int64),
+                               lab["lbl"].to_numpy(np.int64))
+        lbl = _map_or_identity(want, k, v)
+        if len(k):
+            # a node may legitimately carry its own id as label; only
+            # nodes ABSENT from the label rows are fresh
+            pos = np.minimum(np.searchsorted(k, want), len(k) - 1)
+            fresh = k[pos] != want
+        else:
+            fresh = np.ones(len(want), bool)
+        return pd.DataFrame({"node": want, "lbl": lbl, "fresh": fresh})
 
     end_lbls = (labels.map_batches(lambda t: tag(t, 1),
                                    batch_format="pyarrow")
@@ -1859,16 +1889,17 @@ def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
                 .to_pandas())      # bounded by the new batch's endpoints
     if "node" not in end_lbls.columns:      # empty new batch: no-op fold
         return labels
-    lookup = dict(zip(end_lbls["node"].to_numpy(np.int64),
-                      end_lbls["lbl"].to_numpy(np.int64)))
-    lref = ray.put(lookup)
+    lookup_k, lookup_v = _sorted_int_map(
+        end_lbls["node"].to_numpy(np.int64),
+        end_lbls["lbl"].to_numpy(np.int64))
+    lref = ray.put((lookup_k, lookup_v))
 
     def contract(t: pa.Table) -> pa.Table:
-        lk = ray.get(lref)
+        lk, lv = ray.get(lref)
         a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        la = np.fromiter((lk[x] for x in a), np.int64, len(a))
-        lb = np.fromiter((lk[x] for x in b), np.int64, len(b))
+        la = _map_or_identity(a, lk, lv)
+        lb = _map_or_identity(b, lk, lv)
         keep = la != lb
         lo = np.minimum(la, lb)[keep]
         hi = np.maximum(la, lb)[keep]
@@ -1879,29 +1910,30 @@ def incremental_cc(labels, new_pairs, npart: Optional[int] = None):
         .materialize()
     if contracted.count():
         merged = connected_components(contracted).to_pandas()
-        remap = dict(zip(merged["node"].to_numpy(np.int64),
-                         merged["lbl"].to_numpy(np.int64)))
+        remap_k, remap_v = _sorted_int_map(
+            merged["node"].to_numpy(np.int64),
+            merged["lbl"].to_numpy(np.int64))
     else:
         # every new pair lands inside an existing component (or repeats
         # a fresh self-label): nothing merges, only fresh rows append
-        remap = {}
-    rref = ray.put(remap)
+        remap_k = remap_v = np.empty(0, np.int64)
+    rref = ray.put((remap_k, remap_v))
 
     def apply_remap(t: pa.Table) -> pa.Table:
-        rm = ray.get(rref)
+        rk, rv = ray.get(rref)
         n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
         l = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = np.fromiter((rm.get(x, x) for x in l), np.int64, len(l))
+        out = _map_or_identity(l, rk, rv)
         return pa.table({"node": pa.array(n), "lbl": pa.array(out)})
 
     # fresh nodes: endpoints with NO matching label row (flagged in the
     # lookup pass — never a full-label-set materialization)
-    fresh = [int(n) for n in end_lbls.loc[end_lbls["fresh"], "node"]
-             .to_numpy(np.int64)]
+    fresh = end_lbls.loc[end_lbls["fresh"], "node"].to_numpy(np.int64)
     fresh_tbl = pa.table({
-        "node": pa.array(fresh, pa.int64()),
-        "lbl": pa.array([remap.get(lookup[n], lookup[n])
-                         for n in fresh], pa.int64())})
+        "node": pa.array(fresh),
+        "lbl": pa.array(_map_or_identity(
+            _map_or_identity(fresh, lookup_k, lookup_v),
+            remap_k, remap_v))})
     out = labels.map_batches(apply_remap, batch_format="pyarrow")
     if fresh_tbl.num_rows:
         out = out.union(rd.from_arrow(fresh_tbl))

@@ -1220,6 +1220,84 @@ CHUNK_CHARS = 200
 CHUNK_STRIDE = 150            # chunk - overlap (50-char overlap)
 
 
+def _chunk_explode_arrays(text, chunk: int, stride: int):
+    """Shared chunk-geometry explode, CODEPOINT-correct: chunk ``i`` of
+    a doc covers codepoints ``[i*stride, i*stride + chunk)`` while
+    ``i*stride < n_codepoints`` — exactly the oracle's character-based
+    substr() semantics.  Returns (doc_idx, starts_in_doc, chunk_start,
+    chunk_len, bodies).
+
+    Pure-ASCII batches (the common corpus case) take the one-gather
+    byte fast path.  Batches with multibyte codepoints decode the flat
+    UTF-8 buffer to UTF-32 ONCE (bulk C codec), gather chunk bodies in
+    codepoint space, and re-encode the concatenation in one pass with
+    vectorized per-codepoint byte lengths for the output offsets — no
+    per-row Python either way, and never a chunk boundary inside a
+    multibyte codepoint (the pre-fix byte slicing could emit invalid
+    UTF-8 on non-ASCII corpora)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    empty = np.empty(0, np.int64)
+    if len(text) == 0:
+        return empty, empty, empty, empty, pa.array([], pa.string())
+    off = np.frombuffer(text.buffers()[1], np.int32,
+                        count=len(text) + 1 + text.offset) \
+        [text.offset:].astype(np.int64)
+    vbuf = text.buffers()[2]
+    flatbuf = np.frombuffer(vbuf, np.uint8) if vbuf is not None \
+        else np.empty(0, np.uint8)
+    body = flatbuf[off[0]:off[-1]]
+    if not np.bitwise_and(body, 0x80).any():        # ASCII fast path
+        doc_start = off[:-1]
+        n_chars = off[1:] - doc_start
+        units = flatbuf
+        is_ascii = True
+    else:
+        cont = np.bitwise_and(body, 0xC0) == 0x80
+        # codepoint index of each byte position = prefix count of
+        # codepoint-start bytes
+        cp_prefix = np.concatenate([[0], np.cumsum(~cont)])
+        cp_off = cp_prefix[off - off[0]].astype(np.int64)
+        units = np.frombuffer(
+            body.tobytes().decode("utf-8").encode("utf-32-le"),
+            np.uint32)
+        doc_start = cp_off[:-1]
+        n_chars = cp_off[1:] - cp_off[:-1]
+        is_ascii = False
+    n_chunks = np.maximum((n_chars + stride - 1) // stride, 0)
+    doc_idx = np.repeat(np.arange(len(text), dtype=np.int64), n_chunks)
+    if not len(doc_idx):
+        return empty, empty, empty, empty, pa.array([], pa.string())
+    first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    starts_in_doc = np.arange(len(doc_idx), dtype=np.int64) - \
+        first[doc_idx]
+    chunk_start = starts_in_doc * stride
+    chunk_len = np.minimum(chunk, n_chars[doc_idx] - chunk_start)
+    # ONE gather builds every chunk body: absolute unit index =
+    # doc_start + chunk_start + intra-chunk offset
+    out_off = np.concatenate([[0], np.cumsum(chunk_len)])
+    intra = np.arange(int(out_off[-1]), dtype=np.int64) - \
+        np.repeat(out_off[:-1], chunk_len)
+    gathered = units[np.repeat(doc_start[doc_idx] + chunk_start,
+                               chunk_len) + intra]
+    if is_ascii:
+        bodies = pa.StringArray.from_buffers(
+            len(chunk_len),
+            pa.py_buffer(out_off.astype(np.int32).tobytes()),
+            pa.py_buffer(gathered.tobytes()))
+    else:
+        u8 = gathered.astype("<u4").tobytes().decode("utf-32-le") \
+            .encode("utf-8")
+        blen = (1 + (gathered >= 0x80).astype(np.int64)
+                + (gathered >= 0x800) + (gathered >= 0x10000))
+        b_off = np.concatenate([[0], np.cumsum(blen)])[out_off]
+        bodies = pa.StringArray.from_buffers(
+            len(chunk_len),
+            pa.py_buffer(b_off.astype(np.int32).tobytes()),
+            pa.py_buffer(u8))
+    return doc_idx, starts_in_doc, chunk_start, chunk_len, bodies
+
+
 def chunk_documents(sf_dir: str, chunk: int = CHUNK_CHARS,
                     stride: int = CHUNK_STRIDE,
                     hash_mode: str = "fast"):
@@ -1233,54 +1311,23 @@ def chunk_documents(sf_dir: str, chunk: int = CHUNK_CHARS,
     md5 under the oracle bridge).  Chunk ``i`` covers
     ``[i*stride, i*stride + chunk)`` while ``i*stride < n_chars``.
 
-    Scale shape: pure flat_map expressed as one vectorized map_batches —
-    per-doc chunk counts from integer arithmetic, a np.repeat explode,
-    and the chunk bodies built by ONE numpy fancy-index gather over the
-    batch's flat UTF-8 buffer (no per-row Python, no Arrow take-copy of
-    whole documents); zero shuffle; prunes to (doc_id, text) at the
-    read.  Character == byte here (ASCII corpus; a byte-boundary-safe
-    variant would round starts to UTF-8 boundaries, same shape).
+    Scale shape: pure flat_map expressed as one vectorized map_batches
+    (``_chunk_explode_arrays``: per-doc chunk counts from integer
+    arithmetic, a np.repeat explode, chunk bodies from ONE fancy-index
+    gather — codepoint-exact, ASCII fast path); zero shuffle; prunes to
+    (doc_id, text) at the read.
     """
     from ..functions.hashing import fast_hash64
 
     def explode(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        off = np.frombuffer(text.buffers()[1], np.int32,
-                            count=len(text) + 1 + text.offset) \
-            [text.offset:].astype(np.int64)
-        flatbuf = np.frombuffer(text.buffers()[2], np.uint8)
-        doc_start = off[:-1]
-        n_chars = off[1:] - doc_start            # bytes == chars (ascii)
-        n_chunks = np.maximum((n_chars + stride - 1) // stride, 0)
-        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
-                            n_chunks)
+        doc_idx, starts_in_doc, chunk_start, chunk_len, bodies = \
+            _chunk_explode_arrays(t["text"], chunk, stride)
         if not len(doc_idx):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "chunk_idx": pa.array([], pa.int64()),
                              "chunk_start": pa.array([], pa.int64()),
                              "chunk_len": pa.array([], pa.int64()),
                              "fp": pa.array([], pa.string())})
-        # chunk index within its doc, vectorized: position - first
-        # position of the doc's chunk run
-        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
-        starts_in_doc = np.arange(len(doc_idx), dtype=np.int64) - \
-            first[doc_idx]
-        chunk_start = starts_in_doc * stride
-        chunk_len = np.minimum(chunk, n_chars[doc_idx] - chunk_start)
-        # ONE gather builds every chunk body: absolute byte index =
-        # doc_start + chunk_start + intra-chunk offset
-        out_off = np.concatenate([[0], np.cumsum(chunk_len)])
-        total = int(out_off[-1])
-        intra = np.arange(total, dtype=np.int64) - \
-            np.repeat(out_off[:-1], chunk_len)
-        base = np.repeat(doc_start[doc_idx] + chunk_start, chunk_len)
-        data = flatbuf[base + intra]
-        bodies = pa.StringArray.from_buffers(
-            len(chunk_len),
-            pa.py_buffer(out_off.astype(np.int32).tobytes()),
-            pa.py_buffer(data.tobytes()))
         if hash_mode == "md5":
             fps = [hashlib.md5(b.encode()).hexdigest()
                    for b in bodies.to_pylist()]
@@ -2598,34 +2645,11 @@ def chunk_near_dup(sf_dir: str, chunk: int = CHUNK_CHARS,
     from .dedup import minhash_flags_for
 
     def explode(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        off = np.frombuffer(text.buffers()[1], np.int32,
-                            count=len(text) + 1 + text.offset) \
-            [text.offset:].astype(np.int64)
-        flatbuf = np.frombuffer(text.buffers()[2], np.uint8)
-        doc_start = off[:-1]
-        n_chars = off[1:] - doc_start
-        n_chunks = np.maximum((n_chars + stride - 1) // stride, 0)
-        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
-                            n_chunks)
+        doc_idx, starts_in_doc, _, _, bodies = \
+            _chunk_explode_arrays(t["text"], chunk, stride)
         if not len(doc_idx):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "text": pa.array([], pa.string())})
-        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
-        starts_in_doc = np.arange(len(doc_idx), dtype=np.int64) - \
-            first[doc_idx]
-        chunk_start = starts_in_doc * stride
-        chunk_len = np.minimum(chunk, n_chars[doc_idx] - chunk_start)
-        out_off = np.concatenate([[0], np.cumsum(chunk_len)])
-        intra = np.arange(int(out_off[-1]), dtype=np.int64) - \
-            np.repeat(out_off[:-1], chunk_len)
-        base = np.repeat(doc_start[doc_idx] + chunk_start, chunk_len)
-        bodies = pa.StringArray.from_buffers(
-            len(chunk_len),
-            pa.py_buffer(out_off.astype(np.int32).tobytes()),
-            pa.py_buffer(flatbuf[base + intra].tobytes()))
         did = pc.cast(t["doc_id"], pa.int64()) \
             .to_numpy(zero_copy_only=False)[doc_idx]
         return pa.table({

@@ -1,0 +1,143 @@
+"""Round-5 fixes: exact two-sigma anomaly semantics (extra-k factor
+removed), int64-exact incremental-CC label plumbing (no float round-trip
+for node ids above 2^53), vectorized remap helper."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_expanding_two_sigma_matches_float_reference():
+    """The all-integer flag test must equal the plain float 2-sigma
+    test (|x - mean| > 2*sigma, population variance of PRIOR elements)
+    on series where float arithmetic is exact."""
+    from __ray_entry__ import expanding_two_sigma_flags
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = rng.integers(0, 1000, size=int(rng.integers(0, 40)))
+        got = expanding_two_sigma_flags(n)
+        want = np.zeros(len(n), np.int64)
+        for i in range(len(n)):
+            if i >= 2:
+                prior = n[:i].astype(float)
+                var = prior.var()          # population variance
+                if (n[i] - prior.mean()) ** 2 > 4 * var:
+                    want[i] = 1
+        assert (got == want).all(), (n.tolist(), got.tolist(),
+                                     want.tolist())
+
+
+def test_expanding_two_sigma_known_case():
+    """Hand-checked: after priors [10, 10, 14] (mean 34/3, var 32/9),
+    a 16-count window deviates by 14/3 > 2*sqrt(32/9)=~3.77 -> flag;
+    a 15-count window deviates 11/3 < 3.77 -> no flag (index 2 flags in
+    both series: priors [10, 10] have zero variance and 14 deviates).
+    The pre-fix formula (extra factor k) passed dev^2 > 4*k*var*k^2,
+    suppressing the k=3 flags here."""
+    from __ray_entry__ import expanding_two_sigma_flags
+
+    assert expanding_two_sigma_flags([10, 10, 14, 16]).tolist() \
+        == [0, 0, 1, 1]
+    assert expanding_two_sigma_flags([10, 10, 14, 15]).tolist() \
+        == [0, 0, 1, 0]
+    # constant priors: zero variance, any deviation flags
+    assert expanding_two_sigma_flags([7, 7, 7, 8]).tolist() \
+        == [0, 0, 0, 1]
+    assert expanding_two_sigma_flags([7, 7, 7, 7]).tolist() \
+        == [0, 0, 0, 0]
+
+
+def test_map_or_identity_vectorized_lookup():
+    from pg_walstream_ray.pipelines.dedup import (_map_or_identity,
+                                                  _sorted_int_map)
+
+    k, v = _sorted_int_map(np.array([5, 2, 9], np.int64),
+                           np.array([50, 20, 90], np.int64))
+    x = np.array([1, 2, 5, 7, 9, 10], np.int64)
+    assert _map_or_identity(x, k, v).tolist() == [1, 20, 50, 7, 90, 10]
+    # empty map is the identity
+    e = np.empty(0, np.int64)
+    assert _map_or_identity(x, e, e).tolist() == x.tolist()
+    # input array is not mutated
+    assert x.tolist() == [1, 2, 5, 7, 9, 10]
+
+
+def test_chunk_explode_codepoint_exact_non_ascii():
+    """Chunk geometry must be codepoint-based (the oracle's substr
+    semantics) even for multibyte corpora, and every emitted chunk must
+    be valid UTF-8 — the pre-fix byte slicing could split a codepoint."""
+    from pg_walstream_ray.pipelines.textops import _chunk_explode_arrays
+
+    docs = ["héllo wörld " * 7,           # 2-byte codepoints
+            "ascii only text " * 9,
+            "",                            # empty doc -> no chunks
+            "日本語テキスト" * 25,            # 3-byte
+            "mixed ascii → 𝄞 emoji 🎵 " * 6,  # 4-byte astral
+            "x" * 5]
+    chunk, stride = 20, 15
+    doc_idx, sid, cst, cln, bodies = _chunk_explode_arrays(
+        pa.array(docs, pa.string()), chunk, stride)
+    got = list(zip(doc_idx.tolist(), sid.tolist(), cst.tolist(),
+                   cln.tolist(), bodies.to_pylist()))
+    want = []
+    for d, s in enumerate(docs):
+        n = len(s)                         # python len == codepoints
+        i = 0
+        while i * stride < n:
+            body = s[i * stride:i * stride + chunk]
+            want.append((d, i, i * stride, len(body), body))
+            i += 1
+    assert got == want
+    for b in bodies.to_pylist():
+        b.encode("utf-8").decode("utf-8")  # round-trips
+
+
+def test_chunk_explode_ascii_fast_path_equal():
+    """ASCII batches take the byte fast path; result must be identical
+    to the codepoint reference."""
+    from pg_walstream_ray.pipelines.textops import _chunk_explode_arrays
+
+    docs = ["the quick brown fox " * 11, "a", "", "bb " * 40]
+    doc_idx, sid, cst, cln, bodies = _chunk_explode_arrays(
+        pa.array(docs, pa.string()), 200, 150)
+    want = []
+    for d, s in enumerate(docs):
+        i = 0
+        while i * 150 < len(s):
+            want.append((d, i, i * 150, len(s[i * 150:i * 150 + 200]),
+                         s[i * 150:i * 150 + 200]))
+            i += 1
+    assert list(zip(doc_idx.tolist(), sid.tolist(), cst.tolist(),
+                    cln.tolist(), bodies.to_pylist())) == want
+
+
+def test_incremental_cc_ids_above_2_53(ray_session):
+    """Node ids above 2^53 must survive the label plumbing exactly —
+    the pre-fix pandas map/fillna pass routed ids through float64 and
+    silently corrupted them."""
+    import ray
+
+    from pg_walstream_ray.pipelines.dedup import (connected_components,
+                                                  incremental_cc)
+
+    B = 1 << 53
+    # odd offsets around 2^53 are NOT representable in float64
+    base = [(B + 1, B + 3), (B + 3, B + 5), (B + 11, B + 13)]
+    incr = [(B + 5, B + 11), (B + 21, B + 23)]
+
+    def pairs_ds(ps):
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([a for a, _ in ps], pa.int64()),
+            "vec_b": pa.array([b for _, b in ps], pa.int64())}))
+
+    labels = connected_components(pairs_ds(base))
+    out = incremental_cc(labels, pairs_ds(incr)).to_pandas() \
+        .set_index("node")["lbl"]
+    full = connected_components(pairs_ds(base + incr)).to_pandas() \
+        .set_index("node")["lbl"]
+    assert dict(out.sort_index()) == dict(full.sort_index())
+    # every id reproduced bit-exactly
+    assert set(out.index) == {a for p in base + incr for a in p}
+    assert {out[n] for n in (B + 1, B + 3, B + 5, B + 11, B + 13)} \
+        == {B + 1}
+    assert {out[n] for n in (B + 21, B + 23)} == {B + 21}
