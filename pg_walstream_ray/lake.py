@@ -2061,20 +2061,42 @@ def clone_lake(src_dir: str, dst_dir: str) -> dict:
 def export_snapshot_jsonl(lake_dir: str, out_dir: str) -> dict:
     """Wire-format SINK: export the live LWW state as per-partition
     JSONL shards (the complement of the JSONL source) — one Ray task
-    per partition, atomic tmp+rename per file plus a final _DONE marker,
-    so a re-run skips finished shards (the resumable-export contract of
-    export_corpus).  ``ts`` serializes as epoch micros (lossless int);
+    per partition, atomic tmp+rename per file plus a final _DONE marker.
+    Resume follows refresh_index's EPOCH contract: a per-partition
+    export manifest records the lake manifest epoch and row count of
+    each finished shard, so a re-run (a) skips a shard only while its
+    source partition is unchanged, (b) RE-EXPORTS shards written from an
+    older lake state instead of silently keeping them, and (c) reports
+    the true total row count (skipped shards contribute their recorded
+    counts, not 0).  ``ts`` serializes as epoch micros (lossless int);
     the reader restores the timestamp type."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
     done = os.path.join(out_dir, "_DONE")
-    parts = live_fragments(lake_dir)
+    state_p = os.path.join(out_dir, "export_manifest.json")
+    prev: dict = {}
+    if os.path.exists(state_p):
+        with open(state_p) as f:
+            prev = json.load(f)
+
+    n_parts, rows = 0, 0
+    work: List[Tuple[int, int, List[str]]] = []
+    for pid, m in sorted(all_manifests(lake_dir).items()):
+        if not m.fragments:
+            continue
+        n_parts += 1
+        d = partition_dir(lake_dir, pid)
+        rec = prev.get(str(pid))
+        if rec and rec["epoch"] == m.epoch and os.path.exists(
+                os.path.join(out_dir, f"part-{pid:05d}.jsonl")):
+            rows += int(rec["rows"])        # finished AND current shard
+            continue
+        work.append((pid, m.epoch,
+                     [os.path.join(d, f) for f in m.fragments]))
 
     def one(pid: int, paths: List[str]) -> int:
         p = os.path.join(out_dir, f"part-{pid:05d}.jsonl")
-        if os.path.exists(p):
-            return 0
         t = _partition_state(paths, ("conv_id", "turn_idx"))
         if "_lsn" in t.column_names:
             t = t.drop(["_lsn"])
@@ -2088,12 +2110,20 @@ def export_snapshot_jsonl(lake_dir: str, out_dir: str) -> dict:
         os.replace(tmp, p)
         return t.num_rows
 
-    if ray.is_initialized() and len(parts) > 1:
+    if ray.is_initialized() and len(work) > 1:
         fn = ray.remote(num_cpus=1)(one)
-        rows = sum(ray.get([fn.remote(pid, paths)
-                            for pid, paths in parts]))
+        counts = ray.get([fn.remote(pid, paths)
+                          for pid, _, paths in work])
     else:
-        rows = sum(one(pid, paths) for pid, paths in parts)
+        counts = [one(pid, paths) for pid, _, paths in work]
+    for (pid, epoch, _), n in zip(work, counts):
+        prev[str(pid)] = {"epoch": epoch, "rows": int(n)}
+        rows += int(n)
+    tmp = state_p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prev, f)
+    os.replace(tmp, state_p)
     with open(done, "w") as f:
         f.write("ok")
-    return {"partitions": len(parts), "rows": rows}
+    return {"partitions": n_parts, "rows": rows,
+            "exported": len(work)}

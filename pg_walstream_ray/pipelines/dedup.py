@@ -1114,11 +1114,20 @@ class _PrShard:
         self._dst_inv = []                       # per dst-bucket: compact id
         self._buf_src: list = []                 # pre-finalize push buffer
         self._buf_dst: list = []
+        self._seen_parts: set = set()
 
-    def load_part(self, src: np.ndarray, dst: np.ndarray) -> None:
+    def load_part(self, src: np.ndarray, dst: np.ndarray,
+                  part_key: bytes | None = None) -> None:
         """Buffer one pushed edge slice (streaming-router style: pushers
         partition each batch by ``src % k`` and send slices straight to
-        the owning shard — no Dataset all-to-all sort)."""
+        the owning shard — no Dataset all-to-all sort).  ``part_key`` is
+        a content digest of the source batch: a Ray task retry
+        (at-least-once execution) re-sending the same slice is dropped
+        instead of double-loading its edges."""
+        if part_key is not None:
+            if part_key in self._seen_parts:
+                return
+            self._seen_parts.add(part_key)
         self._buf_src.append(src)
         self._buf_dst.append(dst)
 
@@ -1230,8 +1239,16 @@ def _load_graph_shards(edges, actors, k: int) -> int:
     import ray
 
     def push(t: pa.Table) -> pa.Table:
+        import hashlib
+
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
+        # content digest of the whole batch: a retried push task resends
+        # byte-identical slices, which the shard drops idempotently
+        bkey = hashlib.blake2b(
+            np.ascontiguousarray(s).tobytes()
+            + np.ascontiguousarray(d).tobytes(),
+            digest_size=16).digest()
         b = s % k
         order = np.argsort(b, kind="stable")
         ss, dd, bb = s[order], d[order], b[order]
@@ -1242,7 +1259,8 @@ def _load_graph_shards(edges, actors, k: int) -> int:
             if sl.stop > sl.start:
                 refs.append(actors[i].load_part.remote(
                     np.ascontiguousarray(ss[sl]),
-                    np.ascontiguousarray(dd[sl])))
+                    np.ascontiguousarray(dd[sl]),
+                    part_key=bkey + i.to_bytes(4, "little")))
         ray.get(refs)                   # acked before the task returns
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
@@ -1685,6 +1703,7 @@ class _CoreShard:
         self._dst_inv = []              # per dst bucket: compacted dst
         self._buf_src: list = []
         self._buf_dst: list = []
+        self._seen_parts: set = set()
 
     load_part = _PrShard.load_part
     load = _PrShard.load

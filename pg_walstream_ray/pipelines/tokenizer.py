@@ -41,6 +41,7 @@ driver traffic is O(live pair vocabulary), independent of corpus size.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Optional, Tuple
 
@@ -88,11 +89,22 @@ class _BpeShard:
     def __init__(self):
         self._words: List[np.ndarray] = []
         self._cnts: List[np.ndarray] = []
+        self._seen_parts: set = set()
         self.sym: Optional[np.ndarray] = None
         self.lengths: Optional[np.ndarray] = None
         self.cnts: Optional[np.ndarray] = None
 
-    def load_part(self, words: list, cnts: np.ndarray) -> None:
+    def load_part(self, words: list, cnts: np.ndarray,
+                  part_key: bytes | None = None) -> None:
+        """Ingest one word-count part.  ``part_key`` (a content digest
+        of the part) makes the push idempotent: a Ray task retry
+        (at-least-once execution) re-sending the same batch is dropped
+        instead of double-counting its words (the same LWW-style
+        idempotence the stream index actors use)."""
+        if part_key is not None:
+            if part_key in self._seen_parts:
+                return
+            self._seen_parts.add(part_key)
         cat = "".join(words)
         codes = np.frombuffer(cat.encode("utf-32-le"), dtype="<u4")
         self._words.append(codes.astype(np.int64))
@@ -204,8 +216,15 @@ def train_bpe(word_counts_ds, n_merges: int = BPE_MERGES,
         for i in range(k):
             sel = np.flatnonzero(h == i)
             if len(sel):
+                wsel = [wl[j] for j in sel]
+                csel = np.ascontiguousarray(cnt[sel])
+                # deterministic content key: word set is globally unique
+                # post-groupby, so equal digests == the same part resent
+                part_key = hashlib.blake2b(
+                    "\x00".join(wsel).encode() + csel.tobytes(),
+                    digest_size=16).digest()
                 refs.append(actors[i].load_part.remote(
-                    [wl[j] for j in sel], cnt[sel]))
+                    wsel, csel, part_key=part_key))
         ray.get(refs)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 

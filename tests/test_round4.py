@@ -890,7 +890,9 @@ def test_ann_index_order_and_chunking_independent():
 
 def test_export_jsonl_resumable(ray_session, tmp_path):
     """JSONL export skips finished shards on re-run and rebuilds only
-    deleted ones — the _DONE/atomic-per-file resume contract."""
+    deleted ones — the epoch-manifest resume contract.  The reported
+    row total stays the TRUE snapshot size on every run (skipped shards
+    contribute their recorded counts, not 0)."""
     from pg_walstream_ray.lake import export_snapshot_jsonl
     from pg_walstream_ray.pipelines.cdc import run_cdc
     from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
@@ -901,11 +903,11 @@ def test_export_jsonl_resumable(ray_session, tmp_path):
     write_wal_lake(spec, wal, parallel=False)
     run_cdc(wal, lake, num_partitions=6)
     r1 = export_snapshot_jsonl(lake, out)
-    assert r1["rows"] > 0
+    assert r1["rows"] > 0 and r1["exported"] > 0
     parts = sorted(p for p in os.listdir(out) if p.endswith(".jsonl"))
     mt = {p: os.path.getmtime(os.path.join(out, p)) for p in parts}
     r2 = export_snapshot_jsonl(lake, out)       # full skip
-    assert r2["rows"] == 0
+    assert r2["rows"] == r1["rows"] and r2["exported"] == 0
     assert all(os.path.getmtime(os.path.join(out, p)) == mt[p]
                for p in parts)
     victim = parts[0]
@@ -914,7 +916,36 @@ def test_export_jsonl_resumable(ray_session, tmp_path):
     assert os.path.exists(os.path.join(out, victim))
     assert all(os.path.getmtime(os.path.join(out, p)) == mt[p]
                for p in parts[1:])
-    assert r3["rows"] > 0
+    assert r3["rows"] == r1["rows"] and r3["exported"] == 1
+
+
+def test_export_jsonl_stale_shard_reexported(ray_session, tmp_path):
+    """A shard exported from an OLDER lake state must be re-exported
+    when its source partition's manifest epoch changes — the pre-fix
+    file-exists check silently kept stale data under a fresh _DONE."""
+    import glob
+
+    from pg_walstream_ray.lake import export_snapshot_jsonl
+    from pg_walstream_ray.pipelines.cdc import run_cdc
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    lake = str(tmp_path / "lake"); out = str(tmp_path / "jsonl")
+    wal1 = str(tmp_path / "wal1"); wal2 = str(tmp_path / "wal2")
+    write_wal_lake(WalSpec(n_convs=12, turns_per_conv=4, n_shards=2,
+                           tx_rows=6), wal1, parallel=False)
+    run_cdc(wal1, lake, num_partitions=4)
+    r1 = export_snapshot_jsonl(lake, out)
+    # second change window: MORE convs -> every partition's epoch bumps
+    write_wal_lake(WalSpec(n_convs=24, turns_per_conv=4, n_shards=2,
+                           tx_rows=6), wal2, parallel=False)
+    run_cdc(wal2, lake, num_partitions=4)
+    r2 = export_snapshot_jsonl(lake, out)
+    assert r2["exported"] > 0                  # stale shards rewritten
+    assert r2["rows"] > r1["rows"]
+    # the export now reflects the post-window snapshot exactly
+    n_lines = sum(sum(1 for _ in open(p))
+                  for p in glob.glob(os.path.join(out, "*.jsonl")))
+    assert n_lines == r2["rows"]
 
 
 def test_clone_survives_source_compaction(ray_session, tmp_path):

@@ -62,6 +62,40 @@ def test_map_or_identity_vectorized_lookup():
     assert x.tolist() == [1, 2, 5, 7, 9, 10]
 
 
+def test_bpe_load_part_idempotent_under_retry():
+    """A retried push (same content digest) must not double-count word
+    statistics — Ray tasks are at-least-once."""
+    from pg_walstream_ray.pipelines.tokenizer import _KEY_SHIFT, _BpeShard
+
+    sh = _BpeShard()
+    sh.load_part(["ab", "cd"], np.array([2, 3], np.int64),
+                 part_key=b"k1")
+    sh.load_part(["ab", "cd"], np.array([2, 3], np.int64),
+                 part_key=b"k1")                  # retry: dropped
+    sh.load_part(["ef"], np.array([1], np.int64), part_key=b"k2")
+    assert sh.finalize() == 3
+    keys, sums = sh.pair_counts()
+    want = {(ord("a") << _KEY_SHIFT) | ord("b"): 2,
+            (ord("c") << _KEY_SHIFT) | ord("d"): 3,
+            (ord("e") << _KEY_SHIFT) | ord("f"): 1}
+    assert dict(zip(keys.tolist(), sums.tolist())) == want
+
+
+def test_graph_shard_load_part_idempotent_under_retry():
+    from pg_walstream_ray.pipelines.dedup import _CoreShard, _PrShard
+
+    for cls in (_PrShard, _CoreShard):
+        sh = cls(1)
+        src = np.array([1, 2, 2], np.int64)
+        dst = np.array([2, 1, 3], np.int64)
+        sh.load_part(src, dst, part_key=b"x")
+        sh.load_part(src, dst, part_key=b"x")      # retry: dropped
+        sh.load_part(np.array([3], np.int64), np.array([2], np.int64),
+                     part_key=b"y")
+        assert sh.finalize() == 3
+        assert sh.deg.tolist() == [1, 2, 1], cls.__name__
+
+
 def test_chunk_explode_codepoint_exact_non_ascii():
     """Chunk geometry must be codepoint-based (the oracle's substr
     semantics) even for multibyte corpora, and every emitted chunk must
