@@ -1611,7 +1611,17 @@ class _AnnIndexActor:
         for j, qid in enumerate(qids):
             s = dots[:, j]
             kk = min(k, len(s))
-            order = np.lexsort((turns, convs, -s))[:kk]
+            # exact top-k without a full lexsort: threshold-select the
+            # candidates (>= kth dot keeps ALL boundary ties), then
+            # tie-break only that small set — O(n) select vs O(n log n)
+            # string lexsort over the whole shard
+            if kk < len(s):
+                thresh = np.partition(s, len(s) - kk)[len(s) - kk]
+                cand = np.flatnonzero(s >= thresh)
+            else:
+                cand = np.arange(len(s))
+            order = cand[np.lexsort(
+                (turns[cand], convs[cand], -s[cand]))][:kk]
             out_q.append(np.full(kk, qid, np.int64))
             out_c.append(convs[order])
             out_t.append(turns[order])
@@ -1625,42 +1635,49 @@ class _AnnIndexActor:
 
 def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
                      d: int, hash_mode: str = "md5",
-                     max_inflight: int = 64) -> int:
-    """Decode one WAL source and route slim (key, lsn, is_del, vec) rows
-    to the index shard OWNING each key (hash(conv#turn) % N).  The text
-    is hash-embedded IN THE ROUTER (md5-bridge semantics for oracle
-    runs, the vectorized xxhash kernel in production mode) so only d
-    int64s per change cross to the index — raw text never enters index
-    state."""
+                     max_inflight: int = 64, registry=None) -> int:
+    """Decode a list of WAL segments and route slim (key, lsn, is_del,
+    vec) rows to the index shard OWNING each key (hash(conv#turn) % N).
+    The text is hash-embedded IN THE ROUTER (md5-bridge semantics for
+    oracle runs, the vectorized xxhash kernel in production mode) so
+    only d int64s per change cross to the index — raw text never enters
+    index state.
+
+    Callers fan out ONE task per SEGMENT (not per source): segments are
+    transaction-closed and self-describing (Relation re-sent per
+    segment, the run_cdc contract), and index ingest is LWW by LSN —
+    order-insensitive — so cross-segment decode+embed runs fully
+    parallel.  Per-source serial routing was the tier bottleneck
+    (embed ~0.08 s per 62k rows serialized behind decode; round-4
+    verdict weak #2).
+
+    With ``registry`` provided the decode rides the TYPED-DIRECT
+    vectorized path (typed Arrow columns straight from the wire
+    buffers, stages/vdecode.try_decode_segment_typed — the run_cdc hot
+    path; no ``list<string>`` envelope round-trip); segments outside
+    the vectorized profile fall back to the envelope decode per
+    segment.  Semantics identical: deletes key from the before tuple
+    and ship zero vectors either way."""
     import ray
 
     from ..functions.hashing import fast_hash64, worker_token_hasher
-    from .textops import hash_embed_texts, hash_embed_texts_fast
     from ..stages.decode import DecodeShard
+    from .textops import hash_embed_texts, hash_embed_texts_fast
 
     hasher = worker_token_hasher() if hash_mode == "md5" else None
-    batch = pa.table({"wal_paths": [segs]})
     pending: list = []
     routed = 0
-    for env in DecodeShard()(batch):
-        dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
-        if dml.num_rows == 0:
-            continue
-        after = dml["after_values"].combine_chunks()
-        before = dml["before_values"].combine_chunks()
-        is_del = pc.equal(dml["op"], "delete")
-        conv = pc.if_else(is_del, pc.list_element(before, 0),
-                          pc.list_element(after, 0))
-        turn = pc.cast(pc.if_else(is_del, pc.list_element(before, 1),
-                                  pc.list_element(after, 1)), pa.int32())
-        text = pc.fill_null(pc.list_element(after, 3), "")
+
+    def ship(conv, turn, is_del, lsn, text) -> None:
+        """Embed + hash-route one slim column set to the owning shards."""
+        nonlocal routed, pending
         if hash_mode == "md5":
             vecs, _ = hash_embed_texts(text, hasher, d)
         else:
             vecs = hash_embed_texts_fast(text, d)
         del_np = is_del.to_numpy(zero_copy_only=False)
         vecs[del_np] = 0                      # deletes carry no payload
-        routed += dml.num_rows
+        routed += len(del_np)
         # ownership hash: conv string hashed once, turn mixed in
         # arithmetically (golden-ratio odd constant) — no per-row string
         # build; determinism is all that matters (self-contained scheme)
@@ -1669,7 +1686,7 @@ def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
                 * np.uint64(0x9E3779B97F4A7C15))
         owner = ((hconv ^ tmix) % np.uint64(n_actors)).astype(np.int64)
         slim = pa.table({
-            "conv": conv, "turn": turn, "lsn": dml["lsn"],
+            "conv": conv, "turn": turn, "lsn": lsn,
             "is_del": is_del,
             "vec": pa.FixedSizeListArray.from_arrays(
                 pa.array(vecs.ravel(), pa.int64()), d)})
@@ -1681,6 +1698,62 @@ def _route_ann_shard(segs: List[str], actors: list, n_actors: int,
             done, pending = ray.wait(pending,
                                      num_returns=len(pending) // 2)
             ray.get(list(done))
+
+    env_segs: List[str] = []
+    if registry is not None:
+        import pyarrow.parquet as pq_
+
+        from ..sources.walgen import TRANSCRIPTS_OID
+        from ..stages.decode import PgOutputDecoder
+        from ..stages.vdecode import try_decode_segment_typed
+
+        if not isinstance(registry, dict) and not hasattr(
+                registry, "version_map"):
+            registry = ray.get(registry)
+        vm = registry.version_map()
+        for path in segs:
+            dec = PgOutputDecoder(source=DecodeShard.source_of(path),
+                                  version_map=vm)
+            frames = pq_.ParquetFile(path).read(
+                columns=["frame"])["frame"]
+            tout = try_decode_segment_typed(dec, frames, registry,
+                                            TRANSCRIPTS_OID)
+            if tout is None:
+                env_segs.append(path)         # outside the hot profile
+                continue
+            if not tout:
+                continue
+            # one ship per segment: 8 ingest RPCs per segment, not per
+            # typed sub-batch
+            typed = pa.concat_tables(tout) if len(tout) > 1 else tout[0]
+            dml = typed.filter(pc.is_in(typed["op"],
+                                        value_set=DML_OPS))
+            if dml.num_rows == 0:
+                continue
+            ship(dml["conv_id"].combine_chunks(),
+                 pc.cast(dml["turn_idx"], pa.int32()),
+                 pc.equal(dml["op"], "delete"),
+                 dml["lsn"],
+                 pc.fill_null(dml["text"], ""))
+    else:
+        env_segs = list(segs)
+
+    if env_segs:
+        batch = pa.table({"wal_paths": [env_segs]})
+        for env in DecodeShard()(batch):
+            dml = env.filter(pc.is_in(env["op"], value_set=DML_OPS))
+            if dml.num_rows == 0:
+                continue
+            after = dml["after_values"].combine_chunks()
+            before = dml["before_values"].combine_chunks()
+            is_del = pc.equal(dml["op"], "delete")
+            conv = pc.if_else(is_del, pc.list_element(before, 0),
+                              pc.list_element(after, 0))
+            turn = pc.cast(pc.if_else(is_del, pc.list_element(before, 1),
+                                      pc.list_element(after, 1)),
+                           pa.int32())
+            text = pc.fill_null(pc.list_element(after, 3), "")
+            ship(conv, turn, is_del, dml["lsn"], text)
     ray.get(pending)
     return routed
 
@@ -1710,12 +1783,16 @@ def stream_ann_index(wal_dir: str, qids: np.ndarray, qv: np.ndarray,
     cpus = int(ray.cluster_resources().get("CPU", 1))
     n_actors = max(1, min(n_actors, cpus))
     actor_cls = ray.remote(num_cpus=0.5)(_AnnIndexActor)
-    route_fn = ray.remote(num_cpus=0.5)(_route_ann_shard)
+    route_fn = ray.remote(num_cpus=1)(_route_ann_shard)
     actors = [actor_cls.remote(d) for _ in range(n_actors)]
+    # registry once (sidecar-cheap) -> typed-direct decode in every router
+    from .cdc import build_registry
+
+    reg_ref = ray.put(build_registry(wal_dir, shard_paths))
     try:
-        ray.get([route_fn.remote(segs, actors, n_actors, d,
-                                 hash_mode=hash_mode)
-                 for segs in shard_paths])
+        ray.get([route_fn.remote([seg], actors, n_actors, d,
+                                 hash_mode=hash_mode, registry=reg_ref)
+                 for segs in shard_paths for seg in segs])
         if len(qids) == 0:
             return _ann_empty()
         qref = ray.put((np.asarray(qids), np.ascontiguousarray(qv)))
@@ -1774,10 +1851,11 @@ def follow_stream_ann(wal_dir: str, qids, qv, k: int = 10, d: int = 16,
     cpus = int(ray.cluster_resources().get("CPU", 1))
     n_actors = max(1, min(n_actors, cpus))
     actor_cls = ray.remote(num_cpus=0.5)(_AnnIndexActor)
-    route_fn = ray.remote(num_cpus=0.5)(_route_ann_shard)
+    route_fn = ray.remote(num_cpus=1)(_route_ann_shard)
     actors = [actor_cls.remote(d) for _ in range(n_actors)]
     qref = ray.put((np.asarray(qids), np.ascontiguousarray(qv)))         if len(qids) else None
     fed: set = set()
+    reg_ref = None                 # built lazily on the first data poll
     polls = data_polls = idle = 0
     probe_rows = -1
     try:
@@ -1790,12 +1868,14 @@ def follow_stream_ann(wal_dir: str, qids, qv, k: int = 10, d: int = 16,
             if new:
                 data_polls += 1
                 idle = 0
-                by_shard: Dict[str, list] = {}
-                for p in new:
-                    by_shard.setdefault(_os.path.dirname(p), []).append(p)
-                ray.get([route_fn.remote(sorted(ps), actors, n_actors, d,
-                                         hash_mode=hash_mode)
-                         for ps in by_shard.values()])
+                if reg_ref is None:
+                    from .cdc import build_registry, discover_shards
+                    reg_ref = ray.put(build_registry(
+                        wal_dir, discover_shards(wal_dir)))
+                ray.get([route_fn.remote([p], actors, n_actors, d,
+                                         hash_mode=hash_mode,
+                                         registry=reg_ref)
+                         for p in new])
                 fed.update(new)
                 if probe_rows < 0 and qref is not None:
                     # mid-run probe: the index answers while tailing

@@ -2175,7 +2175,11 @@ def hash_embed_texts_fast(texts, d: int = HASH_EMBED_D) -> np.ndarray:
         doc_idx = doc_idx[keep]
         dims = (h % d).astype(np.int64)
         signs = 1 - 2 * ((h >> 4) & 1).astype(np.int64)
-        np.add.at(vecs.ravel(), doc_idx * d + dims, signs)
+        # bincount beats np.add.at (unbuffered scatter); float64 sums of
+        # +-1 are exact far beyond any batch size
+        vecs = np.bincount(doc_idx * d + dims, weights=signs,
+                           minlength=n * d).astype(np.int64) \
+            .reshape(n, d)
     return vecs
 
 
