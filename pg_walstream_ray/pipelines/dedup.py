@@ -1228,6 +1228,25 @@ def _graph_shard_count(n_edges: int) -> int:
     return max(2, min(ncpu, n_edges // 65536 + 2))
 
 
+def _finish_graph_shards(actors, method: str):
+    """Pull the result table refs, make sure they are committed to the
+    object store, then KILL the shard actors before handing the refs to
+    Ray Data.  Without the kill every graph run leaks k actors whose
+    fractional-CPU reservations starve later pipelines in the same
+    session (kcore after pagerank ran 3x slower from exactly this).
+    Returned objects live in plasma independent of the producing actor;
+    the documented recovery unit is the whole computation, so losing
+    lineage is already the contract."""
+    import ray
+    import ray.data as rd
+
+    refs = [getattr(a, method).remote() for a in actors]
+    ray.wait(refs, num_returns=len(refs))
+    for a in actors:
+        ray.kill(a)
+    return rd.from_arrow_refs(refs)
+
+
 def _load_graph_shards(edges, actors, k: int) -> int:
     """Partition the edge stream into the K shard actors by direct
     pushes (streaming-router style): each map task slices its batch by
@@ -1330,8 +1349,7 @@ def pagerank(pairs, damping: float = 0.85, iters: int = 10,
             base, damping, *[outs[a][b] for a in range(k)])
             for b in range(k)])
 
-    return rd.from_arrow_refs(
-        [a.ranks_table.remote() for a in actors])
+    return _finish_graph_shards(actors, "ranks_table")
 
 
 PPR_SEEDS = 8        # personalized restart set: the m smallest graph nodes
@@ -1379,8 +1397,7 @@ def personalized_pagerank(pairs, damping: float = 0.85, iters: int = 10,
             0.0, damping, *[outs[a][b] for a in range(k)])
             for b in range(k)])
 
-    return rd.from_arrow_refs(
-        [a.ranks_table.remote() for a in actors])
+    return _finish_graph_shards(actors, "ranks_table")
 
 
 def dedup_ppr_seeded(sf_dir: str, threshold: float = 0.35,
@@ -1691,6 +1708,15 @@ class _CoreShard:
     H({value_j : j in N(i)}) from value_i = degree_i converges to the
     exact coreness for every node; values are non-increasing, so
     convergence is a zero-changes fixpoint).
+
+    DELTA SCATTER: round 0 ships every edge's seed value and the
+    receiver caches the incoming values in a CSR layout keyed by owner;
+    every later round ships ONLY the edge slots whose source value
+    changed last round, and the receiver recomputes the h-index ONLY
+    for owners that received a changed value (the fixpoint is monotone
+    non-increasing, so an owner none of whose neighbors changed cannot
+    change).  Late rounds — the long convergence tail — then move and
+    recompute O(frontier) instead of O(|E|).
     """
 
     def __init__(self, k: int):
@@ -1704,6 +1730,12 @@ class _CoreShard:
         self._buf_src: list = []
         self._buf_dst: list = []
         self._seen_parts: set = set()
+        self._changed = None            # owned nodes changed last round
+        self._in_idx = None             # cache: owner idx per in-edge slot
+        self._in_val = None             # cache: latest value per slot
+        self._in_off = None             # sender -> slot-range offset
+        self._csr_order = None          # in-edge slots sorted by owner
+        self._csr_starts = None         # owner -> slot-range in csr_order
 
     load_part = _PrShard.load_part
     load = _PrShard.load
@@ -1711,48 +1743,96 @@ class _CoreShard:
     def finalize(self) -> int:
         n = _PrShard.finalize(self)
         self.val = self.deg.copy()      # h-index seed = degree
+        self._changed = np.ones(n, dtype=bool)    # round 0: all "changed"
         return n
 
     def scatter(self):
-        """Outgoing half: per dst bucket, (unique_dsts, dst_inv,
-        src_values) — the receiver h-indexes per compacted dst id."""
+        """Outgoing half.  Round 0: per dst bucket (unique_dsts,
+        dst_inv, src_values) — the full layout the receiver caches.
+        Later rounds: (changed_slot_positions, new_values) per bucket,
+        or None when nothing this bucket depends on changed."""
         out = []
-        for t in range(self.k):
-            out.append((self._dst_u[t], self._dst_inv[t],
-                        self.val[self._src_idx[t]]))
+        if self._in_idx is None:        # round 0: full layout
+            for t in range(self.k):
+                out.append((self._dst_u[t], self._dst_inv[t],
+                            self.val[self._src_idx[t]]))
+        else:
+            for t in range(self.k):
+                p = np.flatnonzero(self._changed[self._src_idx[t]])
+                out.append((p.astype(np.int64),
+                            self.val[self._src_idx[t][p]])
+                           if len(p) else None)
         return tuple(out) if self.k > 1 else out[0]
 
     def gather(self, *parts) -> int:
-        """H-index each owned node over all received neighbor values;
-        returns the number of nodes whose value changed (the global
-        convergence counter is just the sum over shards)."""
+        """Update the cached incoming values with the received deltas,
+        h-index the touched owners, return the changed-node count (the
+        global convergence counter is just the sum over shards)."""
         if not len(self.nodes):
+            self._in_idx = np.zeros(0, np.int64)   # mark round-0 done
             return 0
-        # concatenate (owned_idx, value) from every sender
-        idx_cat, val_cat = [], []
-        for u, inv, vals in parts:
-            if len(u):
-                owned = np.searchsorted(self.nodes, u)
-                idx_cat.append(owned[inv])
-                val_cat.append(vals)
-        if not idx_cat:
+        if self._in_idx is None:
+            # round 0: build the incoming-edge cache + owner CSR
+            idx_cat, val_cat, off = [], [], [0]
+            for part in parts:
+                u, inv, vals = part
+                if len(u):
+                    owned = np.searchsorted(self.nodes, u)
+                    idx_cat.append(owned[inv].astype(np.int64))
+                    val_cat.append(np.asarray(vals, np.int64))
+                    off.append(off[-1] + len(vals))
+                else:
+                    off.append(off[-1])
+            self._in_idx = np.concatenate(idx_cat) if idx_cat \
+                else np.zeros(0, np.int64)
+            self._in_val = np.concatenate(val_cat) if val_cat \
+                else np.zeros(0, np.int64)
+            self._in_off = np.asarray(off, np.int64)
+            self._csr_order = np.argsort(self._in_idx, kind="stable")
+            self._csr_starts = np.searchsorted(
+                self._in_idx[self._csr_order],
+                np.arange(len(self.nodes) + 1))
+            aff = np.arange(len(self.nodes))
+        else:
+            touched = []
+            for s, part in enumerate(parts):
+                if part is None:
+                    continue
+                p, v = part
+                slots = self._in_off[s] + p
+                self._in_val[slots] = v
+                touched.append(slots)
+            if not touched:
+                self._changed = np.zeros(len(self.nodes), bool)
+                return 0
+            aff = np.unique(self._in_idx[np.concatenate(touched)])
+        # grouped h-index over the AFFECTED owners' incoming slots only:
+        # gather each owner's CSR range, then the usual sort-desc prefix
+        # count within groups
+        cnt = self._csr_starts[aff + 1] - self._csr_starts[aff]
+        total = int(cnt.sum())
+        if total == 0:
+            self._changed = np.zeros(len(self.nodes), bool)
             return 0
-        idx = np.concatenate(idx_cat)
-        vals = np.concatenate(val_cat)
-        # vectorized grouped h-index: sort (idx asc, value desc); within
-        # a group sorted desc, {i : v_i >= i+1} is a prefix, so
-        # h = count of positions with value >= in-group rank + 1
-        order = np.lexsort((-vals, idx))
-        idx_s, val_s = idx[order], vals[order]
-        starts = np.searchsorted(idx_s, np.arange(len(self.nodes)))
-        pos = np.arange(len(idx_s)) - starts[idx_s]
+        grp = np.repeat(np.arange(len(aff)), cnt)
+        base = np.repeat(self._csr_starts[aff], cnt)
+        intra = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        slots = self._csr_order[base + intra]
+        vals = self._in_val[slots]
+        order = np.lexsort((-vals, grp))
+        grp_s, val_s = grp[order], vals[order]
+        starts = np.searchsorted(grp_s, np.arange(len(aff)))
+        pos = np.arange(total) - starts[grp_s]
         cond = val_s >= pos + 1
-        h = np.bincount(idx_s, weights=cond,
-                        minlength=len(self.nodes)).astype(np.int64)
-        new = np.minimum(self.val, h)   # monotone non-increasing
-        changed = int((new != self.val).sum())
-        self.val = new
-        return changed
+        h = np.bincount(grp_s, weights=cond,
+                        minlength=len(aff)).astype(np.int64)
+        new = np.minimum(self.val[aff], h)   # monotone non-increasing
+        delta = new != self.val[aff]
+        self.val[aff] = new
+        self._changed = np.zeros(len(self.nodes), bool)
+        self._changed[aff[delta]] = True
+        return int(delta.sum())
 
     def result(self) -> pa.Table:
         return pa.table({"node": pa.array(self.nodes, pa.int64()),
@@ -1799,7 +1879,7 @@ def kcore_decomposition(pairs, npart: Optional[int] = None,
         if changed == 0:
             break
 
-    return rd.from_arrow_refs([a.result.remote() for a in actors])
+    return _finish_graph_shards(actors, "result")
 
 
 def dedup_kcore(sf_dir: str, threshold: float = 0.35):
