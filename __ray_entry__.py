@@ -2412,6 +2412,46 @@ def _cluster_near_dup_oracle_sql(thr: float = 0.35) -> str:
     """
 
 
+def _semantic_dedup_seeded_oracle_sql(thr: float = 0.35) -> str:
+    """Seeded-kmeans buckets + the SEQUENTIAL greedy keeper rule
+    unrolled as a recursive CTE: per cluster, ids ascending, the state
+    carries the kept prefix (ids + unit vectors) as LIST columns; a
+    candidate is a dup iff cosine >= thr against ANY kept vector, with
+    dup_of = the FIRST kept match (kept order == ascending id), exactly
+    similarity.semantic_dedup's chunked-greedy semantics."""
+    hit = ("COALESCE(list_position(list_transform(g.kept_us, "
+           f"e -> list_inner_product(e, r.u) >= {thr}), true), 0)")
+    cte = _kmeans_seeded_cte().replace("WITH e AS", "WITH RECURSIVE e AS",
+                                       1)
+    return f"""{cte}
+      , r AS (
+        SELECT af.vec_id, af.cl, nv.u,
+               ROW_NUMBER() OVER (PARTITION BY af.cl
+                                  ORDER BY af.vec_id) AS rn
+        FROM af JOIN nv ON nv.vec_id = af.vec_id
+      ), g AS (
+        SELECT cl, rn, vec_id,
+               u, 1 AS keep, CAST(NULL AS BIGINT) AS dup_of,
+               [vec_id] AS kept_ids, [u] AS kept_us
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.cl, r.rn, r.vec_id, r.u,
+               CASE WHEN {hit} = 0 THEN 1 ELSE 0 END AS keep,
+               CASE WHEN {hit} = 0 THEN CAST(NULL AS BIGINT)
+                    ELSE g.kept_ids[{hit}] END AS dup_of,
+               CASE WHEN {hit} = 0
+                    THEN list_append(g.kept_ids, r.vec_id)
+                    ELSE g.kept_ids END AS kept_ids,
+               CASE WHEN {hit} = 0 THEN list_append(g.kept_us, r.u)
+                    ELSE g.kept_us END AS kept_us
+        FROM g JOIN r ON r.cl = g.cl AND r.rn = g.rn + 1
+      )
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster_id,
+             CAST(keep AS INTEGER) AS keep, dup_of
+      FROM g
+    """
+
+
 def _balanced_sample_seeded_oracle_sql(per_cluster: int = 40) -> str:
     """Per-cluster quota selection (lowest vec_id first) over the seeded
     Lloyd assignment."""
@@ -3111,6 +3151,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cluster_near_dup_flags"] = similarity.cluster_near_dup_flags
     q["balanced_sample_seeded"] = lambda sf: \
         similarity.cluster_balanced_sample(sf, init_mode="seeded")
+    # the GREEDY keeper rule itself, oracle-pinned (VERDICT r4 #6 class):
+    # seeded Lloyd -> within-cluster sequential greedy unrolled as a
+    # recursive kept-prefix CTE, so the exact semantic_dedup semantics
+    # (not just the order-free flag variant) are hash-checked
+    q["semantic_dedup_seeded"] = lambda sf: \
+        similarity.semantic_dedup(sf, iters=2, seeded=True) \
+        .select_columns(["vec_id", "cluster_id", "keep", "dup_of"])
     # distributed PCA (mergeable second-moment partials, driver eigh):
     # spectral -> rows-only driver check; orthonormality/variance/
     # single-node-agreement pinned in tests
@@ -3189,9 +3236,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate"] = textops.decontaminate
     # leakage-audited train/val split (identity-hash split + shingle audit)
     q["train_val_split"] = textops.train_val_split
-    # sequence packing: bin assignment is algorithmic (FFD), not
-    # SQL-expressible -> rows-only driver check; invariants pinned in tests
-    q["pack_sequences"] = textops.pack_sequences
+    # sequence packing: FFD is deterministic given the pinned partition
+    # count, so the driver oracle unrolls it as a recursive
+    # residual-list CTE (npart pinned to 64 for engine/oracle parity;
+    # production leaves npart=None -> coarse_npart)
+    q["pack_sequences"] = lambda sf: textops.pack_sequences(sf, npart=64)
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
     # dictionary redaction (PII-scrub plumbing, synthetic term list)
@@ -4381,6 +4430,48 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
             AS BIGINT) % 100 < 10
+    """
+
+    from pg_walstream_ray.pipelines.textops import PACK_CAPACITY
+
+    # first-fit-decreasing unrolled as a recursive residual-list CTE:
+    # docs per partition ordered (n_chars DESC, doc_id), the bin
+    # residual list carried as a LIST column, first fit found via
+    # list_position over a >=-mask (0 = no fit -> open a new bin;
+    # oversize docs open a 0-residual singleton, exactly the engine's
+    # max(capacity - s, 0) rule).  npart pinned to 64 (queries() pins
+    # the same), so engine and oracle run identical FFD instances.
+    _PACK_FIT = ("COALESCE(list_position(list_transform(f.resid, "
+                 "r -> r >= d.n_chars), true), 0)")
+    sql["pack_sequences"] = f"""
+      WITH RECURSIVE d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(doc_id % 64 AS BIGINT) AS part,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 64
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+      ), ffd AS (
+        SELECT part, rn, doc_id, n_chars,
+               CAST(0 AS BIGINT) AS bin_id,
+               [CAST(GREATEST({PACK_CAPACITY} - n_chars, 0) AS BIGINT)]
+                 AS resid
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.part, d.rn, d.doc_id, d.n_chars,
+               CAST(CASE WHEN {_PACK_FIT} = 0 THEN len(f.resid)
+                         ELSE {_PACK_FIT} - 1 END AS BIGINT) AS bin_id,
+               CASE WHEN {_PACK_FIT} = 0
+                    THEN list_append(f.resid,
+                         CAST(GREATEST({PACK_CAPACITY} - d.n_chars, 0)
+                              AS BIGINT))
+                    ELSE f.resid[1:{_PACK_FIT} - 1]
+                         || [f.resid[{_PACK_FIT}] - d.n_chars]
+                         || f.resid[{_PACK_FIT} + 1:len(f.resid)]
+               END AS resid
+        FROM ffd f JOIN d ON d.part = f.part AND d.rn = f.rn + 1
+      )
+      SELECT doc_id, part, bin_id, n_chars FROM ffd
     """
 
     from pg_walstream_ray.pipelines.textops import TRAIN_SHUFFLE_SEED
@@ -6599,6 +6690,8 @@ def oracle_sql() -> dict[str, str]:
     # seeded-Lloyd composites: clustered near-dup flag + quota sampling
     sql["cluster_near_dup_flags"] = _cluster_near_dup_oracle_sql()
     sql["balanced_sample_seeded"] = _balanced_sample_seeded_oracle_sql()
+    # the sequential greedy keeper rule, recursive-CTE-unrolled
+    sql["semantic_dedup_seeded"] = _semantic_dedup_seeded_oracle_sql()
     # unrolled-greedy MMR (VERDICT r3 #6 class): previously rows-only
     sql["mmr_diverse_topk"] = _mmr_oracle_sql()
     # unrolled integer h-index fixpoint: exact coreness, zero float risk

@@ -664,7 +664,8 @@ def kmeans_assign_seeded(sf_dir: str, k: int = KMEANS_K, iters: int = 2):
 
 
 def semantic_dedup(sf_dir: str, threshold: float = 0.35,
-                   k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+                   k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                   seeded: bool = False):
     """SemDeDup-shaped semantic dedup (public recipe: k-means buckets the
     corpus, pairwise cosine is confined WITHIN each cluster, duplicates
     keep one representative): the scale answer to all-pairs near-dup —
@@ -685,10 +686,19 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.35,
     n=10^9 and ~10^4 vectors/cluster, k=10^5).  Known SemDeDup caveat,
     inherited deliberately: near-dups straddling a cluster boundary are
     not compared (recall trades against the O(n^2) wall).
+
+    ``seeded=True`` initializes Lloyd from the k lowest-vec_id unit
+    vectors with re-seed disabled (kmeans_assign_seeded's bridge
+    parameterization) — then the FULL pipeline, greedy keeper rule
+    included, has an exact recursive-CTE oracle (the driver's
+    semantic_dedup_seeded entry).
     """
     import ray
 
-    cent_ref = ray.put(_train_kmeans(sf_dir, k, iters))
+    cent = _train_kmeans(sf_dir, k, iters,
+                         init=_seeded_init(sf_dir, k) if seeded else None,
+                         reseed=not seeded)
+    cent_ref = ray.put(cent)
 
     def route(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)

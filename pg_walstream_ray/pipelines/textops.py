@@ -397,7 +397,8 @@ def stratified_sample(sf_dir: str, per_group: int = 25,
 PACK_CAPACITY = 2048        # chars per training bin (stand-in for tokens)
 
 
-def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
+                   npart: Optional[int] = None):
     """Greedy sequence packing (training-batch construction): pack
     documents into bins of at most ``capacity`` chars via
     first-fit-decreasing, the standard sample-packing step that turns a
@@ -413,11 +414,14 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY):
     partition IS the parallelism unit); within a partition the bin-residual
     scan is a numpy argmax over <= n_bins residuals per doc, on a few
     hundred thousand ints per partition at most.  Deterministic: fixed
-    partitioner, stable descending sort with doc_id tie-break.
+    partitioner, stable descending sort with doc_id tie-break — so a
+    PINNED ``npart`` makes the whole packing SQL-exact (the driver
+    oracle unrolls FFD as a recursive residual-list CTE).
     """
     from ..functions.scale import coarse_npart
 
-    npart = coarse_npart()
+    if npart is None:
+        npart = coarse_npart()
 
     def route(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
