@@ -1627,12 +1627,12 @@ def edit_distance_pairs(sf_dir: str, threshold: float = 0.95):
     npart = coarse_npart()
     cand = ngram_jaccard_pairs(sf_dir, threshold=threshold)
 
-    def cand_side(g: pd.DataFrame) -> pa.Table:
-        a = g["doc_a"].to_numpy(np.int64)
+    def cand_side(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "apart": pa.array(a % npart),
             "doc_a": pa.array(a),
-            "doc_b": pa.array(g["doc_b"].to_numpy(np.int64)),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
             "text": pa.nulls(len(a), pa.string()),
             "is_doc": pa.array(np.zeros(len(a), dtype=bool))})
 
@@ -1685,7 +1685,7 @@ def edit_distance_pairs(sf_dir: str, threshold: float = 0.95):
             "dist": pa.array(dist)})
 
     docs_a = _docs(sf_dir).map_batches(doc_side_a, batch_format="pyarrow")
-    with_a = (cand.map_batches(cand_side, batch_format="pandas")
+    with_a = (cand.map_batches(cand_side, batch_format="pyarrow")
               .union(docs_a)
               .groupby("apart").map_groups(attach_a,
                                            batch_format="pandas"))
