@@ -3269,6 +3269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, hash_mode="md5")
     # Shannon token entropy per doc (distribution-shape quality signal)
     q["token_entropy"] = textops.token_entropy
+    # Zipf head/tail mass profile (dataset-card heavy-tail diagnostic,
+    # all-integer shares -> fully oracled, no float quantization)
+    q["token_zipf_profile"] = textops.token_zipf_profile
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -4569,6 +4572,41 @@ def oracle_sql() -> dict[str, str]:
 
     from pg_walstream_ray.pipelines.textops import (ENTROPY_HI_MICRO,
                                                     ENTROPY_LO_MICRO)
+
+    sql["token_zipf_profile"] = """
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      ), tf AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE t <> '' GROUP BY t
+      ), rk AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS r FROM tf
+      ), tot AS (
+        SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS occ,
+               CAST(COUNT(*) AS BIGINT) AS types
+        FROM tf
+      ), agg AS (
+        SELECT CASE WHEN r <= 10 THEN 0 WHEN r <= 100 THEN 1
+                    WHEN r <= 1000 THEN 2 ELSE 3 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS n_occ
+        FROM rk GROUP BY 1
+      ), spine AS (SELECT unnest([0, 1, 2, 3]) AS bucket)
+      SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             CAST(CASE s.bucket WHEN 0 THEN 1 WHEN 1 THEN 11
+                                WHEN 2 THEN 101 ELSE 1001 END
+                  AS BIGINT) AS lo_rank,
+             CAST(CASE s.bucket WHEN 0 THEN 10 WHEN 1 THEN 100
+                                WHEN 2 THEN 1000
+                                ELSE (SELECT types FROM tot) END
+                  AS BIGINT) AS hi_rank,
+             COALESCE(a.n_types, 0) AS n_types,
+             COALESCE(a.n_occ, 0) AS n_occ,
+             CAST(COALESCE(a.n_occ * 10000
+                           // NULLIF((SELECT occ FROM tot), 0), 0)
+                  AS BIGINT) AS share_bp
+      FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+    """
 
     sql["token_entropy"] = f"""
       WITH tc AS (

@@ -2736,3 +2736,86 @@ def corpus_report(sf_dir: str):
         "n_sources": pa.array([int(n_sources)], pa.int64()),
         "dup_bp": pa.array([dup_bp], pa.int64()),
         "mean_quality_bp": pa.array([mean_q], pa.int64())})
+
+
+ZIPF_BUCKETS = ((1, 10), (11, 100), (101, 1000))
+
+
+def token_zipf_profile(sf_dir: str):
+    """Zipf HEAD/TAIL profile of the corpus token distribution — the
+    heavy-tail diagnostic a dataset card ships next to vocab coverage:
+    how much of the token mass the rank-1..10, 11..100, 101..1000 heads
+    carry versus the long tail.  All-integer (share in basis points via
+    integer division), so the oracle pins every cell with zero float
+    risk — unlike a log-log slope fit, whose ln() quantization differs
+    across engines.
+
+    Output: one row per bucket — (bucket, lo_rank, hi_rank, n_types,
+    n_occ, share_bp); bucket 3 is the tail (rank > 1000, hi_rank =
+    total type count).  Ranking ties break by token text ascending.
+
+    Scale shape: per-batch value_counts combiner -> ONE token-keyed
+    groupby sum (the only shuffle); the global top-1000 comes from
+    per-block top-1000 partials merged on the driver (bounded:
+    n_blocks x 1000 rows), and the totals from a per-block (types,
+    occurrences) scalar reduce — the token table itself never leaves
+    the cluster.
+    """
+    from ray.data.aggregate import Sum
+
+    top_n = ZIPF_BUCKETS[-1][1]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = _docs(sf_dir, columns=("text",)) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=262144) \
+        .groupby("token").aggregate(Sum("cnt", alias_name="n")) \
+        .materialize()
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = pa.table({"token": t["token"],
+                       "n": pc.cast(t["n"], pa.int64())}).to_pandas()
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(top_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def block_tot(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "types": pa.array([t.num_rows], pa.int64()),
+            "occ": pa.array([int(pc.sum(t["n"]).as_py() or 0)],
+                            pa.int64())})
+
+    top = counts.map_batches(block_top, batch_format="pyarrow") \
+        .to_pandas()
+    tot = counts.map_batches(block_tot, batch_format="pyarrow") \
+        .to_pandas()
+    if "n" in top.columns:
+        top = top.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(top_n)
+        head_n = top["n"].to_numpy(np.int64)
+    else:                                   # empty corpus: no batches
+        head_n = np.empty(0, np.int64)
+    n_types = int(tot["types"].sum()) if "types" in tot.columns else 0
+    n_occ = int(tot["occ"].sum()) if "occ" in tot.columns else 0
+    rows = []
+    for b, (lo, hi) in enumerate(ZIPF_BUCKETS):
+        seg = head_n[lo - 1:hi]
+        rows.append((b, lo, hi, len(seg), int(seg.sum())))
+    tail_occ = n_occ - int(head_n.sum())
+    rows.append((len(ZIPF_BUCKETS), top_n + 1, n_types,
+                 max(n_types - len(head_n), 0), tail_occ))
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.int64()),
+        "lo_rank": pa.array([r[1] for r in rows], pa.int64()),
+        "hi_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "n_types": pa.array([r[3] for r in rows], pa.int64()),
+        "n_occ": pa.array([r[4] for r in rows], pa.int64()),
+        "share_bp": pa.array(
+            [(r[4] * 10000) // n_occ if n_occ else 0 for r in rows],
+            pa.int64())})
