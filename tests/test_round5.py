@@ -175,3 +175,59 @@ def test_incremental_cc_ids_above_2_53(ray_session):
     assert {out[n] for n in (B + 1, B + 3, B + 5, B + 11, B + 13)} \
         == {B + 1}
     assert {out[n] for n in (B + 21, B + 23)} == {B + 21}
+
+
+def test_kcore_delta_scatter_random_graphs_multi_shard(ray_session):
+    """Randomized equivalence: the delta-scatter h-index fixpoint on
+    FORCED multi-shard layouts (npart=4, so cross-shard delta rounds
+    really run) equals brute-force peeling, across graph shapes that
+    stress the convergence tail (chains, cliques, random)."""
+    import collections
+
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import kcore_decomposition
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(8, 60))
+        m = int(rng.integers(n, 4 * n))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        # unique undirected pairs — the engine contract (near-dup pair
+        # sources emit each pair once; multi-edges would double-count
+        # degrees in engine AND reference differently)
+        uniq = {(min(x, y), max(x, y))
+                for x, y in zip(a[keep].tolist(), b[keep].tolist())}
+        # add a long chain to force many fixpoint rounds
+        chain = np.arange(20) + n
+        pairs = sorted(uniq) + \
+            list(zip(chain[:-1].tolist(), chain[1:].tolist()))
+        ds = rd.from_arrow(pa.table({
+            "vec_a": pa.array([x for x, _ in pairs], pa.int64()),
+            "vec_b": pa.array([y for _, y in pairs], pa.int64())}))
+        got = kcore_decomposition(ds, npart=4).to_pandas() \
+            .set_index("node")["coreness"].to_dict()
+        adj = collections.defaultdict(set)
+        for x, y in pairs:
+            adj[x].add(y)
+            adj[y].add(x)
+        alive = {v: len(s) for v, s in adj.items()}
+        core, k = {}, 0
+        while alive:
+            k = max(k, min(alive.values()))
+            peel = [v for v, d in alive.items() if d <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                del alive[v]
+                for w in adj[v]:
+                    if w in alive:
+                        alive[w] -= 1
+                        if alive[w] <= k:
+                            peel.append(w)
+        assert got == core, (trial, {x: (got.get(x), core.get(x))
+                                     for x in core if got.get(x) != core[x]})
