@@ -3272,6 +3272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Zipf head/tail mass profile (dataset-card heavy-tail diagnostic,
     # all-integer shares -> fully oracled, no float quantization)
     q["token_zipf_profile"] = textops.token_zipf_profile
+    # passage-retrieval composite: codepoint chunk explode -> per-chunk
+    # hash embed -> integer top-k per query doc (the RAG indexing shape,
+    # rank AND score oracle-exact)
+    q["chunk_retrieval_topk"] = textops.chunk_retrieval_topk
 
     # -- multimodal (deterministic fake decode; real plumbing) -------------
     q["media_metadata"] = lambda sf: multimodal.media_metadata(sf) \
@@ -4988,6 +4992,57 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY qid
                                       ORDER BY dot DESC, nid ASC) AS rnk
             FROM dots)
+      WHERE rnk <= 10
+    """
+
+    # passage retrieval: chunk substr explode -> per-chunk hash features
+    # -> dot against whole-doc query features over the full
+    # (query x featured-chunk) spine (COALESCE 0 keeps orthogonal
+    # chunks rankable, matching the engine's dense matmul; token-less
+    # chunks are absent from BOTH sides by construction)
+    sql["chunk_retrieval_topk"] = f"""
+      WITH {_HASH_FEAT}, d0 AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents
+      ), ch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS ctext
+        FROM (SELECT doc_id, text, n,
+                     unnest(generate_series(0, (n + 149) // 150 - 1)) AS i
+              FROM d0 WHERE n > 0)
+      ), cfeat AS (
+        SELECT doc_id, chunk_idx, h60 % 16 AS dim,
+               SUM(CASE WHEN (h60 // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+        FROM (SELECT doc_id, chunk_idx,
+                     CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h60
+              FROM (SELECT doc_id, chunk_idx,
+                           unnest(string_split(ctext, ' ')) AS w
+                    FROM ch)
+              WHERE w <> '')
+        GROUP BY doc_id, chunk_idx, dim
+      ), qf AS (
+        SELECT doc_id AS qid, dim, wt FROM feat WHERE doc_id < 4
+      ), spine AS (
+        SELECT q.qid, c.doc_id AS nd, c.chunk_idx
+        FROM (SELECT DISTINCT qid FROM qf) q
+        CROSS JOIN (SELECT DISTINCT doc_id, chunk_idx FROM cfeat) c
+        WHERE c.doc_id <> q.qid
+      ), dots AS (
+        SELECT q.qid, c.doc_id AS nd, c.chunk_idx,
+               SUM(q.wt * c.wt) AS dot
+        FROM qf q JOIN cfeat c ON c.dim = q.dim AND c.doc_id <> q.qid
+        GROUP BY q.qid, c.doc_id, c.chunk_idx
+      ), full_ AS (
+        SELECT s.qid, s.nd, s.chunk_idx, COALESCE(d.dot, 0) AS dot
+        FROM spine s LEFT JOIN dots d
+          ON d.qid = s.qid AND d.nd = s.nd AND d.chunk_idx = s.chunk_idx
+      )
+      SELECT qid AS query_id, nd AS doc_id, chunk_idx,
+             CAST(rnk AS BIGINT) AS rnk, CAST(dot AS BIGINT) AS dot
+      FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid
+                ORDER BY dot DESC, nd ASC, chunk_idx ASC) AS rnk
+            FROM full_)
       WHERE rnk <= 10
     """
 

@@ -2819,3 +2819,100 @@ def token_zipf_profile(sf_dir: str):
         "share_bp": pa.array(
             [(r[4] * 10000) // n_occ if n_occ else 0 for r in rows],
             pa.int64())})
+
+
+def chunk_retrieval_topk(sf_dir: str, nq: int = HASH_EMBED_NQ,
+                         k: int = HASH_EMBED_K, d: int = HASH_EMBED_D,
+                         chunk: int = CHUNK_CHARS,
+                         stride: int = CHUNK_STRIDE):
+    """PASSAGE retrieval composite (the RAG indexing shape end to end):
+    codepoint-exact chunk explode -> md5-bridge hash embed per CHUNK ->
+    integer-dot top-k passages per query document (whole-doc embeddings
+    of doc_id < nq), chunks of the query's own document excluded.
+    Integer scores + (dot DESC, doc_id ASC, chunk_idx ASC) ties make
+    rank AND score oracle-exact.
+
+    Output: (query_id, doc_id, chunk_idx, rnk, dot).
+
+    Scale shape: chunk+embed is ONE zero-shuffle map (the
+    _chunk_explode_arrays gather + the hashing-trick scatter); the
+    [nq, d] query matrix broadcasts once via ray.put; each batch emits
+    its LOCAL top-k per query, so the final groupby(query_id) combine
+    sees O(num_batches * nq * k) candidate rows and the chunk corpus
+    never shuffles.  Chunks with no tokens carry no feature mass and
+    are excluded (exactly the oracle's feature-spine membership).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.int64())})
+    qt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", nq)])
+    qids, qv, qocc = HashEmbedStage(d=d).dense(qt)
+    live_q = qocc.sum(axis=1) > 0      # token-less queries have no
+    qids, qv = qids[live_q], qv[live_q]   # oracle feature rows
+    if not len(qids):
+        return ray.data.from_arrow(empty)
+    q_ref = ray.put((qids, np.ascontiguousarray(qv)))
+
+    class _Scan:
+        def __init__(self):
+            self.stage = HashEmbedStage(d=d)
+            self.qids, self.qv = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_idx, sid, _, _, bodies = _chunk_explode_arrays(
+                t["text"], chunk, stride)
+            out0 = pa.table({"query_id": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+            if not len(doc_idx):
+                return out0
+            did = pc.cast(t["doc_id"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)[doc_idx]
+            cids = did * CHUNK_ID_STRIDE + sid
+            vecs, occ = hash_embed_texts(bodies, self.stage.hasher, d)
+            live = occ.sum(axis=1) > 0          # drop token-less chunks
+            cids, vecs, did = cids[live], vecs[live], did[live]
+            if not len(cids):
+                return out0
+            dots = vecs @ self.qv.T             # [B, nq] int64 exact
+            out_q, out_c, out_d = [], [], []
+            for j, qid in enumerate(self.qids):
+                keep = did != qid               # own-doc chunks excluded
+                cc, s = cids[keep], dots[keep, j]
+                if not len(cc):
+                    continue
+                kk = min(k, len(cc))
+                order = np.lexsort((cc, -s))[:kk]
+                out_q.append(np.full(kk, qid, np.int64))
+                out_c.append(cc[order])
+                out_d.append(s[order])
+            if not out_q:
+                return out0
+            return pa.table({"query_id": np.concatenate(out_q),
+                             "cid": np.concatenate(out_c),
+                             "dot": np.concatenate(out_d)})
+
+    cand = _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        as_tasks(_Scan), batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dot", "cid"],
+                          ascending=[False, True]).head(k)
+        cid = g["cid"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "doc_id": cid // CHUNK_ID_STRIDE,
+            "chunk_idx": cid % CHUNK_ID_STRIDE,
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "dot": g["dot"].to_numpy()})
+
+    return cand.groupby("query_id").map_groups(combine,
+                                               batch_format="pandas")
