@@ -3035,6 +3035,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["simhash_signatures"] = dedup.simhash_signatures
     q["dedup_simhash"] = dedup.simhash_dedup
     q["ngram_jaccard_pairs"] = dedup.ngram_jaccard_pairs
+    # one-sided containment (near-subset detection: short doc embedded
+    # in a longer one — boilerplate / quoted-article / crawl-superset
+    # dup class symmetric Jaccard misses); all-integer basis points
+    q["containment_dup_pairs"] = dedup.containment_dup_pairs
     # transitive duplicate clusters: distributed connected components
     # (MapReduce-CC min-label propagation) over the near-dup pair graph
     q["dedup_clusters"] = dedup.dedup_clusters
@@ -6642,6 +6646,30 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sa ON sa.doc_id = da
       JOIN sizes sb ON sb.doc_id = db
       WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+    """
+
+    sql["containment_dup_pairs"] = f"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id
+      ), keep_w AS (
+        SELECT w FROM w GROUP BY w HAVING COUNT(*) <= {NGRAM_MAX_DF}
+      ), pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.w IN (SELECT w FROM keep_w)
+        GROUP BY 1, 2
+      )
+      SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS inter,
+             CAST(sa.n AS BIGINT) AS size_a,
+             CAST(sb.n AS BIGINT) AS size_b,
+             CAST(c * 10000 // LEAST(sa.n, sb.n) AS BIGINT) AS cont_bp
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE c * 10000 // LEAST(sa.n, sb.n) >= 8000
     """
 
     # full-coverage re-rank (depth >= corpus at driver scale) makes the

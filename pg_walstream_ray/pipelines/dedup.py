@@ -245,27 +245,14 @@ NGRAM_MAX_DF = 2_000         # stop-token cutoff (mirrored in the oracle).
 # stop-word dominates the whole job (at df=5000 one token alone is 12.5M
 # pairs).  This is the standard prefix/frequency filter of all-pairs
 # similarity systems.
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
-                        max_df: Optional[int] = NGRAM_MAX_DF,
-                        concurrency: int = 4):
-    """All pairs with word-set Jaccard >= threshold.
-    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b.
-
-    Pipeline: distinct postings -> postings routed by ``token_h % NPART``
-    -> per-BUCKET pair emission (one vectorized numpy pass emits every
-    within-token pair for all of the bucket's tokens at once — task count
-    is NPART, independent of token cardinality; per-token ``map_groups``
-    would pay ~25 ms of Python per token group) -> groupby(coarse
-    pair-hash partition) with the fine-grained per-pair count done in
-    pandas inside map_groups.  The ``max_df`` stop-token cutoff (tokens in
-    more docs are skipped, mirrored in the oracle) bounds the per-token
-    pair blowup.  The fine aggregation is NOT a Ray groupby: 10^5+ tiny
-    groups through the sort-based aggregate is ~100x slower than coarse
-    partitions x an in-memory hash groupby.  The threshold filter uses the
-    unrounded float64 ratio so the SQL oracle (same integer arithmetic)
-    agrees exactly.
-    """
-    npart = coarse_npart()
+def _ngram_candidate_pairs(sf_dir: str, max_df: Optional[int],
+                           npart: int):
+    """Shared candidate-pair emission for the word-set similarity family
+    (Jaccard / containment): distinct postings -> postings routed by
+    ``token_h % NPART`` -> per-BUCKET vectorized pair explode.  Returns
+    a Dataset of (part, doc_a, doc_b, size_a, size_b) rows, one per
+    shared token per pair, coarse-partitioned by pair hash — callers
+    aggregate per pair and apply their score rule."""
     post = _docs(sf_dir).map_batches(as_tasks(PostingsStage),
                                      batch_format="pyarrow",
                                      batch_size=4096)
@@ -322,22 +309,84 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                              "doc_a": doc_a, "doc_b": doc_b,
                              "size_a": size_a, "size_b": size_b})
 
-    pairs = (post.map_batches(add_tpart, batch_format="pyarrow")
-             .groupby("tpart").map_groups(emit_pairs_bucket,
-                                          batch_format="pandas"))
+    return (post.map_batches(add_tpart, batch_format="pyarrow")
+            .groupby("tpart").map_groups(emit_pairs_bucket,
+                                         batch_format="pandas"))
+
+
+def _pair_stats(g: pd.DataFrame):
+    """Per-pair (inter, size_a, size_b) over one coarse partition."""
+    agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+        inter=("size_a", "size"), sa=("size_a", "first"),
+        sb=("size_b", "first"))
+    return (agg, agg["inter"].to_numpy().astype(np.int64),
+            agg["sa"].to_numpy().astype(np.int64),
+            agg["sb"].to_numpy().astype(np.int64))
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8,
+                        max_df: Optional[int] = NGRAM_MAX_DF,
+                        concurrency: int = 4):
+    """All pairs with word-set Jaccard >= threshold.
+    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b.
+
+    Pipeline (see _ngram_candidate_pairs): distinct postings -> token
+    route -> per-BUCKET vectorized pair explode (task count is NPART,
+    independent of token cardinality) -> groupby(coarse pair-hash
+    partition) with the fine per-pair count done in pandas inside
+    map_groups.  The ``max_df`` stop-token cutoff (tokens in more docs
+    are skipped, mirrored in the oracle) bounds the per-token pair
+    blowup.  The fine aggregation is NOT a Ray groupby: 10^5+ tiny
+    groups through the sort-based aggregate is ~100x slower than coarse
+    partitions x an in-memory hash groupby.  The threshold filter uses
+    the unrounded float64 ratio so the SQL oracle (same integer
+    arithmetic) agrees exactly.
+    """
+    npart = coarse_npart()
+    pairs = _ngram_candidate_pairs(sf_dir, max_df, npart)
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            inter=("size_a", "size"), sa=("size_a", "first"),
-            sb=("size_b", "first"))
-        inter = agg["inter"].to_numpy().astype(np.int64)
-        union = (agg["sa"].to_numpy() + agg["sb"].to_numpy()
-                 - inter).astype(np.int64)
+        agg, inter, sa, sb = _pair_stats(g)
+        union = sa + sb - inter
         keep = inter.astype(np.float64) / union >= threshold
         return pd.DataFrame({"doc_a": agg["doc_a"].to_numpy()[keep],
                              "doc_b": agg["doc_b"].to_numpy()[keep],
                              "inter": inter[keep],
                              "union_size": union[keep]})
+
+    return pairs.groupby("part").map_groups(count_part,
+                                            batch_format="pandas")
+
+
+def containment_dup_pairs(sf_dir: str, threshold_bp: int = 8000,
+                          max_df: Optional[int] = NGRAM_MAX_DF):
+    """NEAR-SUBSET detection: all pairs whose word-set CONTAINMENT
+    |A intersect B| / min(|A|, |B|) reaches ``threshold_bp`` basis
+    points — the one-sided cousin of Jaccard that catches a short doc
+    embedded in a longer one (boilerplate pages, quoted articles,
+    crawl supersets), which symmetric Jaccard misses because the union
+    is dominated by the longer side.
+
+    Output: (doc_a, doc_b, inter, size_a, size_b, cont_bp) with
+    doc_a < doc_b and cont_bp = (inter * 10000) // min(size_a, size_b)
+    — all-integer, so the oracle pins every cell.
+
+    Scale shape: identical to ngram_jaccard_pairs (the shared candidate
+    emission; doc sizes ride the postings, so containment needs no
+    extra join or broadcast).
+    """
+    npart = coarse_npart()
+    pairs = _ngram_candidate_pairs(sf_dir, max_df, npart)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg, inter, sa, sb = _pair_stats(g)
+        cont_bp = (inter * 10000) // np.minimum(sa, sb)
+        keep = cont_bp >= threshold_bp
+        return pd.DataFrame({"doc_a": agg["doc_a"].to_numpy()[keep],
+                             "doc_b": agg["doc_b"].to_numpy()[keep],
+                             "inter": inter[keep],
+                             "size_a": sa[keep], "size_b": sb[keep],
+                             "cont_bp": cont_bp[keep]})
 
     return pairs.groupby("part").map_groups(count_part,
                                             batch_format="pandas")
