@@ -555,6 +555,33 @@ def connected_components(pairs, npart: Optional[int] = None,
                                        "lbl": pa.array([], pa.int64())}))
     npart = npart or max(1, min(coarse_npart(), n_edges // 50_000 + 1))
 
+    if npart == 1:
+        # TINY-GRAPH fast path: the whole edge set fits one bucket, so
+        # the min-label fixpoint runs in memory inside ONE Ray pass
+        # (numpy min-scatter + pointer jumping, O(log n) sweeps) — no
+        # per-round shuffles and no extra convergence round.  Same
+        # result by construction: min node id per component.  The
+        # generic iterative path below is the scale path (npart grows
+        # with the edge count).
+        def local_cc(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            nodes, inv_src = np.unique(src, return_inverse=True)
+            inv_dst = np.searchsorted(nodes, dst)   # symmetrized: total
+            lbl = np.arange(len(nodes))
+            while True:
+                new = lbl.copy()
+                np.minimum.at(new, inv_dst, lbl[inv_src])
+                new = np.minimum(new, new[new])     # pointer jump
+                if (new == lbl).all():
+                    break
+                lbl = new
+            return pa.table({"node": pa.array(nodes),
+                             "lbl": pa.array(nodes[lbl])})
+
+        return sym.repartition(1).map_batches(
+            local_cc, batch_format="pyarrow", batch_size=None)
+
     def add_part(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy()
         return pa.table({"src": src, "dst": t["dst"].to_numpy(),
