@@ -231,3 +231,44 @@ def test_kcore_delta_scatter_random_graphs_multi_shard(ray_session):
                             peel.append(w)
         assert got == core, (trial, {x: (got.get(x), core.get(x))
                                      for x in core if got.get(x) != core[x]})
+
+
+def test_connected_components_fast_path_equals_generic_and_brute(
+        ray_session):
+    """Random graphs: the tiny-graph in-memory CC fast path (npart=1),
+    the generic iterative path (npart=4 forced), and a python
+    union-find must all agree on min-labels."""
+    import ray.data as rd
+
+    from pg_walstream_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(29)
+    for _ in range(4):
+        n = int(rng.integers(5, 80))
+        m = int(rng.integers(1, 3 * n))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        if not keep.any():
+            continue
+        pairs = pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                          "vec_b": pa.array(b[keep], pa.int64())})
+        fast = connected_components(rd.from_arrow(pairs), npart=1) \
+            .to_pandas().set_index("node")["lbl"].to_dict()
+        gen = connected_components(rd.from_arrow(pairs), npart=4) \
+            .to_pandas().set_index("node")["lbl"].to_dict()
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a[keep].tolist(), b[keep].tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        brute = {x: find(x) for x in parent}
+        assert fast == brute
+        assert gen == brute
