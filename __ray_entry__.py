@@ -3018,6 +3018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # base corpus or earlier increment docs (fuzzy incremental gate)
     q["dedup_incremental_minhash"] = dedup.incremental_minhash_dedup
     q["dedup_minhash_lsh"] = dedup.minhash_dedup
+    # MinHash estimator calibration (reliability diagram: signature
+    # estimate decile vs exact df-bounded Jaccard over LSH candidates)
+    q["minhash_calibration"] = dedup.minhash_calibration
     # exact-substring dedup signal (Lee et al. 2021): duplicated k-token
     # shingle positions per doc, corpus-wide
     q["dup_span_stats"] = lambda sf: dedup.dup_span_stats(
@@ -6586,6 +6589,65 @@ def oracle_sql() -> dict[str, str]:
         FROM bands b JOIN bmin bm USING (bkey) GROUP BY b.doc_id
       )
       SELECT doc_id, (mm < doc_id) AS is_dup FROM flags
+    """
+
+    from pg_walstream_ray.pipelines.dedup import (MINHASH_CAL_MAX_BUCKET,
+                                                  NGRAM_MAX_DF)
+
+    sql["minhash_calibration"] = f"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % {H_PRIME} AS hp
+        FROM w
+      ), params(i, a, b) AS {minhash_params_sql()},
+      sig AS (
+        SELECT doc_id, i, MIN((a * hp + b) % {H_PRIME}) AS s
+        FROM h CROSS JOIN params GROUP BY doc_id, i
+      ), bands AS (
+        SELECT doc_id,
+               (i // 4)::VARCHAR || ':' ||
+                 string_agg(s::VARCHAR, ',' ORDER BY i) AS bkey
+        FROM sig GROUP BY doc_id, i // 4
+      ), bkeep AS (
+        SELECT bkey FROM bands GROUP BY bkey
+        HAVING COUNT(DISTINCT doc_id) <= {MINHASH_CAL_MAX_BUCKET}
+      ), cp AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.bkey = b.bkey
+                                 AND a.doc_id < b.doc_id
+        WHERE a.bkey IN (SELECT bkey FROM bkeep)
+      ), est AS (
+        SELECT cp.da, cp.db,
+               SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+                 * 10000 // 16 AS est_bp
+        FROM cp JOIN sig sa ON sa.doc_id = cp.da
+                JOIN sig sb ON sb.doc_id = cp.db AND sb.i = sa.i
+        GROUP BY cp.da, cp.db
+      ), dw AS (
+        SELECT DISTINCT doc_id, w FROM w
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id
+      ), kw AS (
+        SELECT w FROM dw GROUP BY w HAVING COUNT(*) <= {NGRAM_MAX_DF}
+      ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE a.w IN (SELECT w FROM kw)
+        GROUP BY 1, 2
+      ), ex AS (
+        SELECT e.est_bp,
+               COALESCE(i.c * 10000 // (sa.n + sb.n - i.c), 0) AS exact_bp
+        FROM est e
+        LEFT JOIN inter i ON i.da = e.da AND i.db = e.db
+        JOIN sizes sa ON sa.doc_id = e.da
+        JOIN sizes sb ON sb.doc_id = e.db
+      )
+      SELECT CAST(est_bp // 1000 AS BIGINT) AS est_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS mean_exact_bp
+      FROM ex GROUP BY 1
     """
 
     _simhash_core = """

@@ -2152,3 +2152,171 @@ def dedup_clusters_incremental(sf_dir: str, threshold: float = 0.35,
         lambda t: pa.table({"vec_id": t["node"],
                             "cluster_id": t["lbl"]}),
         batch_format="pyarrow")
+
+
+MINHASH_CAL_MAX_BUCKET = 2000    # band-bucket pair-explosion cap (mirrored
+#                                  in the oracle HAVING clause, same role as
+#                                  NGRAM_MAX_DF on the exact side)
+
+
+def minhash_calibration(sf_dir: str):
+    """Estimator CALIBRATION report for the MinHash near-dup stack: for
+    every LSH candidate pair (docs sharing >= 1 of the 4x4 bands), the
+    signature estimate (matching components / 16, basis points) is
+    bucketed into deciles and compared with the exact df-bounded
+    word-set Jaccard — the reliability diagram a pipeline owner reads
+    before trusting a banded dedup threshold at a new corpus.
+
+    Output: (est_bucket, n_pairs, mean_exact_bp), est_bucket =
+    est_bp // 1000 (0..10).  All-integer, fully oracled.
+
+    Scale shape: band rows carry the 16-int signature (512 B/doc) so
+    the estimate is computed inside the bucket pass — no extra
+    signature join; candidate pairs dedup + join the exact pair stats
+    (shared _ngram_candidate_pairs machinery, the same token shuffle
+    economics as ngram_jaccard_pairs) in ONE pair-hash co-partition;
+    only the ~11 bucket rows reach the driver.  Degenerate band
+    buckets are capped at MINHASH_CAL_MAX_BUCKET docs (oracle-
+    mirrored), token-less docs emit no bands (they have no signature
+    rows in the oracle either).
+    """
+    from ..functions.hashing import MINHASH_K
+
+    npart = coarse_npart()
+
+    class _SigBands:
+        def __init__(self):
+            self.hasher = worker_token_hasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            offsets, tok = tokenize_column(t["text"], self.hasher)
+            nonempty = np.diff(offsets) > 0     # token-less docs: no bands
+            sigs = doc_minhash(offsets, tok, self.hasher)[nonempty]
+            keys = minhash_band_keys(sigs)
+            doc_ids = t["doc_id"].to_numpy(
+                zero_copy_only=False)[nonempty]
+            return pa.table({
+                "bucket": keys,
+                "doc_id": pa.array(np.tile(doc_ids, MINHASH_BANDS),
+                                   pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(sigs, (MINHASH_BANDS, 1)).ravel(),
+                             pa.int64()), MINHASH_K)})
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bp = fast_hash64(t["bucket"]) % np.uint64(npart)
+        return t.append_column("bpart", pa.array(bp.astype(np.int64)))
+
+    def emit_est_pairs(g: pa.Table) -> pa.Table:
+        """Per band bucket: every doc pair + its signature estimate."""
+        order = pc.sort_indices(pa.table({"b": g["bucket"],
+                                          "d": g["doc_id"]}),
+                                sort_keys=[("b", "ascending"),
+                                           ("d", "ascending")])
+        g = g.take(order)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.asarray(g["sig"].combine_chunks().flatten()
+                         .to_numpy(zero_copy_only=False)) \
+            .reshape(-1, MINHASH_K)
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "est_bp": pa.array([], pa.int64())})
+        if not len(ids):
+            return empty
+        bnd = np.empty(len(bkt), bool)
+        bnd[0] = True
+        bnd[1:] = bkt[1:] != bkt[:-1]
+        starts = np.flatnonzero(bnd)
+        cnt = np.diff(np.append(starts, len(bkt)))
+        grp = np.cumsum(bnd) - 1
+        keep = (cnt <= MINHASH_CAL_MAX_BUCKET)[grp]
+        # drop duplicate (bucket, doc) rows (distinct pair semantics)
+        dup = np.zeros(len(ids), bool)
+        dup[1:] = (ids[1:] == ids[:-1]) & (bkt[1:] == bkt[:-1])
+        keep &= ~dup
+        ids, sig = ids[keep], sig[keep]
+        bkt = bkt[keep]
+        if not len(ids):
+            return empty
+        _, starts2 = np.unique(bkt, return_index=True)
+        starts2 = np.sort(starts2)
+        cnt2 = np.diff(np.append(starts2, len(ids)))
+        local = np.arange(len(ids), dtype=np.int64) - \
+            np.repeat(starts2, cnt2)
+        csum = np.cumsum(local)
+        total = int(csum[-1]) if len(csum) else 0
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(len(ids), dtype=np.int64), local)
+        off = np.arange(total, dtype=np.int64) - \
+            np.repeat(csum - local, local)
+        a_idx = np.repeat(np.arange(len(ids), dtype=np.int64) - local,
+                          local) + off
+        doc_a, doc_b = ids[a_idx], ids[b_idx]
+        est_bp = ((sig[a_idx] == sig[b_idx]).sum(axis=1)
+                  * 10000) // MINHASH_K
+        return pa.table({
+            "part": pa.array((doc_a * 1_000_003 + doc_b) % npart),
+            "doc_a": pa.array(doc_a), "doc_b": pa.array(doc_b),
+            "est_bp": pa.array(est_bp.astype(np.int64))})
+
+    est_pairs = (_docs(sf_dir).map_batches(as_tasks(_SigBands),
+                                           batch_format="pyarrow",
+                                           batch_size=4096)
+                 .map_batches(add_bpart, batch_format="pyarrow")
+                 .groupby("bpart").map_groups(emit_est_pairs,
+                                              batch_format="pyarrow"))
+
+    # exact side: per-pair (inter, sizes) over the df-bounded token
+    # space, same machinery (and part formula) as ngram_jaccard_pairs
+    cand = _ngram_candidate_pairs(sf_dir, NGRAM_MAX_DF, npart)
+
+    def exact_part(g: pd.DataFrame) -> pa.Table:
+        agg, inter, sa, sb = _pair_stats(g)
+        da = agg["doc_a"].to_numpy(np.int64)
+        db = agg["doc_b"].to_numpy(np.int64)
+        # arrow out (the union peer emits arrow blocks)
+        return pa.table({
+            "part": pa.array((da * 1_000_003 + db) % npart),
+            "doc_a": pa.array(da), "doc_b": pa.array(db),
+            "est_bp": pa.array(np.full(len(da), -1, np.int64)),
+            "exact_bp": pa.array((inter * 10000) // (sa + sb - inter))})
+
+    exact = cand.groupby("part").map_groups(exact_part,
+                                            batch_format="pandas")
+
+    def tag_est(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "exact_bp", pa.array(np.full(t.num_rows, -1, np.int64)))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        est = g[g["est_bp"] >= 0].drop_duplicates(["doc_a", "doc_b"])
+        ex = g[g["est_bp"] < 0]
+        m = est.merge(ex[["doc_a", "doc_b", "exact_bp"]],
+                      on=["doc_a", "doc_b"], how="left",
+                      suffixes=("_drop", ""))
+        # candidate pairs with NO df-bounded shared token: exact 0
+        exact_bp = m["exact_bp"].fillna(0).to_numpy(np.int64)
+        bucket = m["est_bp"].to_numpy(np.int64) // 1000
+        agg = pd.DataFrame({"est_bucket": bucket,
+                            "n": 1, "s": exact_bp}) \
+            .groupby("est_bucket", as_index=False).sum()
+        return agg
+
+    parts = est_pairs.map_batches(tag_est, batch_format="pyarrow") \
+        .union(exact) \
+        .groupby("part").map_groups(merge_part, batch_format="pandas") \
+        .to_pandas()     # bounded: <= npart x 11 partial bucket rows
+    if "est_bucket" not in parts.columns or not len(parts):
+        return pa.table({"est_bucket": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "mean_exact_bp": pa.array([], pa.int64())})
+    fin = parts.groupby("est_bucket", as_index=False).sum() \
+        .sort_values("est_bucket")
+    return pa.table({
+        "est_bucket": pa.array(fin["est_bucket"].to_numpy(np.int64)),
+        "n_pairs": pa.array(fin["n"].to_numpy(np.int64)),
+        "mean_exact_bp": pa.array(
+            fin["s"].to_numpy(np.int64) // fin["n"].to_numpy(np.int64))})
