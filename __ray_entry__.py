@@ -3292,6 +3292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_resize"] = multimodal.media_resize
     # feature extraction: bytes never leave Ray -> rows-only driver check;
     # determinism + shape pinned in tests
+    # audio modality: PCM16 payloads decoded + reduced by the actor
+    # pool; the INTEGER waveform generator gives the byte-level stats an
+    # exact oracle (the image stages oracle only their header geometry)
+    q["audio_stats"] = multimodal.audio_stats
     q["media_features"] = lambda sf: multimodal.media_features(sf) \
         .select_columns(["doc_id", "argmax_bin"])
 
@@ -7099,6 +7103,32 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, md5(lower(text)) AS fp,
              ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp_int
       FROM documents
+    """
+
+    # audio waveform stats: the oracle regenerates the integer PCM
+    # recurrence and reduces it with window-lagged sign changes
+    sql["audio_stats"] = """
+      WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(256 + (doc_id % 7) * 128 AS BIGINT) AS n
+        FROM documents
+      ), si AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d
+      ), s AS (
+        SELECT doc_id, n, i,
+               (doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS x,
+               LAG((doc_id * 2654435761 + i * 40503) % 65536 - 32768)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS px
+        FROM si
+      )
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_samples,
+             CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+             CAST(SUM(x * x) // MAX(n) AS BIGINT) AS energy_q,
+             CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) <> (px < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings
+      FROM s GROUP BY doc_id
     """
 
     sql["media_metadata"] = """

@@ -251,3 +251,92 @@ def media_features(sf_dir: str, concurrency: int = 4):
     return synthesize_media(sf_dir).map_batches(
         MediaFeatureStage, batch_format="pyarrow",
         concurrency=(1, concurrency), batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: integer-deterministic PCM16 payloads + waveform stats
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAKA"
+AUDIO_HEADER_FMT = "<4sII"                 # magic, n_samples, sample_rate
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)
+AUDIO_RATE = 16_000
+# integer waveform generator, mirrored verbatim in the SQL oracle:
+#   n_samples(doc) = 256 + (doc_id % 7) * 128
+#   sample(doc, i) = ((doc_id * 2654435761 + i * 40503) % 65536) - 32768
+
+
+def synthesize_audio(sf_dir: str):
+    """documents -> (doc_id, audio:binary, media_type) — the audio twin
+    of synthesize_media: PCM16-LE payloads behind an opaque binary
+    column.  The waveform is an INTEGER recurrence of (doc_id, i), so
+    the stats an actor computes from the BYTES have an exact SQL oracle
+    even though the bytes never leave Ray — the audio analogue of the
+    fake-image geometry contract."""
+    import ray.data as rd
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for doc_id in ids:
+            n = 256 + int(doc_id % 7) * 128
+            i = np.arange(n, dtype=np.int64)
+            x = ((int(doc_id) * 2654435761 + i * 40503) % 65536) - 32768
+            blobs.append(struct.pack(AUDIO_HEADER_FMT, AUDIO_MAGIC, n,
+                                     AUDIO_RATE)
+                         + x.astype("<i2").tobytes())
+        return pa.table({"doc_id": t["doc_id"],
+                         "audio": pa.array(blobs, pa.binary()),
+                         "media_type": pa.array(["audio/fake"] * len(ids))})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class AudioStatsStage:
+    """Actor: decode the PCM16 payload and compute waveform statistics —
+    the feature-extraction seam a real audio pipeline (loudness, VAD,
+    resampling) plugs into.  All-integer outputs: peak = max |x|,
+    energy_q = sum(x^2) // n (mean-square, exact), zero_crossings =
+    sign changes (negative -> non-negative or back)."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, n_out, peak, energy, zc = [], [], [], [], []
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        for k, blob in enumerate(t["audio"].to_pylist()):
+            magic, n, rate = struct.unpack_from(AUDIO_HEADER_FMT, blob)
+            if magic != AUDIO_MAGIC:
+                if self.strict:
+                    raise NotImplementedError(
+                        "real audio codec not available in this "
+                        "container; payload lacks the synthetic magic")
+                continue
+            x = np.frombuffer(blob, dtype="<i2",
+                              offset=AUDIO_HEADER_SIZE,
+                              count=n).astype(np.int64)
+            ids.append(did[k])
+            n_out.append(n)
+            peak.append(int(np.abs(x).max()) if n else 0)
+            energy.append(int((x * x).sum()) // max(n, 1))
+            neg = x < 0
+            zc.append(int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(n_out, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "energy_q": pa.array(energy, pa.int64()),
+            "zero_crossings": pa.array(zc, pa.int64())})
+
+
+def audio_stats(sf_dir: str, concurrency: int = 4):
+    """(doc_id, n_samples, peak, energy_q, zero_crossings) — synthetic
+    PCM payloads decoded and reduced by the actor pool; the integer
+    waveform generator gives the byte-level pipeline an exact SQL
+    oracle (the image stages oracle only their header geometry)."""
+    return synthesize_audio(sf_dir).map_batches(
+        AudioStatsStage, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=256)

@@ -272,3 +272,35 @@ def test_connected_components_fast_path_equals_generic_and_brute(
         brute = {x: find(x) for x in parent}
         assert fast == brute
         assert gen == brute
+
+
+def test_audio_stats_strict_magic_and_determinism(ray_session):
+    """The audio stage mirrors the image stage contract: strict mode
+    raises on payloads without the synthetic magic (the honest real-
+    codec seam), and stats are a pure function of doc_id."""
+    import pytest
+
+    from pg_walstream_ray.pipelines.multimodal import (AUDIO_HEADER_FMT,
+                                                       AudioStatsStage,
+                                                       audio_stats)
+
+    sf = "/root/testdata/sf0.001"
+    a = audio_stats(sf).to_pandas().sort_values("doc_id")
+    b = audio_stats(sf).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # hand-check doc 0: x[i] = (i*40503) % 65536 - 32768
+    i = np.arange(256, dtype=np.int64)
+    x = (i * 40503) % 65536 - 32768
+    r0 = a[a["doc_id"] == 0].iloc[0]
+    assert r0["n_samples"] == 256
+    assert r0["peak"] == int(np.abs(x).max())
+    assert r0["energy_q"] == int((x * x).sum()) // 256
+    neg = x < 0
+    assert r0["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "audio": pa.array([b"JUNKxxxxyyyy"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        AudioStatsStage()(bad)
+    assert AudioStatsStage(strict=False)(bad).num_rows == 0
