@@ -3296,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pool; the INTEGER waveform generator gives the byte-level stats an
     # exact oracle (the image stages oracle only their header geometry)
     q["audio_stats"] = multimodal.audio_stats
+    q["audio_frame_energy"] = multimodal.audio_frame_energy
     q["media_features"] = lambda sf: multimodal.media_features(sf) \
         .select_columns(["doc_id", "argmax_bin"])
 
@@ -7129,6 +7130,23 @@ def oracle_sql() -> dict[str, str]:
                            THEN 1 ELSE 0 END) AS BIGINT)
                AS zero_crossings
       FROM s GROUP BY doc_id
+    """
+
+    sql["audio_frame_energy"] = """
+      WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(256 + (doc_id % 7) * 128 AS BIGINT) AS n
+        FROM documents
+      ), si AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d
+      ), s AS (
+        SELECT doc_id, n, i // (n // 8) AS frame_idx, n // 8 AS fl,
+               (doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS x
+        FROM si
+      )
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(SUM(x * x) // MAX(fl) AS BIGINT) AS energy_q
+      FROM s GROUP BY doc_id, frame_idx
     """
 
     sql["media_metadata"] = """

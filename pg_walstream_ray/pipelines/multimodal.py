@@ -340,3 +340,54 @@ def audio_stats(sf_dir: str, concurrency: int = 4):
     return synthesize_audio(sf_dir).map_batches(
         AudioStatsStage, batch_format="pyarrow",
         concurrency=(1, concurrency), batch_size=256)
+
+
+AUDIO_FRAMES = 8
+
+
+class AudioFrameEnergyStage:
+    """Actor: frame-level loudness — the VAD / silence-trim primitive:
+    split each waveform into AUDIO_FRAMES equal time windows (every
+    n_samples is divisible by 8 under the generator) and emit the
+    per-frame mean-square energy (integer floor)."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, energy = [], [], []
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        for k, blob in enumerate(t["audio"].to_pylist()):
+            magic, n, _rate = struct.unpack_from(AUDIO_HEADER_FMT, blob)
+            if magic != AUDIO_MAGIC:
+                if self.strict:
+                    raise NotImplementedError(
+                        "real audio codec not available in this "
+                        "container; payload lacks the synthetic magic")
+                continue
+            x = np.frombuffer(blob, dtype="<i2",
+                              offset=AUDIO_HEADER_SIZE,
+                              count=n).astype(np.int64)
+            fl = n // AUDIO_FRAMES
+            e = (x[:fl * AUDIO_FRAMES].reshape(AUDIO_FRAMES, fl) ** 2) \
+                .sum(axis=1) // fl
+            ids.append(np.full(AUDIO_FRAMES, did[k], np.int64))
+            fidx.append(np.arange(AUDIO_FRAMES, dtype=np.int64))
+            energy.append(e)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int64()),
+                             "energy_q": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "frame_idx": pa.array(np.concatenate(fidx)),
+            "energy_q": pa.array(np.concatenate(energy))})
+
+
+def audio_frame_energy(sf_dir: str, concurrency: int = 4):
+    """(doc_id, frame_idx, energy_q) — per-time-window loudness from the
+    PCM payloads, AUDIO_FRAMES windows per doc; integer-exact oracle
+    via the waveform generator."""
+    return synthesize_audio(sf_dir).map_batches(
+        AudioFrameEnergyStage, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_size=256)

@@ -114,7 +114,7 @@ def test_every_oracle_key_has_query(contract):
     "dedup_incremental_minhash", "corpus_curriculum", "cdc_token_budget", "zorder_pruned_scan", "nb_source_classify", "cdc_rlhf_pairs", "cdc_tool_index_lookup", "ann_hard_negatives", "bigram_lm_score", "cdc_stream_anomaly", "nb_confusion", "event_pattern_match", "chunk_near_dup", "journey_trigram_paths", "cdc_follow_ann_live", "jsonl_corpus_stats", "csv_events_stats", "corpus_report", "cdc_version_prune", "cdc_lake_clone", "cdc_export_jsonl", "dedup_clusters_incremental", "ann_range_query",
     "pack_sequences", "semantic_dedup_seeded", "token_zipf_profile",
     "chunk_retrieval_topk", "containment_dup_pairs",
-    "minhash_calibration", "audio_stats",
+    "minhash_calibration", "audio_stats", "audio_frame_energy",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
