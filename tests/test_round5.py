@@ -304,3 +304,44 @@ def test_audio_stats_strict_magic_and_determinism(ray_session):
     with pytest.raises(NotImplementedError):
         AudioStatsStage()(bad)
     assert AudioStatsStage(strict=False)(bad).num_rows == 0
+
+
+def test_ann_router_typed_and_envelope_paths_equivalent(ray_session,
+                                                        tmp_path):
+    """The live-ANN router's typed-direct fast path and its envelope
+    fallback (registry=None) must route IDENTICAL slim rows: same
+    routed count and the same final index answers."""
+    import ray
+
+    from pg_walstream_ray.pipelines import streaming as st
+    from pg_walstream_ray.pipelines.cdc import (build_registry,
+                                                discover_shards)
+    from pg_walstream_ray.sources.walgen import WalSpec, write_wal_lake
+
+    wal = str(tmp_path / "wal")
+    spec = WalSpec(n_convs=40, turns_per_conv=5, n_shards=2, tx_rows=6)
+    write_wal_lake(spec, wal, parallel=False)
+    sp = discover_shards(wal)
+    reg = build_registry(wal, sp)
+    qids = np.arange(3, dtype=np.int64)
+    qv = np.arange(3 * 16, dtype=np.int64).reshape(3, 16) % 5 - 2
+
+    def run(registry):
+        actor_cls = ray.remote(num_cpus=0.25)(st._AnnIndexActor)
+        actors = [actor_cls.remote(16) for _ in range(3)]
+        try:
+            routed = sum(
+                st._route_ann_shard([seg], actors, 3, 16,
+                                    hash_mode="md5", registry=registry)
+                for segs in sp for seg in segs)
+            qref = ray.put((qids, np.ascontiguousarray(qv)))
+            parts = ray.get([a.query.remote(qref, 5) for a in actors])
+        finally:
+            for a in actors:
+                ray.kill(a)
+        return routed, st._ann_merge_topk(parts, 5).to_pandas()
+
+    routed_t, top_t = run(reg)
+    routed_e, top_e = run(None)
+    assert routed_t == routed_e > 0
+    pd.testing.assert_frame_equal(top_t, top_e)
