@@ -3248,6 +3248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # residual-list CTE (npart pinned to 64 for engine/oracle parity;
     # production leaves npart=None -> coarse_npart)
     q["pack_sequences"] = lambda sf: textops.pack_sequences(sf, npart=64)
+    # winnowing fingerprints (MOSS): rolling k-gram hash + rightmost
+    # window min — the LOCAL fingerprint between whole-doc hashing and
+    # all-grams; md5 mode is the oracle bridge, production rides the
+    # vectorized rolling polynomial hash
+    q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
+        sf, hash_mode="md5")
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
     # dictionary redaction (PII-scrub plumbing, synthetic term list)
@@ -7098,6 +7104,44 @@ def oracle_sql() -> dict[str, str]:
       SELECT source, verdict, COUNT(*)::BIGINT AS n_docs,
              SUM(n_tokens)::BIGINT AS tok_total
       FROM final GROUP BY source, verdict
+    """
+
+    from pg_walstream_ray.pipelines.textops import WINNOW_K, WINNOW_W
+
+    # winnowing: per window of WINNOW_W grams keep the RIGHTMOST
+    # minimum gram hash (MAX(i) over positions attaining the window
+    # min), distinct positions out
+    sql["winnow_fingerprints"] = f"""
+      WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+      ), grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST('0x' || substr(md5(substr(text,
+                        CAST(i + 1 AS BIGINT), {WINNOW_K})), 1, 15)
+                    AS BIGINT) AS h
+        FROM (SELECT doc_id, text, n,
+                     unnest(generate_series(0, n - {WINNOW_K})) AS i
+              FROM d)
+      ), wmin AS (
+        SELECT g.doc_id, w0.j, MIN(g.h) AS mh
+        FROM (SELECT doc_id, i AS j FROM grams) w0
+        JOIN grams ge ON ge.doc_id = w0.doc_id
+                     AND ge.i = w0.j + {WINNOW_W - 1}
+        JOIN grams g ON g.doc_id = w0.doc_id
+                    AND g.i BETWEEN w0.j AND w0.j + {WINNOW_W - 1}
+        GROUP BY g.doc_id, w0.j
+      ), sel AS (
+        SELECT m.doc_id, m.j, MAX(g.i) AS pos
+        FROM wmin m JOIN grams g
+          ON g.doc_id = m.doc_id AND g.h = m.mh
+         AND g.i BETWEEN m.j AND m.j + {WINNOW_W - 1}
+        GROUP BY m.doc_id, m.j
+      )
+      SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+             g.h AS fp
+      FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.i = s.pos
     """
 
     sql["doc_fingerprint"] = """

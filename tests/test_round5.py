@@ -345,3 +345,45 @@ def test_ann_router_typed_and_envelope_paths_equivalent(ray_session,
     routed_e, top_e = run(None)
     assert routed_t == routed_e > 0
     pd.testing.assert_frame_equal(top_t, top_e)
+
+
+def test_winnow_fingerprints_guarantee_and_determinism(ray_session,
+                                                       tmp_path):
+    """Winnowing contracts (fast rolling-hash mode): (a) every window
+    of w grams contains a selected position; (b) two docs sharing a
+    substring of length >= k + w - 1 share at least one fingerprint
+    VALUE; (c) deterministic; (d) short docs emit nothing."""
+    import pyarrow.parquet as pq_
+
+    from pg_walstream_ray.pipelines.textops import (WINNOW_K, WINNOW_W,
+                                                    winnow_fingerprints)
+
+    shared = "the same boilerplate passage appears verbatim here"
+    docs = ["alpha " * 3 + shared + " tail one",
+            "completely different beginning text " + shared,
+            "short",                      # < k + w - 1: no window
+            "x" * (WINNOW_K + WINNOW_W - 2)]   # one char short
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d)
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        os.path.join(d, "documents.parquet"))
+    a = winnow_fingerprints(d).to_pandas()
+    b = winnow_fingerprints(d).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["doc_id", "pos"]).reset_index(drop=True),
+        b.sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    assert set(a["doc_id"]) == {0, 1}     # short docs emit nothing
+    # coverage: every window start j has a selected pos in [j, j+w-1]
+    for did, s in ((0, docs[0]), (1, docs[1])):
+        g = len(s) - WINNOW_K + 1
+        sel = np.sort(a[a["doc_id"] == did]["pos"].to_numpy())
+        for j in range(g - WINNOW_W + 1):
+            lo = np.searchsorted(sel, j)
+            assert lo < len(sel) and sel[lo] <= j + WINNOW_W - 1, (did, j)
+    # shared-substring guarantee: >= 1 common fingerprint value
+    f0 = set(a[a["doc_id"] == 0]["fp"])
+    f1 = set(a[a["doc_id"] == 1]["fp"])
+    assert f0 & f1
