@@ -3254,6 +3254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # vectorized rolling polynomial hash
     q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
         sf, hash_mode="md5")
+    # MOSS local-overlap detector: pairs sharing >= K winnowing prints
+    q["winnow_overlap_pairs"] = lambda sf: dedup.winnow_overlap_pairs(
+        sf, hash_mode="md5")
     q["doc_fingerprint"] = lambda sf: textops.doc_fingerprint(
         sf, hash_mode="md5")
     # dictionary redaction (PII-scrub plumbing, synthetic term list)
@@ -7110,8 +7113,9 @@ def oracle_sql() -> dict[str, str]:
 
     # winnowing: per window of WINNOW_W grams keep the RIGHTMOST
     # minimum gram hash (MAX(i) over positions attaining the window
-    # min), distinct positions out
-    sql["winnow_fingerprints"] = f"""
+    # min), distinct positions out.  Shared WITH-body (ends at wout)
+    # composed by winnow_fingerprints and winnow_overlap_pairs.
+    _WINNOW_BODY = f"""
       WITH d AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
                CAST(length(text) AS BIGINT) AS n
@@ -7138,10 +7142,25 @@ def oracle_sql() -> dict[str, str]:
           ON g.doc_id = m.doc_id AND g.h = m.mh
          AND g.i BETWEEN m.j AND m.j + {WINNOW_W - 1}
         GROUP BY m.doc_id, m.j
-      )
-      SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
-             g.h AS fp
-      FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.i = s.pos
+      ), wout AS (
+        SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+               g.h AS fp
+        FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.i = s.pos
+      )"""
+    sql["winnow_fingerprints"] = \
+        _WINNOW_BODY + "\n      SELECT doc_id, pos, fp FROM wout"
+
+    from pg_walstream_ray.pipelines.dedup import WINNOW_MIN_SHARED
+
+    sql["winnow_overlap_pairs"] = _WINNOW_BODY + f""",
+      wp AS (SELECT DISTINCT doc_id, fp FROM wout),
+      kf AS (SELECT fp FROM wp GROUP BY fp
+             HAVING COUNT(*) <= {_NDF})
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM wp a JOIN wp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM kf)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """
 
     sql["doc_fingerprint"] = """

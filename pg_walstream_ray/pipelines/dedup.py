@@ -2320,3 +2320,96 @@ def minhash_calibration(sf_dir: str):
         "n_pairs": pa.array(fin["n"].to_numpy(np.int64)),
         "mean_exact_bp": pa.array(
             fin["s"].to_numpy(np.int64) // fin["n"].to_numpy(np.int64))})
+
+
+WINNOW_MIN_SHARED = 5            # pair flag: >= this many shared prints
+
+
+def winnow_overlap_pairs(sf_dir: str,
+                         min_shared: int = WINNOW_MIN_SHARED,
+                         max_df: Optional[int] = NGRAM_MAX_DF,
+                         hash_mode: str = "fast"):
+    """LOCAL-overlap near-dup pairs (the MOSS detector): docs sharing
+    at least ``min_shared`` winnowing fingerprint VALUES — catches a
+    copied PASSAGE inside otherwise-different documents, which
+    whole-doc signatures (MinHash/SimHash) dilute away and word-set
+    Jaccard under-scores.  Output: (doc_a, doc_b, n_shared),
+    doc_a < doc_b.
+
+    Scale shape: winnowing is a zero-shuffle map emitting ~2/(w+1) of
+    gram count; ONE (fp % NPART)-keyed shuffle of distinct (fp, doc)
+    postings; per-bucket vectorized pair explode with the ``max_df``
+    stop-fingerprint cutoff (a boilerplate print shared by df docs
+    would emit df^2 pairs — the same frequency filter as the Jaccard
+    pair source); coarse pair-hash combine.  md5 mode is the oracle
+    bridge; production rides the rolling polynomial hash.
+    """
+    from .textops import winnow_fingerprints
+
+    npart = coarse_npart()
+
+    def post(t: pa.Table) -> pa.Table:
+        # distinct (fp, doc) within the batch; global distinctness is
+        # restored in the bucket pass (same fp+doc always same bucket)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        key = np.stack([fp, did])
+        _, idx = np.unique(key, axis=1, return_index=True)
+        fp, did = fp[idx], did[idx]
+        return pa.table({"tpart": pa.array(fp % npart),
+                         "fp": pa.array(fp), "doc_id": pa.array(did)})
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort") \
+            .drop_duplicates(["fp", "doc_id"])
+        fp = g["fp"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if not len(fp):
+            return empty
+        bnd = np.empty(len(fp), bool)
+        bnd[0] = True
+        bnd[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(bnd)
+        cnt = np.diff(np.append(starts, len(fp)))
+        if max_df is not None:
+            keep = (cnt <= max_df)[np.cumsum(bnd) - 1]
+            fp, ids = fp[keep], ids[keep]
+            if not len(fp):
+                return empty
+            bnd = np.empty(len(fp), bool)
+            bnd[0] = True
+            bnd[1:] = fp[1:] != fp[:-1]
+            starts = np.flatnonzero(bnd)
+            cnt = np.diff(np.append(starts, len(fp)))
+        local = np.arange(len(ids), dtype=np.int64) - \
+            np.repeat(starts, cnt)
+        csum = np.cumsum(local)
+        total = int(csum[-1]) if len(csum) else 0
+        if total == 0:
+            return empty
+        doc_b = np.repeat(ids, local)
+        off = np.arange(total, dtype=np.int64) - \
+            np.repeat(csum - local, local)
+        a_idx = np.repeat(np.arange(len(ids), dtype=np.int64) - local,
+                          local) + off
+        doc_a = ids[a_idx]
+        return pa.table({
+            "part": pa.array((doc_a * 1_000_003 + doc_b) % npart),
+            "doc_a": pa.array(doc_a), "doc_b": pa.array(doc_b)})
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b"], as_index=False).size()
+        n = agg["size"].to_numpy(np.int64)
+        keep = n >= min_shared
+        return pd.DataFrame({"doc_a": agg["doc_a"].to_numpy()[keep],
+                             "doc_b": agg["doc_b"].to_numpy()[keep],
+                             "n_shared": n[keep]})
+
+    return (winnow_fingerprints(sf_dir, hash_mode=hash_mode)
+            .map_batches(post, batch_format="pyarrow")
+            .groupby("tpart").map_groups(emit, batch_format="pandas")
+            .groupby("part").map_groups(count_part,
+                                        batch_format="pandas"))

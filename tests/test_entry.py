@@ -115,7 +115,7 @@ def test_every_oracle_key_has_query(contract):
     "pack_sequences", "semantic_dedup_seeded", "token_zipf_profile",
     "chunk_retrieval_topk", "containment_dup_pairs",
     "minhash_calibration", "audio_stats", "audio_frame_energy",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "winnow_overlap_pairs",
 ])
 def test_query_matches_oracle(contract, name):
     queries, oracles = contract
