@@ -2921,7 +2921,12 @@ def chunk_retrieval_topk(sf_dir: str, nq: int = HASH_EMBED_NQ,
 WINNOW_K = 8                  # k-gram length (chars)
 WINNOW_W = 4                  # winnowing window (grams)
 _WINNOW_B = 1_000_003         # rolling-hash base (fast mode)
-_WINNOW_P = (1 << 61) - 1     # Mersenne modulus (fast mode)
+_WINNOW_P = (1 << 31) - 1     # Mersenne modulus (fast mode); small
+#                               enough that hv*B + cp stays inside
+#                               int64 (2^31 * 2^20 + 2^21 << 2^63) —
+#                               the vectorized recurrence is then the
+#                               EXACT polynomial mod P, no silent
+#                               int64 wraparound
 
 
 def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K,

@@ -387,3 +387,56 @@ def test_winnow_fingerprints_guarantee_and_determinism(ray_session,
     f0 = set(a[a["doc_id"] == 0]["fp"])
     f1 = set(a[a["doc_id"] == 1]["fp"])
     assert f0 & f1
+
+
+def test_winnow_selection_matches_brute_reference(ray_session, tmp_path):
+    """Randomized: engine winnowing positions == a brute per-window
+    rightmost-min reference, fast AND md5 hash modes."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from pg_walstream_ray.pipelines.textops import (WINNOW_K, WINNOW_W,
+                                                    winnow_fingerprints)
+
+    rng = np.random.default_rng(41)
+    alpha = np.array(list("abcde "))
+    docs = ["".join(rng.choice(alpha, size=int(rng.integers(
+        WINNOW_K + WINNOW_W - 1, 80)))) for _ in range(12)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        os.path.join(d, "documents.parquet"))
+
+    import hashlib
+
+    def brute(s, hasher):
+        g = len(s) - WINNOW_K + 1
+        hv = [hasher(s[i:i + WINNOW_K]) for i in range(g)]
+        sel = set()
+        for j in range(g - WINNOW_W + 1):
+            win = hv[j:j + WINNOW_W]
+            m = min(win)
+            # rightmost position attaining the min
+            sel.add(j + max(i for i, v in enumerate(win) if v == m))
+        return {(p, hv[p]) for p in sel}
+
+    B, P = 1_000_003, (1 << 31) - 1
+
+    def roll(gram):
+        h = 0
+        for ch in gram:
+            h = (h * B + ord(ch)) % P
+        return h
+
+    def md5h(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    for mode, hasher in (("fast", roll), ("md5", md5h)):
+        out = winnow_fingerprints(d, hash_mode=mode).to_pandas()
+        for did, s in enumerate(docs):
+            got = {(int(r.pos), int(r.fp))
+                   for r in out[out["doc_id"] == did].itertuples()}
+            assert got == brute(s, hasher), (mode, did, s)
